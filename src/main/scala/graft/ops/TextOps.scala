@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the documents table (SURVEY.md §2.13 X4
+  * and the training-data-pipeline extensions).
+  *
+  * Everything here is pure Catalyst expressions — `split`/`filter`/
+  * `transform`/`aggregate` higher-order functions, no UDFs — so the whole
+  * stage stays inside whole-stage codegen and never crosses a
+  * serialization wall (the reference's `clean_text` Python UDF at
+  * `complaints_narrative_LDA.py:44-57` pays a JVM→Python round trip per
+  * batch; the equivalent here is free).
+  */
+object TextOps {
+
+  /** Whitespace tokens of lowercased text, empty tokens removed
+    * (re-expresses reference `clean_text`, `complaints_narrative_LDA.py:44-53`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set (for Jaccard / fingerprints / minhash). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Small embedded English stopword list (public-domain common words). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+      "on", "with", "as", "at", "by", "be", "this", "that", "are", "was")
+
+  /** Fraction of tokens that are stopwords — a quality-score component. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+        greatest(size(toks), lit(1)),
+      4)
+  }
+
+  /** Mean token length, a second quality component. */
+  def avgTokenLen(text: Column): Column =
+    round(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / greatest(tokenCount(text), lit(1)),
+      4)
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars. */
+  def punctRatio(text: Column): Column =
+    round(
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+        .cast("double") / greatest(length(text), lit(1)),
+      4)
+
+  /** Deterministic document fingerprint: md5 of the sorted distinct token
+    * set. Identical token-bags (any order/multiplicity) collide — the
+    * standard cheap near-dup prefilter before MinHash.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(tokenSet(text)), " "))
+
+  /** Character n-gram shingles of the normalized text (for MinHash). */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** 32-bit token hash shared with the DuckDB oracle: first 8 hex chars of
+    * md5, as an unsigned int in a long. Engine-portable, unlike
+    * xxhash64/murmur (Spark-specific) or hash() (DuckDB-specific).
+    */
+  def hash32(c: Column, seed: String = ""): Column =
+    conv(substring(md5(concat(lit(seed), c)), 1, 8), 16, 10).cast("long")
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts.
+    * N-gram/stopword profiles are the classic cheap lang-id signal; at
+    * 100 TB this runs as pure codegen'd expressions, no model needed.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def langIdScore(text: Column, lang: String): Column = {
+    val profile = langProfiles(lang)
+    size(filter(tokens(text), t => t.isin(profile.map(lit): _*)))
+  }
+}

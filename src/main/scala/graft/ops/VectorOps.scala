@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators (SURVEY.md §2.13 X3/X5): cosine similarity,
+  * brute-force and LSH-bucketed nearest-neighbor search over
+  * `embeddings.embedding: array<float>`.
+  *
+  * All arithmetic uses Catalyst higher-order functions (`zip_with`,
+  * `aggregate`) over the array column — codegen'd, no UDF, no Vector UDT
+  * conversion in the hot path. Computation is done in double precision
+  * (floats widened first) to match the DuckDB oracle bit-for-bit after
+  * rounding.
+  */
+object VectorOps {
+
+  private def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of one query vector.
+    *
+    * The query vector ships as a literal/broadcast (never a shuffle);
+    * Spark plans the ORDER BY+LIMIT as TakeOrderedAndProject — each
+    * partition keeps a k-heap, so the cost is one scan, no global sort.
+    * This is the exact baseline; `lshBuckets` below is the sublinear
+    * scale path.
+    */
+  def bruteForceTopK(emb: DataFrame, queryVec: Seq[Float], k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(v => lit(v.toDouble)): _*)
+    emb.select(col(idCol),
+        round(cosine(col(vecCol), q), 4).as("cos_sim"),
+        cosine(col(vecCol), q).as("raw"))
+      .orderBy(col("raw").desc, col(idCol))
+      .limit(k)
+      .drop("raw")
+  }
+
+  /** Sign-random-projection LSH bucket id: bit j = sign(v · plane_j).
+    * Planes are pseudo-random but DETERMINISTIC, derived from md5 of
+    * (plane, dim) — no RNG state to ship, any executor regenerates them.
+    * Vectors sharing a bucket are cosine-close with high probability;
+    * an ANN query probes only its own bucket (and optionally Hamming-1
+    * neighbors), turning O(N) scans into O(N/2^bits).
+    */
+  def srpBucket(vecCol: Column, dim: Int, bits: Int): Column = {
+    val planeVals: Seq[Seq[Double]] = (0 until bits).map { p =>
+      (0 until dim).map { i =>
+        // hash32-style deterministic uniform in [-1, 1)
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane$p:$i".getBytes("UTF-8"))
+          .take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
+        h.toDouble / (1L << 31).toDouble - 1.0
+      }
+    }
+    val bitCols = planeVals.zipWithIndex.map { case (plane, j) =>
+      val planeLit = array(plane.map(lit): _*)
+      val d = aggregate(zip_with(transform(vecCol, _.cast("double")), planeLit,
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN via SRP buckets: join the query's bucket only. Returns the
+    * bucketed corpus for reuse across queries (bucket once, probe many).
+    */
+  def annTopK(emb: DataFrame, queryVec: Seq[Float], dim: Int, bits: Int,
+              k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb.withColumn("bucket", srpBucket(col(vecCol), dim, bits))
+    val qDf = emb.sparkSession.range(1)
+      .select(array(queryVec.map(v => lit(v)): _*).as("qv"))
+      .withColumn("bucket", srpBucket(col("qv"), dim, bits))
+    bucketed.join(broadcast(qDf), Seq("bucket"))
+      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 4).as("cos_sim"),
+        cosine(col(vecCol), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col(idCol))
+      .limit(k)
+      .drop("raw")
+  }
+
+  /** Fetch one embedding to the driver (for seeding a top-k query). */
+  def embeddingOf(spark: SparkSession, dir: String, vecId: Long): Seq[Float] = {
+    import org.apache.spark.sql.Row
+    graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === vecId).select("embedding")
+      .head() match {
+      case Row(arr: scala.collection.Seq[_]) =>
+        arr.map(_.asInstanceOf[Float]).toSeq
+    }
+  }
+}

@@ -1,0 +1,354 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{DedupOps, EventOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension operators (SURVEY.md §2.13): text
+  * analysis, dedup (exact / MinHash / SimHash / n-gram Jaccard), embedding
+  * similarity search, and event-stream analytics — each oracle-checked
+  * against DuckDB.
+  *
+  * The DuckDB token/hash expressions mirror TextOps exactly (md5-derived
+  * 32-bit hashes, not engine-native hash functions) so signatures match
+  * bit-for-bit across engines.
+  */
+object ExtensionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared DuckDB SQL fragments (mirror TextOps) ----
+  /** tokens: lowercased whitespace split, empties dropped. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+  private val tokSetSql = s"list_distinct($toksSql)"
+  private def hash32Sql(expr: String, seed: String = ""): String =
+    s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
+
+  // ---------------------------------------------------------------- events
+
+  /** q17_hourly_window — tumbling-hour agg over events (X6). Batch shape
+    * of a streaming windowed agg; one shuffle on (hour, type).
+    */
+  def q17Hourly(s: SparkSession, dir: String): DataFrame =
+    EventOps.hourlyAgg(Tables.events(s, dir))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** q18_json_extract — schema-on-read over the semi-structured props
+    * column (X5). The JSON path evaluates inside codegen.
+    */
+  def q18Json(s: SparkSession, dir: String): DataFrame =
+    EventOps.propsK(Tables.events(s, dir))
+      .filter(col("k") > 50)
+      .select(col("event_id"), col("k"))
+      .orderBy(col("event_id"))
+
+  /** q19_sessionize — gap-based sessionization (30 min) + per-session agg.
+    * Integer-microsecond gap arithmetic for engine parity.
+    */
+  def q19Sessionize(s: SparkSession, dir: String): DataFrame =
+    EventOps.sessionStats(Tables.events(s, dir), 30)
+      .orderBy(col("user_id"), col("session_id"))
+
+  // ------------------------------------------------------------- text (X4)
+
+  /** q20_token_count — whitespace token counting per document. */
+  def q20TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** q21_lang_hist — corpus language histogram. */
+  def q21LangHist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** q22_quality — per-document quality scoring: token stats, stopword /
+    * punctuation ratios, short-doc flag. All codegen'd expressions.
+    */
+  def q22Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.avgTokenLen(col("text")).as("avg_token_len"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        (length(col("text")) < 100).as("is_short"))
+      .orderBy(col("doc_id"))
+
+  /** q23_fingerprint — md5 fingerprint of the sorted distinct token set
+    * (order/multiplicity-insensitive exact near-dup key).
+    */
+  def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** q31_langid — stopword-profile language ID with deterministic
+    * tie-break priority (en > de > es > fr).
+    */
+  def q31LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.langIdScore(col("text"), "en").cast("long").as("s_en"),
+        TextOps.langIdScore(col("text"), "de").cast("long").as("s_de"),
+        TextOps.langIdScore(col("text"), "es").cast("long").as("s_es"),
+        TextOps.langIdScore(col("text"), "fr").cast("long").as("s_fr"))
+    d.withColumn("predicted_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ dedup (X1/X2)
+
+  /** q24_exact_dedup — exact dedup groups keyed by content md5; the
+    * 16-byte hash (not the document) is the shuffle key.
+    */
+  def q24ExactDedup(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy(col("content_hash"))
+
+  /** q25_jaccard_pairs — n-gram (word) Jaccard near-dup pairs, candidate-
+    * pruned: only same-language, equal-token-set-size pairs are compared,
+    * so the self-join key is (lang, n_tok) — never an all-pairs cross.
+    */
+  def q25JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenSet(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+    val a = t.select(col("lang"), col("n_tok"),
+      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("lang"), col("n_tok"),
+      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("lang", "n_tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", DedupOps.jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val minhashSeeds = Seq(0, 1, 2, 3, 4, 5, 6, 7)
+
+  private def minhashSigDf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(Seq(col("doc_id")) ++
+        DedupOps.minhashSig(TextOps.tokenSet(col("text")), minhashSeeds): _*)
+
+  /** q26_minhash_sig — 4-seed MinHash signatures (md5-derived hashes,
+    * reproducible in any engine). P[mh_a == mh_b] estimates Jaccard.
+    */
+  def q26MinhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigDf(s, dir).orderBy(col("doc_id"))
+
+  /** q27_minhash_bands — LSH banding (2 bands × 4 rows) → candidate
+    * near-dup pairs. The join key is (band_id, band_key): tiny, uniform,
+    * and bucket-pruned — the 100 TB-safe shape of near-dup detection.
+    * r=4 keeps the S-curve steep (P[cand] = 1-(1-J⁴)²): J=0.6 pairs
+    * surface at ~24%, random-overlap pairs effectively never — the
+    * candidate set stays linear in the near-dup count, not quadratic in
+    * the corpus.
+    */
+  def q27MinhashBands(s: SparkSession, dir: String): DataFrame = {
+    val banded = DedupOps.minhashBands(minhashSigDf(s, dir), "doc_id",
+      minhashSeeds.map(i => s"mh$i"), rowsPerBand = 4)
+    DedupOps.candidatePairs(banded, "doc_id")
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q30_simhash — 16-bit SimHash per document (near-dups = small
+    * Hamming distance; the 64-bit library variant backs DedupOps tests).
+    */
+  def q30Simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        DedupOps.simhash(TextOps.tokenSet(col("text")), 16).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------- vectors (X3)
+
+  /** q28_cosine_topk — brute-force top-20 cosine neighbors of vec_id 0.
+    * The probe vector is a 1-row broadcast; TakeOrderedAndProject keeps a
+    * 20-heap per partition — no global sort. Exact ANN baseline.
+    */
+  def q28CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("cos_sim"),
+        VectorOps.cosine(col("embedding"), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(20)
+      .drop("raw")
+  }
+
+  /** q29_embedding_stats — per-label L2-norm statistics. */
+  def q29EmbeddingStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(VectorOps.norm(col("embedding"))), 4).as("avg_norm"))
+      .orderBy(col("label"))
+
+  // ---------------------------------------------------------------- manifest
+
+  val queries: Map[String, Q] = Map(
+    "q17_hourly_window" -> (q17Hourly _),
+    "q18_json_extract" -> (q18Json _),
+    "q19_sessionize" -> (q19Sessionize _),
+    "q20_token_count" -> (q20TokenCount _),
+    "q21_lang_hist" -> (q21LangHist _),
+    "q22_quality" -> (q22Quality _),
+    "q23_fingerprint" -> (q23Fingerprint _),
+    "q24_exact_dedup" -> (q24ExactDedup _),
+    "q25_jaccard_pairs" -> (q25JaccardPairs _),
+    "q26_minhash_sig" -> (q26MinhashSig _),
+    "q27_minhash_bands" -> (q27MinhashBands _),
+    "q28_cosine_topk" -> (q28CosineTopK _),
+    "q29_embedding_stats" -> (q29EmbeddingStats _),
+    "q30_simhash" -> (q30Simhash _),
+    "q31_langid" -> (q31LangId _),
+  )
+
+  // simhash oracle: generated to mirror DedupOps.simhash(_, 16)
+  private val simhashBitsSql: String = (0 until 16).map { j =>
+    s"CASE WHEN list_sum(list_transform(toks, t -> ((${hash32Sql("t")} >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+
+  private val minhashColsSql: String = minhashSeeds.map { i =>
+    s"list_min(list_transform(toks, t -> ${hash32Sql("t", s"$i:")})) AS mh$i"
+  }.mkString(", ")
+
+  private def stopIn(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "q17_hourly_window" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q18_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q19_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id)
+        |), flagged AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q20_token_count" ->
+      s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_lang_hist" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q22_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  round(len(list_filter(toks, t -> t IN ${stopIn(TextOps.stopwords)}))::DOUBLE
+         |        / greatest(len(toks), 1), 4) AS stopword_ratio,
+         |  round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+         |        / greatest(len(toks), 1), 4) AS avg_token_len,
+         |  round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+         |        / greatest(len(text), 1), 4) AS punct_ratio,
+         |  len(text) < 100 AS is_short
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q23_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort($tokSetSql), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "q25_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokSetSql AS toks,
+         |             len($tokSetSql) AS n_tok FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
+         |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.n_tok = b.n_tok
+         |  AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q26_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents)
+         |SELECT doc_id, $minhashColsSql
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q27_minhash_bands" ->
+      s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents),
+         |sig AS (SELECT doc_id, $minhashColsSql FROM t),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |    md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id,
+         |    md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR) AS band_key FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q28_cosine_topk" ->
+      """SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings e,
+        |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |  e.vec_id
+        |LIMIT 20""".stripMargin,
+    "q29_embedding_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q30_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents)
+         |SELECT doc_id, ($simhashBitsSql)::BIGINT AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q31_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(toks, t -> t IN ${stopIn(TextOps.langProfiles("en"))}))::BIGINT AS s_en,
+         |  len(list_filter(toks, t -> t IN ${stopIn(TextOps.langProfiles("de"))}))::BIGINT AS s_de,
+         |  len(list_filter(toks, t -> t IN ${stopIn(TextOps.langProfiles("es"))}))::BIGINT AS s_es,
+         |  len(list_filter(toks, t -> t IN ${stopIn(TextOps.langProfiles("fr"))}))::BIGINT AS s_fr
+         |  FROM t)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+  )
+}

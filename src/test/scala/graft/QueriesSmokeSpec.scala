@@ -1,0 +1,28 @@
+package graft
+
+/** Every SparkEntry query must run on sf0.001 and (except genuinely-empty
+  * results like anti-joins on fully-covered keys) return rows. Catches
+  * schema drift, broken manifest wiring, and plan-time errors in one pass.
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  // queries whose correct sf0.001 result may legitimately be empty
+  private val mayBeEmpty = Set("q11_anti_join", "q16_except", "q25_jaccard_pairs")
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle SQL or documented exemption") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without oracle: $noOracle (add SQL or an exemption note)")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val n = fn(spark, sf0001).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

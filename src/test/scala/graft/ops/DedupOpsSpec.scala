@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup groups identical content, keeps min id") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("id", "text")
+    val out = DedupOps.exactDedup(df, "text", "id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("keepFirst retains exactly one row per key, deterministically") {
+    val df = Seq((1, 10, "x"), (1, 5, "y"), (2, 7, "z")).toDF("k", "ord", "v")
+    val out = DedupOps.keepFirst(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(2))).toSeq
+      == Seq((1, "y"), (2, "z")))
+  }
+
+  test("jaccard matches hand-computed overlap and bounds") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(DedupOps.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+    val same = df.select(DedupOps.jaccard(col("x"), col("x"))).head().getDouble(0)
+    assert(same == 1.0)
+  }
+
+  test("minhash: identical sets share full signature; estimates Jaccard") {
+    val seeds = 0 until 16
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words appear here today friends"))
+      .toDF("id", "text")
+      .select(Seq(col("id")) ++
+        DedupOps.minhashSig(TextOps.tokenSet(col("text")), seeds): _*)
+    val rows = df.orderBy("id").collect()
+    val sig = (r: org.apache.spark.sql.Row) => (1 to seeds.size).map(r.getLong)
+    assert(sig(rows(0)) == sig(rows(1)))
+    // disjoint token sets: expected matches = J = 0; with 16 hashes the
+    // chance of any collision is negligible for md5-derived 32-bit hashes
+    assert(sig(rows(0)) != sig(rows(2)))
+  }
+
+  test("minhashBands + candidatePairs find the duplicate pair only") {
+    val seeds = 0 until 8
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"))
+      .toDF("id", "text")
+    val sig = docs.select(Seq(col("id")) ++
+      DedupOps.minhashSig(TextOps.tokenSet(col("text")), seeds): _*)
+    val banded = DedupOps.minhashBands(sig, "id",
+      seeds.map(i => s"mh$i"), rowsPerBand = 2)
+    assert(banded.count() == 3 * 4) // 4 bands per doc
+    val pairs = DedupOps.candidatePairs(banded, "id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs are Hamming-close, disjoint docs far") {
+    val df = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans efficiently"),
+      (2L, "spark catalyst optimizer rewrites logical plans quickly"),
+      (3L, "unrelated culinary recipes involve butter sugar flour eggs"))
+      .toDF("id", "text")
+      .select(col("id"),
+        DedupOps.simhash(TextOps.tokenSet(col("text")), 64).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("hammingDist column matches bitCount of xor") {
+    val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
+    assert(df.select(DedupOps.hammingDist(col("a"), col("b")))
+      .head().getInt(0) == 8)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, 11L, ts("2024-01-01 00:20:00"), 1.0), // 20 min — same session
+      (1L, 12L, ts("2024-01-01 00:50:00"), 1.0), // exactly 30 min — same
+      (1L, 13L, ts("2024-01-01 01:20:01"), 1.0), // 30m01s — new session
+      (2L, 20L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventOps.sessionize(df, 30)
+      .select("user_id", "event_id", "session_id")
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 1L), (1L, 13L, 2L),
+      (2L, 20L, 1L)))
+  }
+
+  test("sessionStats aggregates per session") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 2.0),
+      (1L, 2L, ts("2024-01-01 00:05:00"), 3.0),
+      (1L, 3L, ts("2024-01-01 02:00:00"), 5.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventOps.sessionStats(df, 30).orderBy("session_id").collect()
+    assert(out.map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events"),
+      r.getAs[Double]("session_value"))).toSeq
+      == Seq((1L, 2L, 5.0), (2L, 1L, 5.0)))
+  }
+
+  test("hourlyAgg buckets by hour and type") {
+    val df = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:00:00"), "click", 4.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventOps.hourlyAgg(df).orderBy("hour").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Double]("total_value") == 3.0)
+  }
+
+  test("propsK extracts typed json field") {
+    val df = Seq((1L, """{"k": 42}"""), (2L, """{"k": 7, "x": 1}"""))
+      .toDF("event_id", "props")
+    val out = EventOps.propsK(df).select("event_id", "k")
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      == Seq((1L, 42), (2L, 7)))
+  }
+
+  test("events table loader yields microsecond timestamps (ns truncated)") {
+    val e = graft.Tables.events(spark, sf0001)
+    assert(e.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(e.count() > 0)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.head().getAs[T](0)
+
+  test("tokens lowercases, splits on whitespace, drops empties") {
+    val df = Seq("  Hello   WORLD\tfoo\n").toDF("t")
+      .select(TextOps.tokens(col("t")))
+    assert(one[scala.collection.Seq[String]](df) == Seq("hello", "world", "foo"))
+  }
+
+  test("tokenSet is distinct, tokenCount counts multiplicity") {
+    val df = Seq("a b a c b").toDF("t")
+    assert(one[scala.collection.Seq[String]](df.select(TextOps.tokenSet(col("t")))).sorted
+      == Seq("a", "b", "c"))
+    assert(one[Int](df.select(TextOps.tokenCount(col("t")))) == 5)
+  }
+
+  test("stopwordRatio on known mix") {
+    // "the cat and the dog": stopwords the, and, the = 3 of 5
+    val df = Seq("the cat and the dog").toDF("t")
+      .select(TextOps.stopwordRatio(col("t")))
+    assert(one[Double](df) == 0.6)
+  }
+
+  test("avgTokenLen and punctRatio") {
+    val df = Seq("ab cdef!?").toDF("t")
+    // tokens: ab (2), cdef!? (6) → avg 4.0
+    assert(one[Double](df.select(TextOps.avgTokenLen(col("t")))) == 4.0)
+    // 2 punct chars of 9 total
+    assert(one[Double](df.select(TextOps.punctRatio(col("t")))) == 0.2222)
+  }
+
+  test("fingerprint is order- and multiplicity-insensitive") {
+    val fps = Seq("b a a c", "c b a", "a  b\tc")
+      .toDF("t").select(TextOps.fingerprint(col("t")))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size == 1)
+    assert(one[String](Seq("a b d").toDF("t")
+      .select(TextOps.fingerprint(col("t")))) != fps.head)
+  }
+
+  test("charShingles/wordShingles produce n-grams") {
+    val cs = one[scala.collection.Seq[String]](Seq("abcd").toDF("t")
+      .select(TextOps.charShingles(col("t"), 3)))
+    assert(cs == Seq("abc", "bcd"))
+    val ws = one[scala.collection.Seq[String]](Seq("a b c d").toDF("t")
+      .select(TextOps.wordShingles(col("t"), 2)))
+    assert(ws == Seq("a b", "b c", "c d"))
+  }
+
+  test("hash32 is deterministic, seed-sensitive, 32-bit range") {
+    val df = Seq("token").toDF("t")
+    val h1 = one[Long](df.select(TextOps.hash32(col("t"))))
+    val h2 = one[Long](df.select(TextOps.hash32(col("t"))))
+    val h3 = one[Long](df.select(TextOps.hash32(col("t"), "1:")))
+    assert(h1 == h2 && h1 != h3)
+    assert(h1 >= 0L && h1 <= 0xffffffffL)
+  }
+
+  test("langIdScore picks the right language on clean samples") {
+    val samples = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der hund und die katze das ist gut", "de"),
+      ("el perro y la casa que es grande", "es"),
+      ("le chat et les chiens est grand", "fr"))
+    samples.foreach { case (text, expected) =>
+      val scores = TextOps.langProfiles.keys.map { l =>
+        l -> one[Int](Seq(text).toDF("t")
+          .select(TextOps.langIdScore(col("t"), l)))
+      }.toMap
+      assert(scores.maxBy(_._2)._1 == expected, s"for $text got $scores")
+    }
+  }
+}
