@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling / class-balancing operators (SURVEY.md §2.7 R1-R3).
+  *
+  * Re-expresses the reference's two balancing strategies:
+  *  - binary oversampling of the minority class to parity
+  *    (`timely_LR.py:88-96`): sample-with-replacement at ratio
+  *    majority/minority, union with the majority class;
+  *  - stratified resample-to-target (`random_forest_final_class_8.py:
+  *    176-191`): every class re-sampled (over- OR under-) to ~N rows.
+  *
+  * Scale notes: the reference scans the cached relation once per class
+  * (8 counts + 8 sampled scans). `resampleToTarget` keeps those exact
+  * semantics (Poisson per-row sampling, per-class fractions) but computes
+  * ALL class counts in ONE groupBy pass and applies ALL fractions in ONE
+  * scan — a rand()-free `sample` per class is replaced by a single
+  * per-row Poisson draw keyed by the row's class. At 100 TB that is 2
+  * passes instead of 16.
+  */
+object BalanceOps {
+
+  /** R1 — oversample the minority value of a binary label to parity in
+    * expectation. Matches `timely_LR.py:88-96`: minority rows are
+    * REPLACED by a with-replacement sample of themselves at fraction
+    * majority/minority.
+    */
+  def oversampleBinary(df: DataFrame, labelCol: String, minorityValue: String,
+                       seed: Long = 42L): DataFrame = {
+    val minority = df.filter(col(labelCol) === minorityValue)
+    val majority = df.filter(col(labelCol) =!= minorityValue)
+    val nMin = minority.count()
+    val nMaj = majority.count()
+    require(nMin > 0, s"no rows with $labelCol == $minorityValue")
+    val fraction = nMaj.toDouble / nMin.toDouble
+    majority.unionByName(minority.sample(withReplacement = true, fraction, seed))
+  }
+
+  /** R2 (reference-parity form) — per-class filter + sample + union, one
+    * sampled scan per class, exactly as `random_forest_final_class_8.py:
+    * 176-191` does. Kept for semantic parity; prefer
+    * `resampleToTarget` at scale.
+    */
+  def resamplePerClassScan(df: DataFrame, classCol: String, target: Long,
+                           seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(classCol).count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    counts.keys.toSeq.sortBy(_.toString).map { cls =>
+      val fraction = target.toDouble / counts(cls).toDouble
+      df.filter(col(classCol) === cls)
+        .sample(withReplacement = true, fraction, seed)
+    }.reduce(_ unionByName _)
+  }
+
+  /** R2 (single-pass form) — same expected row counts (~target per
+    * class, Poisson-with-replacement), but one count pass + one sampled
+    * scan total. Each row draws Poisson(target/classCount) copies via
+    * explode of a per-row draw; the fractions ride in as a broadcast
+    * map literal.
+    */
+  def resampleToTarget(df: DataFrame, classCol: String, target: Long,
+                       seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(classCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val fracExpr = counts.foldLeft(lit(Double.NaN)) { case (acc, (cls, n)) =>
+      when(col(classCol).cast("string") === cls, lit(target.toDouble / n))
+        .otherwise(acc)
+    }
+    // Poisson(λ) draw per row via inverse-CDF walk, capped at 10 draws
+    // (λ ≤ ~3 in practice for balancing). The uniform MUST be
+    // materialized as its own column first: inlining rand(seed) into
+    // every `when` branch would create independent RNG streams whose
+    // short-circuited evaluation desynchronizes per row, biasing the
+    // draw. Rand is nondeterministic, so CollapseProject keeps the
+    // projection boundary and each row reads one shared u.
+    val withU = df.withColumn("__u", rand(seed))
+    val u = col("__u")
+    val lam = fracExpr
+    // N = #{k : U > CDF(k-1)}
+    val cdf0 = exp(-lam)
+    val copies = (1 to 10).foldLeft((lit(0), cdf0, cdf0)) {
+      case ((n, term, cum), k) =>
+        val nextN = when(u > cum, lit(k)).otherwise(n)
+        val nextTerm = term * lam / k
+        (nextN, nextTerm, cum + nextTerm)
+    }._1
+    withU.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("__dup", explode(sequence(lit(1), col("__copies"))))
+      .drop("__u", "__copies", "__dup")
+  }
+
+  /** R3 — seeded train/test split (`timely_LR.py:100` et al.). */
+  def trainTestSplit(df: DataFrame, trainFraction: Double = 0.7,
+                     seed: Long = 42L): (DataFrame, DataFrame) = {
+    val Array(train, test) =
+      df.randomSplit(Array(trainFraction, 1.0 - trainFraction), seed)
+    (train, test)
+  }
+}

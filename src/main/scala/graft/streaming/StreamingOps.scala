@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming forms of the event operators (SURVEY.md §2.10).
+  *
+  * The reference is batch-only; these wrappers make the same aggregations
+  * run on an unbounded source: `readStream → withWatermark → groupBy
+  * (window) → writeStream`. The batch forms in `graft.ops.EventOps`
+  * share the aggregation shape, so results agree when a bounded stream
+  * is replayed.
+  *
+  * Scale notes: state size is bounded by the watermark — hour windows
+  * older than the watermark are finalized and evicted; sessionization
+  * state is one small SessionState per active (user) key with an
+  * idle-timeout, so memory is O(active users), not O(events).
+  */
+object StreamingOps {
+
+  /** Tumbling-hour windowed aggregation with late-data handling.
+    * Append-mode compatible: windows emit once the watermark passes.
+    */
+  def hourlyAggStream(events: DataFrame,
+                      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(sessionId: Long, nEvents: Long, value: Double,
+                          lastTs: Long)
+
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        session_value: Double)
+
+  /** Stateful gap-based sessionization (§2.13 X6 streaming form): a
+    * session closes after `gapMinutes` of EVENT-TIME silence — detected
+    * either by a later event from the same user or by event-time state
+    * timeout once the watermark passes lastTs + gap. Emits one row per
+    * closed session; deterministic w.r.t. event time (no wall-clock
+    * dependence). Input must carry a watermark on `ts` — `events` is
+    * watermarked here.
+    *
+    * State: one SessionState per ACTIVE user, evicted on timeout — at
+    * 100 TB/day the state store holds O(active users), not O(events).
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int,
+                       watermarkDelay: String = "10 minutes")
+  : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out ::= SessionOut(userId, s.sessionId, s.nEvents, s.value)
+        state.remove()
+      } else {
+        var cur = state.getOption
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastTs <= gapMs =>
+              cur = Some(s.copy(nEvents = s.nEvents + 1,
+                value = s.value + e.value, lastTs = t))
+            case Some(s) =>
+              out ::= SessionOut(userId, s.sessionId, s.nEvents, s.value)
+              cur = Some(SessionState(s.sessionId + 1, 1L, e.value, t))
+            case None =>
+              cur = Some(SessionState(1L, 1L, e.value, t))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs + gapMs)
+        }
+      }
+      out.reverseIterator
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

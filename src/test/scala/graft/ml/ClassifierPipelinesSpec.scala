@@ -1,0 +1,92 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** ML smoke tests (SURVEY.md §5.2-4): fit on sf0.001 frames, assert
+  * metric sanity and exact seed reproducibility.
+  */
+class ClassifierPipelinesSpec extends SparkSpec {
+
+  // orders with a learnable binary target: high-priority flag is noise,
+  // but price>median is predictable from price-correlated features; we
+  // instead predict order status, which correlates with orderdate.
+  private lazy val orders = Tables.orders(spark, sf0001)
+    .withColumn("is_high", when(col("o_totalprice") > 150000, "yes").otherwise("no"))
+    .withColumn("price_bucket",
+      (col("o_totalprice") / 50000).cast("int").cast("string"))
+
+  test("binaryFlow (LR) runs, AUC sane, cells partition the test set") {
+    val r = ReferenceFlows.binaryFlow(orders,
+      catCols = Seq("o_orderpriority"), numCols = Seq("o_totalprice"),
+      labelCol = "is_high", minorityValue = "yes")
+    assert(r.auc >= 0.9, s"price-derived label should be separable, auc=${r.auc}")
+    val total = r.cells.values.sum
+    assert(total == r.predictions.count())
+    assert(r.cells.keySet == Set("tp", "fp", "tn", "fn"))
+  }
+
+  test("binaryFlow (SVC and GBT) run and beat chance") {
+    Seq("svc", "gbt").foreach { kind =>
+      val r = ReferenceFlows.binaryFlow(orders,
+        catCols = Seq("o_orderpriority"), numCols = Seq("o_totalprice"),
+        labelCol = "is_high", minorityValue = "yes", estimatorKind = kind)
+      assert(r.auc > 0.8, s"$kind auc=${r.auc}")
+    }
+  }
+
+  test("binaryFlow is seed-reproducible") {
+    def run() = ReferenceFlows.binaryFlow(orders,
+      catCols = Seq("o_orderpriority"), numCols = Seq("o_totalprice"),
+      labelCol = "is_high", minorityValue = "yes")
+    val (a, b) = (run(), run())
+    assert(a.auc == b.auc && a.cells == b.cells)
+  }
+
+  test("multiclassFlow (RF) produces confusion matrix + importances") {
+    val r = ReferenceFlows.multiclassFlow(orders,
+      freqCols = Seq("o_custkey"), catCols = Seq("o_orderpriority"),
+      numCols = Seq("o_totalprice"), labelCol = "o_orderstatus",
+      targetPerClass = 300)
+    assert(r.metrics("accuracy") > 0.3) // 3 classes, must beat chance
+    val cm = r.confusion.collect()
+    assert(cm.nonEmpty && cm.length <= 3)
+    val imp = r.importances.collect()
+    assert(imp.map(_.getDouble(1)).sum > 0.99) // Gini importances sum to 1
+    // perClass recall/precision bounded
+    r.perClass.collect().foreach { row =>
+      val rec = row.getDouble(1)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("multiclassFlow (DT + TVS tuning) runs") {
+    val r = ReferenceFlows.multiclassFlow(orders,
+      freqCols = Seq.empty, catCols = Seq("price_bucket"),
+      numCols = Seq("o_totalprice"), labelCol = "o_orderstatus",
+      targetPerClass = 200, treeKind = "dt", tune = "tvs")
+    assert(r.metrics("accuracy") >= 0.0)
+  }
+
+  test("confusionMatrix pivot matches pairwise counts") {
+    import spark.implicits._
+    val preds = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 1.0), (0.0, 0.0))
+      .toDF("label", "prediction")
+    val cm = ClassifierPipelines.confusionMatrix(preds).collect()
+    val row0 = cm.find(_.getDouble(0) == 0.0).get
+    assert(row0.getAs[Long]("0.0") == 2 && row0.getAs[Long]("1.0") == 1)
+    val row1 = cm.find(_.getDouble(0) == 1.0).get
+    assert(row1.getAs[Long]("0.0") == 0 && row1.getAs[Long]("1.0") == 2)
+  }
+
+  test("perClassMetrics matches hand-computed precision/recall") {
+    import spark.implicits._
+    val preds = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 1.0), (0.0, 0.0))
+      .toDF("label", "prediction")
+    val pc = ClassifierPipelines.perClassMetrics(preds).collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(pc(0.0) == ((2.0 / 3.0, 1.0)))   // recall 2/3, precision 2/2
+    assert(pc(1.0) == ((1.0, 2.0 / 3.0)))   // recall 2/2, precision 2/3
+  }
+}

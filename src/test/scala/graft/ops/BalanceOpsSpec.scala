@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BalanceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = {
+    val maj = (1 to 900).map(i => (i.toLong, "yes"))
+    val min = (901 to 1000).map(i => (i.toLong, "no"))
+    (maj ++ min).toDF("id", "cls")
+  }
+
+  test("oversampleBinary approaches parity in expectation") {
+    val out = BalanceOps.oversampleBinary(skewed, "cls", "no", seed = 42L)
+    val counts = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("yes") == 900)
+    // Poisson(9.0) per 100 rows → expect ~900, tolerate 4 sigma (~±120)
+    assert(math.abs(counts("no") - 900L) < 120,
+      s"oversampled minority = ${counts("no")}")
+  }
+
+  test("oversampleBinary is seed-deterministic") {
+    val a = BalanceOps.oversampleBinary(skewed, "cls", "no", 7L).count()
+    val b = BalanceOps.oversampleBinary(skewed, "cls", "no", 7L).count()
+    assert(a == b)
+  }
+
+  test("resampleToTarget hits ~target per class (single-pass form)") {
+    val df = ((1 to 50).map(i => (i, "a")) ++ (1 to 500).map(i => (i, "b")) ++
+      (1 to 2000).map(i => (i, "c"))).toDF("id", "cls")
+    val out = BalanceOps.resampleToTarget(df, "cls", target = 200, seed = 42L)
+    val counts = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (cls, n) =>
+      assert(math.abs(n - 200L) < 70, s"class $cls resampled to $n (target 200)")
+    }
+  }
+
+  test("resamplePerClassScan (reference-parity form) hits ~target too") {
+    val df = ((1 to 100).map(i => (i, "x")) ++ (1 to 1000).map(i => (i, "y")))
+      .toDF("id", "cls")
+    val out = BalanceOps.resamplePerClassScan(df, "cls", target = 300, seed = 42L)
+    val counts = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (cls, n) =>
+      assert(math.abs(n - 300L) < 80, s"class $cls resampled to $n (target 300)")
+    }
+  }
+
+  test("trainTestSplit partitions the input") {
+    val df = (1 to 1000).toDF("id")
+    val (tr, te) = BalanceOps.trainTestSplit(df, 0.7, 42L)
+    assert(tr.count() + te.count() == 1000)
+    assert(tr.intersect(te).count() == 0)
+    assert(math.abs(tr.count() - 700L) < 60)
+  }
+}
