@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar-function / analytic-window / join-shape coverage beyond the
+  * reference's direct usage (SURVEY.md §2.3 note: the engine exposes the
+  * full functions surface; §2.5 J2; §2.8 O3). Each query is
+  * oracle-checked against DuckDB on the same parquet.
+  */
+object FunctionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q32_window_analytics — lag/lead/rank/dense_rank + running frame sum
+    * over a per-customer ordered window. One shuffle on o_custkey; all
+    * five functions share the same window sort.
+    */
+  def q32WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(sum(col("o_totalprice")).over(wf), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q33_string_funcs — string scalar surface: concat/substring/upper/
+    * lower/lpad/replace/position/like/regexp_extract. All codegen'd.
+    */
+  def q33StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 2000)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first_word"),
+        col("p_name").like("%green%").as("is_green"),
+        instr(col("p_type"), "BRASS").cast("long").as("brass_pos"))
+      .orderBy(col("p_partkey"))
+
+  /** q34_math_funcs — math scalar surface over lineitem prices. */
+  def q34MathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_extendedprice") / 1000).as("price_k"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** q35_date_funcs — date/time scalar surface over orders. */
+  def q35DateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 3000)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+        datediff(lit("1998-12-31").cast("date"), to_date(col("o_orderdate")))
+          .as("days_to_eoy"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+      .orderBy(col("o_orderkey"))
+
+  /** q36_array_agg — collect_list into a sorted array per group +
+    * array scalar ops. Sorting inside the aggregate (array_sort after
+    * collect) makes the result deterministic — collect order is not.
+    */
+  def q36ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 200)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("linenums"))
+      .select(col("l_orderkey"), col("linenums"),
+        size(col("linenums")).as("n_lines"),
+        element_at(col("linenums"), 1).as("first_line"),
+        array_contains(col("linenums"), 3).as("has_line3"))
+      .orderBy(col("l_orderkey"))
+
+  /** q37_from_json — full-schema JSON parse (one parse, many fields) vs
+    * q18's per-path get_json_object; the scale-correct form when
+    * extracting multiple fields.
+    */
+  def q37FromJson(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    Tables.events(s, dir)
+      .withColumn("p", from_json(col("props"), schema))
+      .groupBy(col("p.k").as("k"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("k"))
+  }
+
+  /** q38_outer_joins — full-outer join preserving both unmatched sides
+    * (supplier vs distinct lineitem suppliers with stats).
+    */
+  def q38OuterJoins(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_items"))
+      .filter(col("l_suppkey") % 3 === 0)
+    Tables.supplier(s, dir)
+      .filter(col("s_suppkey") % 2 === 0)
+      .join(li, col("s_suppkey") === col("l_suppkey"), "full_outer")
+      .select(col("s_suppkey"), col("s_name"), col("l_suppkey"), col("n_items"))
+      .orderBy(col("s_suppkey").asc_nulls_first, col("l_suppkey").asc_nulls_first)
+  }
+
+  /** q39_scalar_subquery — orders above the global average price
+    * (uncorrelated scalar subquery → broadcast of one value).
+    */
+  def q39ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("a"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("a") * 1.5)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") - col("a"), 2).as("above_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q40_percentiles — exact percentiles + count_distinct per group.
+    * Exact (not approx) so DuckDB's quantile_cont matches bit-for-bit.
+    */
+  def q40Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** q41_intersect — INTERSECT set op (SURVEY §2.6 U2): custkeys present
+    * in both high- and low-price order populations.
+    */
+  def q41Intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      .intersect(o.filter(col("o_totalprice") < 100000).select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q42_cross_join — small×small cartesian (region × order status
+    * histogram) — the only safe cross-join shape at scale.
+    */
+  def q42CrossJoin(s: SparkSession, dir: String): DataFrame = {
+    val statuses = Tables.orders(s, dir).select(col("o_orderstatus")).distinct()
+    Tables.region(s, dir).crossJoin(statuses)
+      .select(col("r_name"), col("o_orderstatus"))
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** q43_na_drop — na.drop subset semantics (SURVEY §2.2 P11) on the
+    * full-outer join result of q38 (which manufactures nulls).
+    */
+  def q43NaDrop(s: SparkSession, dir: String): DataFrame =
+    q38OuterJoins(s, dir).na.drop(Seq("s_suppkey", "n_items"))
+      .orderBy(col("s_suppkey"))
+
+  val queries: Map[String, Q] = Map(
+    "q32_window_analytics" -> (q32WindowAnalytics _),
+    "q33_string_funcs" -> (q33StringFuncs _),
+    "q34_math_funcs" -> (q34MathFuncs _),
+    "q35_date_funcs" -> (q35DateFuncs _),
+    "q36_array_agg" -> (q36ArrayAgg _),
+    "q37_from_json" -> (q37FromJson _),
+    "q38_outer_joins" -> (q38OuterJoins _),
+    "q39_scalar_subquery" -> (q39ScalarSubquery _),
+    "q40_percentiles" -> (q40Percentiles _),
+    "q41_intersect" -> (q41Intersect _),
+    "q42_cross_join" -> (q42CrossJoin _),
+    "q43_na_drop" -> (q43NaDrop _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q32_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q33_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  lpad(p_partkey::VARCHAR, 10, '0') AS key_padded,
+        |  coalesce(regexp_extract(p_type, '^(\w+)', 1), '') AS type_first_word,
+        |  p_name LIKE '%green%' AS is_green,
+        |  CAST(coalesce(position('BRASS' IN p_type), 0) AS BIGINT) AS brass_pos
+        |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin,
+    "q34_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(abs(l_discount - 0.05), 4) AS disc_dev,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+        |  round(pow(l_quantity, 2), 2) AS qty_sq,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  l_orderkey % 7 AS key_mod7
+        |FROM lineitem WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q35_date_funcs" ->
+      """SELECT o_orderkey,
+        |  o_orderdate::DATE AS d,
+        |  o_orderdate::DATE + INTERVAL 30 DAY AS d_plus30,
+        |  CAST(date_diff('day', o_orderdate::DATE, DATE '1998-12-31') AS INT) AS days_to_eoy,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  last_day(o_orderdate::DATE) AS month_end,
+        |  date_trunc('month', o_orderdate)::DATE AS month_start
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin,
+    "q36_array_agg" ->
+      """SELECT l_orderkey, linenums,
+        |  CAST(len(linenums) AS INT) AS n_lines,
+        |  linenums[1] AS first_line,
+        |  list_contains(linenums, 3) AS has_line3
+        |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenums
+        |      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
+    "q37_from_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q38_outer_joins" ->
+      """SELECT s_suppkey, s_name, l_suppkey, n_items
+        |FROM (SELECT * FROM supplier WHERE s_suppkey % 2 = 0) s
+        |FULL OUTER JOIN (
+        |  SELECT l_suppkey, count(*) AS n_items FROM lineitem
+        |  GROUP BY l_suppkey HAVING l_suppkey % 3 = 0) li
+        |ON s.s_suppkey = li.l_suppkey
+        |ORDER BY s_suppkey NULLS FIRST, l_suppkey NULLS FIRST""".stripMargin,
+    "q39_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2) AS above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q40_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q41_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 100000
+        |ORDER BY o_custkey""".stripMargin,
+    "q42_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q43_na_drop" ->
+      """SELECT s_suppkey, s_name, l_suppkey, n_items
+        |FROM (SELECT * FROM supplier WHERE s_suppkey % 2 = 0) s
+        |JOIN (SELECT l_suppkey, count(*) AS n_items FROM lineitem
+        |      GROUP BY l_suppkey HAVING l_suppkey % 3 = 0) li
+        |ON s.s_suppkey = li.l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+  )
+}
