@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dozens of whole-stage-codegen classes across the query manifest can
+  // exhaust the default 240m code cache; once full, the JIT disables
+  // itself and interpreted HOF paths go 10-50x slower mid-run
+  "-XX:ReservedCodeCacheSize=1g",
 )

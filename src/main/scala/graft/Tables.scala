@@ -14,6 +14,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Restore scan parallelism for compute-heavy pipelines.
+    *
+    * The testdata parquet files are written as ONE row group, and a row
+    * group is Spark's minimum split unit — so every scan here is a
+    * single task and everything computed before the first exchange runs
+    * on one core of local[32]. This is the classic "one big
+    * unsplittable file" ingest problem at any scale. The cure is one
+    * explicit round-robin shuffle of the (small) raw columns BEFORE the
+    * expensive per-row work; downstream projections then run with full
+    * parallelism. Keep heavy expressions in projections ABOVE this call
+    * — Catalyst pushes deterministic FILTERS below a repartition, but
+    * leaves projections in place.
+    */
+  def parallelize(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

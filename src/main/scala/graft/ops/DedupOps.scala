@@ -32,16 +32,35 @@ object DedupOps {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** MinHash signature column: for each seed, min over the token set of a
-    * 32-bit md5-derived hash (TextOps.hash32 — engine-portable so the
-    * DuckDB oracle can reproduce it). Approximates Jaccard similarity:
-    * P[minhash_a == minhash_b] = J(a, b).
+  /** MinHash signature columns mh0..mh{n-1}: P[mh_a == mh_b] = J(a, b).
+    *
+    * Cost design: ONE md5 per token yields FOUR independent 32-bit hash
+    * functions (the 128-bit digest sliced into 8-hex-char windows), so n
+    * hashes cost n/4 md5 calls — and the digest arrays are materialized
+    * as real columns first, because Catalyst higher-order functions are
+    * CodegenFallback with no common-subexpression elimination: slicing
+    * from an inlined `transform` would re-run md5 once per signature
+    * column. All hashes are md5-derived, so the DuckDB oracle reproduces
+    * them bit-for-bit.
+    *
+    * Input df must carry `tokens` (array<string>); output adds mh0..n.
     */
-  def minhashSig(tokenSet: Column, seeds: Seq[Int]): Seq[Column] =
-    seeds.map { s =>
-      array_min(transform(tokenSet, t => TextOps.hash32(t, s"$s:")))
-        .as(s"mh$s")
+  def withMinhash(df: DataFrame, tokens: Column, nHashes: Int): DataFrame = {
+    require(nHashes % 4 == 0, "nHashes must be a multiple of 4 (md5 slices)")
+    val groups = nHashes / 4
+    val withHex = (0 until groups).foldLeft(df) { (d, g) =>
+      d.withColumn(s"__hex$g",
+        transform(tokens, t => md5(concat(lit(s"$g:"), t))))
     }
+    val out = (0 until groups).foldLeft(withHex) { (d, g) =>
+      (0 until 4).foldLeft(d) { (d2, j) =>
+        d2.withColumn(s"mh${4 * g + j}",
+          array_min(transform(col(s"__hex$g"),
+            h => conv(substring(h, 8 * j + 1, 8), 16, 10).cast("long"))))
+      }
+    }
+    (0 until groups).foldLeft(out)((d, g) => d.drop(s"__hex$g"))
+  }
 
   /** LSH banding: docs sharing any band of the signature become candidate
     * pairs. With b bands of r rows, P[candidate] = 1-(1-J^r)^b — the
@@ -70,23 +89,37 @@ object DedupOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Exact Jaccard over distinct token arrays. */
+  /** Exact Jaccard over distinct token arrays. When both sizes are
+    * already known equal (e.g. joined on set size), prefer the
+    * intersection-only identity i/(2n-i) — see q25 — which skips the
+    * array_union allocation.
+    */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** 16-bit SimHash over the token set: bit j is the sign of
-    * Σ_tokens (bit j of hash32(token) ? +1 : -1). Near-dups differ in
-    * few bits (Hamming distance); 16 bits keeps the oracle SQL tractable
-    * while the library variant below goes to 64.
+  /** SimHash over a token set: bit j of the output is the sign of
+    * Σ_tokens (bit j of hash32(token) ? +1 : -1); near-dups land within
+    * small Hamming distance. Adds `out` to df.
+    *
+    * The per-token hash array is materialized ONCE as a column, then all
+    * `bits` vote-aggregations run cheap integer ops over it — inlining
+    * hash32 into each bit's aggregate would run md5 `bits`× per token
+    * (HOFs get no subexpression elimination).
     */
-  def simhash(tokenSet: Column, bits: Int = 16): Column = {
-    val contribs = (0 until bits).map { j =>
-      val votes = aggregate(tokenSet, lit(0L),
-        (acc, t) => acc + (shiftright(TextOps.hash32(t), j) % 2) * 2 - 1)
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+  def withSimhash(df: DataFrame, tokens: Column, bits: Int,
+                  out: String): DataFrame = {
+    val hcol = "__sh_hashes"
+    val votes = (0 until bits).map { j =>
+      aggregate(col(hcol), lit(0L),
+        (acc, h) => acc + (shiftright(h, j) % 2) * 2 - 1)
     }
-    contribs.reduce(_ + _)
+    val sim = votes.zipWithIndex.map { case (v, j) =>
+      when(v > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn(hcol, transform(tokens, t => TextOps.hash32(t)))
+      .withColumn(out, sim)
+      .drop(hcol)
   }
 
   /** Hamming distance between two simhash values (for near-dup joins). */

@@ -56,7 +56,7 @@ object ExtensionQueries {
 
   /** q20_token_count — whitespace token counting per document. */
   def q20TokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
@@ -73,7 +73,7 @@ object ExtensionQueries {
     * punctuation ratios, short-doc flag. All codegen'd expressions.
     */
   def q22Quality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
@@ -86,7 +86,7 @@ object ExtensionQueries {
     * (order/multiplicity-insensitive exact near-dup key).
     */
   def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
@@ -94,7 +94,7 @@ object ExtensionQueries {
     * tie-break priority (en > de > es > fr).
     */
   def q31LangId(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"),
         TextOps.langIdScore(col("text"), "en").cast("long").as("s_en"),
         TextOps.langIdScore(col("text"), "de").cast("long").as("s_de"),
@@ -123,7 +123,7 @@ object ExtensionQueries {
     * so the self-join key is (lang, n_tok) — never an all-pairs cross.
     */
   def q25JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
+    val t = Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
         TextOps.tokenSet(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")))
@@ -133,21 +133,27 @@ object ExtensionQueries {
       col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, Seq("lang", "n_tok"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", DedupOps.jaccard(col("toks_a"), col("toks_b")))
+      // equal set sizes (join key) ⇒ |union| = 2n - |inter|: intersection
+      // only, no array_union allocation per pair
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n_tok") * 2 - col("inter")))
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val minhashSeeds = Seq(0, 1, 2, 3, 4, 5, 6, 7)
+  private val nMinhash = 8
 
   private def minhashSigDf(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(Seq(col("doc_id")) ++
-        DedupOps.minhashSig(TextOps.tokenSet(col("text")), minhashSeeds): _*)
+    DedupOps.withMinhash(
+      Tables.parallelize(Tables.documents(s, dir))
+        .select(col("doc_id"), TextOps.tokenSet(col("text")).as("__toks")),
+      col("__toks"), nMinhash)
+      .drop("__toks")
 
-  /** q26_minhash_sig — 4-seed MinHash signatures (md5-derived hashes,
-    * reproducible in any engine). P[mh_a == mh_b] estimates Jaccard.
+  /** q26_minhash_sig — 8-hash MinHash signatures from 2 md5 calls per
+    * token (digest sliced 4 ways). P[mh_a == mh_b] estimates Jaccard.
     */
   def q26MinhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSigDf(s, dir).orderBy(col("doc_id"))
@@ -162,7 +168,7 @@ object ExtensionQueries {
     */
   def q27MinhashBands(s: SparkSession, dir: String): DataFrame = {
     val banded = DedupOps.minhashBands(minhashSigDf(s, dir), "doc_id",
-      minhashSeeds.map(i => s"mh$i"), rowsPerBand = 4)
+      (0 until nMinhash).map(i => s"mh$i"), rowsPerBand = 4)
     DedupOps.candidatePairs(banded, "doc_id")
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
@@ -172,9 +178,11 @@ object ExtensionQueries {
     * Hamming distance; the 64-bit library variant backs DedupOps tests).
     */
   def q30Simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        DedupOps.simhash(TextOps.tokenSet(col("text")), 16).as("simhash"))
+    DedupOps.withSimhash(
+      Tables.parallelize(Tables.documents(s, dir))
+        .select(col("doc_id"), TextOps.tokenSet(col("text")).as("__toks")),
+      col("__toks"), 16, "simhash")
+      .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
   // --------------------------------------------------------- vectors (X3)
@@ -193,6 +201,26 @@ object ExtensionQueries {
         VectorOps.cosine(col("embedding"), col("qv")).as("raw"))
       .orderBy(col("raw").desc, col("vec_id"))
       .limit(20)
+      .drop("raw")
+  }
+
+  /** q44_cosine_expr — q28's top-k restated on the NATIVE codegen
+    * cosine expression (graft.functions.CosineSimilarity) instead of the
+    * zip_with/aggregate HOF: one fused primitive loop per row inside
+    * WholeStageCodegen. Neighbors of vec_id 1, k=15.
+    */
+  def q44CosineExpr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 1)
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qv")), 4)
+          .as("cos_sim"),
+        call_function("cosine_sim", col("embedding"), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(15)
       .drop("raw")
   }
 
@@ -222,6 +250,7 @@ object ExtensionQueries {
     "q29_embedding_stats" -> (q29EmbeddingStats _),
     "q30_simhash" -> (q30Simhash _),
     "q31_langid" -> (q31LangId _),
+    "q44_cosine_expr" -> (q44CosineExpr _),
   )
 
   // simhash oracle: generated to mirror DedupOps.simhash(_, 16)
@@ -229,8 +258,10 @@ object ExtensionQueries {
     s"CASE WHEN list_sum(list_transform(toks, t -> ((${hash32Sql("t")} >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
-  private val minhashColsSql: String = minhashSeeds.map { i =>
-    s"list_min(list_transform(toks, t -> ${hash32Sql("t", s"$i:")})) AS mh$i"
+  // mirrors DedupOps.withMinhash: hash i = hex slice (i%4) of md5("(i/4):" || t)
+  private val minhashColsSql: String = (0 until nMinhash).map { i =>
+    val g = i / 4; val j = i % 4
+    s"list_min(list_transform(toks, t -> ('0x' || substr(md5('$g:' || t), ${8 * j + 1}, 8))::BIGINT)) AS mh$i"
   }.mkString(", ")
 
   private def stopIn(words: Seq[String]): String =
@@ -332,6 +363,15 @@ object ExtensionQueries {
       """SELECT label, count(*) AS n_vecs,
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q44_cosine_expr" ->
+      """SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings e,
+        |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1) q
+        |WHERE e.vec_id <> 1
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |  e.vec_id
+        |LIMIT 15""".stripMargin,
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents)
          |SELECT doc_id, ($simhashBitsSql)::BIGINT AS simhash

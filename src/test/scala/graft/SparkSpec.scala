@@ -23,6 +23,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // pre-trigger ICU CollationAwareUTF8String static init (see Bench)
+    s.range(1).select(org.apache.spark.sql.functions.expr(
+      "filter(array(lower('Warm Up')), x -> x != '')")).collect()
     s
   }
 }

@@ -33,46 +33,48 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("minhash: identical sets share full signature; estimates Jaccard") {
-    val seeds = 0 until 16
-    val df = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "the quick brown fox jumps over the lazy dog"),
-      (3L, "entirely different words appear here today friends"))
-      .toDF("id", "text")
-      .select(Seq(col("id")) ++
-        DedupOps.minhashSig(TextOps.tokenSet(col("text")), seeds): _*)
+    val df = DedupOps.withMinhash(
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "entirely different words appear here today friends"))
+        .toDF("id", "text")
+        .select(col("id"), TextOps.tokenSet(col("text")).as("toks")),
+      col("toks"), 16).drop("toks")
     val rows = df.orderBy("id").collect()
-    val sig = (r: org.apache.spark.sql.Row) => (1 to seeds.size).map(r.getLong)
+    val sig = (r: org.apache.spark.sql.Row) => (1 to 16).map(r.getLong)
     assert(sig(rows(0)) == sig(rows(1)))
     // disjoint token sets: expected matches = J = 0; with 16 hashes the
     // chance of any collision is negligible for md5-derived 32-bit hashes
     assert(sig(rows(0)) != sig(rows(2)))
+    // slices are genuinely distinct hash functions
+    assert(sig(rows(0)).distinct.size > 1)
   }
 
   test("minhashBands + candidatePairs find the duplicate pair only") {
-    val seeds = 0 until 8
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six"))
       .toDF("id", "text")
-    val sig = docs.select(Seq(col("id")) ++
-      DedupOps.minhashSig(TextOps.tokenSet(col("text")), seeds): _*)
+      .select(col("id"), TextOps.tokenSet(col("text")).as("toks"))
+    val sig = DedupOps.withMinhash(docs, col("toks"), 8).drop("toks")
     val banded = DedupOps.minhashBands(sig, "id",
-      seeds.map(i => s"mh$i"), rowsPerBand = 2)
+      (0 until 8).map(i => s"mh$i"), rowsPerBand = 2)
     assert(banded.count() == 3 * 4) // 4 bands per doc
     val pairs = DedupOps.candidatePairs(banded, "id").collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
   test("simhash: near-identical docs are Hamming-close, disjoint docs far") {
-    val df = Seq(
-      (1L, "spark catalyst optimizer rewrites logical plans efficiently"),
-      (2L, "spark catalyst optimizer rewrites logical plans quickly"),
-      (3L, "unrelated culinary recipes involve butter sugar flour eggs"))
-      .toDF("id", "text")
-      .select(col("id"),
-        DedupOps.simhash(TextOps.tokenSet(col("text")), 64).as("sh"))
+    val df = DedupOps.withSimhash(
+      Seq(
+        (1L, "spark catalyst optimizer rewrites logical plans efficiently"),
+        (2L, "spark catalyst optimizer rewrites logical plans quickly"),
+        (3L, "unrelated culinary recipes involve butter sugar flour eggs"))
+        .toDF("id", "text")
+        .select(col("id"), TextOps.tokenSet(col("text")).as("toks")),
+      col("toks"), 64, "sh").select("id", "sh")
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
