@@ -7,11 +7,17 @@ import org.apache.spark.sql.functions._
   * and the training-data-pipeline extensions).
   *
   * Everything here is pure Catalyst expressions — `split`/`filter`/
-  * `transform`/`aggregate` higher-order functions, no UDFs — so the whole
-  * stage stays inside whole-stage codegen and never crosses a
-  * serialization wall (the reference's `clean_text` Python UDF at
-  * `complaints_narrative_LDA.py:44-57` pays a JVM→Python round trip per
-  * batch; the equivalent here is free).
+  * `transform`/`aggregate` higher-order functions, no UDFs — so nothing
+  * crosses a serialization wall (the reference's `clean_text` Python UDF
+  * at `complaints_narrative_LDA.py:44-57` pays a JVM→Python round trip
+  * per batch; the equivalent here is in-process).
+  *
+  * Caveat (PERF_NOTES.md §2/§5): Catalyst HOFs are CodegenFallback —
+  * their child subtrees evaluate interpreted and get no common-
+  * subexpression elimination. Hot pipelines must therefore (a)
+  * materialize shared arrays (e.g. per-token hashes) as real columns
+  * before fanning out, and (b) warm the ICU collation init before the
+  * first interpreted `lower()` (Bench/Verify/SparkSpec do).
   */
 object TextOps {
 

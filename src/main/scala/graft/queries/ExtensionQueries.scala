@@ -232,6 +232,53 @@ object ExtensionQueries {
         round(avg(VectorOps.norm(col("embedding"))), 4).as("avg_norm"))
       .orderBy(col("label"))
 
+  /** q45_embedding_neardup — embedding-cosine near-duplicate pairs
+    * (exact). All-pairs native-cosine with id-ordered dedup; the
+    * approximate scale path for huge corpora is SRP bucketing
+    * (VectorOps.annTopK) — exact here so the DuckDB oracle can confirm
+    * every pair. Threshold 0.4 sits above the corpus's 99.9th
+    * percentile, so output is the genuine near-dup tail.
+    */
+  def q45EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", call_function("cosine_sim", col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q46_bpe_tokens — BPE-ish regex token counting: the
+    * space-prefixed word/number/punct alternation used by byte-pair
+    * pretokenizers, as a codegen'd regexp_extract_all. Counts diverge
+    * from whitespace tokens on punctuation-glued text.
+    */
+  private val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+  def q46BpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** q47_rolling_hash — polynomial rolling hash over the token stream
+    * (order-SENSITIVE document fingerprint, vs q23's order-insensitive
+    * set fingerprint): h ← (31·h + hash32(token)) mod 1e9+7, one
+    * left-fold per document.
+    */
+  def q47RollingHash(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .withColumn("__hashes", transform(col("__toks"), t => TextOps.hash32(t)))
+      .select(col("doc_id"),
+        aggregate(col("__hashes"), lit(0L),
+          (acc, h) => (acc * 31 + h) % 1000000007L).as("rolling_hash"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- manifest
 
   val queries: Map[String, Q] = Map(
@@ -251,6 +298,9 @@ object ExtensionQueries {
     "q30_simhash" -> (q30Simhash _),
     "q31_langid" -> (q31LangId _),
     "q44_cosine_expr" -> (q44CosineExpr _),
+    "q45_embedding_neardup" -> (q45EmbeddingNearDup _),
+    "q46_bpe_tokens" -> (q46BpeTokens _),
+    "q47_rolling_hash" -> (q47RollingHash _),
   )
 
   // simhash oracle: generated to mirror DedupOps.simhash(_, 16)
@@ -375,6 +425,24 @@ object ExtensionQueries {
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents)
          |SELECT doc_id, ($simhashBitsSql)::BIGINT AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q45_embedding_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q46_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q47_rolling_hash" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($toksSql, t -> ${hash32Sql("t")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT, hs),
+         |    (a, b) -> (a * 31 + b) % 1000000007)::BIGINT AS rolling_hash
          |FROM t ORDER BY doc_id""".stripMargin,
     "q31_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.1).
+  *
+  * The reference ingests line-delimited JSON with INFERRED schema and
+  * PERMISSIVE corrupt-record capture (`init.py:13`,
+  * `random_forest_final_class_8.py:53-56`), then filters/drops
+  * `_corrupt_record`. That is reproduced here — plus the explicit-schema
+  * variant that a 100 TB pipeline should actually use: schema inference
+  * is a FULL extra pass over the data before the real read, and
+  * inferred types drift with content; a pinned StructType reads once
+  * and fails loudly.
+  */
+object Ingest {
+
+  /** S1 (reference-parity): schema-inferred permissive JSON read;
+    * malformed lines land in `_corrupt_record` as whole-row strings.
+    */
+  def readJsonInferred(spark: SparkSession, path: String,
+                       corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** S1 (scale form): explicit schema, one pass, no inference job. */
+  def readJson(spark: SparkSession, path: String, schema: StructType,
+               corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** Reference cleaning step: drop rows that failed to parse, then the
+    * capture column itself (`init.py:27`,
+    * `random_forest_final_class_8.py:56` — which filters AFTER the
+    * projection dropped the column, working only via lineage resolution;
+    * here the filter correctly precedes the drop, SURVEY §8.6).
+    */
+  def dropCorrupt(df: DataFrame,
+                  corruptCol: String = "_corrupt_record"): DataFrame =
+    if (df.columns.contains(corruptCol))
+      df.filter(col(corruptCol).isNull).drop(corruptCol)
+    else df
+
+  /** CSV with header + explicit schema (engine surface; absent in
+    * reference but part of a complete source layer).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S5: partitioned parquet sink — the layout that gives downstream
+    * scans partition pruning on the key.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

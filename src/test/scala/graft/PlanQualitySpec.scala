@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Physical-plan assertions: the scale claims in the query Scaladocs
+  * (pushdown, pruned read schemas, broadcast joins, TakeOrdered top-k)
+  * hold in the actual executed plans — not just in comments.
+  */
+class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def planOf(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: filter and projection push into the parquet scan") {
+    val df = SparkEntry.queries("q2_filter_project")(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)]"),
+      s"missing pushed filter in:\n$plan")
+    // pruned read schema: only the 3 referenced columns are read
+    assert(plan.contains("o_orderkey") && !plan.contains("o_custkey"),
+      "read schema not pruned")
+  }
+
+  test("q4 freq-encode: the frequency join is broadcast, not sort-merge") {
+    val df = SparkEntry.queries("q4_freq_encode")(spark, sf0001)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q5 multi-join: both dimension joins broadcast") {
+    val df = SparkEntry.queries("q5_join_multi")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length >= 3,
+      s"expected 2 broadcast joins:\n$plan")
+  }
+
+  test("q8 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(SparkEntry.queries("q8_topk")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q28 cosine top-k also avoids a global sort") {
+    val plan = planOf(SparkEntry.queries("q28_cosine_topk")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q1 agg does partial (map-side) aggregation before the shuffle") {
+    val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf0001))
+    // partial_ functions appear in the pre-shuffle HashAggregate
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("q10 semi join ships only keys (LeftSemi in plan)") {
+    val df = SparkEntry.queries("q10_semi_join")(spark, sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("whole-stage codegen covers the q33 string-function pipeline") {
+    val df = SparkEntry.queries("q33_string_funcs")(spark, sf0001)
+    df.collect() // finalize AQE so codegen stages are annotated
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the tree string
+    assert(plan.contains("*(1)"), plan)
+  }
+}
