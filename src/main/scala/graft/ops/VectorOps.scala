@@ -90,6 +90,60 @@ object VectorOps {
       .drop("raw")
   }
 
+  /** IVF (inverted-file) ANN index: k-means centroids partition the
+    * corpus into cells; a query probes only the `nProbe` nearest cells.
+    *
+    * Scale shape: the index build is one KMeans fit (sampled at huge N)
+    * + one assignment pass; the bucketed corpus can be written
+    * partitioned by cell so a query reads nProbe/k of the data
+    * (partition pruning), versus every row for brute force. Recall
+    * rises with nProbe; nProbe = k degenerates to exact search.
+    */
+  case class IvfIndex(centroids: Array[(Int, Array[Double])],
+                      bucketed: DataFrame)
+
+  def ivfBuild(emb: DataFrame, k: Int, seed: Long = 42L,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfIndex = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("__v",
+      array_to_vector(transform(col(vecCol), _.cast("double"))))
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v")
+      .setPredictionCol("__cell")
+    val model = km.fit(withVec)
+    val bucketed = model.transform(withVec)
+      .select(col(idCol), col(vecCol), col("__cell").as("cell"))
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    IvfIndex(cents, bucketed)
+  }
+
+  /** Probe: rank cells by centroid distance on the driver (k is small
+    * by construction), then brute-force only those cells' rows.
+    */
+  def ivfTopK(index: IvfIndex, queryVec: Seq[Float], topK: Int,
+              nProbe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queryVec.map(_.toDouble).toArray
+    val probeCells = index.centroids
+      .map { case (i, c) =>
+        val d = c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val qLit = array(q.map(lit).toIndexedSeq: _*)
+    index.bucketed
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(idCol),
+        round(cosine(col(vecCol), qLit), 4).as("cos_sim"),
+        cosine(col(vecCol), qLit).as("raw"))
+      .orderBy(col("raw").desc, col(idCol))
+      .limit(topK)
+      .drop("raw")
+  }
+
   /** Fetch one embedding to the driver (for seeding a top-k query). */
   def embeddingOf(spark: SparkSession, dir: String, vecId: Long): Seq[Float] = {
     import org.apache.spark.sql.Row

@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.ops.{DedupOps, TextOps}
+import graft.sources.MultimodalOps
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks (SURVEY.md §5.2-3) over the engine's pure
+  * expression layer. Catalyst expressions over literal inputs evaluate
+  * driver-side (foldable), so these run hundreds of cases with no Spark
+  * jobs.
+  */
+object PropertyProps extends Properties("graft") {
+
+  private def cosEval(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    val e = CosineSimilarity(
+      Literal.create(a, ArrayType(DoubleType)),
+      Literal.create(b, ArrayType(DoubleType)))
+    Option(e.eval(null)).map(_.asInstanceOf[Double])
+  }
+
+  private val vecGen: Gen[Seq[Double]] =
+    Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100.0, 100.0)).map(_.toSeq))
+
+  property("cosine: symmetric") = forAll(vecGen) { v =>
+    val w = v.map(x => x / 2 + 1)
+    cosEval(v, w) == cosEval(w, v)
+  }
+
+  property("cosine: bounded in [-1, 1]") = forAll(vecGen, vecGen) { (a, b0) =>
+    val b = b0.take(a.length).padTo(a.length, 1.0)
+    cosEval(a, b).forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+  }
+
+  property("cosine: self-similarity is 1 for nonzero vectors") =
+    forAll(vecGen) { v =>
+      val nz = if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v
+      cosEval(nz, nz).exists(c => math.abs(c - 1.0) < 1e-9)
+    }
+
+  property("cosine: mismatched lengths yield null") = forAll(vecGen) { v =>
+    cosEval(v, v ++ Seq(1.0)).isEmpty
+  }
+
+  // Column → value over a 1-row LocalRelation: ConvertToLocalRelation
+  // folds the projection in the optimizer, so no Spark job launches.
+  private lazy val spark = SparkSpec.session
+  private def evalCol(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(1).toDF("__one").select(c).head().get(0)
+  }
+  private def evalLong(c: org.apache.spark.sql.Column): Long =
+    evalCol(c).asInstanceOf[Long]
+
+  private val tokenGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  property("hash32: deterministic, 32-bit range, seed-sensitive") =
+    forAll(tokenGen) { t =>
+      val h1 = evalLong(TextOps.hash32(lit(t)))
+      val h2 = evalLong(TextOps.hash32(lit(t)))
+      val hs = evalLong(TextOps.hash32(lit(t), "7:"))
+      h1 == h2 && h1 >= 0L && h1 <= 0xffffffffL && h1 != hs
+    }
+
+  private val tokSetGen: Gen[Seq[String]] =
+    Gen.nonEmptyListOf(tokenGen).map(_.distinct.toSeq)
+
+  private def jacEval(a: Seq[String], b: Seq[String]): Double = {
+    import org.apache.spark.sql.functions.{array, lit => l}
+    evalCol(DedupOps.jaccard(array(a.map(l): _*), array(b.map(l): _*)))
+      .asInstanceOf[Double]
+  }
+
+  property("jaccard: bounded, symmetric, self = 1") =
+    forAll(tokSetGen, tokSetGen) { (a, b) =>
+      val j = jacEval(a, b)
+      j >= 0.0 && j <= 1.0 && jacEval(b, a) == j && jacEval(a, a) == 1.0
+    }
+
+  property("jaccard: disjoint sets = 0") = forAll(tokSetGen) { a =>
+    val b = a.map(_ + "_disjointsuffix")
+    jacEval(a, b) == 0.0
+  }
+
+  property("stub codec: deterministic and dimension-exact") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      Gen.choose(1, 64)) { (bytes, dim) =>
+      val row = MultimodalOps.MediaRow(1L, "image", bytes.toArray,
+        MultimodalOps.MediaMeta(None, None, None, None, None))
+      val f1 = MultimodalOps.StubCodec.extract(row, dim)
+      val f2 = MultimodalOps.StubCodec.extract(row, dim)
+      f1.length == dim && f1.toSeq == f2.toSeq
+    }
+
+  property("rolling-hash fold matches driver-side recompute") =
+    forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
+      import org.apache.spark.sql.functions.{aggregate, array, lit => l, transform}
+      val hashes = toks.map(t => evalLong(TextOps.hash32(lit(t))))
+      val expected = hashes.foldLeft(0L)((acc, h) => (acc * 31 + h) % 1000000007L)
+      val arr = array(toks.map(l): _*)
+      val got = evalCol(aggregate(transform(arr, t => TextOps.hash32(t)), l(0L),
+        (acc, h) => (acc * 31 + h) % 1000000007L))
+      got == expected
+    }
+}
