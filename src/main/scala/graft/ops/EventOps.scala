@@ -58,4 +58,40 @@ object EventOps {
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
+
+  /** As-of join (inclusive): for each left row, attach `attachCols` from
+    * the LATEST right row of the same `key` with right.tsCol <=
+    * left.tsCol.
+    *
+    * Spark has no native as-of join; the naive range-join formulation
+    * (l ⋈ r ON key AND r.ts <= l.ts, then max per left row) explodes to
+    * O(|l|·|r|/keys) intermediate rows. This implementation is the
+    * scalable shape: tag and union both inputs, ONE shuffle on key,
+    * one window sort, and a running `last(..., ignoreNulls)` carries
+    * right values forward onto left rows. Right rows sort BEFORE left
+    * rows at equal timestamps, making the match inclusive.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               attachCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val taggedLeft = attachCols.foldLeft(
+      left.withColumn("__side", lit(1))) { (d, c) =>
+      d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val rightSel = right.select(
+      (Seq(col(key), col(tsCol), lit(0).as("__side")) ++
+        leftCols.filterNot(Seq(key, tsCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        attachCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val unioned = taggedLeft.unionByName(rightSel)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = attachCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        attachCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
+  }
 }

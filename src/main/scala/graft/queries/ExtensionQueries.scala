@@ -52,6 +52,27 @@ object ExtensionQueries {
     EventOps.sessionStats(Tables.events(s, dir), 30)
       .orderBy(col("user_id"), col("session_id"))
 
+  /** q48_asof_join — as-of join: each view event picks up the latest
+    * click (same user, click.ts <= view.ts). One shuffle on user_id via
+    * the union+window formulation (EventOps.asofJoin) — no range-join
+    * explosion. Inner semantics (unmatched views dropped) to mirror
+    * DuckDB's native ASOF JOIN oracle.
+    */
+  def q48AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        col("value"))
+    EventOps.asofJoin(views, clicks, "user_id", "ts",
+      Seq("click_id", "value"))
+      .filter(col("asof_click_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_id"), round(col("asof_value"), 2).as("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- text (X4)
 
   /** q20_token_count — whitespace token counting per document. */
@@ -301,6 +322,7 @@ object ExtensionQueries {
     "q45_embedding_neardup" -> (q45EmbeddingNearDup _),
     "q46_bpe_tokens" -> (q46BpeTokens _),
     "q47_rolling_hash" -> (q47RollingHash _),
+    "q48_asof_join" -> (q48AsofJoin _),
   )
 
   // simhash oracle: generated to mirror DedupOps.simhash(_, 16)
@@ -426,6 +448,16 @@ object ExtensionQueries {
       s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents)
          |SELECT doc_id, ($simhashBitsSql)::BIGINT AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q48_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS asof_click_id, user_id, value,
+        |        epoch_us(ts::TIMESTAMP) AS us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id, c.asof_click_id,
+        |  round(c.value, 2) AS asof_value
+        |FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.us >= c.us
+        |ORDER BY v.event_id""".stripMargin,
     "q45_embedding_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin attaches latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:05:00")),
+      (2L, 10L, ts("2024-01-01 00:20:00")),
+      (3L, 10L, ts("2024-01-01 00:00:30")), // before any right row
+      (4L, 20L, ts("2024-01-01 01:00:00")))
+      .toDF("id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:01:00"), 100L, 1.5),
+      (10L, ts("2024-01-01 00:10:00"), 101L, 2.5),
+      (10L, ts("2024-01-01 00:20:00"), 102L, 3.5), // exact tie with id=2
+      (20L, ts("2024-01-01 00:30:00"), 200L, 9.0))
+      .toDF("user_id", "ts", "rid", "v")
+
+    val out = EventOps.asofJoin(left, right, "user_id", "ts", Seq("rid", "v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(r.fieldIndex("asof_rid"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("asof_v"))).map(_.asInstanceOf[Double])))
+
+    assert(out(0) == ((1L, Some(100L), Some(1.5))))  // latest <= 00:05
+    assert(out(1) == ((2L, Some(102L), Some(3.5))))  // inclusive tie
+    assert(out(2) == ((3L, None, None)))             // no prior right row
+    assert(out(3) == ((4L, Some(200L), Some(9.0))))
+  }
+
+  test("asofJoin keeps every left row exactly once") {
+    val left = (1 to 100).map(i => (i.toLong, (i % 5).toLong,
+      ts(f"2024-01-01 00:${i % 60}%02d:00"))).toDF("id", "user_id", "ts")
+    val right = Seq((0L, ts("2024-01-01 00:00:00"), 1L, 1.0))
+      .toDF("user_id", "ts", "rid", "v")
+    val out = EventOps.asofJoin(left, right, "user_id", "ts", Seq("rid", "v"))
+    assert(out.count() == 100)
+    assert(out.select("id").distinct().count() == 100)
+  }
+}
