@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
-      graft.queries.FunctionQueries.queries
+      graft.queries.FunctionQueries.queries ++
+      graft.queries.AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
       graft.queries.ExtensionQueries.oracle ++
-      graft.queries.FunctionQueries.oracle
+      graft.queries.FunctionQueries.oracle ++
+      graft.queries.AdvancedQueries.oracle
 }

@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GeometricMean
+import graft.ops.{RangeJoinOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second wave of operator coverage: explode/unnest, true pivot, CUBE +
+  * grouping_id, string-distance + crypto hashes, MapType columns,
+  * binned range join, sequence/date series, typed Aggregator UDAF,
+  * HLL approximate distinct. Same oracle conventions as
+  * `RelationalQueries`.
+  */
+object AdvancedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q49_explode_wordcount — UNNEST/explode generator (SURVEY §2.11 D4)
+    * + corpus word frequency, top-50. Explode multiplies rows ~180× here;
+    * partial aggregation collapses them map-side before the one shuffle
+    * of (word, count) pairs, and top-k is TakeOrderedAndProject — no
+    * global sort. The canonical first half of any word-count /
+    * vocabulary-build pipeline at 100 TB.
+    */
+  def q49ExplodeWordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  /** q50_pivot — real relational PIVOT (`df.groupBy().pivot(col,
+    * values)`): one shuffle, cells filled by the pivot aggregate.
+    * Explicit value list keeps the plan static (no extra distinct-scan
+    * job to discover values — at 100 TB that discovery pass is a full
+    * extra scan, so production pivots should always pin values).
+    * Columns renamed to identifier-safe names for parquet/oracle parity.
+    */
+  def q50Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium",
+        "p_not_spec", "p_low")
+      .orderBy(col("o_orderstatus"))
+
+  /** q51_cube — CUBE over two dimensions + grouping_id (SURVEY §2.4 A4):
+    * all 2^2 grouping sets in one pass. Spark expands the cube in the
+    * Expand operator — each input row fans out to 4 grouping-set rows
+    * BEFORE the shuffle, so at scale prefer partial aggregation pushdown
+    * (enabled by default) and low-cardinality dimensions.
+    */
+  def q51Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** q52_text_sim — edit distance (levenshtein) + SHA-256 content hash
+    * per row: the string-similarity and content-addressing scalar
+    * surface (both codegen'd built-ins, no UDF).
+    */
+  def q52TextSim(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("lev_dist"),
+        sha2(col("p_name"), 256).as("name_sha"))
+      .orderBy(col("p_partkey"))
+
+  /** q53_map_funcs — MapType column surface (SURVEY §1.2): construct,
+    * concat, size, key/value access. Maps stay columnar in Tungsten;
+    * element_at is O(entries) so wide maps belong exploded, not probed.
+    */
+  def q53MapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("m", map_concat(
+        map(lit("status"), col("o_orderstatus")),
+        map(lit("priority"), col("o_orderpriority"))))
+      .select(col("o_orderkey"),
+        element_at(col("m"), "priority").as("prio"),
+        size(col("m")).as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"))
+      .orderBy(col("o_orderkey"))
+
+  /** q54_range_join — point-in-interval join against a non-uniform
+    * price-band table via `RangeJoinOps.binnedRangeJoin` (bin +
+    * equi-join + residual filter; no BroadcastNestedLoopJoin, no
+    * cross-product blowup — see RangeJoinOps scaladoc).
+    */
+  def q54RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("micro", 0.0, 50000.0),
+      ("small", 50000.0, 100000.0),
+      ("mid", 100000.0, 200000.0),
+      ("large", 200000.0, 400000.0),
+      ("huge", 400000.0, 600000.0)).toDF("band", "lo", "hi")
+    RangeJoinOps.binnedRangeJoin(
+      Tables.orders(s, dir), "o_totalprice", bands, "lo", "hi", 50000.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** q55_month_series — sequence() + explode as a table generator
+    * (date scaffold), left-joined against per-month order counts so
+    * empty months surface as 0 — the standard gap-free time-series
+    * shape. The scaffold is 80 rows; the aggregate side is shuffled by
+    * month (≤80 keys), then a broadcast join.
+    */
+  def q55MonthSeries(s: SparkSession, dir: String): DataFrame = {
+    val months = s.range(1).select(explode(expr(
+      "sequence(timestamp'1995-01-01 00:00:00', timestamp'2001-08-01 00:00:00', interval 1 month)"))
+      .as("month_start"))
+    val counts = Tables.orders(s, dir)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("n_orders"))
+    months.join(counts, Seq("month_start"), "left")
+      .select(col("month_start"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("month_start"))
+  }
+
+  /** q56_geomean — custom typed Aggregator UDAF (SURVEY §2.11 D3):
+    * per-group geometric mean of extended price. Two-phase (partial +
+    * final) like any built-in aggregate; see
+    * `graft.functions.GeometricMean`.
+    */
+  def q56Geomean(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(GeometricMean.geometricMean(col("l_extendedprice")), 2)
+        .as("geo_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** q57_approx_distinct — HyperLogLog++ approximate distinct counts
+    * next to the exact ones. No DuckDB oracle (sketches differ across
+    * engines — driver records the weaker rows-only check); the
+    * ±5 %-of-exact invariant is asserted in AdvancedQueriesSpec. At
+    * 100 TB approx_count_distinct is THE way to count uniques: fixed
+    * ~kB sketch per group vs an unbounded distinct-shuffle.
+    */
+  def q57ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, Q] = Map(
+    "q49_explode_wordcount" -> (q49ExplodeWordcount _),
+    "q50_pivot" -> (q50Pivot _),
+    "q51_cube" -> (q51Cube _),
+    "q52_text_sim" -> (q52TextSim _),
+    "q53_map_funcs" -> (q53MapFuncs _),
+    "q54_range_join" -> (q54RangeJoin _),
+    "q55_month_series" -> (q55MonthSeries _),
+    "q56_geomean" -> (q56Geomean _),
+    "q57_approx_distinct" -> (q57ApproxDistinct _),
+  )
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  val oracle: Map[String, String] = Map(
+    "q49_explode_wordcount" ->
+      s"""SELECT word, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "q50_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_not_spec,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q51_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING_ID(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q52_text_sim" ->
+      """SELECT p_partkey, levenshtein(p_name, p_type) AS lev_dist,
+        |  sha256(p_name) AS name_sha
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q53_map_funcs" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        |  2::INT AS m_size, 'status,priority' AS keys_csv
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q54_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('micro', 0.0, 50000.0), ('small', 50000.0, 100000.0),
+        |  ('mid', 100000.0, 200000.0), ('large', 200000.0, 400000.0),
+        |  ('huge', 400000.0, 600000.0))
+        |SELECT band, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q55_month_series" ->
+      """WITH months AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+        |                                TIMESTAMP '2001-08-01',
+        |                                INTERVAL 1 MONTH)) AS month_start),
+        |counts AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month_start,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT months.month_start, coalesce(counts.n_orders, 0) AS n_orders
+        |FROM months LEFT JOIN counts ON months.month_start = counts.month_start
+        |ORDER BY months.month_start""".stripMargin,
+    "q56_geomean" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_extendedprice))), 2) AS geo_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -154,10 +154,14 @@ object RelationalQueries {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
-  /** q11_anti_join — NOT EXISTS as left-anti: customers with no orders. */
+  /** q11_anti_join — NOT EXISTS as left-anti: customers with no
+    * high-value order. (The synthetic data gives every customer at
+    * least one order, so the unfiltered variant is vacuously empty —
+    * the >300k restriction keeps the result non-trivial at every SF.)
+    */
   def q11AntiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir),
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -208,13 +212,21 @@ object RelationalQueries {
         round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
       .orderBy(col("l_returnflag"))
 
-  /** q16_except — set difference (SURVEY §2.6 U2): custkeys that placed
-    * orders but are absent from customer (referential check pattern).
+  /** q16_except — set difference (SURVEY §2.6 U2): customers with
+    * finished (F) orders but no open (O) orders. (The original
+    * orders-minus-customers referential check is vacuously empty on the
+    * synthetic data; this variant stays non-empty at every SF.) Both
+    * sides are distinct so EXCEPT ALL ≡ EXCEPT; ExceptAll is kept to
+    * exercise the multiset physical operator.
     */
-  def q16Except(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
-      .exceptAll(Tables.customer(s, dir).select(col("c_custkey").as("custkey")))
+  def q16Except(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+      .exceptAll(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey")).distinct())
       .orderBy(col("custkey"))
+  }
 
   val queries: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
@@ -301,7 +313,9 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q11_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
     "q12_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -331,9 +345,9 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q16_except" ->
       """SELECT custkey FROM (
-        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |  EXCEPT ALL
-        |  SELECT c_custkey AS custkey FROM customer)
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
         |ORDER BY custkey""".stripMargin,
   )
 }

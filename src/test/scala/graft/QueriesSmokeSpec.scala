@@ -7,14 +7,20 @@ package graft
 class QueriesSmokeSpec extends SparkSpec {
 
   // queries whose correct sf0.001 result may legitimately be empty
-  private val mayBeEmpty = Set("q11_anti_join", "q16_except", "q25_jaccard_pairs")
+  private val mayBeEmpty = Set("q25_jaccard_pairs")
+
+  // queries whose output is engine-specific by nature (sketches): the
+  // driver runs its weaker rows-only check; invariants are asserted in
+  // dedicated specs instead (AdvancedQueriesSpec for q57's ±5 % bound).
+  private val oracleExempt = Set("q57_approx_distinct")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
   test("every query has oracle SQL or documented exemption") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleExempt
     assert(noOracle.isEmpty,
       s"queries without oracle: $noOracle (add SQL or an exemption note)")
   }
