@@ -154,7 +154,24 @@ object AdvancedQueries {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** q58_group_topk_agg — q14's per-brand top-3 restated on the
+    * k-bounded `TopKAgg` aggregate (SURVEY §7.3): map-side partial
+    * buffers cap the shuffle at O(groups × k) rows instead of shuffling
+    * and sorting every row under the window. Same oracle as q14.
+    */
+  def q58GroupTopKAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(graft.functions.TopKAgg.topK(3)(
+        col("p_retailprice"), col("p_partkey")).as("tk"))
+      .select(col("p_brand"),
+        posexplode(arrays_zip(col("tk.vs"), col("tk.ks"))))
+      .select(col("p_brand"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.ks").as("p_partkey"), col("col.vs").as("p_retailprice"))
+      .orderBy(col("p_brand"), col("rk"))
+
   val queries: Map[String, Q] = Map(
+    "q58_group_topk_agg" -> (q58GroupTopKAgg _),
     "q49_explode_wordcount" -> (q49ExplodeWordcount _),
     "q50_pivot" -> (q50Pivot _),
     "q51_cube" -> (q51Cube _),
@@ -170,6 +187,13 @@ object AdvancedQueries {
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
   val oracle: Map[String, String] = Map(
+    "q58_group_topk_agg" ->
+      """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |                       ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part)
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
     "q49_explode_wordcount" ->
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS word FROM documents)

@@ -33,6 +33,28 @@ object StreamingOps {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup (SURVEY §2.13 X1 streaming form): drop
+    * repeated ids with state BOUNDED by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts seen-ids older than the
+    * delay, so state is O(ids per watermark window), not O(all ids
+    * ever) as with plain `dropDuplicates` on a stream. This is the
+    * at-least-once→exactly-once repair step in front of any ingest
+    * pipeline.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-static enrichment join: each micro-batch hash-joins against
+    * the static dimension (broadcast when small — no shuffle of the
+    * stream, no state store). The static side is re-read per batch if
+    * its source supports it, so slowly-changing dims pick up updates.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -32,6 +32,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated ids with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:00:30"), 1, "click", 1.0), // dup id
+      Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0))
+    val q = dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("enrichStream joins each micro-batch against a static dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "bronze"), (2L, "gold")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 3, "view", 2.0)) // no dim row
+    val q = enrichStream(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select($"event_id", $"tier").as[(Long, Option[String])]
+        .collect().toMap
+      assert(rows == Map(1L -> Some("bronze"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions on gap and matches batch stats") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
