@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GeometricMean
-import graft.ops.{RangeJoinOps, TextOps}
+import graft.ops.{DedupOps, RangeJoinOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -170,8 +170,45 @@ object AdvancedQueries {
         col("col.ks").as("p_partkey"), col("col.vs").as("p_retailprice"))
       .orderBy(col("p_brand"), col("rk"))
 
+  /** q59_simhash_neardup — SimHash near-duplicate JOIN (completes the
+    * X2 dedup path: q30 emits signatures, this finds the pairs). 32-bit
+    * signature, Hamming ≤ 3 via 4×8-bit LSH bands: two docs within
+    * Hamming 3 differ in ≤3 bit positions, so by pigeonhole at least
+    * one band is identical — the equi-join on (band_id, band_key)
+    * finds EVERY qualifying pair (no recall loss), while only
+    * same-band buckets are compared (no O(n²) all-pairs). The residual
+    * `bit_count(xor)` filter drops false candidates. At 100 TB: one
+    * shuffle of (band, 8-bit key, id, sig), bucket-local joins.
+    */
+  def q59SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
+      .select(col("doc_id"), col("sh"))
+    val bandStructs = (0 until 4).map { i =>
+      struct(lit(i).as("band_id"),
+        shiftright(col("sh"), i * 8).bitwiseAND(lit(255L)).as("band_key"))
+    }
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band_id"), col("b.band_key"))
+    val a = banded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        DedupOps.hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_group_topk_agg" -> (q58GroupTopKAgg _),
+    "q59_simhash_neardup" -> (q59SimhashNearDup _),
     "q49_explode_wordcount" -> (q49ExplodeWordcount _),
     "q50_pivot" -> (q50Pivot _),
     "q51_cube" -> (q51Cube _),
@@ -186,7 +223,20 @@ object AdvancedQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  // mirrors TextOps.hash32 / DedupOps.withSimhash(_, 32, _)
+  private val simhash32Sql: String = (0 until 32).map { j =>
+    s"CASE WHEN list_sum(list_transform(toks, t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q59_simhash_neardup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.sh, b.sh))::INT AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q58_group_topk_agg" ->
       """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
