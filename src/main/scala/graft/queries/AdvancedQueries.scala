@@ -206,9 +206,55 @@ object AdvancedQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q60_funnel — ordered conversion funnel over the events stream:
+    * users whose first view is followed by a click, then a purchase
+    * (each stage's timestamp ≥ the previous stage's first hit). Three
+    * user_id-keyed aggregations + two broadcast-size joins — the
+    * standard product-analytics funnel at event-log scale; no window
+    * over the full log, state is one row per user per stage.
+    */
+  def q60Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(
+        c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionByName(
+        p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** q61_retention — cohort retention: users grouped by first-seen day,
+    * counted on each subsequent active day offset. Two user_id
+    * aggregations + one join; the result is O(days²) rows regardless
+    * of input size — the shape that stays cheap at any event volume.
+    */
+  def q61Retention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val first = e.groupBy(col("user_id"))
+      .agg(date_trunc("DAY", min(col("ts"))).as("cohort"))
+    val active = e.select(col("user_id"),
+      date_trunc("DAY", col("ts")).as("day")).distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_group_topk_agg" -> (q58GroupTopKAgg _),
     "q59_simhash_neardup" -> (q59SimhashNearDup _),
+    "q60_funnel" -> (q60Funnel _),
+    "q61_retention" -> (q61Retention _),
     "q49_explode_wordcount" -> (q49ExplodeWordcount _),
     "q50_pivot" -> (q50Pivot _),
     "q51_cube" -> (q51Cube _),
@@ -229,6 +275,28 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q60_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS t0 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t1 FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts::TIMESTAMP >= v.t0
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2 FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts::TIMESTAMP >= c.t1
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    "q61_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', min(ts::TIMESTAMP)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day
+        |      FROM events)
+        |SELECT f.cohort, date_diff('day', f.cohort, a.day)::INT AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "q59_simhash_neardup" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t)
