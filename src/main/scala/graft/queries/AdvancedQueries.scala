@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.GeometricMean
 import graft.ops.{DedupOps, RangeJoinOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second wave of operator coverage: explode/unnest, true pivot, CUBE +
@@ -250,7 +251,38 @@ object AdvancedQueries {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** q62_tfidf_keywords — per-document top-3 keywords by smoothed
+    * TF-IDF (`tf · (ln((N+1)/(df+1)) + 1)`), end-to-end in the plan:
+    * explode → (doc, term) counts → document-frequency aggregate →
+    * broadcast of the tiny N scalar → score → ranked window. The
+    * all-relational form of "keyword extraction" — no vocabulary
+    * collected to the driver (contrast CountVectorizer.fit), so at
+    * 100 TB the term space stays distributed; the only wide shuffle
+    * carries (doc_id, word) pairs.
+    */
+  def q62TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val dw = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("word"))
+    val tf = dw.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfx"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))
+      .withColumn("score", col("tf") *
+        (log((col("n_docs") + lit(1.0)) / (col("dfx") + lit(1.0))) + lit(1.0)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"), col("word"),
+        round(col("score"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q62_tfidf_keywords" -> (q62TfidfKeywords _),
     "q58_group_topk_agg" -> (q58GroupTopKAgg _),
     "q59_simhash_neardup" -> (q59SimhashNearDup _),
     "q60_funnel" -> (q60Funnel _),
@@ -275,6 +307,22 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q62_tfidf_keywords" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dw AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM dw GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS dfx FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.word,
+         |    tf * (ln((n_docs + 1.0) / (dfx + 1.0)) + 1.0) AS score
+         |  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n)
+         |SELECT doc_id, rk::INT AS rk, word, round(score, 4) AS tfidf FROM (
+         |  SELECT doc_id, word, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, word) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q60_funnel" ->
       """WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS t0 FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
