@@ -14,13 +14,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftSparkExtensions.cosineSim)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSparkExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftSparkExtensions {
-  val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => sys.error(s"$what must be an integer literal, got $other")
+    }
+  }
+
+  val cosineSim: FnDef = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (children: Seq[Expression]) => {
@@ -28,10 +38,27 @@ object GraftSparkExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  val minhashSigs: FnDef = (
+    FunctionIdentifier("minhash_sigs"),
+    new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "minhash_sigs takes (tokens, n)")
+      MinhashSigs(children.head, litInt(children(1), "minhash_sigs n"))
+    })
+
+  val simhash: FnDef = (
+    FunctionIdentifier("simhash"),
+    new ExpressionInfo(classOf[SimhashExpr].getName, "simhash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "simhash takes (tokens, bits)")
+      SimhashExpr(children.head, litInt(children(1), "simhash bits"))
+    })
+
+  val all: Seq[FnDef] = Seq(cosineSim, minhashSigs, simhash)
+
   /** Register directly on an existing session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSim
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -34,6 +34,25 @@ object DedupOps {
 
   /** MinHash signature columns mh0..mh{n-1}: P[mh_a == mh_b] = J(a, b).
     *
+    * Default path is the native `MinhashSigs` expression
+    * (graft.functions.HashSigs): one md5 per token per 4-hash group,
+    * digested directly on bytes inside WholeStageCodegen — no
+    * interpreted HOF lambdas, no hex-string round-trip. Byte-identical
+    * to the HOF formulation below and to the DuckDB oracle.
+    */
+  def withMinhash(df: DataFrame, tokens: Column, nHashes: Int): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(df.sparkSession)
+    val sig = "__mh_sig"
+    val out = (0 until nHashes).foldLeft(
+      df.withColumn(sig, call_function("minhash_sigs", tokens, lit(nHashes)))) {
+      (d, i) => d.withColumn(s"mh$i", col(sig).getItem(i))
+    }
+    out.drop(sig)
+  }
+
+  /** HOF formulation of [[withMinhash]] (kept for cross-checking the
+    * native expression and as the no-extensions fallback).
+    *
     * Cost design: ONE md5 per token yields FOUR independent 32-bit hash
     * functions (the 128-bit digest sliced into 8-hex-char windows), so n
     * hashes cost n/4 md5 calls — and the digest arrays are materialized
@@ -45,7 +64,7 @@ object DedupOps {
     *
     * Input df must carry `tokens` (array<string>); output adds mh0..n.
     */
-  def withMinhash(df: DataFrame, tokens: Column, nHashes: Int): DataFrame = {
+  def withMinhashHof(df: DataFrame, tokens: Column, nHashes: Int): DataFrame = {
     require(nHashes % 4 == 0, "nHashes must be a multiple of 4 (md5 slices)")
     val groups = nHashes / 4
     val withHex = (0 until groups).foldLeft(df) { (d, g) =>
@@ -102,13 +121,25 @@ object DedupOps {
     * Σ_tokens (bit j of hash32(token) ? +1 : -1); near-dups land within
     * small Hamming distance. Adds `out` to df.
     *
+    * Default path is the native `SimhashExpr` expression: one md5 per
+    * token + integer vote loop, codegen-resident. Byte-identical to the
+    * HOF formulation below and the DuckDB oracle.
+    */
+  def withSimhash(df: DataFrame, tokens: Column, bits: Int,
+                  out: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(df.sparkSession)
+    df.withColumn(out, call_function("simhash", tokens, lit(bits)))
+  }
+
+  /** HOF formulation of [[withSimhash]] (cross-check / fallback).
+    *
     * The per-token hash array is materialized ONCE as a column, then all
     * `bits` vote-aggregations run cheap integer ops over it — inlining
     * hash32 into each bit's aggregate would run md5 `bits`× per token
     * (HOFs get no subexpression elimination).
     */
-  def withSimhash(df: DataFrame, tokens: Column, bits: Int,
-                  out: String): DataFrame = {
+  def withSimhashHof(df: DataFrame, tokens: Column, bits: Int,
+                     out: String): DataFrame = {
     val hcol = "__sh_hashes"
     val votes = (0 until bits).map { j =>
       aggregate(col(hcol), lit(0L),

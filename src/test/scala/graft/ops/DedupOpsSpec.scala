@@ -80,6 +80,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
 
+  test("native minhash/simhash expressions match the HOF formulation") {
+    val docs = graft.Tables.documents(spark, sf0001).limit(200)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val sigCols = (0 until 8).map(i => s"mh$i")
+    val nat = DedupOps.withMinhash(docs, col("toks"), 8)
+      .select((col("doc_id") +: sigCols.map(col)): _*)
+    val hof = DedupOps.withMinhashHof(docs, col("toks"), 8)
+      .select((col("doc_id") +: sigCols.map(col)): _*)
+    assert(nat.exceptAll(hof).count() == 0 && hof.exceptAll(nat).count() == 0)
+
+    val natSh = DedupOps.withSimhash(docs, col("toks"), 32, "sh")
+      .select("doc_id", "sh")
+    val hofSh = DedupOps.withSimhashHof(docs, col("toks"), 32, "sh")
+      .select("doc_id", "sh")
+    assert(natSh.exceptAll(hofSh).count() == 0
+      && hofSh.exceptAll(natSh).count() == 0)
+  }
+
+  test("native minhash expression stays inside whole-stage codegen") {
+    val docs = graft.Tables.documents(spark, sf0001).limit(10)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val plan = DedupOps.withMinhash(docs, col("toks"), 8)
+      .queryExecution.executedPlan.toString
+    // `*(n)` marks a WholeStageCodegen stage; the signature must be
+    // computed there, in its OWN projection (one eval, getItems above)
+    assert("\\*\\(\\d+\\) Project \\[.*minhash_sigs".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("hammingDist column matches bitCount of xor") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
     assert(df.select(DedupOps.hammingDist(col("a"), col("b")))
