@@ -281,8 +281,67 @@ object AdvancedQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** q63_argminmax — min_by/max_by (argmin/argmax) aggregates: which
+    * order carries each status's extreme price. Ordering value is a
+    * composite integer (price-cents ×1e8 + orderkey, exact in double →
+    * long range) because ties on raw price would make the pick
+    * engine-dependent. One partial-aggregated shuffle; the classic
+    * "top-1 per group without a window" shape.
+    */
+  def q63ArgMinMax(s: SparkSession, dir: String): DataFrame = {
+    val ord = (round(col("o_totalprice") * 100).cast("long") *
+      lit(100000000L)) + col("o_orderkey")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(max_by(col("o_orderkey"), ord).as("top_order"),
+        min_by(col("o_orderkey"), ord).as("bottom_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q64_salted_agg — skew-resistant two-phase aggregation
+    * (`SkewOps.saltedAgg`): scatter each key over 8 salts, partial-sum,
+    * merge. Result is IDENTICAL to the plain groupBy (the oracle runs
+    * the plain form) — the salting only changes the shuffle shape, so
+    * a single hot key spreads across 8 reducers instead of one
+    * straggler. l_quantity sums are integer-valued, so the two-phase
+    * summation order cannot change the result.
+    */
+  def q64SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val qty = graft.ops.SkewOps.saltedAgg(
+      Tables.lineitem(s, dir), "l_returnflag", "l_quantity", 8,
+      sum, sum, "total_qty")
+    val cnt = graft.ops.SkewOps.saltedCount(
+      Tables.lineitem(s, dir), "l_returnflag", 8)
+    qty.join(cnt, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("total_qty"), 2).as("total_qty"), col("count").as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q65_approx_percentiles — quantile sketches
+    * (Greenwald-Khanna `approx_percentile`) next to q40's exact
+    * percentiles. No oracle (sketches are engine-specific; driver
+    * rows-only check); AdvancedQueriesSpec asserts ≤1 % relative error
+    * vs exact. At 100 TB the sketch is mergeable, bounded-memory state
+    * — exact percentile must buffer every group value.
+    */
+  def q65ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2)
+          .as("ap50"),
+        round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 2)
+          .as("ap95"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_keywords" -> (q62TfidfKeywords _),
+    "q63_argminmax" -> (q63ArgMinMax _),
+    "q64_salted_agg" -> (q64SaltedAgg _),
+    "q65_approx_percentiles" -> (q65ApproxPercentiles _),
     "q58_group_topk_agg" -> (q58GroupTopKAgg _),
     "q59_simhash_neardup" -> (q59SimhashNearDup _),
     "q60_funnel" -> (q60Funnel _),
@@ -307,6 +366,17 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q63_argminmax" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS top_order,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS bottom_order,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q64_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q62_tfidf_keywords" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |dw AS (SELECT doc_id, unnest(toks) AS word FROM t),

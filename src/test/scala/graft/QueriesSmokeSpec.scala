@@ -12,7 +12,8 @@ class QueriesSmokeSpec extends SparkSpec {
   // queries whose output is engine-specific by nature (sketches): the
   // driver runs its weaker rows-only check; invariants are asserted in
   // dedicated specs instead (AdvancedQueriesSpec for q57's ±5 % bound).
-  private val oracleExempt = Set("q57_approx_distinct")
+  private val oracleExempt =
+    Set("q57_approx_distinct", "q65_approx_percentiles")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
