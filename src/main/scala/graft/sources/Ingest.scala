@@ -60,4 +60,14 @@ object Ingest {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** ORC read/write (columnar alternative to parquet, built into
+    * spark-sql; same pushdown/pruning machinery — IngestSpec asserts
+    * filters reach the ORC scan too).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

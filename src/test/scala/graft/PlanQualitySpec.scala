@@ -61,6 +61,28 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
 
+  // Queries that intentionally cross-join a broadcast side of ≤5 rows
+  // (query vector, scalar N, 5-row dimension): a BroadcastNestedLoopJoin
+  // against a handful of rows is O(n) work and fine at any scale.
+  private val tinyBroadcastCross = Set(
+    "q28_cosine_topk", "q44_cosine_expr", "q39_scalar_subquery",
+    "q42_cross_join", "q62_tfidf_keywords",
+    // q45 is an EXACT cosine-threshold join: all-pairs by definition
+    // (the oracle verifies exact pairs). Its scale-path siblings are
+    // the SRP-LSH bucketed join and IVF ANN in VectorOps.
+    "q45_embedding_neardup")
+
+  test("no query plans a non-broadcast cartesian product") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      if (!tinyBroadcastCross(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected BroadcastNestedLoopJoin:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the q33 string-function pipeline") {
     val df = SparkEntry.queries("q33_string_funcs")(spark, sf0001)
     df.collect() // finalize AQE so codegen stages are annotated

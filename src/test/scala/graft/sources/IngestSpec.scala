@@ -63,6 +63,22 @@ class IngestSpec extends SparkSpec {
       == Seq((1L, "x"), (2L, "y")))
   }
 
+  test("ORC roundtrip with predicate pushdown into the scan") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    val df = (1L to 100L).map(i => (i, s"row$i", i * 1.5)).toDF("id", "name", "v")
+    Ingest.writeOrc(df, out)
+    val back = Ingest.readOrc(spark, out)
+    assert(back.count() == 100)
+    val filtered = back.filter(col("id") > 90L).select("id", "name")
+    assert(filtered.count() == 10)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,90)"),
+      plan)
+    assert(!plan.contains("ReadSchema: struct<id:bigint,name:string,v:double>"),
+      s"column pruning missing: $plan")
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath
