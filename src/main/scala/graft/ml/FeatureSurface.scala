@@ -62,6 +62,23 @@ object FeatureSurface {
         .setNumFeatures(numFeatures),
       new IDF().setInputCol("raw_tf").setOutputCol("tfidf")))
 
+  /** Plain whitespace Tokenizer (`complaints_narrative_LDA.py:7`) —
+    * lowercases and splits on whitespace; the zero-config cousin of
+    * [[regexTokenizer]].
+    */
+  def tokenizer(inputCol: String, outputCol: String): Tokenizer =
+    new Tokenizer().setInputCol(inputCol).setOutputCol(outputCol)
+
+  /** VectorIndexer (`init.py:6`) — scans an assembled vector column and
+    * re-encodes any dimension with ≤ maxCategories distinct values as
+    * categorical indices, so downstream tree models split them
+    * categorically instead of numerically.
+    */
+  def vectorIndexer(inputCol: String, outputCol: String,
+                    maxCategories: Int = 8): VectorIndexer =
+    new VectorIndexer().setInputCol(inputCol).setOutputCol(outputCol)
+      .setMaxCategories(maxCategories).setHandleInvalid("keep")
+
   /** BisectingKMeans (`complaints_narrative_LDA.py:8`) — divisive
     * hierarchical clustering; here over embedding vectors, the natural
     * companion to the ANN/IVF index in `ops.VectorOps` (cluster ids =

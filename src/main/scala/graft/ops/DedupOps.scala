@@ -156,4 +156,53 @@ object DedupOps {
   /** Hamming distance between two simhash values (for near-dup joins). */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected edge list — the final step
+    * of any near-dup pipeline: candidate pairs only relate docs
+    * PAIRWISE; keeping one representative per duplicate GROUP needs the
+    * transitive closure (a~b, b~c ⇒ {a,b,c} one cluster).
+    *
+    * Algorithm: iterative min-label propagation (each node repeatedly
+    * adopts the smallest label among itself and its neighbors) — the
+    * standard distributed CC shape (cf. large-star/small-star,
+    * Kiveris et al.). Each round is one join + one aggregation, both
+    * hash-partitioned on node id; rounds needed = component diameter,
+    * which for dedup clusters is tiny. The driver loop only
+    * orchestrates jobs and checks convergence counts — per-row work
+    * stays distributed.
+    *
+    * Returns (node, cluster_id) where cluster_id = min node id in the
+    * component. Converges exactly (loop ends when no label changes);
+    * throws if maxIter rounds are insufficient rather than returning a
+    * half-propagated clustering.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
+                          srcCol: String, dstCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint()
+    // localCheckpoint each round: persist alone caches DATA but the
+    // logical plan still nests the entire iteration history, so
+    // analysis/optimization cost grows geometrically with rounds —
+    // lineage truncation is mandatory for iterative dataflow.
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrLabels = sym.join(labels, sym("b") === labels("node"))
+        .select(col("a").as("node"), col("label"))
+      val next = labels.unionByName(nbrLabels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
 }

@@ -337,7 +337,23 @@ object AdvancedQueries {
           .as("ap95"))
       .orderBy(col("l_returnflag"))
 
+  /** q66_dedup_clusters — duplicate-GROUP resolution: q59's pairwise
+    * near-dup candidates closed into transitive clusters via
+    * distributed min-label propagation (`DedupOps.connectedComponents`).
+    * cluster_id = min doc_id of the component; singleton docs map to
+    * themselves. This is the step that turns "a~b, b~c" into "keep one
+    * of {a,b,c}" in a real dedup pipeline.
+    */
+  def q66DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q59SimhashNearDup(s, dir).select(col("doc_a"), col("doc_b"))
+    val nodes = Tables.documents(s, dir).select(col("doc_id"))
+    DedupOps.connectedComponents(nodes, "doc_id", pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_dedup_clusters" -> (q66DedupClusters _),
     "q62_tfidf_keywords" -> (q62TfidfKeywords _),
     "q63_argminmax" -> (q63ArgMinMax _),
     "q64_salted_agg" -> (q64SaltedAgg _),
@@ -366,6 +382,19 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q66_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |edges AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |          FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT CASE WHEN r.node = e.ea THEN e.eb ELSE e.ea END, r.root
+         |  FROM reach r JOIN edges e ON r.node = e.ea OR r.node = e.eb)
+         |SELECT node AS doc_id, min(root) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q63_argminmax" ->
       """SELECT o_orderstatus,
         |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS top_order,

@@ -73,6 +73,26 @@ class FeatureSurfaceSpec extends AnyFunSuite {
       again.select($"vec_id", $"cluster")).count() == 0)
   }
 
+  test("tokenizer lowercases and splits on whitespace") {
+    val df = Seq((1L, "Quick Brown Fox")).toDF("id", "text")
+    val toks = FeatureSurface.tokenizer("text", "tokens").transform(df)
+      .select("tokens").head.getSeq[String](0)
+    assert(toks == Seq("quick", "brown", "fox"))
+  }
+
+  test("vector indexer marks low-cardinality dims categorical") {
+    val df = new VectorAssembler()
+      .setInputCols(Array("o_shippriority", "o_totalprice"))
+      .setOutputCol("features")
+      .transform(Tables.orders(spark, sf)
+        .withColumn("o_shippriority", lit(0)))
+    val model = FeatureSurface.vectorIndexer("features", "indexed").fit(df)
+    // constant priority dim (1 distinct value) is categorical;
+    // continuous price is not
+    assert(model.categoryMaps.contains(0))
+    assert(!model.categoryMaps.contains(1))
+  }
+
   test("pipeline model save/load roundtrip (MLWritable)") {
     val df = Tables.orders(spark, sf)
     val model: PipelineModel = new Pipeline()

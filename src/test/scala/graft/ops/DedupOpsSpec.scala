@@ -109,6 +109,26 @@ class DedupOpsSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("connectedComponents closes transitive duplicate groups") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3, pair 5-6; 4 and 7 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val cc = DedupOps.connectedComponents(nodes, "id", edges, "src", "dst")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L), (7L, 7L)))
+  }
+
+  test("connectedComponents handles a long chain (diameter > 2)") {
+    val n = 12L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = DedupOps.connectedComponents(nodes, "id", edges, "src", "dst")
+    assert(cc.select("cluster_id").distinct().count() == 1)
+    assert(cc.filter(col("cluster_id") === 1L).count() == n)
+  }
+
   test("hammingDist column matches bitCount of xor") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
     assert(df.select(DedupOps.hammingDist(col("a"), col("b")))
