@@ -55,6 +55,30 @@ object StreamingOps {
                    keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Watermarked stream-stream inner join: each left event matches
+    * right events of the same key whose timestamp falls in
+    * [left.ts, left.ts + `withinSeconds`]. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the state
+    * store retains only `withinSeconds + watermark` of either stream —
+    * the REQUIRED shape for unbounded joins (an unconstrained
+    * stream-stream join would buffer both streams forever).
+    * Output columns: key, left `ts`/cols prefixed l_, right prefixed r_.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         withinSeconds: Long,
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col(key) +: left.columns.filterNot(_ == key)
+        .map(c => col(c).as(s"l_$c")).toSeq: _*)
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col(key).as(s"__rk") +: right.columns.filterNot(_ == key)
+        .map(c => col(c).as(s"r_$c")).toSeq: _*)
+    l.join(r, col(key) === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $withinSeconds seconds"))
+      .drop("__rk")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -71,6 +71,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream matches clicks within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    views.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0))
+    clicks.addData(
+      Event(10, ts("2024-01-01 10:02:00"), 1, "click", 1.0), // within 5 min
+      Event(11, ts("2024-01-01 10:09:00"), 1, "click", 2.0), // outside
+      Event(12, ts("2024-01-01 10:01:00"), 2, "click", 3.0)) // other user
+    val joined = intervalJoinStream(
+      views.toDF().select($"user_id", $"ts", $"event_id"),
+      clicks.toDF().select($"user_id", $"ts", $"event_id"),
+      "user_id", withinSeconds = 300)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select($"l_event_id", $"r_event_id").as[(Long, Long)].collect()
+      assert(rows.toSeq == Seq((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions on gap and matches batch stats") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
