@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sampling / class-balancing operators (SURVEY.md §2.7 R1-R3).
@@ -98,5 +99,23 @@ object BalanceOps {
     val Array(train, test) =
       df.randomSplit(Array(trainFraction, 1.0 - trainFraction), seed)
     (train, test)
+  }
+
+  /** Exactly-k-per-group random sample (training-data corpus capping:
+    * "at most k documents per domain/source"). Seeded `rand` ranked by
+    * a window → deterministic for a fixed input partitioning, exact
+    * group sizes min(k, |group|) — unlike `sampleBy`, whose Bernoulli
+    * fractions only hit k in expectation. One shuffle on the group key;
+    * per-group state in the window sort is the group itself, so cap
+    * skew with salting if a single group dominates.
+    */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, k: Int,
+                      seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__r"), col("__r2"))
+    df.withColumn("__r", rand(seed))
+      .withColumn("__r2", rand(seed + 1)) // tiebreak: P[collision]≈0 twice
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__r", "__r2", "__rk")
   }
 }

@@ -188,6 +188,14 @@ object DedupOps {
     // lineage truncation is mandatory for iterative dataflow.
     var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
       .localCheckpoint()
+    // convergence check: labels only ever DECREASE (min-propagation),
+    // so the clustering is converged exactly when Σ labels stops
+    // falling — one tiny aggregate per round instead of a join+count.
+    // (Sum as DECIMAL so node-id sums cannot overflow at any scale.)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -196,10 +204,10 @@ object DedupOps {
       val next = labels.unionByName(nbrLabels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

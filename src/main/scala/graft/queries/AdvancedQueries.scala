@@ -6,6 +6,7 @@ import graft.ops.{DedupOps, RangeJoinOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Second wave of operator coverage: explode/unnest, true pivot, CUBE +
   * grouping_id, string-distance + crypto hashes, MapType columns,
@@ -352,7 +353,31 @@ object AdvancedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q67_incremental_agg — incremental view maintenance: the daily
+    * aggregate is built as merge(old partials, new partials) across a
+    * mid-day cutoff instead of re-aggregating history — count/sum are
+    * mergeable, so the merged result equals the direct group-by (the
+    * oracle computes the direct form). At 100 TB this is how daily
+    * rollups actually run: yesterday's partials are a table, only the
+    * new slice is scanned.
+    */
+  def q67IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-15 12:00:00").cast(TimestampType)
+    val e = Tables.events(s, dir)
+      .withColumn("day", date_trunc("DAY", col("ts")))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("day")).agg(count(lit(1)).as("pn"),
+        sum(col("value")).as("pv"))
+    partial(e.filter(col("ts") < cutoff))
+      .unionByName(partial(e.filter(col("ts") >= cutoff)))
+      .groupBy(col("day"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pv")), 2).as("total_value"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q67_incremental_agg" -> (q67IncrementalAgg _),
     "q66_dedup_clusters" -> (q66DedupClusters _),
     "q62_tfidf_keywords" -> (q62TfidfKeywords _),
     "q63_argminmax" -> (q63ArgMinMax _),
@@ -382,6 +407,10 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q67_incremental_agg" ->
+      """SELECT date_trunc('day', ts::TIMESTAMP) AS day, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q66_dedup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),

@@ -57,4 +57,21 @@ class BalanceOpsSpec extends SparkSpec {
     assert(tr.intersect(te).count() == 0)
     assert(math.abs(tr.count() - 700L) < 60)
   }
+
+  test("sampleKPerGroup caps every group at exactly min(k, size)") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val out = BalanceOps.sampleKPerGroup(df, "g", 10, seed = 7L)
+    val sizes = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 10L, "small" -> 3L))
+    // sampled rows come from the input (no duplication)
+    assert(out.exceptAll(df).count() == 0)
+    // seeded → reproducible
+    val again = BalanceOps.sampleKPerGroup(df, "g", 10, seed = 7L)
+    assert(out.exceptAll(again).count() == 0)
+    // different seed → (overwhelmingly) different pick from 100 rows
+    val other = BalanceOps.sampleKPerGroup(df, "g", 10, seed = 8L)
+    assert(out.exceptAll(other).count() > 0)
+  }
 }
