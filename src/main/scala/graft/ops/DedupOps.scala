@@ -157,6 +157,41 @@ object DedupOps {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** All pairs within `maxHamming` of each other's `bits`-bit simhash,
+    * via LSH banding: `bands` equal slices of the signature; two sigs
+    * within Hamming `maxHamming < bands` must share at least one
+    * identical band (pigeonhole), so the (band_id, band_key) equi-join
+    * has FULL recall and only bucket-local candidates are compared.
+    * Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def simhashHammingPairs(df: DataFrame, idCol: String, shCol: String,
+                          maxHamming: Int, bands: Int,
+                          bits: Int = 32): DataFrame = {
+    require(maxHamming < bands, "need maxHamming < bands for full recall")
+    require(bits % bands == 0, "bands must divide bits")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band_id"),
+        shiftright(col(shCol), i * bandBits).bitwiseAND(lit(mask))
+          .as("band_key"))
+    }
+    val banded = df.select(col(idCol), col(shCol),
+      explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col(shCol), col("b.band_id"), col("b.band_key"))
+    val a = banded.select(col("band_id"), col("band_key"),
+      col(idCol).as("id_a"), col(shCol).as("sh_a"))
+    val bb = banded.select(col("band_id"), col("band_key"),
+      col(idCol).as("id_b"), col(shCol).as("sh_b"))
+    a.join(bb, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over an undirected edge list — the final step
     * of any near-dup pipeline: candidate pairs only relate docs
     * PAIRWISE; keeping one representative per duplicate GROUP needs the

@@ -187,24 +187,8 @@ object AdvancedQueries {
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
     val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
       .select(col("doc_id"), col("sh"))
-    val bandStructs = (0 until 4).map { i =>
-      struct(lit(i).as("band_id"),
-        shiftright(col("sh"), i * 8).bitwiseAND(lit(255L)).as("band_key"))
-    }
-    val banded = sh.select(col("doc_id"), col("sh"),
-      explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.band_id"), col("b.band_key"))
-    val a = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        DedupOps.hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
-      .filter(col("hamming") <= 3)
+    DedupOps.simhashHammingPairs(sh, "doc_id", "sh", maxHamming = 3, bands = 4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -376,7 +360,43 @@ object AdvancedQueries {
       .orderBy(col("day"))
   }
 
+  /** q68_corpus_prep — the full LLM-training-corpus preparation
+    * pipeline as ONE plan + one iterative clustering step, composing
+    * the individually-verified operators: language filter → token
+    * quality gate (≥20 tokens) → exact dedup (md5 keep-min) → SimHash
+    * near-dup clustering (banded Hamming ≤3 + connected components) →
+    * one representative per cluster → per-source corpus stats. This is
+    * the "could a user run their pipeline on this engine" query: every
+    * stage is the scalable shape (hash dedup, banded LSH, label
+    * propagation — no all-pairs, no driver data).
+    */
+  def q68CorpusPrep(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.parallelize(Tables.documents(s, dir))
+      .filter(col("lang") === "en")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("ntok", size(col("toks")))
+      .filter(col("ntok") >= 20)
+    val exact = DedupOps.keepFirst(
+      base.withColumn("__h", md5(col("text"))), Seq("__h"), Seq(col("doc_id")))
+      .drop("__h")
+    val withSh = DedupOps.withSimhash(exact, col("toks"), 32, "sh")
+      .select(col("doc_id"), col("source"), col("ntok"), col("sh"))
+      .localCheckpoint() // reused by pairs, nodes, and the final join
+    val pairs = DedupOps.simhashHammingPairs(withSh, "doc_id", "sh",
+      maxHamming = 3, bands = 4)
+    val cc = DedupOps.connectedComponents(
+      withSh.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+    withSh.join(cc, withSh("doc_id") === cc("node"))
+      .filter(col("doc_id") === col("cluster_id")) // cluster representative
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        round(avg(col("ntok")), 2).as("avg_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_corpus_prep" -> (q68CorpusPrep _),
     "q67_incremental_agg" -> (q67IncrementalAgg _),
     "q66_dedup_clusters" -> (q66DedupClusters _),
     "q62_tfidf_keywords" -> (q62TfidfKeywords _),
@@ -407,6 +427,32 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q68_corpus_prep" ->
+      s"""WITH RECURSIVE d1 AS (
+         |  SELECT doc_id, text, source, $toksSql AS toks
+         |  FROM documents WHERE lang = 'en'),
+         |d2 AS (SELECT doc_id, text, source, toks, len(toks) AS ntok
+         |       FROM d1 WHERE len(toks) >= 20),
+         |d3 AS (SELECT doc_id, source, toks, ntok FROM (
+         |  SELECT d2.*, row_number() OVER (PARTITION BY md5(text)
+         |                                  ORDER BY doc_id) AS rn FROM d2)
+         |  WHERE rn = 1),
+         |s AS (SELECT doc_id, source, ntok, ($simhash32Sql)::BIGINT AS sh
+         |      FROM d3),
+         |edges AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |          FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM s
+         |  UNION
+         |  SELECT CASE WHEN r.node = e.ea THEN e.eb ELSE e.ea END, r.root
+         |  FROM reach r JOIN edges e ON r.node = e.ea OR r.node = e.eb),
+         |cc AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+         |SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+         |  round(avg(ntok), 2) AS avg_tokens
+         |FROM s JOIN cc ON s.doc_id = cc.node
+         |WHERE s.doc_id = cc.cluster_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q67_incremental_agg" ->
       """SELECT date_trunc('day', ts::TIMESTAMP) AS day, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
