@@ -395,7 +395,30 @@ object AdvancedQueries {
       .orderBy(col("source"))
   }
 
+  /** q69_range_frame — VALUE-based window frame (RANGE, vs q32's
+    * row-count frames): per-customer trailing-30-day order total and
+    * each customer's first order date (first_value over an unbounded
+    * frame). Time is compared in epoch seconds on both engines so the
+    * frame bound is exact. One shuffle on the partition key; the frame
+    * scan is a per-partition sliding aggregate, O(rows) total.
+    */
+  def q69RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ: hop via TIMESTAMP (session tz is
+    // pinned UTC everywhere) to epoch seconds — matches DuckDB epoch()
+    val secs = col("o_orderdate").cast("timestamp").cast("long")
+    val w30 = Window.partitionBy(col("o_custkey")).orderBy(secs)
+      .rangeBetween(-30L * 86400, 0)
+    val wAll = Window.partitionBy(col("o_custkey")).orderBy(secs)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w30), 2).as("trailing_30d"),
+        first(col("o_orderdate")).over(wAll).as("first_order"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_range_frame" -> (q69RangeFrame _),
     "q68_corpus_prep" -> (q68CorpusPrep _),
     "q67_incremental_agg" -> (q67IncrementalAgg _),
     "q66_dedup_clusters" -> (q66DedupClusters _),
@@ -427,6 +450,15 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q69_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER w30, 2) AS trailing_30d,
+        |  first_value(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY epoch(o_orderdate)) AS first_order
+        |FROM orders
+        |WINDOW w30 AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q68_corpus_prep" ->
       s"""WITH RECURSIVE d1 AS (
          |  SELECT doc_id, text, source, $toksSql AS toks
