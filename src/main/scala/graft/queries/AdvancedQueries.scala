@@ -417,7 +417,25 @@ object AdvancedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q70_rank_dist — distribution ranking functions: ntile quartiles,
+    * percent_rank, cume_dist per status ordered by (price, key). The
+    * ordering is TOTAL (key tiebreak) because ntile buckets by row
+    * position — ties straddling a bucket boundary would otherwise be
+    * engine-dependent.
+    */
+  def q70RankDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_rank_dist" -> (q70RankDist _),
     "q69_range_frame" -> (q69RangeFrame _),
     "q68_corpus_prep" -> (q68CorpusPrep _),
     "q67_incremental_agg" -> (q67IncrementalAgg _),
@@ -450,6 +468,15 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q70_rank_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q69_range_frame" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
         |  round(sum(o_totalprice) OVER w30, 2) AS trailing_30d,
