@@ -59,6 +59,22 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
 
+  /** Gap sessions via Spark's NATIVE `session_window` (the built-in
+    * merge-based form of [[sessionStats]]'s lag/cumsum formulation):
+    * each event opens a window [ts, ts+gap); overlapping windows per
+    * key merge. Works identically under Structured Streaming with a
+    * watermark (state = open windows per key). Events exactly `gap`
+    * apart start a NEW session (merge condition is strict `<`).
+    */
+  def sessionWindowStats(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   /** As-of join (inclusive): for each left row, attach `attachCols` from
     * the LATEST right row of the same `key` with right.tsCol <=
     * left.tsCol.

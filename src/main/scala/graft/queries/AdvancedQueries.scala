@@ -434,7 +434,17 @@ object AdvancedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q71_session_window — native `session_window` sessions (vs q19's
+    * lag/cumsum formulation): one shuffle on user_id, windows merged by
+    * the operator, streaming-ready as-is. Oracle reproduces the strict
+    * merge rule (gap-apart events start a new session).
+    */
+  def q71SessionWindow(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventOps.sessionWindowStats(Tables.events(s, dir), 30)
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, Q] = Map(
+    "q71_session_window" -> (q71SessionWindow _),
     "q70_rank_dist" -> (q70RankDist _),
     "q69_range_frame" -> (q69RangeFrame _),
     "q68_corpus_prep" -> (q68CorpusPrep _),
@@ -468,6 +478,26 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q71_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id)
+        |), flagged AS (
+        |  SELECT user_id, value, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, value, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, make_timestamp(min(us)) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q70_rank_dist" ->
       """SELECT o_orderkey, o_orderstatus,
         |  ntile(4) OVER w AS quartile,
