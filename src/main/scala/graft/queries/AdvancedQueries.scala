@@ -443,7 +443,36 @@ object AdvancedQueries {
     graft.ops.EventOps.sessionWindowStats(Tables.events(s, dir), 30)
       .orderBy(col("user_id"), col("session_start"))
 
+  /** q72_having — post-aggregation filter (HAVING): repeat customers
+    * above both a count and a spend threshold. In Spark this is just
+    * `filter` above `agg` — Catalyst keeps the partial-agg pushdown;
+    * the filter runs on the tiny aggregated side.
+    */
+  def q72Having(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("spend"))
+      .filter(col("n_orders") >= 12 && col("spend") > 1500000.0)
+      .orderBy(col("o_custkey"))
+
+  /** q73_union_distinct — set-semantics UNION (vs q6's UNION ALL):
+    * overlapping key sets collapse to distinct rows — one extra
+    * distinct-aggregation shuffle after the concatenation, which is
+    * exactly what UNION costs over UNION ALL at any scale.
+    */
+  def q73UnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val big = o.filter(col("o_totalprice") > 250000.0)
+      .select(col("o_custkey").as("custkey"))
+    urgent.unionByName(big).distinct().orderBy(col("custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q72_having" -> (q72Having _),
+    "q73_union_distinct" -> (q73UnionDistinct _),
     "q71_session_window" -> (q71SessionWindow _),
     "q70_rank_dist" -> (q70RankDist _),
     "q69_range_frame" -> (q69RangeFrame _),
@@ -478,6 +507,18 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q72_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 12 AND round(sum(o_totalprice), 2) > 1500000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "q73_union_distinct" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0)
+        |ORDER BY custkey""".stripMargin,
     "q71_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,

@@ -34,6 +34,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3) == ((4L, Some(200L), Some(9.0))))
   }
 
+  test("asofJoin matches the naive max-per-row formulation on random data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong, new Timestamp(rnd.nextInt(86400) * 1000L))
+    }.toDF("id", "user_id", "ts")
+    // right ts unique per construction: an as-of pick among right rows
+    // tied on (key, ts) is ill-defined in any formulation
+    val right = (1 to 200).map { i =>
+      (rnd.nextInt(5).toLong, new Timestamp(i * 431000L), i.toLong)
+    }.toDF("user_id", "ts", "rid")
+
+    val got = EventOps.asofJoin(left, right, "user_id", "ts", Seq("rid"))
+      .filter(col("asof_rid").isNotNull)
+      .select(col("id"), col("asof_rid"))
+      .as[(Long, Long)].collect().toSet
+
+    val l = left.as("l"); val r = right.as("r")
+    val want = l.join(r, col("l.user_id") === col("r.user_id") &&
+        col("r.ts") <= col("l.ts"))
+      .groupBy(col("l.id"))
+      .agg(max_by(col("r.rid"), col("r.ts")).as("rid"))
+      .as[(Long, Long)].collect().toSet
+
+    assert(got == want)
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val left = (1 to 100).map(i => (i.toLong, (i % 5).toLong,
       ts(f"2024-01-01 00:${i % 60}%02d:00"))).toDF("id", "user_id", "ts")
