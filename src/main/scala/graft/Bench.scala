@@ -23,6 +23,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // events.parquet carries TIMESTAMP(NANOS); see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,8 +56,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A crashed query must not READ as a speedup: report the failure
+    // count explicitly and null the headline total when any query failed,
+    // so the sum-of-successes can never masquerade as a faster round.
+    val failures = results.count(_._2 < 0)
+    val total =
+      if (failures > 0) "null" else results.map(_._2).sum.toString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

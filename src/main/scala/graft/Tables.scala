@@ -45,9 +45,17 @@ object Tables {
     * sub-millisecond digits at 2024-epoch magnitudes (~1.7e18 ns vs
     * ~9e15 exact-double range). DuckDB's `ts::TIMESTAMP` truncates
     * ns→us the same way, so oracles agree bit-for-bit.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set WHEN THE
+    * SESSION IS BUILT (Bench / Verify / SparkSpec all do) — it is a
+    * global reader flag, and setting it here as a read side effect
+    * would silently change how every other nanos-typed parquet in the
+    * session is read, racily if sessions are shared across threads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.parquet carries TIMESTAMP(NANOS))")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

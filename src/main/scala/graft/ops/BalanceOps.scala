@@ -69,8 +69,24 @@ object BalanceOps {
       when(col(classCol).cast("string") === cls, lit(target.toDouble / n))
         .otherwise(acc)
     }
-    // Poisson(λ) draw per row via inverse-CDF walk, capped at 10 draws
-    // (λ ≤ ~3 in practice for balancing). The uniform MUST be
+    // The inverse-CDF walk below is unrolled `cap` steps, so it
+    // truncates any draw above cap. Size cap from the LARGEST per-class
+    // λ = target/count so the truncation error is provably negligible:
+    // P[Poisson(λ) > λ + 10√λ + 10] < 1e-18 (Chernoff), i.e. under one
+    // clipped row per 10^18. Tiny classes under heavy imbalance — the
+    // primary resample-to-target use case — get the cap they need
+    // instead of a silent bias toward fewer copies. Guard the unroll
+    // size: past λ≈200 the expression tree itself becomes the problem;
+    // use resamplePerClassScan (per-class Bernoulli/Poisson `sample`)
+    // for such extremes.
+    val maxLam = counts.values.foldLeft(0.0)((m, n) =>
+      math.max(m, target.toDouble / n))
+    require(maxLam <= 200.0,
+      f"resampleToTarget: per-class λ=$maxLam%.1f too large for the " +
+        "unrolled Poisson walk; use resamplePerClassScan for >200x " +
+        "oversampling of a class")
+    val cap = math.max(10, math.ceil(maxLam + 10 * math.sqrt(maxLam) + 10).toInt)
+    // Poisson(λ) draw per row via inverse-CDF walk. The uniform MUST be
     // materialized as its own column first: inlining rand(seed) into
     // every `when` branch would create independent RNG streams whose
     // short-circuited evaluation desynchronizes per row, biasing the
@@ -81,7 +97,7 @@ object BalanceOps {
     val lam = fracExpr
     // N = #{k : U > CDF(k-1)}
     val cdf0 = exp(-lam)
-    val copies = (1 to 10).foldLeft((lit(0), cdf0, cdf0)) {
+    val copies = (1 to cap).foldLeft((lit(0), cdf0, cdf0)) {
       case ((n, term, cum), k) =>
         val nextN = when(u > cum, lit(k)).otherwise(n)
         val nextTerm = term * lam / k

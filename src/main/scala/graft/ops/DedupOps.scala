@@ -214,15 +214,30 @@ object DedupOps {
   def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
                           srcCol: String, dstCol: String,
                           maxIter: Int = 30): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .localCheckpoint()
+    val sc = nodes.sparkSession.sparkContext
     // localCheckpoint each round: persist alone caches DATA but the
     // logical plan still nests the entire iteration history, so
     // analysis/optimization cost grows geometrically with rounds —
-    // lineage truncation is mandatory for iterative dataflow.
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
-      .localCheckpoint()
+    // lineage truncation is mandatory for iterative dataflow. The
+    // checkpoint blocks of round i-1 are dead once round i
+    // materializes; without an explicit release, executor storage
+    // grows linearly with rounds. localCheckpoint exposes no public
+    // unpersist handle, so track the persistent-RDD ids each
+    // checkpoint registers (diff around the eager call — assumes no
+    // concurrent persists on this SparkContext during the diff; a
+    // wrong guess only costs a recompute, never correctness).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val (sym, symIds) = checkpointTracked(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b"))))
+    var (labels, labelIds) = checkpointTracked(
+      nodes.select(col(idCol).as("node"), col(idCol).as("label")))
     // convergence check: labels only ever DECREASE (min-propagation),
     // so the clustering is converged exactly when Σ labels stops
     // falling — one tiny aggregate per round instead of a join+count.
@@ -236,16 +251,19 @@ object DedupOps {
     while (!converged && i < maxIter) {
       val nbrLabels = sym.join(labels, sym("b") === labels("node"))
         .select(col("a").as("node"), col("label"))
-      val next = labels.unionByName(nbrLabels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        labels.unionByName(nbrLabels)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
       val nextSum = labelSum(next)
+      release(labelIds) // round i-1 blocks are dead now that `next` is live
       labels = next
+      labelIds = nextIds
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    release(symIds) // labels is checkpointed; the edge blocks are dead too
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 }

@@ -86,28 +86,36 @@ object EventOps {
     * one window sort, and a running `last(..., ignoreNulls)` carries
     * right values forward onto left rows. Right rows sort BEFORE left
     * rows at equal timestamps, making the match inclusive.
+    *
+    * All attach columns ride in ONE struct so a single
+    * `last(ignoreNulls)` picks them from the SAME (latest) right row:
+    * carrying each column independently would skip a matched right row
+    * whose attach value is genuinely NULL and take a stale value from
+    * an older row — diverging from true as-of semantics (and the
+    * DuckDB ASOF oracle) whenever right attach columns contain NULLs.
+    * The struct itself is never null on right rows, so NULL fields
+    * survive intact.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                attachCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val taggedLeft = attachCols.foldLeft(
-      left.withColumn("__side", lit(1))) { (d, c) =>
-      d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
-    }
+    val rStructType = org.apache.spark.sql.types.StructType(attachCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val taggedLeft = left.withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
     val rightSel = right.select(
       (Seq(col(key), col(tsCol), lit(0).as("__side")) ++
         leftCols.filterNot(Seq(key, tsCol).contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        attachCols.map(c => col(c).as(s"__r_$c"))): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(attachCols.map(col): _*).as("__r")): _*)
     val unioned = taggedLeft.unionByName(rightSel)
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = attachCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        attachCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
+        attachCols.map(c => col("__r").getField(c).as(s"asof_$c"))): _*)
   }
 }

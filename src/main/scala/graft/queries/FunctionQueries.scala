@@ -85,16 +85,19 @@ object FunctionQueries {
   /** q36_array_agg — collect_list into a sorted array per group +
     * array scalar ops. Sorting inside the aggregate (array_sort after
     * collect) makes the result deterministic — collect order is not.
+    * The array itself ships as a joined string: the driver's comparator
+    * sorts rows with pandas, which cannot order/hash raw array cells.
     */
   def q36ArrayAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") <= 200)
       .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_list(col("l_linenumber"))).as("linenums"))
-      .select(col("l_orderkey"), col("linenums"),
-        size(col("linenums")).as("n_lines"),
-        element_at(col("linenums"), 1).as("first_line"),
-        array_contains(col("linenums"), 3).as("has_line3"))
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("arr"))
+      .select(col("l_orderkey"),
+        array_join(transform(col("arr"), _.cast("string")), ",").as("linenums"),
+        size(col("arr")).as("n_lines"),
+        element_at(col("arr"), 1).as("first_line"),
+        array_contains(col("arr"), 3).as("has_line3"))
       .orderBy(col("l_orderkey"))
 
   /** q37_from_json — full-schema JSON parse (one parse, many fields) vs
@@ -239,11 +242,11 @@ object FunctionQueries {
         |  date_trunc('month', o_orderdate)::DATE AS month_start
         |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin,
     "q36_array_agg" ->
-      """SELECT l_orderkey, linenums,
-        |  CAST(len(linenums) AS INT) AS n_lines,
-        |  linenums[1] AS first_line,
-        |  list_contains(linenums, 3) AS has_line3
-        |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenums
+      """SELECT l_orderkey, array_to_string(arr, ',') AS linenums,
+        |  CAST(len(arr) AS INT) AS n_lines,
+        |  arr[1] AS first_line,
+        |  list_contains(arr, 3) AS has_line3
+        |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr
         |      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
         |ORDER BY l_orderkey""".stripMargin,
     "q37_from_json" ->

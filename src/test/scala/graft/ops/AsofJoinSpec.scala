@@ -61,6 +61,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("asofJoin takes ALL attach values from the latest right row, " +
+    "even when some of its attach columns are NULL") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:30:00")))
+      .toDF("id", "user_id", "ts")
+    // latest right row has v = NULL: a per-column carry would keep rid
+    // from the latest row but v from the OLDER row — true as-of
+    // semantics (and DuckDB ASOF) attach (101, NULL).
+    val right = Seq(
+      (10L, ts("2024-01-01 00:01:00"), Some(100L), Some(1.5)),
+      (10L, ts("2024-01-01 00:10:00"), Some(101L), None: Option[Double]))
+      .toDF("user_id", "ts", "rid", "v")
+
+    val out = EventOps.asofJoin(left, right, "user_id", "ts", Seq("rid", "v"))
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("asof_rid") == 101L)
+    assert(r.isNullAt(r.fieldIndex("asof_v")))
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val left = (1 to 100).map(i => (i.toLong, (i % 5).toLong,
       ts(f"2024-01-01 00:${i % 60}%02d:00"))).toDF("id", "user_id", "ts")
