@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
       graft.queries.FunctionQueries.queries ++
-      graft.queries.AdvancedQueries.queries
+      graft.queries.AdvancedQueries.queries ++
+      graft.queries.StructuralQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracle ++
       graft.queries.ExtensionQueries.oracle ++
       graft.queries.FunctionQueries.oracle ++
-      graft.queries.AdvancedQueries.oracle
+      graft.queries.AdvancedQueries.oracle ++
+      graft.queries.StructuralQueries.oracle
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 structural operators: explicit GROUPING SETS, UNPIVOT/melt,
+  * window navigation (first/last/nth), ordered string aggregation, and
+  * SRP-bucketed approximate nearest neighbors. Completes SURVEY.md §2.4
+  * A4 (grouping sets beyond rollup/cube), §2.8 O3 (navigation window
+  * functions), and §2.13 X3 (the LSH scale path next to q28's exact
+  * baseline), each oracle-checked against DuckDB.
+  */
+object StructuralQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q74_grouping_sets — explicit GROUPING SETS ((returnflag),
+    * (linestatus)): two independent groupings in ONE pass over the fact
+    * table (Catalyst expands to a single Expand + hash aggregate — one
+    * scan, one shuffle, vs two scans for separate groupBys).
+    * grouping_id() disambiguates which set each row belongs to; the
+    * bit convention (1 = column aggregated away) matches SQL-standard
+    * GROUPING(a, b).
+    */
+  def q74GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** q75_unpivot — wide→long melt of a per-flag aggregate (the inverse
+    * of q50's pivot). Unpivot is a zero-shuffle Expand over the input:
+    * rows×measures output, no exchange beyond the upstream aggregate.
+    */
+  def q75Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** q76_window_nav — navigation window functions over the FULL
+    * partition frame: first_value / last_value / nth_value per
+    * customer's order history. One shuffle on o_custkey; all three
+    * functions share one window sort. The (o_orderdate, o_orderkey)
+    * ordering is total, so nth_value is deterministic.
+    */
+  def q76WindowNav(s: SparkSession, dir: String): DataFrame = {
+    val wf = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderdate")).over(wf).as("first_date"),
+        last(col("o_orderdate")).over(wf).as("last_date"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q77_string_agg — ordered string aggregation (SQL string_agg /
+    * listagg WITHIN GROUP): customer names per nation, ordered by
+    * (acctbal, name) INSIDE the aggregate. Spark has no ordered
+    * string_agg, so the scalable equivalent is collect_list of
+    * (sortkey, value) structs + array_sort + project — the sort runs
+    * per group AFTER the shuffle, on grouped arrays, not as a global
+    * sort. Group payloads are bounded (≤ thousands of names); for
+    * unbounded groups cap with a ranked-window top-k first.
+    */
+  def q77StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("c_acctbal"), col("c_name")))),
+            _.getField("c_name")),
+          "|").as("names"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("c_nationkey"))
+
+  /** q78_ann_srp — approximate nearest neighbors via sign-random-
+    * projection LSH (the scale path; q28/q44 are the exact baseline):
+    * bucket = 4 sign bits of deterministic md5-derived hyperplane dot
+    * products, probe ONLY the query's bucket. At corpus scale the probe
+    * reads ~1/2^bits of the data (partition pruning when the corpus is
+    * written bucketed) instead of every row. Planes are derived from
+    * md5(plane:i) so the DuckDB oracle regenerates them bit-for-bit.
+    */
+  def q78AnnSrp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bucketed = emb
+      .withColumn("bucket", VectorOps.srpBucket(col("embedding"), 64, 4))
+    val q = bucketed.filter(col("vec_id") === 2)
+      .select(col("embedding").as("qv"), col("bucket"))
+    bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= 2)
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("cos_sim"),
+        VectorOps.cosine(col("embedding"), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(10)
+      .drop("raw")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q74_grouping_sets" -> (q74GroupingSets _),
+    "q75_unpivot" -> (q75Unpivot _),
+    "q76_window_nav" -> (q76WindowNav _),
+    "q77_string_agg" -> (q77StringAgg _),
+    "q78_ann_srp" -> (q78AnnSrp _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q74_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q75_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(sum(l_discount), 2) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q76_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderdate) OVER wf AS first_date,
+        |  last_value(o_orderdate) OVER wf AS last_date,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q77_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, '|' ORDER BY c_acctbal, c_name) AS names,
+        |  count(*) AS n_cust
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q78_ann_srp" ->
+      """WITH planes AS (
+        |  SELECT j, list_transform(range(0, 64), i ->
+        |    (('0x' || substr(md5('plane' || j || ':' || i), 1, 8))::BIGINT)::DOUBLE / 2147483648 - 1) AS plane
+        |  FROM (SELECT unnest(range(0, 4)) AS j)),
+        |b AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+        |                THEN 1 << p.j ELSE 0 END)::BIGINT FROM planes p) AS bucket
+        |  FROM embeddings e),
+        |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 2)
+        |SELECT b.vec_id, round(list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim
+        |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 2
+        |ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, b.vec_id
+        |LIMIT 10""".stripMargin,
+  )
+}
