@@ -30,6 +30,17 @@ object Tables {
   def parallelize(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Pushdown fence for filters whose predicate is EXPENSIVE (JSON
+    * parse, tokenization): OR-in an always-false nondeterministic term
+    * so the filter evaluates where it stands — Catalyst refuses to push
+    * nondeterministic conditions — instead of being pushed below a
+    * [[parallelize]] repartition into the single-file scan task.
+    * Semantically a no-op (`rand() < -1` is never true).
+    */
+  def fence(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cond || org.apache.spark.sql.functions.rand() <
+      org.apache.spark.sql.functions.lit(-1.0)
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -233,18 +233,31 @@ object DedupOps {
     }
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // Iterate ONLY over edge-touched nodes: a node with no edge keeps
+    // label = self forever, so singletons never enter the loop. In a
+    // dedup pipeline the candidate graph is orders of magnitude smaller
+    // than the corpus (millions of near-dup pairs vs billions of docs);
+    // looping over every doc's label would shuffle the full corpus once
+    // per round. Singletons are re-attached with one anti-join at the
+    // end. The semi-join keeps parity with the original contract: only
+    // ids present in `nodes` appear in the output.
+    val allNodes = nodes.select(col(idCol).as("node"))
     val (sym, symIds) = checkpointTracked(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b"))))
     var (labels, labelIds) = checkpointTracked(
-      nodes.select(col(idCol).as("node"), col(idCol).as("label")))
+      sym.select(col("a").as("node")).distinct()
+        .join(allNodes, Seq("node"), "left_semi")
+        .withColumn("label", col("node")))
     // convergence check: labels only ever DECREASE (min-propagation),
     // so the clustering is converged exactly when Σ labels stops
     // falling — one tiny aggregate per round instead of a join+count.
     // (Sum as DECIMAL so node-id sums cannot overflow at any scale.)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty active set
+    }
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
@@ -264,6 +277,9 @@ object DedupOps {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     release(symIds) // labels is checkpointed; the edge blocks are dead too
-    labels.select(col("node"), col("label").as("cluster_id"))
+    val singletons = allNodes.join(labels.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("label", col("node"))
+    labels.unionByName(singletons)
+      .select(col("node"), col("label").as("cluster_id"))
   }
 }

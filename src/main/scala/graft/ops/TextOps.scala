@@ -65,7 +65,10 @@ object TextOps {
     * standard cheap near-dup prefilter before MinHash.
     */
   def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(tokenSet(text)), " "))
+    // sort_array, not array_sort: identical ascending order on non-null
+    // strings, but array_sort is a lambda HOF (CodegenFallback) that
+    // would drag the whole tokenize subtree onto the interpreted path
+    md5(array_join(sort_array(tokenSet(text)), " "))
 
   /** Character n-gram shingles of the normalized text (for MinHash). */
   def charShingles(text: Column, n: Int): Column = {

@@ -37,11 +37,14 @@ object ExtensionQueries {
       .orderBy(col("hour"), col("event_type"))
 
   /** q18_json_extract — schema-on-read over the semi-structured props
-    * column (X5). The JSON path evaluates inside codegen.
+    * column (X5). The JSON path evaluates inside codegen. The filter is
+    * fenced: its predicate embeds the JSON parse, and unfenced it would
+    * be pushed below the repartition into the single-file scan task,
+    * serializing the parse of every row onto one core.
     */
   def q18Json(s: SparkSession, dir: String): DataFrame =
-    EventOps.propsK(Tables.events(s, dir))
-      .filter(col("k") > 50)
+    EventOps.propsK(Tables.parallelize(Tables.events(s, dir)))
+      .filter(Tables.fence(col("k") > 50))
       .select(col("event_id"), col("k"))
       .orderBy(col("event_id"))
 
@@ -136,7 +139,8 @@ object ExtensionQueries {
     * 16-byte hash (not the document) is the shuffle key.
     */
   def q24ExactDedup(s: SparkSession, dir: String): DataFrame =
-    DedupOps.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+    DedupOps.exactDedup(Tables.parallelize(Tables.documents(s, dir)),
+      "text", "doc_id")
       .orderBy(col("content_hash"))
 
   /** q25_jaccard_pairs — n-gram (word) Jaccard near-dup pairs, candidate-

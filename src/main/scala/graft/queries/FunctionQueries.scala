@@ -146,7 +146,7 @@ object FunctionQueries {
     * Exact (not approx) so DuckDB's quantile_cont matches bit-for-bit.
     */
   def q40Percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.parallelize(Tables.lineitem(s, dir))
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),

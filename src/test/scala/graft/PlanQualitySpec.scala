@@ -83,6 +83,18 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q18 fence keeps the JSON parse ABOVE the repartition") {
+    val plan = planOf(SparkEntry.queries("q18_json_extract")(spark, sf0001))
+    // tree prints root-first, so the scan/exchange sits BELOW (after)
+    // the filter; an unfenced plan pushes the get_json_object filter
+    // under the round-robin exchange onto the single scan task
+    val parseAt = plan.indexOf("get_json_object")
+    val exchangeAt = plan.indexOf("Exchange RoundRobinPartitioning")
+    assert(parseAt >= 0 && exchangeAt >= 0, plan)
+    assert(parseAt < exchangeAt,
+      s"JSON parse was pushed below the repartition:\n$plan")
+  }
+
   test("whole-stage codegen covers the q33 string-function pipeline") {
     val df = SparkEntry.queries("q33_string_funcs")(spark, sf0001)
     df.collect() // finalize AQE so codegen stages are annotated
