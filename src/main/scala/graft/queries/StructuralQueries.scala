@@ -118,12 +118,68 @@ object StructuralQueries {
       .drop("raw")
   }
 
+  /** q79_correlated_subquery — correlated scalar subquery through
+    * spark.sql: orders above 2× THEIR customer's average price.
+    * Exercises Catalyst's decorrelation (DecorrelateInnerQuery rewrites
+    * the per-row subquery into one aggregate + join — visible as a
+    * single Aggregate⋈ in the optimized plan, never a per-row re-scan).
+    */
+  def q79CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q79")
+    s.sql(
+      """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
+        |FROM orders_q79 o
+        |WHERE o.o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+        |                            FROM orders_q79 o2
+        |                            WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  /** q80_hash_sample — deterministic per-group sampling: keep the k=5
+    * docs per language with the smallest md5(doc_id). Unlike seeded
+    * rand() sampling this is reproducible across engines AND across
+    * reruns/retries at scale (a retried task re-derives identical
+    * output — rand()-based sampling under task retry is not exactly
+    * reproducible), which is what corpus-subset selection needs.
+    * One shuffle on lang; the ranked window keeps k rows per group.
+    */
+  def q80HashSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** q81_salted_join — skew-resistant join (SkewOps.saltedJoin): the
+    * customer side is replicated across 8 salts and order rows scatter
+    * over them, so a hot customer key spreads across 8 reducers
+    * instead of one straggler. Result is identical to the plain join
+    * (the oracle computes the unsalted form); only the partitioning
+    * differs. Companion to q64's salted aggregation.
+    */
+  def q81SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewOps.saltedJoin(
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
+      Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")),
+      "o_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+
   val queries: Map[String, Q] = Map(
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
     "q77_string_agg" -> (q77StringAgg _),
     "q78_ann_srp" -> (q78AnnSrp _),
+    "q79_correlated_subquery" -> (q79CorrelatedSubquery _),
+    "q80_hash_sample" -> (q80HashSample _),
+    "q81_salted_join" -> (q81SaltedJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -173,5 +229,24 @@ object StructuralQueries {
         |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 2
         |ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, b.vec_id
         |LIMIT 10""".stripMargin,
+    "q79_correlated_subquery" ->
+      """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o.o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+        |                            FROM orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q80_hash_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
+    "q81_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
