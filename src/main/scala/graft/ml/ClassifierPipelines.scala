@@ -122,6 +122,23 @@ object ClassifierPipelines {
       .addGrid(rf.maxDepth, maxDepth)
       .build()
 
+  /** M13 — random hyperparameter search. The reference imports a
+    * non-existent `RandomParamGridBuilder` (`timely_LR.py:114`, SURVEY
+    * §8.2); Spark 3.2-3.5 shipped `ParamRandomBuilder` for this intent
+    * but Spark 4 removed it, so the engine draws the maps directly:
+    * `n` seeded-uniform (regParam, elasticNetParam) samples, pluggable
+    * into CrossValidator/TrainValidationSplit like any grid.
+    */
+  def lrRandomGrid(lr: LogisticRegression, n: Int = 4,
+                   seed: Long = 42L): Array[ParamMap] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n) {
+      new ParamMap()
+        .put(lr.regParam, 0.01 + rnd.nextDouble() * (0.5 - 0.01))
+        .put(lr.elasticNetParam, rnd.nextDouble())
+    }
+  }
+
   // ---- evaluation (M14-M17) ----
 
   /** M14 — areaUnderROC (`timely_LR.py:106`). */

@@ -261,12 +261,29 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
-    while (!converged && i < maxIter) {
-      val nbrLabels = sym.join(labels, sym("b") === labels("node"))
+    // One propagation step: adopt the min of {own label, neighbors'
+    // labels, label(label(v))}. The label-of-label "pointer jump" makes
+    // long chains halve each step — plain neighbor propagation needs
+    // diameter-many rounds, and Hamming-ball chains in near-dup graphs
+    // reach diameter 12+ (measured 13 rounds at sf0.1 without the
+    // jump). label(v) is always an active-set id, so the inner
+    // self-join keeps every row.
+    def step(l: DataFrame): DataFrame = {
+      val nbrLabels = sym.join(l, sym("b") === l("node"))
         .select(col("a").as("node"), col("label"))
-      val (next, nextIds) = checkpointTracked(
-        labels.unionByName(nbrLabels)
-          .groupBy(col("node")).agg(min(col("label")).as("label")))
+      val jump = l.select(col("node"), col("label").as("__via"))
+        .join(l.select(col("node").as("__via2"), col("label")),
+          col("__via") === col("__via2"))
+        .select(col("node"), col("label"))
+      l.unionByName(nbrLabels).unionByName(jump)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+    }
+    while (!converged && i < maxIter) {
+      // two steps per materialized round: the per-round fixed cost
+      // (checkpoint job + convergence aggregate + adaptive re-planning)
+      // dominates on sparse graphs, so amortize it over two
+      // propagation steps; lineage depth stays bounded at 2
+      val (next, nextIds) = checkpointTracked(step(step(labels)))
       val nextSum = labelSum(next)
       release(labelIds) // round i-1 blocks are dead now that `next` is live
       labels = next
@@ -276,6 +293,8 @@ object DedupOps {
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged in $i rounds")
     release(symIds) // labels is checkpointed; the edge blocks are dead too
     val singletons = allNodes.join(labels.select(col("node")), Seq("node"), "left_anti")
       .withColumn("label", col("node"))

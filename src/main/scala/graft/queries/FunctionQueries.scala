@@ -144,15 +144,31 @@ object FunctionQueries {
 
   /** q40_percentiles — exact percentiles + count_distinct per group.
     * Exact (not approx) so DuckDB's quantile_cont matches bit-for-bit.
+    * Percentiles run sort-based (graft.ops.StatOps.exactPercentiles)
+    * rather than through the built-in `percentile` aggregate, whose
+    * per-group value→count hashmaps GC-collapse as groups grow; the
+    * distinct count is its own two-phase branch joined on the (tiny)
+    * group key.
     */
-  def q40Percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.parallelize(Tables.lineitem(s, dir))
+  def q40Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // pct's window shuffle redistributes on its own; only the distinct
+    // count's map-side partial needs the explicit repartition
+    val pct = graft.ops.StatOps.exactPercentiles(
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5, "p95" -> 0.95))
+    val nd = Tables.parallelize(
+      li.select(col("l_returnflag"), col("l_partkey")))
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-        count_distinct(col("l_partkey")).as("n_parts"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"))
+    pct.join(nd, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("p50"), 2).as("p50"),
+        round(col("p95"), 2).as("p95"),
+        col("n_parts"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** q41_intersect — INTERSECT set op (SURVEY §2.6 U2): custkeys present
     * in both high- and low-price order populations.

@@ -73,6 +73,18 @@ class ClassifierPipelinesSpec extends SparkSpec {
     assert(r.metrics("accuracy") >= 0.0)
   }
 
+  test("lrRandomGrid draws n param maps over both ranges (M13)") {
+    val lr = ClassifierPipelines.logistic()
+    val grid = ClassifierPipelines.lrRandomGrid(lr, n = 4)
+    assert(grid.length == 4)
+    grid.foreach { pm =>
+      val reg = pm.get(lr.regParam).get
+      val en = pm.get(lr.elasticNetParam).get
+      assert(reg >= 0.01 && reg <= 0.5, s"regParam $reg out of range")
+      assert(en >= 0.0 && en <= 1.0, s"elasticNetParam $en out of range")
+    }
+  }
+
   test("confusionMatrix pivot matches pairwise counts") {
     import spark.implicits._
     val preds = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 1.0), (0.0, 0.0))

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactPercentiles matches the built-in percentile aggregate " +
+    "bit-for-bit on random data") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 5000)
+      .map(i => (s"g${i % 3}", rnd.nextDouble() * 1000))
+      .toDF("g", "v")
+    val got = StatOps.exactPercentiles(df, "g", "v",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val want = df.groupBy("g").agg(
+        expr("percentile(v, 0.25)").as("p25"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.95)").as("p95"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("exactPercentiles handles single-row groups and exact positions") {
+    val df = Seq(("a", 1.0), ("b", 1.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val out = StatOps.exactPercentiles(df, "g", "v", Seq("p50" -> 0.5))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // single row: p50 = the row; 3 rows: p50 = middle row exactly
+    assert(out.toSeq == Seq(("a", 1.0), ("b", 2.0)))
+  }
+}
