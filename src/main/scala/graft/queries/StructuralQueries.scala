@@ -171,7 +171,26 @@ object StructuralQueries {
         round(sum(col("o_totalprice")), 2).as("total_price"))
       .orderBy(col("c_mktsegment"))
 
+  /** q82_clean_text — the reference's `clean_text` Python UDF
+    * (`complaints_narrative_LDA.py:44-57`: lowercase → drop xxxx
+    * redactions → strip non-alpha → drop length-≤1 tokens) as pure
+    * codegen'd expressions (`TopicPipeline.cleanText`) — no Python
+    * worker round trip, no serialization wall. Output is the cleaned
+    * token count + md5 of the joined tokens so the oracle confirms the
+    * EXACT token sequence without shipping megabytes through the
+    * comparator.
+    */
+  def q82CleanText(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.ml.TopicPipeline.cleanText("text")
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(cleaned).cast("long").as("n_clean_tokens"),
+        md5(array_join(cleaned, " ")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q82_clean_text" -> (q82CleanText _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
@@ -248,5 +267,15 @@ object StructuralQueries {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q82_clean_text" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(
+        |    regexp_replace(regexp_replace(lower(text), 'x{2,}', ' ', 'g'),
+        |                   '[^a-z\s]', ' ', 'g'),
+        |    '\s+'), tk -> len(tk) > 1) AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks)::BIGINT AS n_clean_tokens,
+        |  md5(array_to_string(toks, ' ')) AS clean_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }
