@@ -32,6 +32,11 @@ object RunOne {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[runone] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      val df = fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

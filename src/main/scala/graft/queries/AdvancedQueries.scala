@@ -185,8 +185,13 @@ object AdvancedQueries {
   def q59SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelize(
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // materialize the signatures once: the banded self-join inside
+    // simhashHammingPairs reads them from BOTH sides, and Catalyst does
+    // not reuse the exchange across the differently-aliased subplans —
+    // unchecked, every simhash is computed twice
     val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
       .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
     DedupOps.simhashHammingPairs(sh, "doc_id", "sh", maxHamming = 3, bands = 4)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

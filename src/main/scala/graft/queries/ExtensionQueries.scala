@@ -192,8 +192,12 @@ object ExtensionQueries {
     * the corpus.
     */
   def q27MinhashBands(s: SparkSession, dir: String): DataFrame = {
-    val banded = DedupOps.minhashBands(minhashSigDf(s, dir), "doc_id",
-      (0 until nMinhash).map(i => s"mh$i"), rowsPerBand = 4)
+    // materialize the signatures once: candidatePairs self-joins the
+    // banded frame, and without the checkpoint both join sides
+    // recompute every per-token md5 (verified in the executed plan —
+    // no ReusedExchange across the aliased subplans)
+    val banded = DedupOps.minhashBands(minhashSigDf(s, dir).localCheckpoint(),
+      "doc_id", (0 until nMinhash).map(i => s"mh$i"), rowsPerBand = 4)
     DedupOps.candidatePairs(banded, "doc_id")
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
