@@ -255,8 +255,11 @@ object AdvancedQueries {
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
     val dw = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("word"))
+    // tf feeds both the score join and the document-frequency
+    // aggregate — materialize once or the explode+count runs twice
     val tf = dw.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfx"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))

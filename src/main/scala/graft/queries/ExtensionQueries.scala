@@ -148,10 +148,12 @@ object ExtensionQueries {
     * so the self-join key is (lang, n_tok) — never an all-pairs cross.
     */
   def q25JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // both self-join sides read the token sets — materialize once
     val t = Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
         TextOps.tokenSet(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")))
+      .localCheckpoint()
     val a = t.select(col("lang"), col("n_tok"),
       col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val b = t.select(col("lang"), col("n_tok"),
