@@ -129,6 +129,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(cc.filter(col("cluster_id") === 1L).count() == n)
   }
 
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val nNodes = 60
+      val edges = (1 to 40).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      val nodes = (0L until nNodes.toLong).toDF("id")
+      val got = DedupOps.connectedComponents(
+          nodes, "id", edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // reference: plain union-find with min-id representatives
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until nNodes).map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"trial $trial mismatch")
+    }
+  }
+
   test("hammingDist column matches bitCount of xor") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
     assert(df.select(DedupOps.hammingDist(col("a"), col("b")))
