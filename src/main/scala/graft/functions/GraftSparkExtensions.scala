@@ -54,7 +54,16 @@ object GraftSparkExtensions {
       SimhashExpr(children.head, litInt(children(1), "simhash bits"))
     })
 
-  val all: Seq[FnDef] = Seq(cosineSim, minhashSigs, simhash)
+  val srpBucket: FnDef = (
+    FunctionIdentifier("srp_bucket"),
+    new ExpressionInfo(classOf[SrpBucketExpr].getName, "srp_bucket"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "srp_bucket takes (vec, dim, bits)")
+      SrpBucketExpr(children.head, litInt(children(1), "srp_bucket dim"),
+        litInt(children(2), "srp_bucket bits"))
+    })
+
+  val all: Seq[FnDef] = Seq(cosineSim, minhashSigs, simhash, srpBucket)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -52,8 +52,20 @@ object VectorOps {
     * Vectors sharing a bucket are cosine-close with high probability;
     * an ANN query probes only its own bucket (and optionally Hamming-1
     * neighbors), turning O(N) scans into O(N/2^bits).
+    *
+    * Default path is the native `srp_bucket` expression
+    * (graft.functions.SrpBucketExpr): all `bits` dot products fused in
+    * one codegen'd loop per row. Requires graft extensions registered
+    * on the session (Bench/Verify/queries do). Bit-identical to
+    * [[srpBucketHof]] below and the DuckDB oracle.
     */
-  def srpBucket(vecCol: Column, dim: Int, bits: Int): Column = {
+  def srpBucket(vecCol: Column, dim: Int, bits: Int): Column =
+    call_function("srp_bucket", vecCol, lit(dim), lit(bits))
+
+  /** HOF formulation of [[srpBucket]] (cross-check / no-extensions
+    * fallback): one interpreted `aggregate(zip_with(...))` per plane.
+    */
+  def srpBucketHof(vecCol: Column, dim: Int, bits: Int): Column = {
     val planeVals: Seq[Seq[Double]] = (0 until bits).map { p =>
       (0 until dim).map { i =>
         // hash32-style deterministic uniform in [-1, 1)
@@ -78,6 +90,7 @@ object VectorOps {
   def annTopK(emb: DataFrame, queryVec: Seq[Float], dim: Int, bits: Int,
               k: Int, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(emb.sparkSession)
     val bucketed = emb.withColumn("bucket", srpBucket(col(vecCol), dim, bits))
     val qDf = emb.sparkSession.range(1)
       .select(array(queryVec.map(v => lit(v)): _*).as("qv"))

@@ -103,6 +103,7 @@ object StructuralQueries {
     * md5(plane:i) so the DuckDB oracle regenerates them bit-for-bit.
     */
   def q78AnnSrp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
     val emb = Tables.embeddings(s, dir)
     val bucketed = emb
       .withColumn("bucket", VectorOps.srpBucket(col("embedding"), 64, 4))

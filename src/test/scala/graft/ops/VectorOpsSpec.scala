@@ -32,6 +32,7 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("srpBucket is deterministic and splits the corpus") {
+    graft.functions.GraftSparkExtensions.register(spark)
     val emb = graft.Tables.embeddings(spark, sf0001)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val b1 = emb.select(VectorOps.srpBucket(col("embedding"), dim, 4).as("b"))
@@ -40,6 +41,27 @@ class VectorOpsSpec extends SparkSpec {
     val again = emb.select(VectorOps.srpBucket(col("embedding"), dim, 4).as("b"))
       .collect().map(_.getLong(0)).toSeq
     assert(again == b1.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("native srp_bucket expression matches the HOF formulation " +
+    "bit-for-bit, including degenerate inputs") {
+    graft.functions.GraftSparkExtensions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val both = emb.select(col("vec_id"),
+        VectorOps.srpBucket(col("embedding"), dim, 6).as("native"),
+        VectorOps.srpBucketHof(col("embedding"), dim, 6).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(both.count() == 0)
+    // length-mismatched and null-element vectors → bucket 0 (the HOF's
+    // null-propagation semantics)
+    val edge = Seq(
+      (1L, Seq(1.0f, 2.0f)), // shorter than dim
+      (2L, Seq.fill(dim)(0.5f)))
+      .toDF("id", "v")
+      .select(col("id"), VectorOps.srpBucket(col("v"), dim, 6).as("b"))
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(edge(0) == 0L)
   }
 
   test("annTopK finds the query's own bucket (self in results)") {
