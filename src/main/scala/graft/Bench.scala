@@ -54,14 +54,20 @@ object Bench {
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds keep the whole line under the driver's ~2.9 KB
+    // output-tail window — full-precision doubles pushed the line past
+    // it and the front-truncated JSON failed to parse in round 1
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // A crashed query must not READ as a speedup: report the failure
     // count explicitly and null the headline total when any query failed,
     // so the sum-of-successes can never masquerade as a faster round.
     val failures = results.count(_._2 < 0)
     val total =
-      if (failures > 0) "null" else results.map(_._2).sum.toString
+      if (failures > 0) "null" else fmt(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
