@@ -53,12 +53,21 @@ object ReferenceFlows {
                      numCols: Seq[String], labelCol: String,
                      targetPerClass: Long, treeKind: String = "rf",
                      tune: String = "none", seed: Long = 42L): MulticlassResult = {
+    // C1 — persist the frequency-encoded frame across its consumers
+    // (the balancer's count pass + sampled scan), same placement as the
+    // reference (`random_forest_final_class_8.py:104-106`) but
+    // MEMORY_AND_DISK: MEMORY_ONLY silently recomputes evicted
+    // partitions, which at scale re-runs the encode joins per CV fold
     val encoded = FrequencyEncoder.encodeAll(df,
       freqCols.map(c => c -> s"frequency_$c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // NB reference order: encode BEFORE balancing, so resampled
     // duplicates share frequencies (SURVEY §3.2)
     val balanced = BalanceOps.resampleToTarget(encoded, labelCol, targetPerClass, seed)
-    val (train, test) = BalanceOps.trainTestSplit(balanced, 0.7, seed)
+    val (train0, test) = BalanceOps.trainTestSplit(balanced, 0.7, seed)
+    // the training frame is re-read folds × grid-points times by
+    // CrossValidator — pin it too
+    val train = train0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allNum = numCols ++ freqCols.map(c => s"frequency_$c")
 
     val featureNames = catCols.map(c => s"${c}_idx") ++ allNum
@@ -94,6 +103,8 @@ object ReferenceFlows {
             val m = pipe.fit(train); (m, m.transform(test))
         }
     }
+    encoded.unpersist(false)
+    train.unpersist(false)
     MulticlassResult(
       ClassifierPipelines.multiclassMetrics(preds),
       ClassifierPipelines.confusionMatrix(preds),

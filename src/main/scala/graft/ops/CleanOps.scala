@@ -40,4 +40,21 @@ object CleanOps {
 
   /** string → timestamp cast (`timely_LR.py:57`). */
   def toTimestamp(c: Column): Column = c.cast(TimestampType)
+
+  /** P13 — drop the first `n` rows under a total ordering: the
+    * plan-preserving form of the reference's header-skip detour
+    * (`init.py:29`: `df.rdd.zipWithIndex().filter(idx > 0).map(...)
+    * .toDF()`), which erases the logical plan — everything above it
+    * re-plans from an opaque RDD scan and Catalyst can push nothing
+    * through. A ranked window keeps the lineage intact. The global
+    * window serializes onto one partition — correct for its purpose
+    * (skipping a handful of header rows); at scale prefer reading with
+    * proper options so no header row exists at all.
+    */
+  def dropFirstRows(df: DataFrame, n: Int,
+                    order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") > n).drop("__rn")
+  }
 }

@@ -42,4 +42,17 @@ class CleanOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("dropFirstRows skips n rows under the ordering, keeps the plan") {
+    val df = Seq((3L, "c"), (1L, "header"), (2L, "b"), (4L, "d"))
+      .toDF("id", "v")
+    val out = CleanOps.dropFirstRows(df, 1, Seq(col("id")))
+    assert(out.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("b", "c", "d"))
+    // plan-preserving: no RDD scan barrier — the logical plan still
+    // bottoms out in the original LocalRelation, not an opaque
+    // ExistingRDD (the reference's zipWithIndex detour would)
+    val analyzed = out.queryExecution.optimizedPlan.toString
+    assert(!analyzed.contains("ExistingRDD"), analyzed)
+  }
 }
