@@ -190,8 +190,30 @@ object StructuralQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q83_multimodal_features — the multimodal pipeline end-to-end
+    * (SURVEY §2.13 X5 / MultimodalOps): binary media rows → partition-
+    * local feature extraction (one codec per partition, payload never
+    * shuffled) → per-modality corpus stats. The stub codec's features
+    * are deterministic (FNV-seeded xorshift), but not SQL-expressible,
+    * so this query takes the driver's rows-only check; the codec
+    * contract itself is asserted in MultimodalOpsSpec.
+    */
+  def q83MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MultimodalOps
+    val media = MultimodalOps.syntheticMedia(s, dir)
+    MultimodalOps.extractFeatures(media, MultimodalOps.StubCodec, dim = 16,
+        parallelism = s.sparkContext.defaultParallelism)
+      .toDF()
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("feature"), 1)), 6).as("avg_f0"))
+      .orderBy(col("modality"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q82_clean_text" -> (q82CleanText _),
+    "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
