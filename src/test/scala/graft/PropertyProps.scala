@@ -98,6 +98,25 @@ object PropertyProps extends Properties("graft") {
       f1.length == dim && f1.toSeq == f2.toSeq
     }
 
+  property("srp_bucket: native == HOF for random double vectors") =
+    forAll(Gen.listOfN(8, Gen.choose(-10.0, 10.0)), Gen.choose(1, 8)) {
+      (v, bits) =>
+        import org.apache.spark.sql.functions.{array, lit => l}
+        graft.functions.GraftSparkExtensions.register(spark)
+        val vec = array(v.map(l): _*)
+        evalLong(graft.ops.VectorOps.srpBucket(vec, 8, bits)) ==
+          evalLong(graft.ops.VectorOps.srpBucketHof(vec, 8, bits))
+    }
+
+  property("fence(cond) filters exactly the rows cond does") =
+    forAll(Gen.listOf(Gen.choose(-100, 100))) { xs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val df = xs.toDF("x")
+      df.filter(Tables.fence(col("x") > 0)).collect().map(_.getInt(0)).sorted
+        .sameElements(xs.filter(_ > 0).sorted)
+    }
+
   property("rolling-hash fold matches driver-side recompute") =
     forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
       import org.apache.spark.sql.functions.{aggregate, array, lit => l, transform}
