@@ -143,6 +143,10 @@ object StructuralQueries {
     * output — rand()-based sampling under task retry is not exactly
     * reproducible), which is what corpus-subset selection needs.
     * One shuffle on lang; the ranked window keeps k rows per group.
+    * Scale note: a window over a LOW-cardinality key sends each whole
+    * group to one reducer — for huge corpora restate on the k-bounded
+    * `graft.functions.TopKAgg` aggregate (q58's shape): map-side
+    * partial top-k makes the shuffle O(groups × k), not O(rows).
     */
   def q80HashSample(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
