@@ -42,7 +42,8 @@ object ReferenceFlows {
 
   case class MulticlassResult(metrics: Map[String, Double],
                               confusion: DataFrame, perClass: DataFrame,
-                              importances: DataFrame)
+                              importances: DataFrame,
+                              predictions: DataFrame)
 
   /** Entry B: multiclass classification with frequency encoding and
     * per-class rebalancing. `treeKind`: "rf" | "dt";
@@ -103,12 +104,21 @@ object ReferenceFlows {
             val m = pipe.fit(train); (m, m.transform(test))
         }
     }
+    // Materialize the predictions WHILE the upstream caches are live:
+    // every metric below (and any caller action on confusion/perClass)
+    // re-derives the test set otherwise, re-running the seeded
+    // resample/split lineage per action with no cache behind it. The
+    // persisted preds frame is returned in the result — the caller owns
+    // its lifecycle (unpersist when done).
+    val pinned = preds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
     encoded.unpersist(false)
     train.unpersist(false)
     MulticlassResult(
-      ClassifierPipelines.multiclassMetrics(preds),
-      ClassifierPipelines.confusionMatrix(preds),
-      ClassifierPipelines.perClassMetrics(preds),
-      ClassifierPipelines.featureImportances(model, featureNames))
+      ClassifierPipelines.multiclassMetrics(pinned),
+      ClassifierPipelines.confusionMatrix(pinned),
+      ClassifierPipelines.perClassMetrics(pinned),
+      ClassifierPipelines.featureImportances(model, featureNames),
+      pinned)
   }
 }

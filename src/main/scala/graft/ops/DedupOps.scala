@@ -206,10 +206,12 @@ object DedupOps {
     * orchestrates jobs and checks convergence counts — per-row work
     * stays distributed.
     *
-    * Returns (node, cluster_id) where cluster_id = min node id in the
-    * component. Converges exactly (loop ends when no label changes);
-    * throws if maxIter rounds are insufficient rather than returning a
-    * half-propagated clustering.
+    * Returns (node, cluster_id) — one row per id in `nodes` — where
+    * cluster_id = min id in the component. Edge endpoints absent from
+    * `nodes` still CONNECT components (and can supply the min label);
+    * they just don't appear as output rows. Converges exactly (loop
+    * ends when no label changes); throws if maxIter rounds are
+    * insufficient rather than returning a half-propagated clustering.
     */
   def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
                           srcCol: String, dstCol: String,
@@ -222,14 +224,18 @@ object DedupOps {
     // checkpoint blocks of round i-1 are dead once round i
     // materializes; without an explicit release, executor storage
     // grows linearly with rounds. localCheckpoint exposes no public
-    // unpersist handle, so track the persistent-RDD ids each
-    // checkpoint registers (diff around the eager call — assumes no
-    // concurrent persists on this SparkContext during the diff; a
-    // wrong guess only costs a recompute, never correctness).
+    // unpersist handle, but the checkpointed Dataset's plan IS a
+    // LogicalRDD wrapping the persisted RDD — release exactly that id.
+    // (No context-wide snapshot diff: a diff could capture a
+    // concurrently-registered RDD, and unpersisting someone else's
+    // localCheckpoint destroys its only replica — lineage is truncated,
+    // so that is a correctness loss, not just a recompute.)
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      val ids = out.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
+      (out, ids)
     }
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
@@ -239,15 +245,17 @@ object DedupOps {
     // than the corpus (millions of near-dup pairs vs billions of docs);
     // looping over every doc's label would shuffle the full corpus once
     // per round. Singletons are re-attached with one anti-join at the
-    // end. The semi-join keeps parity with the original contract: only
-    // ids present in `nodes` appear in the output.
+    // end. The active set is ALL edge endpoints — endpoints outside
+    // `nodes` still propagate labels (two nodes connected only through
+    // an out-of-`nodes` intermediary share a component); the contract
+    // that only ids present in `nodes` appear in the output is enforced
+    // by one semi-join at output time, not at seed time.
     val allNodes = nodes.select(col(idCol).as("node"))
     val (sym, symIds) = checkpointTracked(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b"))))
     var (labels, labelIds) = checkpointTracked(
       sym.select(col("a").as("node")).distinct()
-        .join(allNodes, Seq("node"), "left_semi")
         .withColumn("label", col("node")))
     // convergence check: labels only ever DECREASE (min-propagation),
     // so the clustering is converged exactly when Σ labels stops
@@ -296,9 +304,12 @@ object DedupOps {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged in $i rounds")
     release(symIds) // labels is checkpointed; the edge blocks are dead too
+    // output contract: only ids present in `nodes` (out-of-`nodes`
+    // endpoints participated in propagation above but are dropped here)
+    val members = labels.join(allNodes, Seq("node"), "left_semi")
     val singletons = allNodes.join(labels.select(col("node")), Seq("node"), "left_anti")
       .withColumn("label", col("node"))
-    labels.unionByName(singletons)
+    members.unionByName(singletons)
       .select(col("node"), col("label").as("cluster_id"))
   }
 }

@@ -22,6 +22,13 @@ object StatOps {
     * semantics, bit-identical to Spark's `percentile` and DuckDB's
     * `quantile_cont`) per group.
     *
+    * NULL values (including non-castable inputs) are skipped, matching
+    * both oracles — without the filter they would sort first under the
+    * ascending window, occupy the lowest ranks, and inflate the row
+    * count. One divergence remains by construction: a group whose values
+    * are ALL null is absent from the output, where the built-in
+    * aggregate would emit (group, null).
+    *
     * @param qs (outputColumn, quantile) pairs, e.g. Seq("p50" -> 0.5)
     * @return one row per group: groupCol, then one double per q
     */
@@ -32,6 +39,7 @@ object StatOps {
     // row_number ties between equal values are arbitrary but harmless:
     // straddling rows with the same rank-neighborhood carry equal values
     val ranked = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wn))
     val flagged = qs.foldLeft(ranked) { case (d, (nm, q)) =>

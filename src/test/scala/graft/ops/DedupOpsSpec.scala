@@ -155,6 +155,17 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents bridges through edge endpoints outside nodes") {
+    // 1 and 3 are connected only via endpoint 9, which is NOT in nodes:
+    // they must still share a component, and 9 must not appear in output
+    val nodes = Seq(1L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 9L), (9L, 3L)).toDF("src", "dst")
+    val cc = DedupOps.connectedComponents(nodes, "id", edges, "src", "dst")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cc == Seq((1L, 1L), (3L, 1L), (4L, 4L)))
+  }
+
   test("hammingDist column matches bitCount of xor") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
     assert(df.select(DedupOps.hammingDist(col("a"), col("b")))

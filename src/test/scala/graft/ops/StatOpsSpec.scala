@@ -33,4 +33,21 @@ class StatOpsSpec extends SparkSpec {
     // single row: p50 = the row; 3 rows: p50 = middle row exactly
     assert(out.toSeq == Seq(("a", 1.0), ("b", 2.0)))
   }
+
+  test("exactPercentiles skips nulls like the built-in aggregate") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+        ("b", None), ("b", Some(5.0)), ("c", None))
+      .toDF("g", "v")
+    val got = StatOps.exactPercentiles(df, "g", "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val want = df.filter($"v".isNotNull).groupBy("g").agg(
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // group "c" (all null) is absent by documented contract
+    assert(got.toSeq == want.toSeq && got.map(_._1).toSeq == Seq("a", "b"))
+  }
 }
