@@ -275,7 +275,11 @@ object DedupOps {
     // diameter-many rounds, and Hamming-ball chains in near-dup graphs
     // reach diameter 12+ (measured 13 rounds at sf0.1 without the
     // jump). label(v) is always an active-set id, so the inner
-    // self-join keeps every row.
+    // self-join keeps every row. (An augmented-graph variant folding the
+    // jump into the edge list — sym ∪ node↔label edges, one join per
+    // step — measured ~1.5× SLOWER here: the label edges make the graph
+    // depend on the un-materialized inner step of each two-step round,
+    // defeating exchange reuse.)
     def step(l: DataFrame): DataFrame = {
       val nbrLabels = sym.join(l, sym("b") === l("node"))
         .select(col("a").as("node"), col("label"))

@@ -11,10 +11,18 @@ import org.apache.spark.sql.functions._
   * group's distinct-value count are built per task, shipped, and merged
   * on as few reducers as there are groups — at 100 TB that is an OOM
   * (or a GC collapse; measured 3-23 s swings on 600 k rows locally).
-  * [[exactPercentiles]] is the sort-based shape instead: one range-
-  * partitioned window sort, rank arithmetic to locate the two straddling
-  * rows per quantile, and a trivial final aggregate — no per-group state
-  * beyond the sort, fully streaming through codegen.
+  * A window-sort formulation (range-partition each group, row_number,
+  * flag the straddling rows) is stable but puts every group's FULL row
+  * set through one WindowExec buffer per window — for low-cardinality
+  * groups over huge data the whole table is buffered on a handful of
+  * tasks.
+  *
+  * [[exactPercentiles]] is a one-round distributed selection instead
+  * (the classic histogram-select shape): equi-width bucket counts per
+  * group locate which bucket holds each target rank, and only those
+  * buckets' rows — a ~1/`buckets` fraction of the data — are ever
+  * sorted. Every heavy pass is a codegen'd hash aggregate; no window
+  * touches more than `groups × buckets` rows.
   */
 object StatOps {
 
@@ -23,52 +31,92 @@ object StatOps {
     * `quantile_cont`) per group.
     *
     * NULL values (including non-castable inputs) are skipped, matching
-    * both oracles — without the filter they would sort first under the
-    * ascending window, occupy the lowest ranks, and inflate the row
-    * count. One divergence remains by construction: a group whose values
-    * are ALL null is absent from the output, where the built-in
-    * aggregate would emit (group, null).
+    * both oracles. One divergence remains by construction: a group whose
+    * values are ALL null is absent from the output, where the built-in
+    * aggregate would emit (group, null). NaN values are not supported
+    * (undefined ordering vs the built-in's).
+    *
+    * Algorithm (3 passes, all parallel):
+    *   1. per-group n/min/max (hash agg);
+    *   2. per-(group, equi-width bucket) counts (hash agg) + running
+    *      cumulative count over the tiny histogram → which bucket holds
+    *      each straddling rank floor(q·(n−1))+1 / ceil(q·(n−1))+1;
+    *   3. sort ONLY the target buckets' rows (row_number over
+    *      (group, bucket) partitions — each ≈ n/buckets rows) and join
+    *      the in-bucket rank.
+    * Interpolation then uses the built-in `Percentile.getPercentile`
+    * arithmetic bit-for-bit. Skewed data degrades gracefully: a hot
+    * bucket only grows the one bucket-local sort, never a whole-group
+    * buffer. Group-cardinality regime: this shape targets FEW groups ×
+    * MANY rows (the regime that kills both built-in and window forms);
+    * the per-group stats frame is broadcast, so at millions of groups
+    * prefer the built-in aggregate (groups are then individually small).
     *
     * @param qs (outputColumn, quantile) pairs, e.g. Seq("p50" -> 0.5)
     * @return one row per group: groupCol, then one double per q
     */
   def exactPercentiles(df: DataFrame, groupCol: String, valCol: String,
-                       qs: Seq[(String, Double)]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
-    val wn = Window.partitionBy(col(groupCol))
-    // row_number ties between equal values are arbitrary but harmless:
-    // straddling rows with the same rank-neighborhood carry equal values
-    val ranked = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+                       qs: Seq[(String, Double)], buckets: Int = 4096): DataFrame = {
+    val g = col(groupCol)
+    val vals = df.select(g, col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wn))
-    val flagged = qs.foldLeft(ranked) { case (d, (nm, q)) =>
-      // bit-identity with the built-in `percentile` demands its EXACT
-      // arithmetic: 0-based position q*(n-1) (adding 1.0 first would
-      // perturb the fraction's low bits), and both interpolation
-      // weights computed directly as (higher-pos) / (pos-lower) — not
-      // derived as 1-frac, which rounds differently
+    val stats = vals.groupBy(g)
+      .agg(count(lit(1)).as("__n"), min("__v").as("__mn"), max("__v").as("__mx"))
+
+    // target ranks: for each quantile, the two straddling 1-based ranks
+    // and their interpolation weights. Bit-identity with the built-in
+    // demands its EXACT arithmetic: 0-based position q*(n-1) (adding
+    // 1.0 first would perturb the fraction's low bits), and both
+    // weights computed directly as (higher-pos) / (pos-lower) — not
+    // derived as 1-frac, which rounds differently. At an exact position
+    // both targets share a rank and the weights are (1, 0).
+    val targetRows = qs.flatMap { case (nm, q) =>
       val pos = lit(q) * (col("__n") - 1).cast("double")
-      d.withColumn(s"__lo_$nm", when(col("__rn") === floor(pos) + 1, col("__v")))
-        .withColumn(s"__hi_$nm", when(col("__rn") === ceil(pos) + 1, col("__v")))
-        .withColumn(s"__wl_$nm", (floor(pos) + 1.0) - pos)
-        .withColumn(s"__wh_$nm", pos - floor(pos))
+      Seq(
+        struct(lit(nm).as("nm"), (floor(pos) + 1).as("rk"),
+          ((floor(pos) + lit(1.0)) - pos).as("w")),
+        struct(lit(nm).as("nm"), (ceil(pos) + 1).as("rk"),
+          (pos - floor(pos)).as("w")))
     }
-    val aggs = qs.flatMap { case (nm, _) =>
-      Seq(max(col(s"__lo_$nm")).as(s"__alo_$nm"),
-        max(col(s"__hi_$nm")).as(s"__ahi_$nm"),
-        max(col(s"__wl_$nm")).as(s"__awl_$nm"),
-        max(col(s"__wh_$nm")).as(s"__awh_$nm"))
+    val targets = stats
+      .select(g, col("__mn"), col("__mx"), explode(array(targetRows: _*)).as("t"))
+      .select(g, col("__mn"), col("__mx"),
+        col("t.nm").as("__nm"), col("t.rk").as("__rk"), col("t.w").as("__w"))
+
+    // pass 2: equi-width histogram. Same value → same bucket, so a
+    // bucket is a contiguous value range and global rank rk maps to
+    // in-bucket rank rk - cum_before; row_number ties between equal
+    // values stay harmless (tied rows carry equal values).
+    val bucketOf = when(col("__mx") === col("__mn"), lit(1)).otherwise(
+      least(floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+        * buckets).cast("int") + 1, lit(buckets)))
+    val bucketed = vals.join(broadcast(stats.select(g, col("__mn"), col("__mx"))), Seq(groupCol))
+      .withColumn("__b", bucketOf)
+    val hist = bucketed.groupBy(g, col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(
+        Window.partitionBy(g).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // which bucket holds each target rank (histogram is groups×buckets
+    // rows — broadcast both sides of this tiny join)
+    val located = broadcast(targets).join(broadcast(hist), Seq(groupCol))
+      .filter(col("__rk") > col("__cum") - col("__c") && col("__rk") <= col("__cum"))
+      .select(g, col("__nm"), col("__w"), col("__b"),
+        (col("__rk") - (col("__cum") - col("__c"))).as("__lrk"))
+
+    // pass 3: sort only the target buckets (≈ qs.size*2 buckets/group,
+    // each ~n/buckets rows) and pick the in-bucket ranks
+    val wanted = located.select(g, col("__b")).distinct()
+    val ranked = bucketed.join(broadcast(wanted), Seq(groupCol, "__b"), "left_semi")
+      .withColumn("__lrk", row_number().over(
+        Window.partitionBy(g, col("__b")).orderBy(col("__v"))))
+    val picked = ranked.join(broadcast(located), Seq(groupCol, "__b", "__lrk"))
+
+    // (higher - pos) * lower + (pos - lower) * higher — two-term sum is
+    // order-insensitive (IEEE addition is commutative), so the sum
+    // aggregate reproduces Percentile.getPercentile bit-for-bit
+    val outCols = qs.map { case (nm, _) =>
+      sum(when(col("__nm") === nm, col("__w") * col("__v"))).as(nm)
     }
-    val out = qs.map { case (nm, _) =>
-      // (higher - pos) * lower + (pos - lower) * higher — the built-in
-      // Percentile.getPercentile operation order, bit-for-bit. At an
-      // exact position both flags mark the same row and the weights are
-      // (1, 0), so the value passes through unperturbed.
-      (col(s"__awl_$nm") * col(s"__alo_$nm") +
-        col(s"__awh_$nm") * col(s"__ahi_$nm")).as(nm)
-    }
-    flagged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(groupCol) +: out: _*)
+    picked.groupBy(g).agg(outCols.head, outCols.tail: _*)
   }
 }
