@@ -12,20 +12,31 @@ import org.apache.spark.sql.functions._
   * at `complaints_narrative_LDA.py:44-57` pays a JVM→Python round trip
   * per batch; the equivalent here is in-process).
   *
-  * Caveat (PERF_NOTES.md §2/§5): Catalyst HOFs are CodegenFallback —
-  * their child subtrees evaluate interpreted and get no common-
-  * subexpression elimination. Hot pipelines must therefore (a)
-  * materialize shared arrays (e.g. per-token hashes) as real columns
-  * before fanning out, and (b) warm the ICU collation init before the
-  * first interpreted `lower()` (Bench/Verify/SparkSpec do).
+  * Caveat (PERF_NOTES.md §2/§5): Catalyst lambda HOFs are
+  * CodegenFallback — their child subtrees evaluate interpreted and get
+  * no common-subexpression elimination. The core paths here (tokens,
+  * counts, ratios, fingerprint) are therefore formulated WITHOUT
+  * lambda HOFs (array_remove / array_join / sort_array in place of
+  * filter / aggregate / array_sort); the remaining HOF users
+  * (shingles' transform-over-sequence) must (a) materialize shared
+  * arrays as real columns before fanning out and (b) warm the ICU
+  * collation init before the first interpreted `lower()`
+  * (Bench/Verify/SparkSpec do).
   */
 object TextOps {
 
   /** Whitespace tokens of lowercased text, empty tokens removed
     * (re-expresses reference `clean_text`, `complaints_narrative_LDA.py:44-53`).
+    *
+    * `array_remove(_, "")`, NOT `filter(_, length > 0)`: identical
+    * output (split never yields nulls, so dropping "" is dropping
+    * length-0), but `filter` is a lambda HOF — CodegenFallback — and
+    * tokens() feeds nearly every text query, so the HOF form dragged
+    * every lower/split subtree in the engine onto the interpreted path
+    * (and fed the megamorphic-profile pollution of PERF_NOTES §7).
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    array_remove(split(lower(text), "\\s+"), "")
 
   /** Distinct token set (for Jaccard / fingerprints / minhash). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
@@ -37,19 +48,30 @@ object TextOps {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
       "on", "with", "as", "at", "by", "be", "this", "that", "are", "was")
 
+  /** Count of elements of `arr` that are in `values` (multiplicity
+    * kept): size difference against a fold of codegen'd array_remove
+    * calls — equivalent to `size(filter(arr, isin(values)))` but with
+    * no lambda HOF, so the surrounding projection stays compiled.
+    */
+  private def countIn(arr: Column, values: Seq[String]): Column =
+    size(arr) - size(values.foldLeft(arr)((a, w) => array_remove(a, w)))
+
   /** Fraction of tokens that are stopwords — a quality-score component. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     round(
-      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+      countIn(toks, stopwords).cast("double") /
         greatest(size(toks), lit(1)),
       4)
   }
 
-  /** Mean token length, a second quality component. */
+  /** Mean token length, a second quality component.
+    * Σ token length == length of the separator-less join — array_join
+    * is codegen'd where the `aggregate` HOF fold is not.
+    */
   def avgTokenLen(text: Column): Column =
     round(
-      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      length(array_join(tokens(text), ""))
         .cast("double") / greatest(tokenCount(text), lit(1)),
       4)
 
@@ -103,8 +125,6 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "que", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
-  def langIdScore(text: Column, lang: String): Column = {
-    val profile = langProfiles(lang)
-    size(filter(tokens(text), t => t.isin(profile.map(lit): _*)))
-  }
+  def langIdScore(text: Column, lang: String): Column =
+    countIn(tokens(text), langProfiles(lang))
 }

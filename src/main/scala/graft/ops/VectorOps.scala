@@ -23,8 +23,24 @@ object VectorOps {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** HOF cosine (no session/extension needed — the fallback; prefer
+    * [[cosineNative]] in any hot path: higher-order functions are
+    * CodegenFallback, so every call site evaluates interpreted AND
+    * pollutes the JVM profile for everything else in the process).
+    * Identical doubles to the native expression: same element-order
+    * accumulation, same dot/(sqrt·sqrt) final arithmetic.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen expression `cosine_sim`
+    * (graft.functions.CosineSimilarity) — one fused primitive loop per
+    * row inside WholeStageCodegen. Needs graft extensions on the
+    * session; every VectorOps entry point taking a DataFrame registers
+    * them itself.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Brute-force top-k cosine neighbors of one query vector.
     *
@@ -37,10 +53,11 @@ object VectorOps {
   def bruteForceTopK(emb: DataFrame, queryVec: Seq[Float], k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(emb.sparkSession)
     val q = array(queryVec.map(v => lit(v.toDouble)): _*)
     emb.select(col(idCol),
-        round(cosine(col(vecCol), q), 4).as("cos_sim"),
-        cosine(col(vecCol), q).as("raw"))
+        round(cosineNative(col(vecCol), q), 4).as("cos_sim"),
+        cosineNative(col(vecCol), q).as("raw"))
       .orderBy(col("raw").desc, col(idCol))
       .limit(k)
       .drop("raw")
@@ -96,8 +113,9 @@ object VectorOps {
       .select(array(queryVec.map(v => lit(v)): _*).as("qv"))
       .withColumn("bucket", srpBucket(col("qv"), dim, bits))
     bucketed.join(broadcast(qDf), Seq("bucket"))
-      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 4).as("cos_sim"),
-        cosine(col(vecCol), col("qv")).as("raw"))
+      .select(col(idCol),
+        round(cosineNative(col(vecCol), col("qv")), 4).as("cos_sim"),
+        cosineNative(col(vecCol), col("qv")).as("raw"))
       .orderBy(col("raw").desc, col(idCol))
       .limit(k)
       .drop("raw")
@@ -147,11 +165,12 @@ object VectorOps {
       }
       .sortBy(_._2).take(nProbe).map(_._1)
     val qLit = array(q.map(lit).toIndexedSeq: _*)
+    graft.functions.GraftSparkExtensions.register(index.bucketed.sparkSession)
     index.bucketed
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
       .select(col(idCol),
-        round(cosine(col(vecCol), qLit), 4).as("cos_sim"),
-        cosine(col(vecCol), qLit).as("raw"))
+        round(cosineNative(col(vecCol), qLit), 4).as("cos_sim"),
+        cosineNative(col(vecCol), qLit).as("raw"))
       .orderBy(col("raw").desc, col(idCol))
       .limit(topK)
       .drop("raw")

@@ -223,13 +223,14 @@ object ExtensionQueries {
     * 20-heap per partition — no global sort. Exact ANN baseline.
     */
   def q28CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("cos_sim"),
-        VectorOps.cosine(col("embedding"), col("qv")).as("raw"))
+        round(VectorOps.cosineNative(col("embedding"), col("qv")), 4).as("cos_sim"),
+        VectorOps.cosineNative(col("embedding"), col("qv")).as("raw"))
       .orderBy(col("raw").desc, col("vec_id"))
       .limit(20)
       .drop("raw")

@@ -112,11 +112,30 @@ object StructuralQueries {
     bucketed.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= 2)
       .select(col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("cos_sim"),
-        VectorOps.cosine(col("embedding"), col("qv")).as("raw"))
+        round(VectorOps.cosineNative(col("embedding"), col("qv")), 4).as("cos_sim"),
+        VectorOps.cosineNative(col("embedding"), col("qv")).as("raw"))
       .orderBy(col("raw").desc, col("vec_id"))
       .limit(10)
       .drop("raw")
+  }
+
+  /** q84_ivf_topk — IVF (inverted-file) ANN probe (SURVEY §2.13 X10):
+    * KMeans centroids partition the corpus into cells
+    * (`VectorOps.ivfBuild`); the query ranks cells by centroid distance
+    * on the driver and brute-forces only the probed cells' rows. At
+    * corpus scale the cells are written as partitions, so an
+    * nProbe-of-k probe reads nProbe/k of the data via partition
+    * pruning. This manifest entry probes ALL cells (nProbe = k), which
+    * is exact by construction — the DuckDB brute-force oracle
+    * hash-checks the whole build+assign+probe path; partial-probe
+    * recall (the approximate regime, not SQL-expressible) is covered
+    * by SkewAndIvfSpec's subset/equality properties.
+    */
+  def q84IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val index = VectorOps.ivfBuild(emb, k = 8)
+    VectorOps.ivfTopK(index, VectorOps.embeddingOf(s, dir, 5L),
+      topK = 15, nProbe = 8)
   }
 
   /** q79_correlated_subquery — correlated scalar subquery through
@@ -226,6 +245,7 @@ object StructuralQueries {
     "q79_correlated_subquery" -> (q79CorrelatedSubquery _),
     "q80_hash_sample" -> (q80HashSample _),
     "q81_salted_join" -> (q81SaltedJoin _),
+    "q84_ivf_topk" -> (q84IvfTopK _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -275,6 +295,14 @@ object StructuralQueries {
         |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 2
         |ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, b.vec_id
         |LIMIT 10""".stripMargin,
+    "q84_ivf_topk" ->
+      """SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings e,
+        |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5) q
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |  e.vec_id
+        |LIMIT 15""".stripMargin,
     "q79_correlated_subquery" ->
       """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
         |FROM orders o
