@@ -295,6 +295,11 @@ object DedupOps {
       // (checkpoint job + convergence aggregate + adaptive re-planning)
       // dominates on sparse graphs, so amortize it over two
       // propagation steps; lineage depth stays bounded at 2
+      // exactly TWO steps per materialized round: one step wastes the
+      // fixed round cost (checkpoint + convergence agg + replanning);
+      // THREE nests the un-materialized middle step into 4 references
+      // whose re-evaluation exchange reuse does not fully dedupe —
+      // measured 10× slower at sf0.1
       val (next, nextIds) = checkpointTracked(step(step(labels)))
       val nextSum = labelSum(next)
       release(labelIds) // round i-1 blocks are dead now that `next` is live

@@ -141,8 +141,15 @@ object VectorOps {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = emb.withColumn("__v",
       array_to_vector(transform(col(vecCol), _.cast("double"))))
+    // few Lloyd iterations: IVF cells only need to be ROUGHLY balanced
+    // voronoi regions — probe correctness never depends on clustering
+    // quality (full probe is exact regardless; partial probe's recall
+    // moves marginally) — and each extra iteration is a full corpus pass
+    // random init, not kmeans||: the parallel init makes ~k extra
+    // passes over the corpus to seed "well-spread" centers — quality
+    // that IVF cells don't need
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v")
-      .setPredictionCol("__cell")
+      .setPredictionCol("__cell").setMaxIter(5).setInitMode("random")
     val model = km.fit(withVec)
     val bucketed = model.transform(withVec)
       .select(col(idCol), col(vecCol), col("__cell").as("cell"))
