@@ -254,9 +254,14 @@ object DedupOps {
     val (sym, symIds) = checkpointTracked(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b"))))
+    // initialization folds the FIRST propagation step in for free:
+    // label(v) = min(v, min neighbor) needs exactly the same groupBy
+    // that the distinct endpoint set needs, so round 1 starts one step
+    // ahead without an extra join or shuffle
     var (labels, labelIds) = checkpointTracked(
-      sym.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")))
+      sym.groupBy(col("a")).agg(min(col("b")).as("__mn"))
+        .select(col("a").as("node"),
+          least(col("a"), col("__mn")).as("label")))
     // convergence check: labels only ever DECREASE (min-propagation),
     // so the clustering is converged exactly when Σ labels stops
     // falling — one tiny aggregate per round instead of a join+count.

@@ -158,8 +158,12 @@ object FunctionQueries {
       li.select(col("l_returnflag"), col("l_extendedprice")),
       "l_returnflag", "l_extendedprice",
       Seq("p50" -> 0.5, "p95" -> 0.95))
-    val nd = Tables.parallelize(
-      li.select(col("l_returnflag"), col("l_partkey")))
+    // no Tables.parallelize here: the map-side (flag, partkey) partial
+    // dedup shrinks 600 k rows to ~60 k distinct pairs ON the scan task
+    // before any exchange — cheaper than round-robin-shuffling the full
+    // rows to parallelize a hash insert that is memory-bandwidth-bound
+    // anyway
+    val nd = li.select(col("l_returnflag"), col("l_partkey"))
       .groupBy(col("l_returnflag"))
       .agg(count_distinct(col("l_partkey")).as("n_parts"))
     pct.join(nd, Seq("l_returnflag"))

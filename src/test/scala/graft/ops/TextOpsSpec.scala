@@ -64,6 +64,42 @@ class TextOpsSpec extends SparkSpec {
     assert(h1 >= 0L && h1 <= 0xffffffffL)
   }
 
+  test("codegen formulations match the lambda-HOF originals on random text") {
+    // tokens/stopwordRatio/avgTokenLen/langIdScore were rewritten from
+    // filter/aggregate HOFs (CodegenFallback) to array_remove/array_join
+    // forms (PERF_NOTES R3.2); prove output identity on adversarial
+    // text: unicode, tabs/newlines, leading/trailing/multi whitespace,
+    // empty and whitespace-only strings, stopwords glued to punctuation
+    val rnd = new scala.util.Random(7)
+    val vocab = TextOps.stopwords ++ TextOps.langProfiles.values.flatten ++
+      Seq("Şeker", "ĆafÉ", "x!y", "", "the,", "42", "ab cd")
+    val ws = Seq(" ", "  ", "\t", "\n", " \t ")
+    val texts = (1 to 60).map { _ =>
+      (0 to rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(ws(rnd.nextInt(ws.size)),
+          ws(rnd.nextInt(ws.size)), ws(rnd.nextInt(ws.size)))
+    } :+ "" :+ "   " :+ "\t\n"
+    val df = texts.toDF("t")
+    def hofTokens(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    val got = df.select(
+      TextOps.tokens(col("t")).as("toks"),
+      TextOps.stopwordRatio(col("t")).as("swr"),
+      TextOps.avgTokenLen(col("t")).as("atl"),
+      TextOps.langIdScore(col("t"), "en").as("en"))
+    val want = df.select(
+      hofTokens(col("t")).as("toks"),
+      round(size(filter(hofTokens(col("t")),
+          t => t.isin(TextOps.stopwords.map(lit): _*))).cast("double") /
+        greatest(size(hofTokens(col("t"))), lit(1)), 4).as("swr"),
+      round(aggregate(hofTokens(col("t")), lit(0L), (a, t) => a + length(t))
+        .cast("double") / greatest(size(hofTokens(col("t"))), lit(1)), 4)
+        .as("atl"),
+      size(filter(hofTokens(col("t")),
+        t => t.isin(TextOps.langProfiles("en").map(lit): _*))).as("en"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("langIdScore picks the right language on clean samples") {
     val samples = Seq(
       ("the cat is on the mat and it is happy", "en"),
