@@ -192,6 +192,36 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination (training-data pipeline): corpus
+    * documents sharing at least one word n-gram with ANY benchmark/eval
+    * document, with the overlap count. The standard pre-training hygiene
+    * step: held-out eval sets must be scrubbed from the corpus by
+    * n-gram overlap, not just exact match.
+    *
+    * Scale shape: the benchmark side (thousands of eval docs) collapses
+    * to a DISTINCT shingle-hash set and broadcasts — the corpus is
+    * never shuffled, only its exploded shingle hashes stream through a
+    * broadcast-hash semi-join + one map-side-combined count per doc.
+    * Shingles ship as 8-byte hashes, not strings.
+    *
+    * @return (idCol, n_hits) — only contaminated docs, n_hits = number
+    *         of distinct shared n-grams
+    */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, n: Int): DataFrame = {
+    // wordShingles is already distinct per doc and the bench side is
+    // distinct overall, so each (doc, hash) join hit is unique: plain
+    // count == count_distinct, without the extra dedup exchange
+    val c = corpus.select(col(idCol),
+        explode(TextOps.wordShingles(col(textCol), n)).as("__sh"))
+      .select(col(idCol), TextOps.hash32(col("__sh")).as("sh_hash"))
+    val b = bench.select(explode(TextOps.wordShingles(col(textCol), n)).as("__sh"))
+      .select(TextOps.hash32(col("__sh")).as("sh_hash")).distinct()
+    c.join(broadcast(b), Seq("sh_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Connected components over an undirected edge list — the final step
     * of any near-dup pipeline: candidate pairs only relate docs
     * PAIRWISE; keeping one representative per duplicate GROUP needs the

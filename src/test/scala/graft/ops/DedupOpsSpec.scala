@@ -109,6 +109,19 @@ class DedupOpsSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("contaminationHits finds n-gram overlap with the benchmark set only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares 5-gram with bench
+      (2L, "one two three four five six"),           // clean
+      (3L, "alpha beta gamma delta epsilon other")   // shares the same 5-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val hits = DedupOps.contaminationHits(corpus, bench, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits == Seq((1L, 1L), (3L, 1L)))
+  }
+
   test("connectedComponents closes transitive duplicate groups") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3, pair 5-6; 4 and 7 isolated
