@@ -87,13 +87,20 @@ object DedupOps {
     * self-equi-join; the join key is (band_id, band_key), so Spark
     * shuffles only 3 small columns, and each bucket is tiny by
     * construction.
+    *
+    * band_key is xxhash64 over the band's signature columns directly —
+    * an 8-byte join key with no string materialization. Only EQUALITY
+    * of the band tuple matters, so any injective-in-practice hash
+    * yields the same candidate pairs; a 64-bit collision (~p=0.03 even
+    * at 10^9 keys) at worst adds one spurious CANDIDATE, which every
+    * consumer re-verifies (Jaccard check / CC over verified pairs).
     */
   def minhashBands(df: DataFrame, idCol: String, sigCols: Seq[String],
                    rowsPerBand: Int): DataFrame = {
     val bands = sigCols.grouped(rowsPerBand).zipWithIndex.map {
       case (grp, i) =>
         struct(lit(i).as("band_id"),
-          md5(concat_ws("_", grp.map(col): _*)).as("band_key"))
+          xxhash64(grp.map(col): _*).as("band_key"))
     }.toSeq
     df.select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
