@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.ExtensionQueries.queries ++
       graft.queries.FunctionQueries.queries ++
       graft.queries.AdvancedQueries.queries ++
-      graft.queries.StructuralQueries.queries
+      graft.queries.StructuralQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.ExtensionQueries.oracle ++
       graft.queries.FunctionQueries.oracle ++
       graft.queries.AdvancedQueries.oracle ++
-      graft.queries.StructuralQueries.oracle
+      graft.queries.StructuralQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

@@ -101,12 +101,18 @@ object TextOps {
   }
 
   /** Word n-gram shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOf(tokens(text), n)
+
+  /** Word n-gram shingles from an already-materialized token array —
+    * callers that need other token-derived columns should materialize
+    * the array once and use this overload (HOFs get no CSE,
+    * PERF_NOTES §5).
+    */
+  def wordShinglesOf(toks: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
 
   /** 32-bit token hash shared with the DuckDB oracle: first 8 hex chars of
     * md5, as an unsigned int in a long. Engine-portable, unlike

@@ -21,9 +21,9 @@ object ExtensionQueries {
 
   // ---- shared DuckDB SQL fragments (mirror TextOps) ----
   /** tokens: lowercased whitespace split, empties dropped. */
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
-  private val tokSetSql = s"list_distinct($toksSql)"
+  private[queries] val tokSetSql = s"list_distinct($toksSql)"
   private def hash32Sql(expr: String, seed: String = ""): String =
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
 
@@ -347,7 +347,7 @@ object ExtensionQueries {
     s"list_min(list_transform(toks, t -> ('0x' || substr(md5('$g:' || t), ${8 * j + 1}, 8))::BIGINT)) AS mh$i"
   }.mkString(", ")
 
-  private def stopIn(words: Seq[String]): String =
+  private[queries] def stopIn(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(

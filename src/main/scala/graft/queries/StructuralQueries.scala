@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DedupOps, VectorOps}
+import graft.ops.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -138,21 +138,6 @@ object StructuralQueries {
       topK = 15, nProbe = 8)
   }
 
-  /** q85_decontaminate — benchmark decontamination (the training-data
-    * hygiene step q24/q59 don't cover: asymmetric corpus-vs-eval-set
-    * any-overlap, not pairwise near-dup). Docs with doc_id % 50 == 0
-    * stand in for a held-out benchmark; any corpus doc sharing a word
-    * 5-gram with one of them is reported with its overlap count.
-    * `DedupOps.contaminationHits`: benchmark shingle hashes broadcast,
-    * corpus never shuffles.
-    */
-  def q85Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, dir))
-    DedupOps.contaminationHits(
-      docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
-      .orderBy(col("doc_id"))
-  }
-
   /** q79_correlated_subquery — correlated scalar subquery through
     * spark.sql: orders above 2× THEIR customer's average price.
     * Exercises Catalyst's decorrelation (DecorrelateInnerQuery rewrites
@@ -261,7 +246,6 @@ object StructuralQueries {
     "q80_hash_sample" -> (q80HashSample _),
     "q81_salted_join" -> (q81SaltedJoin _),
     "q84_ivf_topk" -> (q84IvfTopK _),
-    "q85_decontaminate" -> (q85Decontaminate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -319,20 +303,6 @@ object StructuralQueries {
         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
         |  e.vec_id
         |LIMIT 15""".stripMargin,
-    "q85_decontaminate" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |    unnest(list_distinct(list_transform(
-        |      range(0, greatest(len(toks) - 5, 0) + 1),
-        |      i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))) AS s
-        |  FROM t),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS sh_hash FROM sh),
-        |b AS (SELECT DISTINCT sh_hash FROM h WHERE doc_id % 50 = 0)
-        |SELECT h.doc_id, count(*) AS n_hits
-        |FROM h JOIN b USING (sh_hash)
-        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "q79_correlated_subquery" ->
       """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
         |FROM orders o
