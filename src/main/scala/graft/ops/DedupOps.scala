@@ -288,9 +288,36 @@ object DedupOps {
     // that only ids present in `nodes` appear in the output is enforced
     // by one semi-join at output time, not at seed time.
     val allNodes = nodes.select(col(idCol).as("node"))
-    val (sym, symIds) = checkpointTracked(
+    val (symRaw, symIds) = checkpointTracked(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b"))))
+    // Right-size the loop's fan-out from the MATERIALIZED edge count,
+    // not the core count: every round pays per-task fixed costs (AQE
+    // keeps ~defaultParallelism reduce partitions under
+    // parallelismFirst, and the checkpoint RDD's partitioning feeds
+    // every later map stage), so a tiny candidate graph on a wide
+    // cluster runs diameter × width tiny tasks — measured 2.4× slower
+    // at local[32] vs local[8] on the same 166 k-edge graph. Small
+    // graphs get a fixed latency floor (≤8 — per-round barriers
+    // dominate, but 1 partition serializes the join compute, the R3
+    // negative result); big graphs grow by rows. coalesce() is narrow
+    // (no re-shuffle of the already-checkpointed blocks), and count()
+    // on a checkpointed frame is a cache scan, not a recompute.
+    val nEdges = symRaw.count()
+    val loopParts = math.max(math.min(sc.defaultParallelism, 8),
+      (nEdges / 2000000L).toInt + 1)
+    val sym = symRaw.coalesce(loopParts)
+    // The rounds' own exchanges (join + min-agg reduce sides) must
+    // follow the same sizing: AQE under parallelismFirst pins them to
+    // ~defaultParallelism regardless of bytes, so the override is
+    // scoped (set/restored) around the loop's job submissions — all
+    // planning for the iteration happens inside this function. The
+    // engine contract is one logical query per session at a time, so
+    // the scoped conf cannot leak into a concurrently-planned plan.
+    val session = nodes.sparkSession
+    val prevShuffle = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", loopParts)
+    val finalLabels = try {
     // initialization folds the FIRST propagation step in for free:
     // label(v) = min(v, min neighbor) needs exactly the same groupBy
     // that the distinct endpoint set needs, so round 1 starts one step
@@ -298,7 +325,8 @@ object DedupOps {
     var (labels, labelIds) = checkpointTracked(
       sym.groupBy(col("a")).agg(min(col("b")).as("__mn"))
         .select(col("a").as("node"),
-          least(col("a"), col("__mn")).as("label")))
+          least(col("a"), col("__mn")).as("label"))
+        .coalesce(loopParts))
     // convergence check: labels only ever DECREASE (min-propagation),
     // so the clustering is converged exactly when Σ labels stops
     // falling — one tiny aggregate per round instead of a join+count.
@@ -342,7 +370,7 @@ object DedupOps {
       // THREE nests the un-materialized middle step into 4 references
       // whose re-evaluation exchange reuse does not fully dedupe —
       // measured 10× slower at sf0.1
-      val (next, nextIds) = checkpointTracked(step(step(labels)))
+      val (next, nextIds) = checkpointTracked(step(step(labels)).coalesce(loopParts))
       val nextSum = labelSum(next)
       release(labelIds) // round i-1 blocks are dead now that `next` is live
       labels = next
@@ -355,10 +383,15 @@ object DedupOps {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged in $i rounds")
     release(symIds) // labels is checkpointed; the edge blocks are dead too
+    labels
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // output contract: only ids present in `nodes` (out-of-`nodes`
-    // endpoints participated in propagation above but are dropped here)
-    val members = labels.join(allNodes, Seq("node"), "left_semi")
-    val singletons = allNodes.join(labels.select(col("node")), Seq("node"), "left_anti")
+    // endpoints participated in propagation above but are dropped here).
+    // These joins are planned at the CALLER's action, after the restore,
+    // so they run at the session's own fan-out against the corpus-sized
+    // `nodes` side.
+    val members = finalLabels.join(allNodes, Seq("node"), "left_semi")
+    val singletons = allNodes.join(finalLabels.select(col("node")), Seq("node"), "left_anti")
       .withColumn("label", col("node"))
     members.unionByName(singletons)
       .select(col("node"), col("label").as("cluster_id"))
