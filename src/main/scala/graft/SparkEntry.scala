@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.FunctionQueries.queries ++
       graft.queries.AdvancedQueries.queries ++
       graft.queries.StructuralQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.FunctionQueries.oracle ++
       graft.queries.AdvancedQueries.oracle ++
       graft.queries.StructuralQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

@@ -63,7 +63,16 @@ object GraftSparkExtensions {
         litInt(children(2), "srp_bucket bits"))
     })
 
-  val all: Seq[FnDef] = Seq(cosineSim, minhashSigs, simhash, srpBucket)
+  val quantizeInt8: FnDef = (
+    FunctionIdentifier("quantize_int8"),
+    new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "quantize_int8 takes exactly 1 argument")
+      QuantizeInt8(children.head)
+    })
+
+  val all: Seq[FnDef] =
+    Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -75,6 +75,33 @@ object CurationOps {
       .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Deterministic global shuffle of a corpus into training shards —
+    * the last step of a pre-training pipeline: break source-order
+    * correlation (crawl locality, per-domain runs) so each shard is an
+    * i.i.d.-looking sample, WITHOUT an RNG whose state would differ
+    * across engines or task retries.
+    *
+    * shard = hash(id) mod numShards; pos = rank of hash within the
+    * shard (ties on id). The hash is the md5-derived
+    * [[TextOps.hash32]], so any engine (and the DuckDB oracle)
+    * reproduces the exact permutation.
+    *
+    * Scale shape: one shuffle on the shard key; within-shard ordering
+    * is a per-shard window sort (shards are hash-balanced by
+    * construction, so no reducer skew). For 100 TB, numShards is
+    * thousands — each shard sorts independently, and the output can be
+    * written `partitionBy(shard)` for downstream sequential reads.
+    */
+  def shardShuffle(df: DataFrame, idCol: String,
+                   numShards: Int): DataFrame = {
+    val h = TextOps.hash32(col(idCol).cast("string"), seed = "shard:")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
   /** Corpus-level document frequency with a minimum-share cutoff: the
     * tokens appearing in at least `minFrac` of all documents. The
     * classic boilerplate/stopword discovery pass (df-too-high tokens

@@ -396,4 +396,31 @@ object DedupOps {
     members.unionByName(singletons)
       .select(col("node"), col("label").as("cluster_id"))
   }
+
+  /** Blocked edit-distance near-dup pairs: candidate pairs share a
+    * blocking key (cheap, high-recall grouping — a token, a length
+    * bucket, a phonetic code), and only those verify with a
+    * BOUNDED Levenshtein (`levenshtein(a, b, maxDist)` early-exits the
+    * DP once the bound is exceeded: O(maxDist·len), not O(len²)).
+    *
+    * The classic fuzzy-matching shape for short strings (names,
+    * titles, addresses) where token-set methods (minhash/jaccard) are
+    * too coarse. Pairs are emitted once (valA < valB); inputs should be
+    * pre-deduped to distinct values — at scale the distinct() is the
+    * point: verify once per VALUE pair, not per row pair.
+    *
+    * One shuffle on the block key; within a block the pair join is
+    * quadratic, so blocks must be bounded (the caller's key choice) —
+    * same contract as every blocking-based entity-resolution system.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String, blockKey: Column,
+                        maxDist: Int): DataFrame = {
+    val vals = df.select(col(strCol).as("val_a"), blockKey.as("__blk")).distinct()
+    val right = vals.select(col("val_a").as("val_b"), col("__blk"))
+    vals.join(right, Seq("__blk"))
+      .filter(col("val_a") < col("val_b"))
+      .withColumn("dist", levenshtein(col("val_a"), col("val_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("val_a"), col("val_b"), col("dist"))
+  }
 }

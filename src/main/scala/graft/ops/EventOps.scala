@@ -75,6 +75,56 @@ object EventOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Hopping (sliding) window aggregation: overlapping windows of
+    * `sizeMinutes` starting every `hopMinutes` — the batch form of
+    * `groupBy(window(ts, size, hop))`, which accepts the identical
+    * plan under Structured Streaming with a watermark. Each event lands
+    * in size/hop windows (here 2 for 60/30), so output volume — and the
+    * single shuffle's width — scales by that factor, not by window
+    * length.
+    */
+  def hoppingAgg(events: DataFrame, sizeMinutes: Int,
+                 hopMinutes: Int): DataFrame =
+    events.groupBy(
+        window(col("ts"), s"$sizeMinutes minutes", s"$hopMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Time-series gap fill with forward fill (LOCF): project each user's
+    * events onto a dense hourly grid between their first and last hour,
+    * carrying the last observed hourly value across empty hours —
+    * the standard regularization step before any ML on irregular event
+    * streams.
+    *
+    * Scale shape: the hourly pre-aggregation shrinks the input BEFORE
+    * the grid is generated (`sequence` explodes ~span/hour rows per
+    * user, independent of event volume); the forward fill is one
+    * streaming window frame per user — no whole-series buffering, no
+    * driver-side loop. Total: two shuffles (hour agg, per-user window).
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum(col("value")), 2).as("hour_value"))
+    val grid = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled_value",
+        last(col("hour_value"), ignoreNulls = true).over(w))
+      .withColumn("is_gap",
+        when(col("hour_value").isNull, 1).otherwise(0))
+      .drop("hour_value")
+  }
+
   /** As-of join (inclusive): for each left row, attach `attachCols` from
     * the LATEST right row of the same `key` with right.tsCol <=
     * left.tsCol.

@@ -183,6 +183,27 @@ object VectorOps {
       .drop("raw")
   }
 
+  /** Symmetric int8 quantization of an embedding column (X5): each
+    * vector becomes (scale, array<int8-range int>) with
+    * q_i = floor(x_i / scale * 127 + 0.5), scale = max |x_i| — the
+    * standard 4× shrink applied to an embedding corpus before writing
+    * an ANN serving index.
+    *
+    * Pure projection (scan-stage at any scale). The quantize loop is
+    * the native `quantize_int8` expression (graft.functions.QuantizeInt8,
+    * fused in codegen); the scale avoids lambda HOFs too:
+    * max |x| == greatest(array_max(v), -array_min(v)), all codegen'd,
+    * exact float arithmetic shared with the DuckDB oracle.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(emb.sparkSession)
+    emb.select(col(idCol),
+      greatest(array_max(col(vecCol)), -array_min(col(vecCol)))
+        .cast("double").as("scale"),
+      call_function("quantize_int8", col(vecCol)).as("qvec"))
+  }
+
   /** Fetch one embedding to the driver (for seeding a top-k query). */
   def embeddingOf(spark: SparkSession, dir: String, vecId: Long): Seq[Float] = {
     import org.apache.spark.sql.Row

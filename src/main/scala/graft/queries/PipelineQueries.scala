@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{CurationOps, DedupOps, EventOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline manifest (SURVEY.md §2.13 X20-X24): the remaining
+  * training-data-pipeline stages — deterministic corpus sharding,
+  * time-series regularization (gap fill), hopping-window aggregation,
+  * blocked edit-distance fuzzy matching, and embedding quantization.
+  * Each oracle-checked against DuckDB.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q89_shard_shuffle — deterministic global corpus shuffle into 8
+    * training shards (`CurationOps.shardShuffle`): hash-derived shard +
+    * in-shard rank, reproducible across engines/retries with no RNG
+    * state. The step that breaks crawl/source locality before
+    * sequential training reads.
+    */
+  def q89ShardShuffle(s: SparkSession, dir: String): DataFrame =
+    CurationOps.shardShuffle(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 8)
+      .orderBy(col("shard"), col("pos"))
+
+  /** q90_gap_fill — hourly grid + forward fill per user
+    * (`EventOps.gapFill`): regularize an irregular event stream onto a
+    * dense time axis, carrying the last observation across gaps.
+    * Restricted to users 0-9 to keep the verify output bounded.
+    */
+  def q90GapFill(s: SparkSession, dir: String): DataFrame =
+    EventOps.gapFill(Tables.events(s, dir).filter(col("user_id") < 10))
+      .orderBy(col("user_id"), col("hour"))
+
+  /** q91_sliding_window — hopping-window aggregation
+    * (`EventOps.hoppingAgg`, 60-minute windows every 30 minutes): the
+    * overlapping-window shape `window(ts, size, hop)` that runs
+    * identically under Structured Streaming.
+    */
+  def q91SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    EventOps.hoppingAgg(Tables.events(s, dir), 60, 30)
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** q92_edit_distance — blocked fuzzy matching
+    * (`DedupOps.editDistancePairs`): distinct part names, blocked on
+    * their head noun, verified with a bounded Levenshtein (early-exit
+    * DP) — the entity-resolution shape for short strings where
+    * token-set similarity is too coarse.
+    */
+  def q92EditDistance(s: SparkSession, dir: String): DataFrame =
+    DedupOps.editDistancePairs(
+      Tables.part(s, dir), "p_name",
+      split_part(col("p_name"), lit(" "), lit(2)), maxDist = 4)
+      .orderBy(col("val_a"), col("val_b"))
+
+  /** q93_quantize — symmetric int8 embedding quantization
+    * (`VectorOps.quantizeInt8`, native `quantize_int8` codegen
+    * expression): the 4× corpus shrink before ANN index serving. Pure
+    * scan-stage projection at any scale. The quantized vector rides as
+    * a joined string — the driver's pandas comparator can't sort raw
+    * array cells (see q36/q82).
+    */
+  def q93Quantize(s: SparkSession, dir: String): DataFrame =
+    VectorOps.quantizeInt8(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("scale"),
+        array_join(col("qvec"), " ").as("qvec"))
+      .orderBy(col("vec_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q89_shard_shuffle" -> (q89ShardShuffle _),
+    "q90_gap_fill" -> (q90GapFill _),
+    "q91_sliding_window" -> (q91SlidingWindow _),
+    "q92_edit_distance" -> (q92EditDistance _),
+    "q93_quantize" -> (q93Quantize _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q89_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT AS hh
+        |  FROM documents)
+        |SELECT doc_id, hh % 8 AS shard,
+        |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "q90_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         round(sum(value), 2) AS hour_value
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |          FROM hourly GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+        |  FROM spans),
+        |j AS (SELECT g.user_id, g.hour, h.hour_value
+        |      FROM grid g LEFT JOIN hourly h USING (user_id, hour))
+        |SELECT user_id, hour,
+        |  last_value(hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  CASE WHEN hour_value IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+    "q91_sliding_window" ->
+      """WITH b AS (SELECT event_type, value,
+        |    date_trunc('hour', ts) +
+        |      CASE WHEN minute(ts) >= 30 THEN INTERVAL '30 minutes'
+        |           ELSE INTERVAL '0 minutes' END AS s0
+        |  FROM events),
+        |w AS (SELECT event_type, value,
+        |    unnest([s0, s0 - INTERVAL '30 minutes']) AS win_start FROM b)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q92_edit_distance" ->
+      """WITH v AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk
+        |           FROM part)
+        |SELECT a.p_name AS val_a, b.p_name AS val_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY val_a, val_b""".stripMargin,
+    "q93_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    greatest(list_max(embedding), -list_min(embedding))::DOUBLE AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  array_to_string(
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> floor(x / scale * 127.0 + 0.5)::INT)
+        |    END, ' ') AS qvec
+        |FROM s ORDER BY vec_id""".stripMargin,
+  )
+}

@@ -35,6 +35,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq(("de", 4L, 1L), ("en", 1L, 3L), ("en", 2L, 5L)))
   }
 
+  test("shardShuffle keeps every row, bounds shards, ranks contiguously") {
+    val df = (0L until 100L).toDF("id")
+    val out = CurationOps.shardShuffle(df, "id", numShards = 4)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out.map(_._1).sorted == (0L until 100L)) // permutation, no loss
+    assert(out.forall(t => t._2 >= 0 && t._2 < 4))
+    // per-shard positions are contiguous 1..n
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size))
+    }
+    // deterministic: a second run yields the identical assignment
+    val again = CurationOps.shardShuffle(df, "id", numShards = 4)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out.sortBy(_._1) == again.sortBy(_._1))
+    // hash-balanced: no shard is empty or hogs the corpus
+    val sizes = out.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.min > 10 && sizes.values.max < 40, sizes.toMap)
+  }
+
   test("docFrequency counts docs (not occurrences) and applies the cutoff") {
     val df = Seq(
       (1L, "common common rare1"),

@@ -179,6 +179,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(cc == Seq((1L, 1L), (3L, 1L), (4L, 4L)))
   }
 
+  test("editDistancePairs verifies only in-block pairs, bounded distance") {
+    val df = Seq(
+      (1L, "red widget"), (2L, "blue widget"), (3L, "teal widget"),
+      (4L, "red gear"), (5L, "red widget") // duplicate value: one output
+    ).toDF("id", "name")
+    val out = DedupOps.editDistancePairs(df, "name",
+        split_part(col("name"), lit(" "), lit(2)), maxDist = 4)
+      .orderBy("val_a", "val_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // "red gear" blocks alone; distinct values verified once, a < b
+    assert(out == Seq(
+      ("blue widget", "red widget", 4),
+      ("blue widget", "teal widget", 4),
+      ("red widget", "teal widget", 3)))
+  }
+
   test("hammingDist column matches bitCount of xor") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
     assert(df.select(DedupOps.hammingDist(col("a"), col("b")))

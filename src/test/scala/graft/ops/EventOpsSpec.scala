@@ -59,6 +59,38 @@ class EventOpsSpec extends SparkSpec {
       == Seq((1L, 42), (2L, 7)))
   }
 
+  test("hoppingAgg lands each event in exactly size/hop windows") {
+    val df = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),  // windows 09:30, 10:00
+      (ts("2024-01-01 10:40:00"), "click", 2.0))  // windows 10:00, 10:30
+      .toDF("ts", "event_type", "value")
+    val out = EventOps.hoppingAgg(df, 60, 30)
+      .orderBy("win_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (ts("2024-01-01 09:30:00"), 1L, 1.0),
+      (ts("2024-01-01 10:00:00"), 2L, 3.0),
+      (ts("2024-01-01 10:30:00"), 1L, 2.0)))
+  }
+
+  test("gapFill densifies hours and carries the last value forward") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:10:00"), 1.5),
+      (1L, ts("2024-01-01 10:50:00"), 0.5), // same hour → 2.0
+      (1L, ts("2024-01-01 13:20:00"), 7.0), // hours 11,12 are gaps
+      (2L, ts("2024-01-01 00:00:00"), 3.0)) // single-hour user: no gaps
+      .toDF("user_id", "ts", "value")
+    val out = EventOps.gapFill(df).orderBy("user_id", "hour")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2.0, 0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0, 1),
+      (1L, ts("2024-01-01 12:00:00"), 2.0, 1),
+      (1L, ts("2024-01-01 13:00:00"), 7.0, 0),
+      (2L, ts("2024-01-01 00:00:00"), 3.0, 0)))
+  }
+
   test("events table loader yields microsecond timestamps (ns truncated)") {
     val e = graft.Tables.events(spark, sf0001)
     assert(e.schema("ts").dataType ==

@@ -64,6 +64,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(edge(0) == 0L)
   }
 
+  test("quantizeInt8: range, sign, zero-vector, and round-trip error bound") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)),          // all-zero → zeros, scale 0
+      (3L, Seq(2.0f)))                 // single element → ±127
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.quantizeInt8(df).orderBy("vec_id").collect()
+    val q1 = out(0).getSeq[Int](2)
+    assert(out(0).getDouble(1) == 1.0)
+    assert(q1 == Seq(64, -127, 32, 0)) // 0.5*127+0.5 floor = 64
+    assert(out(1).getDouble(1) == 0.0 && out(1).getSeq[Int](2) == Seq(0, 0))
+    assert(out(2).getSeq[Int](2) == Seq(127))
+    // dequantization error ≤ scale/254 + float eps on every element
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val errs = VectorOps.quantizeInt8(emb).join(emb, "vec_id")
+      .select(col("scale"),
+        expr("aggregate(zip_with(qvec, embedding, (q, x) -> " +
+          "abs(q * scale / 127.0 - cast(x as double))), 0d, " +
+          "(acc, e) -> greatest(acc, e))").as("max_err"))
+      .collect()
+    errs.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(0) / 254.0 + 1e-9,
+        s"max dequant error ${r.getDouble(1)} vs scale ${r.getDouble(0)}")
+    }
+  }
+
   test("annTopK finds the query's own bucket (self in results)") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
