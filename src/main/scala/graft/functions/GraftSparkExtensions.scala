@@ -71,8 +71,25 @@ object GraftSparkExtensions {
       QuantizeInt8(children.head)
     })
 
+  val wordShingles: FnDef = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "word_shingles takes (tokens, n)")
+      WordShinglesExpr(children.head, litInt(children(1), "word_shingles n"))
+    })
+
+  val rollingHash: FnDef = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "rolling_hash takes (tokens)")
+      RollingHashExpr(children.head)
+    })
+
   val all: Seq[FnDef] =
-    Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8)
+    Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8,
+      wordShingles, rollingHash)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

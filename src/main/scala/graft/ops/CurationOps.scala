@@ -31,6 +31,7 @@ object CurationOps {
     */
   def withRepetition(df: DataFrame, textCol: String, n: Int,
                      out: String = "rep_frac"): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(df.sparkSession)
     val toks = "__rep_toks"
     val total = "__rep_total"
     df.withColumn(toks, TextOps.tokens(col(textCol)))

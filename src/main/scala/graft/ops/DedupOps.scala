@@ -216,6 +216,7 @@ object DedupOps {
     */
   def contaminationHits(corpus: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(corpus.sparkSession)
     // wordShingles is already distinct per doc and the bench side is
     // distinct overall, so each (doc, hash) join hit is unique: plain
     // count == count_distinct, without the extra dedup exchange

@@ -108,8 +108,19 @@ object TextOps {
     * callers that need other token-derived columns should materialize
     * the array once and use this overload (HOFs get no CSE,
     * PERF_NOTES §5).
+    *
+    * Native codegen loop (`graft.functions.WordShinglesExpr`); needs
+    * graft extensions registered on the session — every DataFrame-level
+    * caller (DedupOps/CurationOps) registers them. Byte-identical to
+    * [[wordShinglesHof]] (spec cross-checked) and the DuckDB oracle.
     */
   def wordShinglesOf(toks: Column, n: Int): Column =
+    call_function("word_shingles", toks, lit(n))
+
+  /** HOF formulation of [[wordShinglesOf]] (cross-check / fallback):
+    * interpreted CodegenFallback — not for hot paths (R3.2).
+    */
+  def wordShinglesHof(toks: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))

@@ -302,14 +302,17 @@ object ExtensionQueries {
     * set fingerprint): h ← (31·h + hash32(token)) mod 1e9+7, one
     * left-fold per document.
     */
-  def q47RollingHash(s: SparkSession, dir: String): DataFrame =
+  def q47RollingHash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
     Tables.parallelize(Tables.documents(s, dir))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
-      .withColumn("__hashes", transform(col("__toks"), t => TextOps.hash32(t)))
       .select(col("doc_id"),
-        aggregate(col("__hashes"), lit(0L),
-          (acc, h) => (acc * 31 + h) % 1000000007L).as("rolling_hash"))
+        // native codegen fold (graft.functions.RollingHashExpr) — the
+        // transform+aggregate HOF spelling ran the whole md5 chain
+        // interpreted (R3.2-class JIT pollution)
+        call_function("rolling_hash", TextOps.tokens(col("text")))
+          .as("rolling_hash"))
       .orderBy(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------- manifest
 

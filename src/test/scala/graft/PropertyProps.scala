@@ -119,12 +119,26 @@ object PropertyProps extends Properties("graft") {
 
   property("rolling-hash fold matches driver-side recompute") =
     forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
-      import org.apache.spark.sql.functions.{aggregate, array, lit => l, transform}
+      import org.apache.spark.sql.functions.{aggregate, array, call_function, lit => l, transform}
+      graft.functions.GraftSparkExtensions.register(spark)
       val hashes = toks.map(t => evalLong(TextOps.hash32(lit(t))))
       val expected = hashes.foldLeft(0L)((acc, h) => (acc * 31 + h) % 1000000007L)
       val arr = array(toks.map(l): _*)
-      val got = evalCol(aggregate(transform(arr, t => TextOps.hash32(t)), l(0L),
+      val hof = evalCol(aggregate(transform(arr, t => TextOps.hash32(t)), l(0L),
         (acc, h) => (acc * 31 + h) % 1000000007L))
-      got == expected
+      val native = evalCol(call_function("rolling_hash", arr))
+      hof == expected && native == expected
+    }
+
+  property("native word_shingles matches the HOF formulation") =
+    forAll(Gen.listOf(tokenGen), Gen.choose(1, 5)) { (toks, n) =>
+      import org.apache.spark.sql.functions.array
+      graft.functions.GraftSparkExtensions.register(spark)
+      val arr = array(toks.map(lit): _*)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))
+      val native = evalCol(TextOps.wordShinglesOf(arr, n))
+      val hof = evalCol(TextOps.wordShinglesHof(arr, n))
+      native == hof
     }
 }

@@ -27,6 +27,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native graft functions resolvable from any spec (idempotent)
+    graft.functions.GraftSparkExtensions.register(s)
     // pre-trigger ICU CollationAwareUTF8String static init (see Bench)
     s.range(1).select(org.apache.spark.sql.functions.expr(
       "filter(array(lower('Warm Up')), x -> x != '')")).collect()
