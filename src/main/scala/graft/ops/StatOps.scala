@@ -119,4 +119,34 @@ object StatOps {
     }
     picked.groupBy(g).agg(outCols.head, outCols.tail: _*)
   }
+
+  /** One-pass table profile — per column: row count, non-null count,
+    * exact distinct count, min/max (stringified). The DESCRIBE/SUMMARY
+    * analog every engine ships, generalized to all column types.
+    *
+    * Single aggregation over the table: Spark plans the N exact
+    * `countDistinct`s via one Expand (×N row blowup) + one shuffle —
+    * the standard profiling shape. `exact = false` swaps in
+    * `approx_count_distinct` (HLL): no Expand, plain single-pass agg —
+    * the 100 TB default, where a ×N blowup of the scan is real money
+    * and ±2 % on distinct counts is free.
+    *
+    * The wide 1-row aggregate is unpivoted to (column_name, stats) rows
+    * in-plan via `stack` — no driver round trip.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val stackArgs = cols.map(c =>
+      s"'$c', __n, `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nonnull, n_distinct, min_s, max_s)")
+  }
 }

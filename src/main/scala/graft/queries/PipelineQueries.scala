@@ -69,13 +69,35 @@ object PipelineQueries {
         array_join(col("qvec"), " ").as("qvec"))
       .orderBy(col("vec_id"))
 
+  /** q94_profile — one-pass table profiling (`StatOps.profile`): per
+    * column of `orders`, row/non-null/exact-distinct counts and
+    * stringified min/max. One aggregation (Expand-based multi-distinct),
+    * unpivoted in-plan — the DESCRIBE/SUMMARY capability, no driver
+    * loop over columns.
+    */
+  def q94Profile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StatOps.profile(Tables.orders(s, dir), profileCols)
+      .orderBy(col("column_name"))
+
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
   val queries: Map[String, Q] = Map(
     "q89_shard_shuffle" -> (q89ShardShuffle _),
     "q90_gap_fill" -> (q90GapFill _),
     "q91_sliding_window" -> (q91SlidingWindow _),
     "q92_edit_distance" -> (q92EditDistance _),
     "q93_quantize" -> (q93Quantize _),
+    "q94_profile" -> (q94Profile _),
   )
+
+  private val profileOracle: String =
+    profileCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+         |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   val oracle: Map[String, String] = Map(
     "q89_shard_shuffle" ->
@@ -133,5 +155,6 @@ object PipelineQueries {
         |                x -> floor(x / scale * 127.0 + 0.5)::INT)
         |    END, ' ') AS qvec
         |FROM s ORDER BY vec_id""".stripMargin,
+    "q94_profile" -> profileOracle,
   )
 }

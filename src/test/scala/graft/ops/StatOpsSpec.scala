@@ -50,4 +50,25 @@ class StatOpsSpec extends SparkSpec {
     // group "c" (all null) is absent by documented contract
     assert(got.toSeq == want.toSeq && got.map(_._1).toSeq == Seq("a", "b"))
   }
+
+  test("profile: null/distinct/min/max per column, exact and approx") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None),
+      (Some(2L), Some("y")), (None, Some("x")))
+      .toDF("k", "s")
+    val got = StatOps.profile(df, Seq("k", "s")).orderBy("column_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      ("k", 4L, 3L, 2L, "1", "2"),
+      ("s", 4L, 3L, 2L, "x", "y")))
+    // approx variant: same shape, HLL counts exact at this cardinality
+    val ap = StatOps.profile(df, Seq("k", "s"), exact = false)
+      .orderBy("column_name").collect()
+    assert(ap.map(_.getLong(3)).toSeq == Seq(2L, 2L))
+    // and its plan has no Expand (the scale rationale for approx)
+    val plan = StatOps.profile(df, Seq("k", "s"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
 }
