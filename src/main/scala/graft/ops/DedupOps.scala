@@ -115,6 +115,40 @@ object DedupOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Sketch-accuracy evaluation: for every LSH-banded candidate pair,
+    * the MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    * positions) next to the EXACT Jaccard of the token sets — how a
+    * pipeline validates its sketch parameters (nHashes, rowsPerBand)
+    * on a sample before trusting them on the full corpus.
+    *
+    * Scale shape: the exact verify runs only on candidate pairs
+    * (linear in near-dups, not quadratic in the corpus); signatures
+    * and token sets are materialized once and joined back twice by id.
+    * Returns (id_a, id_b, est_jacc, jaccard) un-rounded.
+    */
+  def minhashAccuracy(df: DataFrame, idCol: String, tokens: Column,
+                      nHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sigCols = (0 until nHashes).map(i => s"mh$i")
+    val t = withMinhash(df.select(col(idCol), tokens.as("__toks")),
+        col("__toks"), nHashes)
+      .withColumn("__n", size(col("__toks")))
+      .localCheckpoint()
+    val pairs = candidatePairs(minhashBands(t, idCol, sigCols, rowsPerBand), idCol)
+    def side(sfx: String) = t.select(
+      (col(idCol).as(s"id_$sfx") +: col("__toks").as(s"__toks_$sfx") +:
+        col("__n").as(s"__n_$sfx") +:
+        sigCols.map(c => col(c).as(s"${c}_$sfx"))): _*)
+    val agree = sigCols.map(c =>
+      when(col(s"${c}_a") === col(s"${c}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("__toks_a"), col("__toks_b")))
+    pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      .withColumn("est_jacc", agree.cast("double") / nHashes)
+      .withColumn("jaccard", inter.cast("double") /
+        (col("__n_a") + col("__n_b") - inter))
+      .select(col("id_a"), col("id_b"), col("est_jacc"), col("jaccard"))
+  }
+
   /** Exact Jaccard over distinct token arrays. When both sizes are
     * already known equal (e.g. joined on set size), prefer the
     * intersection-only identity i/(2n-i) — see q25 — which skips the

@@ -93,6 +93,30 @@ object EventOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding-window COUNT DISTINCT (here: trailing `windowDays`-day
+    * active users per day) — the aggregate window functions can't
+    * express (no `count(distinct) OVER`), rewritten into the scalable
+    * shape: dedup to (user, day) first, explode each user-day into the
+    * `windowDays` window-end days it contributes to, then ONE two-phase
+    * distinct aggregation per day. Cost is bounded by
+    * |distinct user-days| × windowDays — independent of raw event
+    * volume — where the naive per-day re-scan is |days| × full corpus.
+    */
+  def slidingDistinctUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    val ud = events
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val last = ud.agg(max(col("d")).as("__d1"))
+    ud.select(col("user_id"),
+        explode(sequence(col("d"),
+          col("d") + expr(s"interval ${windowDays - 1} days"),
+          expr("interval 1 day"))).as("day"))
+      .crossJoin(broadcast(last))
+      .filter(col("day") <= col("__d1"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   /** Time-series gap fill with forward fill (LOCF): project each user's
     * events onto a dense hourly grid between their first and last hour,
     * carrying the last observed hourly value across empty hours —

@@ -345,7 +345,7 @@ object ExtensionQueries {
   }.mkString(" + ")
 
   // mirrors DedupOps.withMinhash: hash i = hex slice (i%4) of md5("(i/4):" || t)
-  private val minhashColsSql: String = (0 until nMinhash).map { i =>
+  private[queries] val minhashColsSql: String = (0 until nMinhash).map { i =>
     val g = i / 4; val j = i % 4
     s"list_min(list_transform(toks, t -> ('0x' || substr(md5('$g:' || t), ${8 * j + 1}, 8))::BIGINT)) AS mh$i"
   }.mkString(", ")

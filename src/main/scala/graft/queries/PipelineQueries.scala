@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{CurationOps, DedupOps, EventOps, VectorOps}
+import graft.ops.{CurationOps, DedupOps, EventOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,30 @@ object PipelineQueries {
   private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** q95_sketch_accuracy — LSH parameter validation
+    * (`DedupOps.minhashAccuracy`): MinHash-estimated vs exact Jaccard
+    * for every banded candidate pair. Exact verification touches only
+    * the candidate set — linear in near-dups, never corpus-quadratic.
+    */
+  def q95SketchAccuracy(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashAccuracy(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id",
+      TextOps.tokenSet(col("text")), nHashes = 8, rowsPerBand = 4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("est_jacc"), 4).as("est_jacc"),
+        round(col("jaccard"), 4).as("jaccard"),
+        round(abs(col("est_jacc") - col("jaccard")), 4).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** q96_sliding_distinct — trailing-7-day distinct active users
+    * (`EventOps.slidingDistinctUsers`): the windowed COUNT DISTINCT
+    * rewrite (dedup → bounded explode → one distinct agg), since no
+    * engine supports distinct aggregates over window frames at scale.
+    */
+  def q96SlidingDistinct(s: SparkSession, dir: String): DataFrame =
+    EventOps.slidingDistinctUsers(Tables.events(s, dir), windowDays = 7)
+      .orderBy(col("day"))
+
   val queries: Map[String, Q] = Map(
     "q89_shard_shuffle" -> (q89ShardShuffle _),
     "q90_gap_fill" -> (q90GapFill _),
@@ -89,6 +113,8 @@ object PipelineQueries {
     "q92_edit_distance" -> (q92EditDistance _),
     "q93_quantize" -> (q93Quantize _),
     "q94_profile" -> (q94Profile _),
+    "q95_sketch_accuracy" -> (q95SketchAccuracy _),
+    "q96_sliding_distinct" -> (q96SlidingDistinct _),
   )
 
   private val profileOracle: String =
@@ -156,5 +182,38 @@ object PipelineQueries {
         |    END, ' ') AS qvec
         |FROM s ORDER BY vec_id""".stripMargin,
     "q94_profile" -> profileOracle,
+    "q95_sketch_accuracy" ->
+      s"""WITH t AS (SELECT doc_id, ${ExtensionQueries.tokSetSql} AS toks FROM documents),
+        |sig AS (SELECT doc_id, toks, len(toks) AS n, ${ExtensionQueries.minhashColsSql} FROM t),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band_id,
+        |    md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS band_key FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band_id,
+        |    md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR) AS band_key FROM sig),
+        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |e AS (SELECT p.doc_a, p.doc_b,
+        |    (${(0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 8 AS est,
+        |    len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+        |      (sa.n + sb.n - len(list_intersect(sa.toks, sb.toks))) AS jac
+        |  FROM p JOIN sig sa ON sa.doc_id = p.doc_a
+        |         JOIN sig sb ON sb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, round(est, 4) AS est_jacc, round(jac, 4) AS jaccard,
+        |  round(abs(est - jac), 4) AS abs_err
+        |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+    "q96_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+        |            FROM events),
+        |b AS (SELECT max(d) AS d1 FROM ud),
+        |c AS (SELECT user_id,
+        |    unnest(generate_series(d, d + INTERVAL '6 days',
+        |                           INTERVAL '1 day')) AS day
+        |  FROM ud)
+        |SELECT day, count(DISTINCT user_id) AS active_users
+        |FROM c, b WHERE day <= b.d1
+        |GROUP BY day ORDER BY day""".stripMargin,
   )
 }

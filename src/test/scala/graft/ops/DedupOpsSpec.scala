@@ -195,6 +195,24 @@ class DedupOpsSpec extends SparkSpec {
       ("red widget", "teal widget", 3)))
   }
 
+  test("minhashAccuracy: exact duplicates estimate 1.0; bounds hold") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "alpha beta gamma delta zeta"),    // near dup
+      (4L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.minhashAccuracy(df, "doc_id",
+        TextOps.tokenSet(col("text")), nHashes = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    val dup = out.find(p => p._1 == 1L && p._2 == 2L)
+    assert(dup.exists(p => p._3 == 1.0 && p._4 == 1.0))
+    out.foreach { case (_, _, est, jac) =>
+      assert(est >= 0.0 && est <= 1.0 && jac > 0.0 && jac <= 1.0)
+    }
+  }
+
   test("hammingDist column matches bitCount of xor") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
     assert(df.select(DedupOps.hammingDist(col("a"), col("b")))

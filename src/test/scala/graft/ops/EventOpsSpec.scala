@@ -91,6 +91,25 @@ class EventOpsSpec extends SparkSpec {
       (2L, ts("2024-01-01 00:00:00"), 3.0, 0)))
   }
 
+  test("slidingDistinctUsers counts each user once per trailing window") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 15:00:00")), // same user+day: dedup'd
+      (2L, ts("2024-01-02 00:00:00")),
+      (1L, ts("2024-01-05 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = EventOps.slidingDistinctUsers(df, windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    // windows end at each contributing day ≤ last event day (Jan 5)
+    assert(out == Seq(
+      (ts("2024-01-01 00:00:00"), 1L), // {1}
+      (ts("2024-01-02 00:00:00"), 2L), // {1@1, 2@2}
+      (ts("2024-01-03 00:00:00"), 2L), // {1@1, 2@2}
+      (ts("2024-01-04 00:00:00"), 1L), // {2@2}
+      (ts("2024-01-05 00:00:00"), 1L))) // {1@5}
+  }
+
   test("events table loader yields microsecond timestamps (ns truncated)") {
     val e = graft.Tables.events(spark, sf0001)
     assert(e.schema("ts").dataType ==
