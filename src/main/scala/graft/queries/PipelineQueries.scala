@@ -76,7 +76,10 @@ object PipelineQueries {
     * loop over columns.
     */
   def q94Profile(s: SparkSession, dir: String): DataFrame =
-    graft.ops.StatOps.profile(Tables.orders(s, dir), profileCols)
+    // parallelize: the ×N Expand multiplies the single-row-group scan
+    // task's work — repartition the narrow raw columns first (§1)
+    graft.ops.StatOps.profile(Tables.parallelize(Tables.orders(s, dir)),
+        profileCols)
       .orderBy(col("column_name"))
 
   private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -67,8 +67,8 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val tinyBroadcastCross = Set(
     "q28_cosine_topk", "q44_cosine_expr", "q39_scalar_subquery",
     "q42_cross_join", "q62_tfidf_keywords",
-    // q88's corpus total is a broadcast 1-row scalar joined in-plan
-    "q88_doc_frequency",
+    // q88/q96 cross-join a broadcast 1-row scalar (corpus total / max day)
+    "q88_doc_frequency", "q96_sliding_distinct",
     // q45 is an EXACT cosine-threshold join: all-pairs by definition
     // (the oracle verifies exact pairs). Its scale-path siblings are
     // the SRP-LSH bucketed join and IVF ANN in VectorOps.
