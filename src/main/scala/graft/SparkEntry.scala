@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.AdvancedQueries.queries ++
       graft.queries.StructuralQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.AdvancedQueries.oracle ++
       graft.queries.StructuralQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

@@ -103,6 +103,183 @@ object CurationOps {
       .drop("__h")
   }
 
+  /** Context-window chunking: explode each document into overlapping
+    * fixed-size token windows (`chunkSize` tokens every `stride`) — the
+    * preprocessing step that turns a variable-length corpus into
+    * bounded sequences for embedding/RAG indexing or training-example
+    * construction. A document with n tokens yields
+    * `max(ceil((n - chunkSize) / stride), 0) + 1` chunks; the last
+    * chunk may be shorter.
+    *
+    * Returns (idCol, chunk_idx, n_tokens, chunk_hash) where chunk_hash
+    * is the engine-portable [[TextOps.hash32]] of the space-joined
+    * window (the dedup/join key downstream).
+    *
+    * Scale shape: pure generator projection — tokenize, sequence,
+    * explode — no exchange at any scale; the fan-out factor is
+    * ~n/stride per doc. The token array is materialized once and the
+    * slice runs per chunk index (no HOF over the whole doc per chunk).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize)
+    val toks = "__ck_toks"
+    val n = size(col(toks))
+    // integer ceil((n - chunkSize) / stride) via (a + stride - 1) div
+    // stride; doubles are exact here (token counts << 2^53)
+    val extra = floor((n - chunkSize + stride - 1).cast("double") / stride)
+      .cast("int")
+    val nChunks = greatest(extra, lit(0)) + 1
+    df.withColumn(toks, TextOps.tokens(col(textCol)))
+      .filter(size(col(toks)) > 0)
+      .select(col(idCol), col(toks),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .withColumn("__chunk",
+        slice(col(toks), col("chunk_idx") * stride + 1, lit(chunkSize)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        TextOps.hash32(array_join(col("__chunk"), " ")).as("chunk_hash"))
+  }
+
+  /** Chunk-level global dedup statistics (the paragraph/passage-dedup
+    * analogue for corpora without document structure): chunk every doc
+    * with [[chunkTokens]], keep the FIRST occurrence of each distinct
+    * chunk corpus-wide (min (doc_id, chunk_idx)), and report per doc
+    * how much of it survives. Downstream, `kept_frac` drives
+    * drop-or-trim decisions the way line-dedup does in crawl pipelines.
+    *
+    * Scale shape: one map-side-combined aggregation on chunk_hash for
+    * the keeper set, one hash join back, one aggregation on the doc id.
+    * No window over the corpus: the keeper per hash is `min(struct)`,
+    * not a row_number sort, so partials collapse before the exchange.
+    */
+  def chunkDedupStats(df: DataFrame, idCol: String, textCol: String,
+                      chunkSize: Int, stride: Int): DataFrame = {
+    val ch = chunkTokens(df, idCol, textCol, chunkSize, stride)
+    val keep = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__keep"))
+    ch.join(keep, Seq("chunk_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(struct(col(idCol), col("chunk_idx")) === col("__keep"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_chunks"), 4))
+  }
+
+  /** Mixture sampling to target weights (the data-mixing step of a
+    * pre-training run): each group (language/domain) gets
+    * `weight × totalBudget` tokens; within a group, documents are
+    * taken in deterministic pseudo-random order (md5 hash of the id —
+    * engine/retry-reproducible, no RNG state) until the group budget
+    * is exhausted. Groups without a weight are dropped.
+    *
+    * Returns (groupCol, idCol, n_tokens, cum_tokens, grp_budget).
+    *
+    * Scale shape: same as [[tokenBudgetSelect]] — one shuffle on the
+    * group key, streaming cumulative-sum frame; the weight table rides
+    * in-plan as a literal map. The same low-cardinality-group caveat
+    * applies (threshold-first rewrite for huge groups).
+    */
+  def mixtureSelect(df: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, weights: Map[String, Double],
+                    totalBudget: Long): DataFrame = {
+    val wmap = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("grp_budget",
+        floor(element_at(wmap, col(groupCol)) * totalBudget).cast("long"))
+      .filter(col("grp_budget").isNotNull)
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__h", TextOps.hash32(col(idCol).cast("string"), seed = "mix:"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("grp_budget"))
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"),
+        col("grp_budget"))
+  }
+
+  /** Contiguous token-budget batching ("sequence packing" at the
+    * document level): within each hash-derived shard, documents are
+    * laid out in deterministic pseudo-random order and cut into bins of
+    * ~`capacity` tokens — bin = floor(preceding-cum-tokens / capacity),
+    * so each bin covers a contiguous token range and a doc straddling a
+    * boundary belongs to the bin its first token falls in. With
+    * fixed-size inputs (e.g. [[chunkTokens]] output) that divide
+    * `capacity`, this is exact first-fit packing.
+    *
+    * Returns one row per (shard, bin): n_docs, n_tokens.
+    *
+    * Scale shape: the cumulative sum is per shard — shards are
+    * hash-balanced, so the window parallelism is `shards`, and the
+    * bin aggregation combines map-side. No global order exists
+    * anywhere, which is what makes this work at corpus scale (a single
+    * global packing order would serialize on one reducer).
+    */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+               shards: Int, capacity: Long): DataFrame = {
+    require(shards > 0 && capacity > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", TextOps.hash32(col(idCol).cast("string"), seed = "pack:"))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .cast("double") / capacity).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** Frequency-vocabulary build + id encoding: derive the top
+    * `vocabSize` tokens by corpus count (ties broken token-asc; ids are
+    * the 0-based rank) and encode every document's token stream into id
+    * sequences, with -1 for out-of-vocabulary tokens. The OOV rate per
+    * doc is the standard vocabulary-coverage diagnostic.
+    *
+    * Returns (idCol, n_tokens, n_oov, oov_rate, ids) with `ids` the
+    * space-joined id sequence (string — array cells don't survive the
+    * driver's sorted compare).
+    *
+    * Scale shape: the vocab is one map-side-combined count + a k-bounded
+    * TakeOrdered (vocabSize rows to one reducer — fine, it's tiny by
+    * definition), collapsed to a single sorted array row that BROADCASTS
+    * to the encode pass; the corpus is never shuffled. The in-plan
+    * `array_position` lookup is O(vocabSize) per token — acceptable for
+    * rank-coded vocabularies (≤ a few thousand); for BPE-scale vocabs
+    * swap the broadcast array for a broadcast-join on exploded
+    * (token, pos) pairs.
+    */
+  def vocabEncode(df: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int): DataFrame = {
+    val toks = "__ve_toks"
+    // (-count, token) structs sort ascending == (count desc, token asc);
+    // sort_array over the collected vocab avoids relying on post-limit
+    // row order, which Spark does not guarantee through an aggregation
+    val vocab = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("nc"),
+        col("token").as("t")))).as("vs"))
+      .select(transform(col("vs"), _.getField("t")).as("__vl"))
+    // Spark's array_position is 1-based and 0 on miss → ids are exactly
+    // position-1, with -1 marking OOV, no null handling needed
+    df.withColumn(toks, TextOps.tokens(col(textCol)))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        size(col(toks)).cast("long").as("n_tokens"),
+        transform(col(toks),
+          t => (array_position(col("__vl"), t) - 1).cast("long")).as("__ids"))
+      .select(col(idCol), col("n_tokens"),
+        size(filter(col("__ids"), _ === -1L)).cast("long").as("n_oov"),
+        col("__ids"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4).as("oov_rate"),
+        array_join(transform(col("__ids"), _.cast("string")), " ").as("ids"))
+  }
+
   /** Corpus-level document frequency with a minimum-share cutoff: the
     * tokens appearing in at least `minFrac` of all documents. The
     * classic boilerplate/stopword discovery pass (df-too-high tokens

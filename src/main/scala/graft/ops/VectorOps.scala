@@ -183,6 +183,38 @@ object VectorOps {
       .drop("raw")
   }
 
+  /** Batch exact top-k: cosine top-k corpus neighbors for EVERY query
+    * vector in one pass (the bulk-retrieval shape: building a kNN graph,
+    * mining hard negatives, linking a query log against an index).
+    *
+    * The query set broadcasts (it is small by construction — thousands,
+    * not the corpus); the corpus streams through the broadcast
+    * nested-loop join ONCE regardless of query count, and the k-bounded
+    * [[graft.functions.TopKAgg]] keeps a per-(query, partition) heap, so
+    * the only exchange carries O(queries × k) rows — never the
+    * queries × corpus cross product, and never a sort. Self-pairs
+    * (query joined to itself) are excluded.
+    *
+    * @param queries (qidCol, qvecCol) frame, e.g. a filtered slice of
+    *                the corpus
+    * @return (qidCol, rank, idCol, cos_sim), rank 1..k by cosine desc,
+    *         corpus id asc on ties
+    */
+  def batchTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qidCol: String = "query_id",
+                qvecCol: String = "qv"): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(emb.sparkSession)
+    emb.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol))
+      .groupBy(col(qidCol))
+      .agg(graft.functions.TopKAgg.topK(k)(
+        cosineNative(col(vecCol), col(qvecCol)), col(idCol)).as("tk"))
+      .select(col(qidCol), posexplode(arrays_zip(col("tk.vs"), col("tk.ks"))))
+      .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.ks").as(idCol), round(col("col.vs"), 4).as("cos_sim"))
+  }
+
   /** Symmetric int8 quantization of an embedding column (X5): each
     * vector becomes (scale, array<int8-range int>) with
     * q_i = floor(x_i / scale * 127 + 0.5), scale = max |x_i| — the

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{CurationOps, StatOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 corpus-construction manifest (SURVEY.md §2.13 X28-X34): the
+  * sequence-level preprocessing stages after document curation —
+  * context-window chunking, chunk-level dedup, mixture sampling to
+  * target weights, bulk kNN retrieval, vocabulary encoding,
+  * embedding-distribution outlier fences, and token-budget batch
+  * packing. Each oracle-checked against DuckDB.
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val (chunkSize, stride) = (32, 24)
+
+  /** q97_chunk — context-window chunking (`CurationOps.chunkTokens`):
+    * every doc → overlapping 32-token windows every 24 tokens, each
+    * with its portable hash. Pure generator projection — the whole
+    * fan-out runs in the scan stage at any scale.
+    */
+  def q97Chunk(s: SparkSession, dir: String): DataFrame =
+    CurationOps.chunkTokens(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+      chunkSize, stride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** q98_chunk_dedup — chunk-level global dedup
+    * (`CurationOps.chunkDedupStats`): first occurrence corpus-wide of
+    * each distinct chunk wins; per-doc surviving fraction drives
+    * drop-or-trim. The keeper is a `min(struct)` aggregate, not a
+    * window sort — partials collapse map-side.
+    */
+  def q98ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    CurationOps.chunkDedupStats(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+      chunkSize, stride)
+      .orderBy(col("doc_id"))
+
+  private[queries] val mixWeights = Map(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+  private val mixBudget = 10000L
+
+  /** q99_mixture_sample — data mixing to target language weights
+    * (`CurationOps.mixtureSelect`): each lang gets weight × 10 000
+    * tokens, filled in deterministic hash order. The step that turns
+    * "40 % English" policy into an actual training subset.
+    */
+  def q99MixtureSample(s: SparkSession, dir: String): DataFrame =
+    CurationOps.mixtureSelect(
+      Tables.parallelize(Tables.documents(s, dir)),
+      "lang", "doc_id", "text", mixWeights, mixBudget)
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** q100_batch_topk — bulk exact kNN (`VectorOps.batchTopK`): top-5
+    * cosine neighbors for every 100th vector in ONE corpus pass. The
+    * query set broadcasts; the k-bounded TopKAgg keeps the exchange at
+    * O(queries × k) — the kNN-graph / hard-negative-mining shape.
+    */
+  def q100BatchTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    VectorOps.batchTopK(emb, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q101_vocab_encode — frequency-vocab build + id encoding
+    * (`CurationOps.vocabEncode`): top-16 tokens by corpus count become
+    * ids 0-15; docs encode to id sequences with -1 OOV and a per-doc
+    * OOV rate. The tiny vocab broadcasts; the corpus never shuffles.
+    */
+  def q101VocabEncode(s: SparkSession, dir: String): DataFrame =
+    CurationOps.vocabEncode(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+      vocabSize = 16)
+      .orderBy(col("doc_id"))
+
+  /** q102_norm_outliers — embedding-distribution outlier fences: per
+    * label, Tukey fences (p25/p75 ± 1.5 IQR) on the L2 norm via the
+    * distributed-selection `StatOps.exactPercentiles`, plus the count
+    * outside them. The embedding-sanity screen before ANN indexing —
+    * degenerate (near-zero / exploded) vectors show up here.
+    * Norms and fences compare ROUNDED (4 dp) on both engines, so the
+    * flag can't flip on a final-ulp double difference.
+    */
+  def q102NormOutliers(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val pct = StatOps.exactPercentiles(n, "label", "nrm",
+      Seq("p25" -> 0.25, "p75" -> 0.75))
+    val lo = round(col("p25") - (col("p75") - col("p25")) * 1.5, 4)
+    val hi = round(col("p75") + (col("p75") - col("p25")) * 1.5, 4)
+    n.join(broadcast(pct), Seq("label"))
+      .groupBy(col("label"), round(col("p25"), 4).as("p25"),
+        round(col("p75"), 4).as("p75"), lo.as("lo"), hi.as("hi"))
+      .agg(sum(when(round(col("nrm"), 4) < lo || round(col("nrm"), 4) > hi,
+        1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("label"))
+  }
+
+  /** q103_pack_bins — token-budget batch packing
+    * (`CurationOps.packBins`): shard-local deterministic order, bins of
+    * ~2048 tokens by preceding-cumsum division. Per-shard windows keep
+    * the packing parallel — no global order exists anywhere.
+    */
+  def q103PackBins(s: SparkSession, dir: String): DataFrame =
+    CurationOps.packBins(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+      shards = 4, capacity = 2048L)
+      .orderBy(col("shard"), col("bin"))
+
+  val queries: Map[String, Q] = Map(
+    "q97_chunk" -> (q97Chunk _),
+    "q98_chunk_dedup" -> (q98ChunkDedup _),
+    "q99_mixture_sample" -> (q99MixtureSample _),
+    "q100_batch_topk" -> (q100BatchTopK _),
+    "q101_vocab_encode" -> (q101VocabEncode _),
+    "q102_norm_outliers" -> (q102NormOutliers _),
+    "q103_pack_bins" -> (q103PackBins _),
+  )
+
+  import ExtensionQueries.toksSql
+
+  private def h32(expr: String, seed: String = ""): String =
+    s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
+
+  /** Shared chunk CTE (mirrors CurationOps.chunkTokens 32/24). */
+  private val chunksCte =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      |c AS (SELECT doc_id, toks,
+      |    unnest(range(0, greatest((n - $chunkSize + $stride - 1) // $stride, 0) + 1)) AS chunk_idx
+      |  FROM n),
+      |ch AS (SELECT doc_id, chunk_idx::INT AS chunk_idx,
+      |    len(list_slice(toks, chunk_idx * $stride + 1,
+      |                   chunk_idx * $stride + $chunkSize))::BIGINT AS n_tokens,
+      |    ${h32(s"array_to_string(list_slice(toks, chunk_idx * $stride + 1, chunk_idx * $stride + $chunkSize), ' ')")} AS chunk_hash
+      |  FROM c)""".stripMargin
+
+  private val mixCaseSql = mixWeights.toSeq.sortBy(_._1)
+    .map { case (k, v) => s"WHEN '$k' THEN $v" }
+    .mkString("CASE lang ", " ", " END")
+
+  val oracle: Map[String, String] = Map(
+    "q97_chunk" ->
+      s"""$chunksCte
+        |SELECT doc_id, chunk_idx, n_tokens, chunk_hash
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q98_chunk_dedup" ->
+      s"""$chunksCte,
+        |r AS (SELECT doc_id, chunk_idx,
+        |    row_number() OVER (PARTITION BY chunk_hash
+        |                       ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |    AS kept_frac
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q99_mixture_sample" ->
+      s"""WITH d AS (SELECT lang, doc_id, $toksSql AS toks FROM documents),
+        |w AS (SELECT lang, doc_id, len(toks)::BIGINT AS n_tokens,
+        |    ${h32("doc_id::VARCHAR", "mix:")} AS h,
+        |    $mixCaseSql AS wt
+        |  FROM d),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |    floor(wt * $mixBudget)::BIGINT AS grp_budget,
+        |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_tokens
+        |  FROM w WHERE wt IS NOT NULL)
+        |SELECT lang, doc_id, n_tokens, cum_tokens, grp_budget
+        |FROM c WHERE cum_tokens <= grp_budget
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q100_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |p AS (SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rn
+        |  FROM p)
+        |SELECT query_id, rn::INT AS rank, vec_id, round(cos, 4) AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q101_vocab_encode" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |vc AS (SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS tok FROM t)
+        |  GROUP BY tok ORDER BY c DESC, tok LIMIT 16),
+        |vl AS (SELECT list(tok ORDER BY c DESC, tok) AS l FROM vc),
+        |e AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    list_transform(toks,
+        |      x -> coalesce(list_position(l, x), 0) - 1) AS ids
+        |  FROM t, vl)
+        |SELECT doc_id, n_tokens,
+        |  len(list_filter(ids, i -> i = -1))::BIGINT AS n_oov,
+        |  round(len(list_filter(ids, i -> i = -1))::DOUBLE
+        |        / greatest(n_tokens, 1), 4) AS oov_rate,
+        |  array_to_string(ids, ' ') AS ids
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "q102_norm_outliers" ->
+      """WITH n AS (SELECT label, vec_id,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT label,
+        |    quantile_cont(nrm, 0.25) AS p25, quantile_cont(nrm, 0.75) AS p75
+        |  FROM n GROUP BY label),
+        |f AS (SELECT label, round(p25, 4) AS p25, round(p75, 4) AS p75,
+        |    round(p25 - (p75 - p25) * 1.5, 4) AS lo,
+        |    round(p75 + (p75 - p25) * 1.5, 4) AS hi
+        |  FROM q)
+        |SELECT f.label, f.p25, f.p75, f.lo, f.hi,
+        |  (SELECT count(*) FROM n
+        |   WHERE n.label = f.label
+        |     AND (round(n.nrm, 4) < f.lo OR round(n.nrm, 4) > f.hi))
+        |    AS n_outliers
+        |FROM f ORDER BY f.label""".stripMargin,
+    "q103_pack_bins" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |w AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    ${h32("doc_id::VARCHAR", "pack:")} AS h
+        |  FROM d),
+        |s AS (SELECT *, h % 4 AS shard FROM w),
+        |c AS (SELECT shard, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS prev
+        |  FROM s)
+        |SELECT shard, (prev // 2048)::BIGINT AS bin,
+        |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+  )
+}

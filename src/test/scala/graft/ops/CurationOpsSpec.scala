@@ -56,6 +56,90 @@ class CurationOpsSpec extends SparkSpec {
     assert(sizes.values.min > 10 && sizes.values.max < 40, sizes.toMap)
   }
 
+  test("chunkTokens windows cover all tokens with the given stride") {
+    // 10 tokens, size 4, stride 3 → starts 0,3,6 cover to 10? start 6
+    // covers 7..10 → last needed start = ceil((10-4)/3) = 2 → 3 chunks
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+                 (2L, "a b"),   // shorter than chunk → 1 chunk of 2
+                 (3L, " ")      // no tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = CurationOps.chunkTokens(df, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(out == Seq((1L, 0, 4L), (1L, 1, 4L), (1L, 2, 4L),
+      (2L, 0, 2L)))
+    // chunk hashes of identical windows are identical across docs
+    val dup = Seq((1L, "x y z w"), (2L, "x y z w")).toDF("doc_id", "text")
+    val hs = CurationOps.chunkTokens(dup, "doc_id", "text", 4, 3)
+      .select("chunk_hash").collect().map(_.getLong(0)).toSeq
+    assert(hs.distinct.size == 1)
+  }
+
+  test("chunkDedupStats keeps first occurrence corpus-wide") {
+    // doc 1 and doc 2 are identical → doc 1 keeps its chunk, doc 2 none;
+    // doc 3 is unique → keeps all
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.chunkDedupStats(df, "doc_id", "text", 4, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 1L, 1L, 1.0), (2L, 1L, 0L, 0.0),
+      (3L, 1L, 1L, 1.0)))
+  }
+
+  test("mixtureSelect respects per-group budgets and drops unweighted groups") {
+    val df = Seq(
+      ("en", 1L, "one two three"), ("en", 2L, "four five six"),
+      ("en", 3L, "seven eight nine"),
+      ("de", 4L, "eins zwei"), ("xx", 5L, "dropped lang")
+    ).toDF("lang", "doc_id", "text")
+    val out = CurationOps.mixtureSelect(df, "lang", "doc_id", "text",
+        Map("en" -> 0.6, "de" -> 0.4), totalBudget = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // en budget 6 → exactly two 3-token docs fit; de budget 4 → doc 4
+    assert(out.count(_._1 == "en") == 2)
+    assert(out.filter(_._1 == "en").forall(t => t._3 <= 6 && t._4 == 6L))
+    assert(out.filter(_._1 == "de") == Seq(("de", 4L, 2L, 4L)))
+    assert(!out.exists(_._1 == "xx"))
+  }
+
+  test("packBins partitions every doc and bounds bin token ranges") {
+    val df = (0L until 60L).map(i => (i, ("w " * 10).trim)).toDF("doc_id", "text")
+    val out = CurationOps.packBins(df, "doc_id", "text",
+        shards = 3, capacity = 50L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out.map(_._3).sum == 60L)      // every doc lands in one bin
+    assert(out.map(_._4).sum == 600L)     // every token accounted for
+    // equal 10-token docs divide capacity 50 → exact packing: every
+    // bin except possibly each shard's last holds exactly 5 docs
+    out.groupBy(_._1).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_._2)
+      assert(sorted.map(_._2) == (0L until sorted.size.toLong)) // dense ids
+      sorted.dropRight(1).foreach(b => assert(b._3 == 5L && b._4 == 50L))
+    }
+  }
+
+  test("vocabEncode assigns rank ids and flags OOV as -1") {
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "c c d")
+    ).toDF("doc_id", "text")
+    // corpus counts: b=3, c=3, a=2, d=1 → vocab(2) ties 3/3 break
+    // token-asc: b=0, c=1; a and d are OOV
+    val out = CurationOps.vocabEncode(df, "doc_id", "text", vocabSize = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 6L, 2L, 0.3333, "0 0 0 -1 -1 1"),
+      (2L, 3L, 1L, 0.3333, "1 1 -1")))
+  }
+
   test("docFrequency counts docs (not occurrences) and applies the cutoff") {
     val df = Seq(
       (1L, "common common rare1"),

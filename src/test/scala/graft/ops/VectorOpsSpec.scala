@@ -98,4 +98,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(top.nonEmpty)
     assert(top.head.getAs[Long]("vec_id") == 7L)
   }
+
+  test("batchTopK agrees with per-query bruteForceTopK") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val qids = Seq(0L, 7L, 13L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = VectorOps.batchTopK(emb, queries, k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val single = qids.flatMap { q =>
+      VectorOps.bruteForceTopK(
+        emb.filter(col("vec_id") =!= q),
+        VectorOps.embeddingOf(spark, sf0001, q), 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, i + 1, r.getLong(0), r.getDouble(1)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(batch == single)
+  }
 }
