@@ -149,6 +149,63 @@ object EventOps {
       .drop("hour_value")
   }
 
+  /** Consecutive-day activity streaks (gaps-and-islands): maximal runs
+    * of consecutive active days per user — the retention/engagement
+    * primitive behind "longest streak" and churn features.
+    *
+    * The classic rewrite: distinct active days, per-user day-rank, and
+    * `day − rank` is constant within a consecutive run — one groupBy on
+    * that island key gives each streak's start/end/length with no
+    * self-join and no iteration.
+    *
+    * Scale shape: the distinct-day dedup collapses event volume FIRST
+    * (map-side combine on (user, day)); everything after runs on
+    * O(users × active-days) rows — one window shuffle on user, one
+    * island aggregation. No per-event window ever exists.
+    */
+  def streaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("__island", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("__island"))
+      .agg(min(col("day")).as("streak_start"),
+        max(col("day")).as("streak_end"),
+        count(lit(1)).as("streak_len"))
+      .drop("__island")
+  }
+
+  /** Per-type hourly peak detection: for each event type, the hour with
+    * the most events, scored as a z-value against that type's own
+    * hourly distribution — the anomaly-surfacing shape (traffic spikes,
+    * abuse bursts) where each entity is judged against ITS OWN history,
+    * not a global threshold.
+    *
+    * Scale shape: raw events collapse to (type, hour) counts in one
+    * map-side-combined aggregation; the per-type stats and the peak
+    * ranking then run on O(types × hours) rows — the window never sees
+    * raw events. Ties break on the earlier hour (count is the ranking
+    * key, so equal-count hours are true ties).
+    */
+  def hourlyPeaks(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    val rank = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("hour"))
+    hourly
+      .withColumn("__mean", avg(col("n_events")).over(w))
+      .withColumn("__sd", stddev_samp(col("n_events")).over(w))
+      .withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        when(col("__sd") > 0,
+          round((col("n_events") - col("__mean")) / col("__sd"), 4))
+          .otherwise(lit(0.0)).as("peak_z"))
+  }
+
   /** As-of join (inclusive): for each left row, attach `attachCols` from
     * the LATEST right row of the same `key` with right.tsCol <=
     * left.tsCol.

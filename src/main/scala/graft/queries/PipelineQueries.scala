@@ -109,7 +109,27 @@ object PipelineQueries {
     EventOps.slidingDistinctUsers(Tables.events(s, dir), windowDays = 7)
       .orderBy(col("day"))
 
+  /** q104_streaks — consecutive-day activity streaks
+    * (`EventOps.streaks`): the gaps-and-islands rewrite (day − rank is
+    * constant per run) — no self-join, no iteration; events collapse to
+    * distinct (user, day) before any window.
+    */
+  def q104Streaks(s: SparkSession, dir: String): DataFrame =
+    EventOps.streaks(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("streak_start"))
+
+  /** q105_hourly_peaks — per-type peak-hour anomaly scores
+    * (`EventOps.hourlyPeaks`): each event type's busiest hour, z-scored
+    * against that type's own hourly distribution. Raw events never
+    * reach the window — one count aggregation feeds everything.
+    */
+  def q105HourlyPeaks(s: SparkSession, dir: String): DataFrame =
+    EventOps.hourlyPeaks(Tables.events(s, dir))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "q104_streaks" -> (q104Streaks _),
+    "q105_hourly_peaks" -> (q105HourlyPeaks _),
     "q89_shard_shuffle" -> (q89ShardShuffle _),
     "q90_gap_fill" -> (q90GapFill _),
     "q91_sliding_window" -> (q91SlidingWindow _),
@@ -129,6 +149,32 @@ object PipelineQueries {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   val oracle: Map[String, String] = Map(
+    "q104_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        |           FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - (row_number() OVER (PARTITION BY user_id ORDER BY day))::INT
+        |      AS island
+        |  FROM d)
+        |SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+        |  count(*) AS streak_len
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, streak_start""".stripMargin,
+    "q105_hourly_peaks" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(n_events) AS m,
+        |    stddev_samp(n_events) AS sd
+        |  FROM h GROUP BY 1),
+        |r AS (SELECT h.event_type, h.hour, h.n_events, s.m, s.sd,
+        |    row_number() OVER (PARTITION BY h.event_type
+        |                       ORDER BY h.n_events DESC, h.hour) AS rn
+        |  FROM h JOIN s USING (event_type))
+        |SELECT event_type, hour, n_events,
+        |  CASE WHEN sd > 0 THEN round((n_events - m) / sd, 4)
+        |       ELSE 0.0 END AS peak_z
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q89_shard_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |    ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT AS hh

@@ -72,7 +72,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q45 is an EXACT cosine-threshold join: all-pairs by definition
     // (the oracle verifies exact pairs). Its scale-path siblings are
     // the SRP-LSH bucketed join and IVF ANN in VectorOps.
-    "q45_embedding_neardup")
+    "q45_embedding_neardup",
+    // q100/q101: broadcast of a small-by-construction side (the query
+    // set / the ≤vocabSize vocab array) against one corpus pass
+    "q100_batch_topk", "q101_vocab_encode")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -95,6 +98,39 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(parseAt >= 0 && exchangeAt >= 0, plan)
     assert(parseAt < exchangeAt,
       s"JSON parse was pushed below the repartition:\n$plan")
+  }
+
+  test("chunkTokens is a pure generator projection — zero exchanges") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = planOf(graft.ops.CurationOps
+      .chunkTokens(docs, "doc_id", "text", 32, 24))
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange"),
+      s"chunking should not shuffle:\n$plan")
+  }
+
+  test("chunkDedupStats has no Window (min-struct keeper, map-side combine)") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = graft.ops.CurationOps
+      .chunkDedupStats(docs, "doc_id", "text", 32, 24)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keeper selection must not sort whole hash partitions:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("q100 batch kNN: broadcast query side, no sort-merge, no sort") {
+    val df = SparkEntry.queries("q100_batch_topk")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the k-bounded aggregate replaces any per-group sort of the
+    // queries × corpus product; the only Sort allowed is the final
+    // presentation orderBy of O(queries × k) rows
+    assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
   test("whole-stage codegen covers the q33 string-function pipeline") {

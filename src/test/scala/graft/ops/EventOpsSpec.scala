@@ -110,6 +110,42 @@ class EventOpsSpec extends SparkSpec {
       (ts("2024-01-05 00:00:00"), 1L))) // {1@5}
   }
 
+  test("streaks finds maximal consecutive-day islands per user") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 22:00:00")),
+      (1L, ts("2024-01-02 05:00:00")), (1L, ts("2024-01-03 09:00:00")),
+      (1L, ts("2024-01-05 01:00:00")),  // gap → new streak
+      (2L, ts("2024-01-10 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = EventOps.streaks(df)
+      .orderBy("user_id", "streak_start").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-01-10", "2024-01-10", 1L)))
+  }
+
+  test("hourlyPeaks picks each type's busiest hour with z vs own history") {
+    val rows =
+      // type A: hours with counts 1,1,1,5 → peak hour 13:00, z = (5-2)/2
+      Seq.fill(1)(("a", ts("2024-01-01 10:00:00"))) ++
+      Seq.fill(1)(("a", ts("2024-01-01 11:00:00"))) ++
+      Seq.fill(1)(("a", ts("2024-01-01 12:00:00"))) ++
+      Seq.fill(5)(("a", ts("2024-01-01 13:00:00"))) ++
+      // type B: one constant hour → sd = 0 → z = 0 by convention
+      Seq.fill(2)(("b", ts("2024-01-01 10:00:00")))
+    val df = rows.toDF("event_type", "ts")
+    val out = EventOps.hourlyPeaks(df)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("a", ts("2024-01-01 13:00:00"), 5L, 1.5),
+      ("b", ts("2024-01-01 10:00:00"), 2L, 0.0)))
+  }
+
   test("events table loader yields microsecond timestamps (ns truncated)") {
     val e = graft.Tables.events(spark, sf0001)
     assert(e.schema("ts").dataType ==
