@@ -206,6 +206,30 @@ object EventOps {
           .otherwise(lit(0.0)).as("peak_z"))
   }
 
+  /** Changelog → SCD2 snapshots: turn an append-only event/change log
+    * into slowly-changing-dimension type-2 rows — each record becomes a
+    * validity interval [valid_from, valid_to) closed by the key's next
+    * change, with the open (current) row flagged. The warehouse
+    * primitive behind time-travel joins and "state as of T" queries
+    * (pair with [[asofJoin]] to query them).
+    *
+    * The window ordering includes `seqCol` so ties on the timestamp
+    * have a TOTAL deterministic order.
+    *
+    * Scale shape: one shuffle on the key, one streaming lead() frame —
+    * no self-join against the "next" row, no whole-history buffering.
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           seqCol: String, attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from"), col(seqCol))
+    changes.select(
+        (Seq(col(keyCol), col(tsCol).as("valid_from"), col(seqCol)) ++
+          attrCols.map(col)): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+  }
+
   /** As-of join (inclusive): for each left row, attach `attachCols` from
     * the LATEST right row of the same `key` with right.tsCol <=
     * left.tsCol.

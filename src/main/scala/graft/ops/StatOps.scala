@@ -134,6 +134,46 @@ object StatOps {
     * The wide 1-row aggregate is unpivoted to (column_name, stats) rows
     * in-plan via `stack` — no driver round trip.
     */
+  /** Distributed equi-width histogram per group: bucket bounds derive
+    * from the group's own min/max (computed in-plan and broadcast —
+    * no driver round trip), counts in one map-side-combined
+    * aggregation. Empty buckets are absent from the output (at scale
+    * the dense grid is groups × buckets rows — generate-and-left-join
+    * it downstream if needed).
+    *
+    * bucket = floor((x − mn) · nb / (mx − mn)) clamped to nb−1, so the
+    * max value closes the last bucket. A single-valued group (mx = mn)
+    * puts everything in bucket 0. The arithmetic is plain IEEE double
+    * ops in a fixed order — any engine (and the DuckDB oracle)
+    * reproduces the exact bucket ids.
+    *
+    * Returns (groupCol, bucket, lo, hi, n) with lo/hi the bucket's
+    * value range rounded to 4 dp for display.
+    */
+  def histogram(df: DataFrame, groupCol: String, valCol: String,
+                buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val g = col(groupCol)
+    val vals = df.select(g, col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val stats = vals.groupBy(g).agg(min("__v").as("__mn"), max("__v").as("__mx"))
+    val b = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(
+        floor((col("__v") - col("__mn")) * buckets / (col("__mx") - col("__mn")))
+          .cast("long"),
+        lit(buckets - 1L)))
+    vals.join(broadcast(stats), groupCol)
+      .withColumn("bucket", b)
+      .groupBy(g, col("bucket"), col("__mn"), col("__mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(g, col("bucket"),
+        round(col("__mn") + col("bucket") * (col("__mx") - col("__mn")) / buckets,
+          4).as("lo"),
+        round(col("__mn") + (col("bucket") + 1) * (col("__mx") - col("__mn")) / buckets,
+          4).as("hi"),
+        col("n"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { c =>

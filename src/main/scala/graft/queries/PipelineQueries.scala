@@ -127,8 +127,36 @@ object PipelineQueries {
     EventOps.hourlyPeaks(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q106_scd2 — changelog → SCD2 validity intervals
+    * (`EventOps.scd2`): each event becomes [valid_from, valid_to)
+    * closed by the user's next event; open rows flagged current.
+    * Bounded to users 0-99 to keep the verify dump small.
+    */
+  def q106Scd2(s: SparkSession, dir: String): DataFrame =
+    EventOps.scd2(Tables.events(s, dir).filter(col("user_id") < 100),
+      "user_id", "ts", "event_id", Seq("event_type", "value"))
+      .select(col("user_id"), col("event_id"), col("valid_from"),
+        col("valid_to"), col("is_current"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  /** q107_histogram — distributed equi-width histogram
+    * (`StatOps.histogram`): 8 buckets of l_extendedprice per return
+    * flag; bounds from each group's own min/max, in-plan and broadcast.
+    * The DESCRIBE-style building block that feeds range pruning and
+    * skew diagnosis at scale.
+    */
+  def q107Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StatOps.histogram(
+      Tables.parallelize(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))),
+      "l_returnflag", "l_extendedprice", buckets = 8)
+      .orderBy(col("l_returnflag"), col("bucket"))
+
   val queries: Map[String, Q] = Map(
     "q104_streaks" -> (q104Streaks _),
+    "q106_scd2" -> (q106Scd2 _),
+    "q107_histogram" -> (q107Histogram _),
     "q105_hourly_peaks" -> (q105HourlyPeaks _),
     "q89_shard_shuffle" -> (q89ShardShuffle _),
     "q90_gap_fill" -> (q90GapFill _),
@@ -149,6 +177,31 @@ object PipelineQueries {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   val oracle: Map[String, String] = Map(
+    "q106_scd2" ->
+      """WITH c AS (SELECT user_id, ts AS valid_from, event_id, event_type,
+        |    value,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM events WHERE user_id < 100)
+        |SELECT user_id, event_id, valid_from, valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current,
+        |  event_type, round(value, 2) AS value
+        |FROM c ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q107_histogram" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS x
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT g, min(x) AS mn, max(x) AS mx FROM v GROUP BY g),
+        |b AS (SELECT v.g,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE least(floor((v.x - s.mn) * 8 / (s.mx - s.mn))::BIGINT, 7)
+        |    END AS bucket, s.mn, s.mx
+        |  FROM v JOIN s USING (g))
+        |SELECT g AS l_returnflag, bucket,
+        |  round(mn + bucket * (mx - mn) / 8, 4) AS lo,
+        |  round(mn + (bucket + 1) * (mx - mn) / 8, 4) AS hi,
+        |  count(*) AS n
+        |FROM b GROUP BY g, bucket, mn, mx
+        |ORDER BY l_returnflag, bucket""".stripMargin,
     "q104_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
         |           FROM events),

@@ -146,6 +146,26 @@ class EventOpsSpec extends SparkSpec {
       ("b", ts("2024-01-01 10:00:00"), 2L, 0.0)))
   }
 
+  test("scd2 closes each interval with the key's next change") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "a", 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 101L, "b", 2.0),
+      (1L, ts("2024-01-01 12:00:00"), 102L, "c", 3.0), // ts tie → seq order
+      (2L, ts("2024-01-02 00:00:00"), 103L, "d", 4.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = EventOps.scd2(df, "user_id", "ts", "event_id",
+        Seq("event_type", "value"))
+      .orderBy("user_id", "valid_from", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")),
+        r.getAs[Int]("is_current"))).toSeq
+    assert(out == Seq(
+      (1L, 100L, Some(ts("2024-01-01 12:00:00")), 0),
+      (1L, 101L, Some(ts("2024-01-01 12:00:00")), 0), // closed by the tie
+      (1L, 102L, None, 1),
+      (2L, 103L, None, 1)))
+  }
+
   test("events table loader yields microsecond timestamps (ns truncated)") {
     val e = graft.Tables.events(spark, sf0001)
     assert(e.schema("ts").dataType ==

@@ -71,4 +71,23 @@ class StatOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("histogram: equi-width buckets, max closes last bucket, counts total") {
+    import spark.implicits._
+    // g1: values 0..10 over 5 buckets of width 2; 10 lands in bucket 4
+    val df = ((0 to 10).map(v => ("g1", v.toDouble)) :+ ("g2", 7.0))
+      .toDF("g", "v")
+    val out = StatOps.histogram(df, "g", "v", 5)
+      .orderBy("g", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("g1", 0L, 0.0, 2.0, 2L),   // 0, 1
+      ("g1", 1L, 2.0, 4.0, 2L),   // 2, 3
+      ("g1", 2L, 4.0, 6.0, 2L),   // 4, 5
+      ("g1", 3L, 6.0, 8.0, 2L),   // 6, 7
+      ("g1", 4L, 8.0, 10.0, 3L),  // 8, 9, and max=10 clamped in
+      ("g2", 0L, 7.0, 7.0, 1L)))  // single-valued group → bucket 0
+    assert(out.map(_._5).sum == df.count())
+  }
 }
