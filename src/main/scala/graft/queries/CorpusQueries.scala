@@ -115,7 +115,51 @@ object CorpusQueries {
       shards = 4, capacity = 2048L)
       .orderBy(col("shard"), col("bin"))
 
+  /** q108_winsorize — percentile winsorization (feature clipping):
+    * per-return-flag p05/p95 fences from the distributed-selection
+    * percentiles, values clipped in one broadcast-join + projection
+    * pass; reports clip counts and the mean shift. The standard
+    * outlier-robust feature-prep step before model training.
+    */
+  def q108Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val pct = StatOps.exactPercentiles(v, "l_returnflag", "x",
+      Seq("p05" -> 0.05, "p95" -> 0.95))
+    v.join(broadcast(pct), Seq("l_returnflag"))
+      .withColumn("w", greatest(least(col("x"), col("p95")), col("p05")))
+      .groupBy(col("l_returnflag"), round(col("p05"), 4).as("p05"),
+        round(col("p95"), 4).as("p95"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("p05"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("x") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(avg(col("x")), 2).as("avg_raw"),
+        round(avg(col("w")), 2).as("avg_winsorized"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q109_crossmodal — retrieval composition: batch kNN over the
+    * embedding corpus, then each hit enriched with its document's
+    * lang/source metadata. The kNN output is O(queries × k) rows, so
+    * the metadata attach is a broadcast join — the documents table is
+    * only ever scanned, never shuffled.
+    */
+  def q109Crossmodal(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val hits = VectorOps.batchTopK(emb, queries, k = 3)
+    val meta = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"), col("source"))
+    hits.join(meta, Seq("vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"),
+        col("lang"), col("source"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_winsorize" -> (q108Winsorize _),
+    "q109_crossmodal" -> (q109Crossmodal _),
     "q97_chunk" -> (q97Chunk _),
     "q98_chunk_dedup" -> (q98ChunkDedup _),
     "q99_mixture_sample" -> (q99MixtureSample _),
@@ -148,6 +192,35 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q108_winsorize" ->
+      """WITH v AS (SELECT l_returnflag, l_extendedprice::DOUBLE AS x
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT l_returnflag, quantile_cont(x, 0.05) AS p05,
+        |    quantile_cont(x, 0.95) AS p95
+        |  FROM v GROUP BY 1)
+        |SELECT v.l_returnflag, round(q.p05, 4) AS p05, round(q.p95, 4) AS p95,
+        |  count(*) AS n,
+        |  count(CASE WHEN x < p05 THEN 1 END) AS n_clip_lo,
+        |  count(CASE WHEN x > p95 THEN 1 END) AS n_clip_hi,
+        |  round(avg(x), 2) AS avg_raw,
+        |  round(avg(greatest(least(x, p95), p05)), 2) AS avg_winsorized
+        |FROM v JOIN q USING (l_returnflag)
+        |GROUP BY v.l_returnflag, q.p05, q.p95
+        |ORDER BY l_returnflag""".stripMargin,
+    "q109_crossmodal" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id % 200 = 0),
+        |p AS (SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rn
+        |  FROM p)
+        |SELECT r.query_id, r.rn::INT AS rank, r.vec_id,
+        |  round(r.cos, 4) AS cos_sim, d.lang, d.source
+        |FROM r JOIN documents d ON d.doc_id = r.vec_id
+        |WHERE r.rn <= 3 ORDER BY r.query_id, r.rn""".stripMargin,
     "q97_chunk" ->
       s"""$chunksCte
         |SELECT doc_id, chunk_idx, n_tokens, chunk_hash
