@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,5 +133,39 @@ object BalanceOps {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__r", "__r2", "__rk")
+  }
+
+  /** Weighted k-per-group sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): item i is kept iff its key
+    * ln(u_i)/w_i ranks in the group's top k, where u_i ∈ (0,1) — the
+    * exact distribution of weighted sequential sampling, order- and
+    * partitioning-independent. How a quality-weighted corpus subset is
+    * drawn ("keep 100k docs per domain, ∝ quality score") without an
+    * RNG whose draw order changes the result.
+    *
+    * u_i derives from the md5-based [[TextOps.hash32]] of the id —
+    * deterministic across engines, retries, AND partitionings (unlike
+    * `rand(seed)`, which is only fixed for a fixed partitioning — the
+    * trade [[sampleKPerGroup]] accepts). Rows with weight <= 0 are
+    * dropped (E-S requires positive weights).
+    *
+    * Scale shape: one shuffle on the group key, streaming row_number
+    * frame. For huge groups swap the window for the k-bounded
+    * [[graft.functions.TopKAgg]] on the same key (O(groups×k) shuffle).
+    */
+  def weightedSampleKPerGroup(df: DataFrame, groupCol: String,
+                              idCol: String, weight: Column,
+                              k: Int): DataFrame = {
+    // (h + 0.5) / 2^32 ∈ (0,1): never 0 or 1, so ln is finite
+    val u = (TextOps.hash32(col(idCol).cast("string"), seed = "ws:") + 0.5) /
+      lit(4294967296.0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__es").desc, col(idCol))
+    df.withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0)
+      .withColumn("__es", log(u) / col("__w"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__w", "__es", "__rk")
   }
 }

@@ -157,7 +157,21 @@ object CorpusQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q110_weighted_sample — weighted sampling without replacement
+    * (`BalanceOps.weightedSampleKPerGroup`, Efraimidis–Spirakis): five
+    * orders per priority class, selection probability ∝ o_totalprice,
+    * from a deterministic hash-derived uniform — reproducible across
+    * engines, retries, and partitionings, unlike seeded rand().
+    */
+  def q110WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.BalanceOps.weightedSampleKPerGroup(
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      "o_orderpriority", "o_orderkey", col("o_totalprice"), k = 5)
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+
   val queries: Map[String, Q] = Map(
+    "q110_weighted_sample" -> (q110WeightedSample _),
     "q108_winsorize" -> (q108Winsorize _),
     "q109_crossmodal" -> (q109Crossmodal _),
     "q97_chunk" -> (q97Chunk _),
@@ -192,6 +206,17 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q110_weighted_sample" ->
+      """WITH w AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ln(((('0x' || substr(md5('ws:' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+        |         + 0.5) / 4294967296.0)) / o_totalprice AS es
+        |  FROM orders WHERE o_totalprice > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |                                   ORDER BY es DESC, o_orderkey) AS rn
+        |  FROM w)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q108_winsorize" ->
       """WITH v AS (SELECT l_returnflag, l_extendedprice::DOUBLE AS x
         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),

@@ -74,4 +74,27 @@ class BalanceOpsSpec extends SparkSpec {
     val other = BalanceOps.sampleKPerGroup(df, "g", 10, seed = 8L)
     assert(out.exceptAll(other).count() > 0)
   }
+
+  test("weightedSampleKPerGroup: caps per group, dominant weight always wins") {
+    import org.apache.spark.sql.functions.col
+    // one row per group carries (effectively) all the weight: its A-ES
+    // key ln(u)/1e9 ≈ 0⁻ beats every ln(u)/1e-6 regardless of u
+    val df = ((1 to 50).map(i => (i.toLong, "a", 1e-6)) ++
+      Seq((99L, "a", 1e9)) ++
+      (201 to 210).map(i => (i.toLong, "b", 1.0))).toDF("id", "g", "wt")
+    val out = BalanceOps.weightedSampleKPerGroup(df, "g", "id", col("wt"), 3)
+    val byG = out.collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG("a").size == 3 && byG("a").contains(99L))
+    assert(byG("b").size == 3)
+    // deterministic: no RNG state, so an identical rerun matches
+    val again = BalanceOps.weightedSampleKPerGroup(df, "g", "id", col("wt"), 3)
+    assert(out.exceptAll(again).count() == 0)
+    // zero/negative weights are excluded
+    val z = df.withColumn("wt",
+      org.apache.spark.sql.functions.when(col("id") === 99L, -1.0)
+        .otherwise(col("wt")))
+    assert(!BalanceOps.weightedSampleKPerGroup(z, "g", "id", col("wt"), 3)
+      .collect().map(_.getLong(0)).contains(99L))
+  }
 }
