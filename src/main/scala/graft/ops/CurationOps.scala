@@ -280,6 +280,38 @@ object CurationOps {
         array_join(transform(col("__ids"), _.cast("string")), " ").as("ids"))
   }
 
+  /** Exact heavy hitters WITHOUT a full-vocabulary groupBy: Misra–Gries
+    * sketch pass (k-bounded buffers, `functions.MisraGries`) finds a
+    * ≤k candidate superset — guaranteed to contain every token with
+    * occurrence share > 1/(k+1) — then a broadcast semi-join recounts
+    * ONLY candidate rows exactly. Output is fully deterministic (exact
+    * counts filtered by the exact threshold) even though MG's internal
+    * candidate set is merge-order-dependent.
+    *
+    * Requires minFrac > 1/(k+1), else the sketch may drop a qualifying
+    * token. At 100 TB the difference vs `groupBy(token)` is the
+    * shuffle: ≤k counters per map task versus the entire vocabulary.
+    *
+    * @return (token, cnt, frac) for tokens with occurrence share ≥
+    *         minFrac of all token occurrences
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int,
+                   minFrac: Double): DataFrame = {
+    require(minFrac > 1.0 / (k + 1),
+      s"minFrac must exceed 1/(k+1)=${1.0 / (k + 1)} for the MG guarantee")
+    val toks = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+    val candidates = toks
+      .agg(graft.functions.MisraGries.sketch(k)(col("token")).as("mg"))
+      .select(explode(col("mg.items")).as("token"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__total"))
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= col("__total") * minFrac)
+      .select(col("token"), col("cnt"),
+        round(col("cnt") / col("__total"), 4).as("frac"))
+  }
+
   /** Corpus-level document frequency with a minimum-share cutoff: the
     * tokens appearing in at least `minFrac` of all documents. The
     * classic boilerplate/stopword discovery pass (df-too-high tokens

@@ -170,7 +170,82 @@ object CorpusQueries {
       "o_orderpriority", "o_orderkey", col("o_totalprice"), k = 5)
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
 
+  /** q111_heavy_hitters — exact heavy hitters via Misra–Gries sketch +
+    * candidate recount (`CurationOps.heavyHitters`,
+    * `functions.MisraGries`): tokens with ≥ 2 % of all occurrences,
+    * found with k-bounded buffers instead of a full-vocabulary shuffle.
+    * The output is exact and deterministic even though the sketch's
+    * internal candidate set is merge-order-dependent.
+    */
+  def q111HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    CurationOps.heavyHitters(
+      Tables.parallelize(Tables.documents(s, dir)), "text",
+      k = 64, minFrac = 0.02)
+      .orderBy(col("cnt").desc, col("token"))
+
+  /** q112_drift — language-distribution drift between two hash cohorts
+    * of the corpus (the train/holdout or yesterday/today shape): per
+    * lang, both shares, absolute gap, and the KL(A‖B) contribution.
+    * One aggregation; the cohort totals ride as in-plan scalars.
+    */
+  def q112Drift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("cohort",
+        pmod(graft.ops.TextOps.hash32(col("doc_id").cast("string"),
+          seed = "drift:"), lit(2L)))
+    val perLang = d.groupBy(col("lang"))
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"))
+    val tot = perLang.agg(sum(col("n_a")).cast("double").as("t_a"),
+      sum(col("n_b")).cast("double").as("t_b"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        round(col("n_a") / col("t_a"), 4).as("p_a"),
+        round(col("n_b") / col("t_b"), 4).as("p_b"),
+        round(abs(col("n_a") / col("t_a") - col("n_b") / col("t_b")), 4)
+          .as("abs_gap"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round((col("n_a") / col("t_a")) *
+            log((col("n_a") / col("t_a")) / (col("n_b") / col("t_b"))), 6))
+          .otherwise(lit(null)).as("kl_term"))
+      .orderBy(col("lang"))
+  }
+
+  /** q113_json_scan — the reference's signature ingest (S1,
+    * `init.py:13`): line-delimited JSON read back through
+    * `Ingest.readJson` (explicit schema, PERMISSIVE corrupt capture —
+    * the one-pass scale form of the reference's inferred read), then a
+    * typed aggregation. The JSON copy is produced in-query from the
+    * events table (bounded to users 0-49) under target/tmp.
+    */
+  def q113JsonScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = "target/tmp/q113_json_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // default JSON timestampFormat truncates to milliseconds — pin a
+    // microsecond format on BOTH sides of the round trip
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    Tables.events(s, dir).filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .write.mode("overwrite").option("timestampFormat", tsFmt).json(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    graft.sources.Ingest.dropCorrupt(
+      graft.sources.Ingest.readJson(s, path, schema,
+        options = Map("timestampFormat" -> tsFmt)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
+        min(col("ts")).as("first_ts"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q111_heavy_hitters" -> (q111HeavyHitters _),
+    "q112_drift" -> (q112Drift _),
+    "q113_json_scan" -> (q113JsonScan _),
     "q110_weighted_sample" -> (q110WeightedSample _),
     "q108_winsorize" -> (q108Winsorize _),
     "q109_crossmodal" -> (q109Crossmodal _),
@@ -206,6 +281,35 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q111_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+        |SELECT token, count(*) AS cnt,
+        |  round(count(*) / (SELECT n FROM tot), 4) AS frac
+        |FROM tok GROUP BY token
+        |HAVING count(*) >= 0.02 * (SELECT n FROM tot)
+        |ORDER BY cnt DESC, token""".stripMargin,
+    "q112_drift" ->
+      s"""WITH d AS (SELECT lang,
+        |    ${h32("doc_id::VARCHAR", "drift:")} % 2 AS cohort
+        |  FROM documents),
+        |g AS (SELECT lang,
+        |    count(CASE WHEN cohort = 0 THEN 1 END) AS n_a,
+        |    count(CASE WHEN cohort = 1 THEN 1 END) AS n_b
+        |  FROM d GROUP BY lang),
+        |t AS (SELECT sum(n_a)::DOUBLE AS t_a, sum(n_b)::DOUBLE AS t_b FROM g)
+        |SELECT lang, n_a, n_b,
+        |  round(n_a / t_a, 4) AS p_a, round(n_b / t_b, 4) AS p_b,
+        |  round(abs(n_a / t_a - n_b / t_b), 4) AS abs_gap,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN round((n_a / t_a) * ln((n_a / t_a) / (n_b / t_b)), 6)
+        |       ELSE NULL END AS kl_term
+        |FROM g, t ORDER BY lang""".stripMargin,
+    "q113_json_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value, min(ts) AS first_ts
+        |FROM events WHERE user_id < 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q110_weighted_sample" ->
       """WITH w AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    ln(((('0x' || substr(md5('ws:' || o_orderkey::VARCHAR), 1, 8))::BIGINT

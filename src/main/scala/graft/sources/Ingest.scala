@@ -29,11 +29,13 @@ object Ingest {
 
   /** S1 (scale form): explicit schema, one pass, no inference job. */
   def readJson(spark: SparkSession, path: String, schema: StructType,
-               corruptCol: String = "_corrupt_record"): DataFrame =
+               corruptCol: String = "_corrupt_record",
+               options: Map[String, String] = Map.empty): DataFrame =
     spark.read
       .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
+      .options(options)
       .json(path)
 
   /** Reference cleaning step: drop rows that failed to parse, then the
