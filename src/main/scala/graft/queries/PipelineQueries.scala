@@ -153,7 +153,39 @@ object PipelineQueries {
       "l_returnflag", "l_extendedprice", buckets = 8)
       .orderBy(col("l_returnflag"), col("bucket"))
 
+  /** q114_ml_eval — the reference's core ML loop as a manifest entry
+    * (M1-M5/M14: StringIndexer + VectorAssembler + LogisticRegression,
+    * seeded 70/30 split, confusion cells + AUC). Engine-specific output
+    * (model training is not SQL-expressible) → rows-only driver check;
+    * determinism and metric bounds are asserted in
+    * `ClassifierPipelinesSpec`. Sampled to o_orderkey % 10 == 0 so the
+    * fit stays a small fixed share of bench time.
+    */
+  def q114MlEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.ClassifierPipelines
+    val df = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderpriority"),
+        col("o_totalprice"),
+        // string target: the pipeline's label StringIndexer (M2)
+        // produces the numeric `label` column itself
+        when(col("o_orderstatus") === "F", "late").otherwise(lit("ontime"))
+          .as("is_late"))
+    val Array(train, test) = df.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val pipe = ClassifierPipelines.pipeline(
+      Seq("o_orderpriority"), Seq("o_totalprice"), "is_late",
+      ClassifierPipelines.logistic(maxIter = 5))
+    val preds = pipe.fit(train).transform(test)
+    val cells = ClassifierPipelines.binaryCells(preds)
+    val auc = ClassifierPipelines.auc(preds)
+    import s.implicits._
+    Seq((cells("tp"), cells("fp"), cells("tn"), cells("fn"),
+      math.rint(auc * 1000) / 1000))
+      .toDF("tp", "fp", "tn", "fn", "auc")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q114_ml_eval" -> (q114MlEval _),
     "q104_streaks" -> (q104Streaks _),
     "q106_scd2" -> (q106Scd2 _),
     "q107_histogram" -> (q107Histogram _),

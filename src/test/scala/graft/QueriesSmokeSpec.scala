@@ -16,7 +16,10 @@ class QueriesSmokeSpec extends SparkSpec {
   // q83's codec determinism).
   private val oracleExempt =
     Set("q57_approx_distinct", "q65_approx_percentiles",
-      "q83_multimodal_features")
+      "q83_multimodal_features",
+      // model training is not SQL-expressible; determinism + metric
+      // bounds are asserted in ClassifierPipelinesSpec
+      "q114_ml_eval")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

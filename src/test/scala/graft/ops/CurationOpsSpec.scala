@@ -75,6 +75,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(hs.distinct.size == 1)
   }
 
+  test("chunkTokens coverage identity holds on the real corpus") {
+    // last chunk always ends exactly at the doc's token count:
+    // (max chunk_idx) · stride + len(last chunk) == n_tokens, for every
+    // (chunkSize, stride) — windows cover all tokens, nothing beyond
+    val docs = graft.Tables.documents(spark, sf0001)
+    for ((size, stride) <- Seq((32, 24), (16, 16), (8, 3))) {
+      val got = CurationOps.chunkTokens(docs, "doc_id", "text", size, stride)
+        .groupBy("doc_id")
+        .agg(max(col("chunk_idx")).as("mi"),
+          max_by(col("n_tokens"), col("chunk_idx")).as("lastLen"))
+      val n = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n"))
+      val bad = got.join(n, "doc_id")
+        .filter(col("mi") * stride + col("lastLen") =!= col("n"))
+      assert(bad.count() == 0, s"coverage identity broken at ($size, $stride)")
+    }
+  }
+
   test("chunkDedupStats keeps first occurrence corpus-wide") {
     // doc 1 and doc 2 are identical → doc 1 keeps its chunk, doc 2 none;
     // doc 3 is unique → keeps all
