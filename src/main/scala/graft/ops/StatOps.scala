@@ -134,6 +134,44 @@ object StatOps {
     * The wide 1-row aggregate is unpivoted to (column_name, stats) rows
     * in-plan via `stack` — no driver round trip.
     */
+  /** Two-sample Kolmogorov–Smirnov statistic per group: the numeric
+    * counterpart of categorical drift (q112) — max ECDF gap between two
+    * cohorts of a value column. The feature-drift / A-B-shift test for
+    * continuous features.
+    *
+    * Scale shape: raw rows collapse to per-(group, distinct value)
+    * cohort counts FIRST (map-side combine), so the window cumulative
+    * sums run over distinct values only, never raw rows. One shuffle.
+    *
+    * @param cohort expression evaluating to 0 (cohort A) / 1 (cohort B)
+    * @return (groupCol, n_a, n_b, ks) — ks rounded to 4 dp
+    */
+  def ksStatistic(df: DataFrame, groupCol: String, valCol: String,
+                  cohort: org.apache.spark.sql.Column): DataFrame = {
+    val g = col(groupCol)
+    val byVal = df
+      .select(g, col(valCol).cast("double").as("__x"), cohort.as("__c"))
+      .filter(col("__x").isNotNull)
+      .groupBy(g, col("__x"))
+      .agg(sum(when(col("__c") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__nb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g)
+    byVal
+      .withColumn("__ca", sum(col("__na")).over(wCum))
+      .withColumn("__cb", sum(col("__nb")).over(wCum))
+      .withColumn("__ta", sum(col("__na")).over(wAll))
+      .withColumn("__tb", sum(col("__nb")).over(wAll))
+      .groupBy(g)
+      .agg(first(col("__ta")).as("n_a"), first(col("__tb")).as("n_b"),
+        round(max(abs(
+          col("__ca").cast("double") / col("__ta") -
+            col("__cb").cast("double") / col("__tb"))), 4).as("ks"))
+  }
+
   /** Distributed equi-width histogram per group: bucket bounds derive
     * from the group's own min/max (computed in-plan and broadcast —
     * no driver round trip), counts in one map-side-combined

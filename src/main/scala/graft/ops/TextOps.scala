@@ -145,3 +145,76 @@ object TextOps {
   def langIdScore(text: Column, lang: String): Column =
     countIn(tokens(text), langProfiles(lang))
 }
+
+/** Text-retrieval index construction over the documents table: the
+  * search-side counterpart of TextOps (which scores documents in
+  * isolation, this scores them against queries).
+  */
+object RetrievalOps {
+  import org.apache.spark.sql.DataFrame
+
+  /** Inverted-index posting lists: token → the first `cap` doc ids
+    * containing it (sorted), plus the total document frequency. The
+    * build step of any search/BM25 index.
+    *
+    * One map-side-combined aggregation over exploded DISTINCT per-doc
+    * tokens; the posting array is capped in-plan (`slice` after
+    * `sort_array`), so a stop-word's posting list cannot blow up a
+    * reducer. For uncapped postings at scale, write
+    * `partitionBy(token-bucket)` instead of returning arrays.
+    */
+  def postingLists(df: DataFrame, idCol: String, textCol: String,
+                   cap: Int): DataFrame =
+    df.select(col(idCol), explode(TextOps.tokenSet(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col(idCol))), 1, cap).as("__p"))
+      .select(col("token"), col("df"),
+        array_join(transform(col("__p"), _.cast("string")), " ")
+          .as("postings"))
+
+  /** BM25 scoring of the corpus against a bag of query terms
+    * (Robertson/Lucene variant):
+    *   idf(t)  = ln((N − df + 0.5) / (df + 0.5) + 1)
+    *   s(d,t)  = idf · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    * summed over matched terms; top-k docs returned.
+    *
+    * Scale shape: doc lengths and term frequencies come from ONE
+    * explode + filter on the (tiny, broadcast) query-term set — the
+    * corpus shuffles only (doc, term, tf) rows for MATCHED terms;
+    * df/N/avgdl ride as broadcast scalars; the final top-k is a
+    * TakeOrdered heap, no global sort.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).cast("double").as("dl"),
+        explode(col("__t")).as("token"))
+    val matched = toks
+      .filter(col("token").isin(queryTerms: _*))
+    val tf = matched.groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = df
+      .select(TextOps.tokenCount(col(textCol)).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+    val dfreq = matched.select(col(idCol), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("__s",
+        col("__idf") * col("tf") * (k1 + 1) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).as("__score"), count(lit(1)).as("n_terms"))
+      .select(col(idCol), col("n_terms"), round(col("__score"), 4).as("score"),
+        col("__score"))
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(k)
+      .drop("__score")
+  }
+}

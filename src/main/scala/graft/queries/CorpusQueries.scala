@@ -242,7 +242,43 @@ object CorpusQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q115_ks_drift — two-sample Kolmogorov–Smirnov per order priority
+    * (`StatOps.ksStatistic`): numeric-feature drift between two hash
+    * cohorts of orders, on o_totalprice. ECDFs run over distinct
+    * values after a map-side collapse — raw rows never hit the window.
+    */
+  def q115KsDrift(s: SparkSession, dir: String): DataFrame =
+    StatOps.ksStatistic(
+      Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+      pmod(graft.ops.TextOps.hash32(col("o_orderkey").cast("string"),
+        seed = "ks:"), lit(2L)))
+      .orderBy(col("o_orderpriority"))
+
+  /** q116_posting_lists — inverted-index build
+    * (`RetrievalOps.postingLists`): token → df + first 10 doc ids.
+    * The posting cap is applied in-plan, so stop-word rows can't blow
+    * up a reducer.
+    */
+  def q116PostingLists(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RetrievalOps.postingLists(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+      cap = 10)
+      .orderBy(col("token"))
+
+  /** q117_bm25 — BM25 top-20 retrieval (`RetrievalOps.bm25TopK`,
+    * Lucene idf variant, k1=1.2 b=0.75) for a 3-term query. Matched
+    * (doc, term, tf) rows are the only shuffle; df/N/avgdl broadcast;
+    * TakeOrdered top-k.
+    */
+  def q117Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RetrievalOps.bm25TopK(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+      Seq("spark", "sql", "hash"), k = 20)
+
   val queries: Map[String, Q] = Map(
+    "q115_ks_drift" -> (q115KsDrift _),
+    "q116_posting_lists" -> (q116PostingLists _),
+    "q117_bm25" -> (q117Bm25 _),
     "q111_heavy_hitters" -> (q111HeavyHitters _),
     "q112_drift" -> (q112Drift _),
     "q113_json_scan" -> (q113JsonScan _),
@@ -258,7 +294,7 @@ object CorpusQueries {
     "q103_pack_bins" -> (q103PackBins _),
   )
 
-  import ExtensionQueries.toksSql
+  import ExtensionQueries.{toksSql, tokSetSql}
 
   private def h32(expr: String, seed: String = ""): String =
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
@@ -281,6 +317,50 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q115_ks_drift" ->
+      s"""WITH v AS (SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS x,
+        |    ${h32("o_orderkey::VARCHAR", "ks:")} % 2 AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |bv AS (SELECT g, x,
+        |    count(CASE WHEN c = 0 THEN 1 END) AS na,
+        |    count(CASE WHEN c = 1 THEN 1 END) AS nb
+        |  FROM v GROUP BY g, x),
+        |cw AS (SELECT g,
+        |    sum(na) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(nb) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    sum(na) OVER (PARTITION BY g) AS ta,
+        |    sum(nb) OVER (PARTITION BY g) AS tb
+        |  FROM bv)
+        |SELECT g AS o_orderpriority, min(ta)::BIGINT AS n_a,
+        |  min(tb)::BIGINT AS n_b,
+        |  round(max(abs(ca::DOUBLE / ta - cb::DOUBLE / tb)), 4) AS ks
+        |FROM cw GROUP BY g ORDER BY o_orderpriority""".stripMargin,
+    "q116_posting_lists" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSetSql) AS token FROM documents)
+        |SELECT token, count(*) AS df,
+        |  array_to_string(list(doc_id ORDER BY doc_id)[1:10], ' ') AS postings
+        |FROM tok GROUP BY token ORDER BY token""".stripMargin,
+    "q117_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token
+        |      FROM t),
+        |m AS (SELECT * FROM d WHERE token IN ('spark', 'sql', 'hash')),
+        |tf AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf
+        |       FROM m GROUP BY 1, 2, 3),
+        |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl
+        |      FROM t),
+        |fr AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+        |       FROM m GROUP BY token),
+        |sc AS (SELECT tf.doc_id,
+        |    ln((s.n_docs - fr.df + 0.5) / (fr.df + 0.5) + 1) * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sterm
+        |  FROM tf, fr, s WHERE tf.token = fr.token),
+        |r AS (SELECT doc_id, count(*) AS n_terms, sum(sterm) AS score
+        |      FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms, round(score, 4) AS score
+        |FROM r ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q111_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
         |tot AS (SELECT count(*)::DOUBLE AS n FROM tok)

@@ -72,6 +72,22 @@ class StatOpsSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan)
   }
 
+  test("ksStatistic: 0 for identical cohorts, 1 for disjoint supports") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i =>
+      Seq(("g", i.toDouble, 0), ("g", i.toDouble, 1)))
+      .toDF("g", "x", "c")
+    val ks0 = StatOps.ksStatistic(same, "g", "x",
+      org.apache.spark.sql.functions.col("c")).collect().head
+    assert(ks0.getAs[Double]("ks") == 0.0)
+    assert(ks0.getAs[Long]("n_a") == 50L && ks0.getAs[Long]("n_b") == 50L)
+    val disjoint = ((1 to 20).map(i => ("g", i.toDouble, 0)) ++
+      (100 to 120).map(i => ("g", i.toDouble, 1))).toDF("g", "x", "c")
+    val ks1 = StatOps.ksStatistic(disjoint, "g", "x",
+      org.apache.spark.sql.functions.col("c")).collect().head
+    assert(ks1.getAs[Double]("ks") == 1.0)
+  }
+
   test("histogram: equi-width buckets, max closes last bucket, counts total") {
     import spark.implicits._
     // g1: values 0..10 over 5 buckets of width 2; 10 lands in bucket 4

@@ -114,4 +114,32 @@ class TextOpsSpec extends SparkSpec {
       assert(scores.maxBy(_._2)._1 == expected, s"for $text got $scores")
     }
   }
+
+  test("postingLists caps postings and counts full df") {
+    val df = (1L to 15L).map(i => (i, "common w" + i)).toDF("doc_id", "text")
+    val out = RetrievalOps.postingLists(df, "doc_id", "text", cap = 10)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getString(2))))
+      .toMap
+    val (dfc, postings) = out("common")
+    assert(dfc == 15L) // df counts ALL docs
+    assert(postings == (1L to 10L).mkString(" ")) // postings capped at 10
+  }
+
+  test("bm25TopK ranks multi-term matches above single-term, respects k") {
+    val df = Seq(
+      (1L, "spark sql engine"),     // 2 query terms
+      (2L, "spark only here"),      // 1 term
+      (3L, "nothing relevant"),     // 0 terms → absent
+      (4L, "sql sql sql spark"))    // 2 terms, higher tf
+      .toDF("doc_id", "text")
+    val out = RetrievalOps.bm25TopK(df, "doc_id", "text",
+        Seq("spark", "sql"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 2L && byId(2L)._2 == 1L)
+    assert(byId(1L)._3 > byId(2L)._3) // two matched terms beat one
+    // scores descend in output order
+    assert(out.map(_._3).sliding(2).forall(s => s.head >= s.last))
+  }
 }
