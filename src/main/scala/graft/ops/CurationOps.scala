@@ -312,6 +312,37 @@ object CurationOps {
         round(col("cnt") / col("__total"), 4).as("frac"))
   }
 
+  /** Unigram language-model scoring (the cheap perplexity-style quality
+    * filter): per document, the mean token log-probability under the
+    * corpus's own add-one-smoothed unigram distribution. Gibberish and
+    * boilerplate-heavy documents sit in the tails; the standard first
+    * LM screen before an expensive model-based one.
+    *
+    *   p(t) = (count(t) + 1) / (N + V),   score(d) = Σ ln p(t) / |d|
+    *
+    * Scale shape: the unigram table is one map-side-combined count
+    * (vocabulary-sized, broadcast); the corpus pass joins each token
+    * against it and aggregates per doc. N and V ride in-plan as
+    * broadcast scalars — no driver round trip.
+    *
+    * @return (idCol, n_tokens, logprob) — logprob rounded to 4 dp,
+    *         docs with no tokens omitted
+    */
+  def unigramLogProb(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol)))
+      .as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val scal = counts.agg(sum(col("__c")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    toks.join(broadcast(counts), Seq("token"))
+      .crossJoin(broadcast(scal))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log((col("__c") + 1) / (col("__n") + col("__v")))) /
+          count(lit(1)), 4).as("logprob"))
+  }
+
   /** Corpus-level document frequency with a minimum-share cutoff: the
     * tokens appearing in at least `minFrac` of all documents. The
     * classic boilerplate/stopword discovery pass (df-too-high tokens

@@ -275,7 +275,41 @@ object CorpusQueries {
       Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
       Seq("spark", "sql", "hash"), k = 20)
 
+  /** q118_unigram_logprob — unigram-LM quality scoring
+    * (`CurationOps.unigramLogProb`): mean token log-probability under
+    * the corpus's own smoothed unigram distribution — the cheap
+    * perplexity screen before any model-based filter. The unigram
+    * table is broadcast; N and V are in-plan scalars.
+    */
+  def q118UnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    CurationOps.unigramLogProb(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** q119_robust_scale — median/MAD robust scaling parameters per
+    * label: two chained distributed-selection percentile passes
+    * (`StatOps.exactPercentiles` on norms, then on |norm − median|).
+    * The outlier-insensitive alternative to mean/stddev normalization
+    * for embedding post-processing.
+    */
+  def q119RobustScale(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val med = StatOps.exactPercentiles(n, "label", "nrm", Seq("med" -> 0.5))
+    val dev = n.join(broadcast(med), Seq("label"))
+      .select(col("label"), abs(col("nrm") - col("med")).as("dev"))
+    val mad = StatOps.exactPercentiles(dev, "label", "dev", Seq("mad" -> 0.5))
+    val cnt = n.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    cnt.join(med, Seq("label")).join(mad, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_unigram_logprob" -> (q118UnigramLogprob _),
+    "q119_robust_scale" -> (q119RobustScale _),
     "q115_ks_drift" -> (q115KsDrift _),
     "q116_posting_lists" -> (q116PostingLists _),
     "q117_bm25" -> (q117Bm25 _),
@@ -317,6 +351,30 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q118_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |s AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(ln((c.c + 1) / (s.n + s.v))) / count(*), 4) AS logprob
+        |FROM tok JOIN c USING (token), s
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q119_robust_scale" ->
+      """WITH n AS (SELECT label,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings),
+        |m AS (SELECT label, quantile_cont(nrm, 0.5) AS med FROM n
+        |      GROUP BY label),
+        |d AS (SELECT n.label, abs(n.nrm - m.med) AS dev
+        |      FROM n JOIN m USING (label)),
+        |md AS (SELECT label, quantile_cont(dev, 0.5) AS mad FROM d
+        |       GROUP BY label),
+        |c AS (SELECT label, count(*) AS n_vecs FROM n GROUP BY label)
+        |SELECT c.label, c.n_vecs, round(m.med, 4) AS med,
+        |  round(md.mad, 4) AS mad
+        |FROM c JOIN m USING (label) JOIN md USING (label)
+        |ORDER BY label""".stripMargin,
     "q115_ks_drift" ->
       s"""WITH v AS (SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS x,
         |    ${h32("o_orderkey::VARCHAR", "ks:")} % 2 AS c
