@@ -43,6 +43,22 @@ object Bench {
       "filter(array(lower('Warm Up')), x -> x != '')")).collect()
     // Warm-up 2: the flagship freq-encode chain, untimed
     try run(SparkEntry.queries("q4_freq_encode")) catch { case _: Throwable => () }
+    // Warm-up 3: the iterative-CC and selection-percentile machinery on
+    // toy inputs, untimed. Their loop/window/checkpoint code paths are
+    // otherwise cold when q40/q66/q68/q95 arrive mid-manifest, and the
+    // first cold pass costs 2-3x the steady state (JIT, not data).
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val edges = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val nodes = (0L to 65L).toDF("id")
+      graft.ops.DedupOps.connectedComponents(nodes, "id", edges,
+          "id_a", "id_b")
+        .write.format("noop").mode("overwrite").save()
+      val vals = (1 to 4096).map(i => ("g", i.toDouble)).toDF("g", "v")
+      graft.ops.StatOps.exactPercentiles(vals, "g", "v", Seq("p" -> 0.5))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
 
     // min of 2 runs per query: first-run JIT/codegen warm-up would
     // otherwise dominate sub-second queries and add ~2x run-to-run noise
