@@ -27,7 +27,9 @@ object SparkEntry {
       graft.queries.StructuralQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +42,7 @@ object SparkEntry {
       graft.queries.StructuralQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++
+      graft.queries.TemporalQueries.oracle ++
+      graft.queries.QualityQueries.oracle
 }

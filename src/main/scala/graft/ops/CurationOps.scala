@@ -364,4 +364,80 @@ object CurationOps {
       .select(col("token"), col("df"),
         round(col("df") / col("__total"), 4).as("df_frac"))
   }
+
+  /** Token co-occurrence PMI: for every pair of vocabulary tokens, how
+    * much more often they share a document than independence predicts —
+    * ln(P(a,b) / (P(a)·P(b))) over document probabilities. The
+    * collocation / topic-signal primitive of corpus analysis.
+    *
+    * Scale shape: the pair fan-out is |doc tokens|² per document, so the
+    * vocabulary is FIRST capped to the `topK` tokens by document
+    * frequency (the only ones whose PMI is statistically meaningful) and
+    * the per-doc token sets are semi-joined against that broadcast cap —
+    * the quadratic blow-up is bounded by construction, not by luck. Pair
+    * counting is a self-equi-join on doc_id of the capped exploded sets
+    * (both sides pre-shrunk), then one map-side-combined count; df counts
+    * and the doc total ride in as broadcasts.
+    */
+  def tokenPmi(df: DataFrame, idCol: String, textCol: String,
+               topK: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(TextOps.tokenSet(col(textCol))).as("token"))
+    val dfCounts = toks.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val top = dfCounts
+      .orderBy(col("__df").desc, col("token")).limit(topK)
+    val capped = toks.join(broadcast(top.select(col("token"))),
+      Seq("token"), "left_semi")
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
+    val a = capped.select(col("__id"), col("token").as("a_token"))
+    val b = capped.select(col("__id"), col("token").as("b_token"))
+    a.join(b, Seq("__id"))
+      .filter(col("a_token") < col("b_token"))
+      .groupBy(col("a_token"), col("b_token"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(dfCounts.select(col("token").as("a_token"),
+        col("__df").as("__dfa"))), Seq("a_token"))
+      .join(broadcast(dfCounts.select(col("token").as("b_token"),
+        col("__df").as("__dfb"))), Seq("b_token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("a_token"), col("b_token"), col("n_ab"),
+        round(log(col("n_ab") * col("__n") / (col("__dfa") * col("__dfb"))),
+          4).as("pmi"))
+  }
+
+  /** Zipf's-law fit of the corpus token-frequency distribution: least-
+    * squares slope/intercept/R² of ln(count) against ln(rank). A corpus
+    * whose slope is far from ≈ −1 (or whose fit is poor) is the classic
+    * symptom of boilerplate flooding or broken tokenization — this is
+    * the one-row corpus health check.
+    *
+    * Token counting is the only data-scale pass (map-side-combined agg);
+    * ranking and the regression run over |vocabulary| rows. Ties rank by
+    * (count desc, token) so any engine reproduces identical ranks.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__c").desc, col("token"))
+    val xy = counts
+      .withColumn("__x", log(row_number().over(w).cast("double")))
+      .withColumn("__y", log(col("__c").cast("double")))
+    xy.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("__n").cast("long").as("n_tokens"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          .as("slope"),
+        round((col("__sy") - col("__sx") *
+          ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")))) /
+          col("__n"), 4).as("intercept"),
+        round(pow((col("__n") * col("__sxy") - col("__sx") * col("__sy")), 2) /
+          ((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+            (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 4)
+          .as("r2"))
+  }
 }

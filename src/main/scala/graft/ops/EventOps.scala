@@ -273,4 +273,111 @@ object EventOps {
       .select((leftCols.map(col) ++
         attachCols.map(c => col("__r").getField(c).as(s"asof_$c"))): _*)
   }
+
+  /** SCD1 merge (upsert): latest row per key from `updates` overrides the
+    * latest row per key from `base`; keys present on either side survive.
+    *
+    * "Latest per key" is an argmax via `max(struct(orderCols..., payload))`
+    * — a plain hash aggregate with map-side partial merge, NOT a
+    * row_number window (which would sort every group). The two one-row-
+    * per-key sides then full-outer join on the key; at 100 TB both sides
+    * shuffle once on the key and the join is 1:1.
+    *
+    * @param orderCols total-order tiebreak within a key (e.g. ts, seq)
+    * @param valueCol  the payload column carried to the output
+    * @return key, final_<valueCol> (update wins over base), src
+    *         ('update' | 'base' — which side supplied the value)
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keyCol: String,
+                  orderCols: Seq[String], valueCol: String): DataFrame = {
+    def latest(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col(keyCol))
+        .agg(max(struct((orderCols.map(col) :+ col(valueCol)): _*))
+          .getField(valueCol).as(as))
+    latest(base, "__b").join(latest(updates, "__u"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("__u"), col("__b")).as(s"final_$valueCol"),
+        when(col("__u").isNotNull, lit("update")).otherwise(lit("base"))
+          .as("src"))
+  }
+
+  /** Per-key transition (bigram) counts over an ordered event stream:
+    * how often does `a` immediately precede `b` within a key. The
+    * sequence-mining primitive behind next-event prediction features and
+    * funnel discovery.
+    *
+    * One window per key partition (`lead` over ts+seq total order) — the
+    * natural scale shape: partitions are keys, each sorted locally; the
+    * bigram count aggregation then map-side combines into at most
+    * |types|² rows.
+    */
+  def transitionCounts(events: DataFrame, keyCol: String, tsCol: String,
+                       seqCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    events
+      .select(col(keyCol), col(tsCol), col(seqCol), col(typeCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Max concurrent intervals per day (sweep-line): each event opens a
+    * closed-open interval [ts, ts + durationMinutes); the answer is the
+    * peak number of simultaneously open intervals within each day.
+    *
+    * Scale shape: the classic solution is ONE global sort of +1/−1
+    * endpoints with a running sum — a single-partition window that dies
+    * at 100 TB. Here the running sum is decomposed: endpoints partition
+    * by DAY (parallel per-day windows over (t, delta) order), and each
+    * day's carry-in (intervals still open at midnight) is the cumulative
+    * sum of per-day delta totals — a window over one row per day, driver-
+    * scale however big the data. Ordering −1 before +1 at equal t keeps
+    * the closed-open semantics (an interval ending exactly when another
+    * starts never overlaps it).
+    */
+  def maxConcurrency(events: DataFrame, durationMinutes: Int): DataFrame = {
+    val rawEnds = events.select(col("ts").as("t"), lit(1).as("delta"))
+      .unionByName(events.select(
+        (col("ts") + expr(s"interval $durationMinutes minutes")).as("t"),
+        lit(-1).as("delta")))
+    // midnight sentinel (delta 0) per day: a day whose first endpoint is
+    // an end must still report the carry-in state it woke up with
+    val sentinels = rawEnds.select(to_date(col("t")).as("day")).distinct()
+      .select(col("day").cast("timestamp").as("t"), lit(0).as("delta"))
+    val ends = rawEnds.unionByName(sentinels)
+      .withColumn("day", to_date(col("t")))
+    val inDay = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = ends
+      .withColumn("__run", sum(col("delta")).over(inDay))
+      .groupBy(col("day"))
+      .agg(max(col("__run")).as("__peak"), sum(col("delta")).as("__tot"))
+    val carry = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    perDay
+      .withColumn("__in", coalesce(sum(col("__tot")).over(carry), lit(0L)))
+      .select(col("day"), (col("__in") + col("__peak")).as("max_concurrent"))
+  }
+
+  /** Dedup-within-window stats: collapse repeats of (key, type) inside
+    * each tumbling window to their first occurrence — the batch form of
+    * streaming `dropDuplicatesWithinWatermark`, and the idempotency pass
+    * in front of any at-least-once event feed.
+    *
+    * The keeper is `min(struct(ts, seq))` per (key, type, window) — a
+    * map-side-combining aggregate, no window sort; the per-type rollup
+    * then counts groups (= kept rows) and raw rows in one more agg.
+    */
+  def windowDedupStats(events: DataFrame, keyCol: String, typeCol: String,
+                       tsCol: String, windowSpec: String): DataFrame =
+    events
+      .groupBy(col(keyCol), col(typeCol),
+        window(col(tsCol), windowSpec).as("__w"))
+      .agg(count(lit(1)).as("__raw"))
+      .groupBy(col(typeCol))
+      .agg(sum(col("__raw")).as("n_raw"), count(lit(1)).as("n_kept"),
+        round(count(lit(1)).cast("double") / sum(col("__raw")), 4)
+          .as("keep_rate"))
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,5 +226,61 @@ object StatOps {
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_rows, n_nonnull, n_distinct, min_s, max_s)")
+  }
+
+  /** Equi-depth (quantile) discretization: per group, cut the value range
+    * at the q-quantile fences from [[exactPercentiles]] and report each
+    * bin's population and value span. The feature-binning step of any
+    * large-scale feature pipeline (QuantileDiscretizer's semantics, but
+    * exact and engine-portable instead of sketch-approximate).
+    *
+    * Fences are bit-identical to `quantile_cont` on any engine, so bin
+    * assignment (`v <= fence_i` first-match) is deterministic — no row
+    * can flip bins on a ulp. Two passes over the data (fence selection +
+    * binning); the fence frame broadcasts.
+    *
+    * @param qs interior fence quantiles, ascending (e.g. 0.25, 0.5, 0.75
+    *           → 4 bins numbered 1..4)
+    */
+  def equiDepthBins(df: DataFrame, groupCol: String, valCol: String,
+                    qs: Seq[Double]): DataFrame = {
+    val g = col(groupCol)
+    val fences = exactPercentiles(df, groupCol, valCol,
+      qs.zipWithIndex.map { case (q, i) => s"__f$i" -> q })
+    val vals = df.select(g, col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bin = qs.indices.foldRight(lit(qs.size + 1): Column) { (i, els) =>
+      when(col("__v") <= col(s"__f$i"), lit(i + 1)).otherwise(els)
+    }
+    vals.join(broadcast(fences), Seq(groupCol))
+      .withColumn("bin", bin)
+      .groupBy(g, col("bin"))
+      .agg(count(lit(1)).as("n"), round(min(col("__v")), 4).as("lo"),
+        round(max(col("__v")), 4).as("hi"))
+  }
+
+  /** Exact empirical CDF over the DISTINCT values of a column: each
+    * distinct value with its count and P(X <= v). The percentile-rank /
+    * ECDF-normalization primitive.
+    *
+    * Scale shape: `cume_dist() OVER (ORDER BY v)` is a single-partition
+    * sort of every ROW — dead at 100 TB. Collapsing to distinct values
+    * first (a map-side-combining count agg) leaves the running sum a
+    * window over |distinct| rows, which for real measure columns is
+    * orders of magnitude smaller than the data; rows then look up their
+    * value's ECDF by (broadcast) join when normalizing.
+    */
+  def ecdf(df: DataFrame, valCol: String): DataFrame = {
+    val counts = df.select(col(valCol).cast("double").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts
+      .withColumn("__cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("value"), col("n"),
+        round(col("__cum") / col("__t"), 6).as("ecdf"))
   }
 }

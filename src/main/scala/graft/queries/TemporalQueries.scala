@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.EventOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 temporal/CDC manifest (SURVEY.md §2.13 X50, X51, X53-X55):
+  * the changelog-consumption operators a warehouse ingest layer runs —
+  * point-in-time dimension joins, SCD1 merge upserts, transition mining,
+  * interval concurrency, and idempotent window dedup. Each oracle-checked
+  * against DuckDB.
+  */
+object TemporalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The "dimension changelog" slice of events: purchases and signups are
+    * state changes; clicks/views/errors are facts against that state.
+    */
+  private val dimTypes = Seq("purchase", "signup")
+
+  /** q120_pit_join — point-in-time (SCD2 interval) join: each fact event
+    * picks up the dimension state valid AT its timestamp. Semantically
+    * the interval predicate `f.ts >= valid_from AND (valid_to IS NULL OR
+    * f.ts < valid_to)` over the SCD2 form of the changelog (q106); the
+    * PLAN is `EventOps.asofJoin`'s union + single key shuffle + LOCF
+    * window — no range theta-join (BNLJ at scale) anywhere. The DuckDB
+    * oracle runs the explicit interval join, proving the equivalence.
+    */
+  def q120PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.filter(col("event_type").isin(dimTypes: _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val fact = ev.filter(!col("event_type").isin(dimTypes: _*))
+    EventOps.asofJoin(fact, dim, "user_id", "ts", Seq("event_id", "value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("asof_event_id")).as("n_matched"),
+        round(sum(col("asof_value")), 2).as("state_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  private val mergeCutoff = "2024-01-16 00:00:00"
+
+  /** q121_merge_upsert — SCD1 merge (`EventOps.mergeUpsert`): the latest
+    * pre-cutoff state per user merged with post-cutoff updates; updates
+    * win, unmatched keys survive from either side. Latest-per-key is an
+    * argmax `max(struct(ts, seq, value))` hash aggregate — map-side
+    * combining, no row_number sort — and the merge itself is a 1:1
+    * full-outer join on the key.
+    */
+  def q121MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventOps.mergeUpsert(
+      ev.filter(col("ts") < lit(mergeCutoff).cast("timestamp")),
+      ev.filter(col("ts") >= lit(mergeCutoff).cast("timestamp")),
+      "user_id", Seq("ts", "event_id"), "value")
+      .select(col("user_id"), round(col("final_value"), 2).as("final_value"),
+        col("src"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q122_event_bigrams — per-user transition counts
+    * (`EventOps.transitionCounts`): how often event type `a` immediately
+    * precedes `b` in a user's stream. One lead() window per user
+    * partition; the |types|² count rollup map-side combines.
+    */
+  def q122EventBigrams(s: SparkSession, dir: String): DataFrame =
+    EventOps.transitionCounts(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** q123_concurrency — peak concurrent 30-minute intervals per day
+    * (`EventOps.maxConcurrency`): sweep-line over +1/−1 endpoints, with
+    * the global running sum decomposed into parallel per-day windows plus
+    * a days-sized carry-in — the only shape where the sweep survives
+    * 100 TB (a single global ORDER BY dies).
+    */
+  def q123Concurrency(s: SparkSession, dir: String): DataFrame =
+    EventOps.maxConcurrency(Tables.events(s, dir), durationMinutes = 30)
+      .orderBy(col("day"))
+
+  /** q124_window_dedup — idempotency pass over an at-least-once feed
+    * (`EventOps.windowDedupStats`): repeats of (user, type) within each
+    * tumbling hour collapse to their first occurrence via a
+    * `min(struct)` aggregate (batch form of streaming
+    * `dropDuplicatesWithinWatermark`); per-type keep rates fall out of
+    * the same aggregation tree.
+    */
+  def q124WindowDedup(s: SparkSession, dir: String): DataFrame =
+    EventOps.windowDedupStats(Tables.events(s, dir),
+      "user_id", "event_type", "ts", "1 hour")
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "q120_pit_join" -> (q120PitJoin _),
+    "q121_merge_upsert" -> (q121MergeUpsert _),
+    "q122_event_bigrams" -> (q122EventBigrams _),
+    "q123_concurrency" -> (q123Concurrency _),
+    "q124_window_dedup" -> (q124WindowDedup _),
+  )
+
+  private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q120_pit_join" ->
+      s"""WITH dim AS (SELECT user_id, ts AS valid_from, event_id, value,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM events WHERE event_type IN ($dimTypesSql)),
+        |fact AS (SELECT * FROM events
+        |         WHERE event_type NOT IN ($dimTypesSql))
+        |SELECT f.user_id, count(*) AS n_events,
+        |  count(d.event_id) AS n_matched,
+        |  round(sum(d.value), 2) AS state_sum
+        |FROM fact f LEFT JOIN dim d ON f.user_id = d.user_id
+        |  AND f.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |GROUP BY f.user_id ORDER BY f.user_id""".stripMargin,
+    "q121_merge_upsert" ->
+      s"""WITH r AS (SELECT user_id, value,
+        |    ts >= TIMESTAMP '$mergeCutoff' AS is_upd,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, ts >= TIMESTAMP '$mergeCutoff'
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |b AS (SELECT user_id, value FROM r WHERE NOT is_upd AND rn = 1),
+        |u AS (SELECT user_id, value FROM r WHERE is_upd AND rn = 1)
+        |SELECT coalesce(b.user_id, u.user_id) AS user_id,
+        |  round(coalesce(u.value, b.value), 2) AS final_value,
+        |  CASE WHEN u.user_id IS NOT NULL THEN 'update' ELSE 'base' END
+        |    AS src
+        |FROM b FULL OUTER JOIN u ON b.user_id = u.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q122_event_bigrams" ->
+      """WITH t AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    "q123_concurrency" ->
+      """WITH ends AS (
+        |  SELECT ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 30 MINUTE, -1 FROM events),
+        |sent AS (SELECT DISTINCT t::DATE::TIMESTAMP AS t, 0 AS delta
+        |         FROM ends),
+        |pts AS (SELECT * FROM ends UNION ALL SELECT * FROM sent),
+        |run AS (SELECT t::DATE AS day, delta,
+        |    sum(delta) OVER (PARTITION BY t::DATE ORDER BY t, delta
+        |      ROWS UNBOUNDED PRECEDING) AS r
+        |  FROM pts),
+        |d AS (SELECT day, max(r) AS peak, sum(delta) AS tot FROM run
+        |      GROUP BY day),
+        |c AS (SELECT day, peak, coalesce(sum(tot) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS carry_in
+        |  FROM d)
+        |SELECT day, (carry_in + peak)::BIGINT AS max_concurrent
+        |FROM c ORDER BY day""".stripMargin,
+    "q124_window_dedup" ->
+      """WITH g AS (SELECT event_type, count(*) AS raw
+        |  FROM events
+        |  GROUP BY user_id, event_type, date_trunc('hour', ts))
+        |SELECT event_type, sum(raw)::BIGINT AS n_raw, count(*) AS n_kept,
+        |  round(count(*)::DOUBLE / sum(raw), 4) AS keep_rate
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -67,10 +67,11 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val tinyBroadcastCross = Set(
     "q28_cosine_topk", "q44_cosine_expr", "q39_scalar_subquery",
     "q42_cross_join", "q62_tfidf_keywords",
-    // q88/q96/q111/q112/q118 cross-join a broadcast 1-row scalar
-    // (corpus totals / max day / unigram N+V)
+    // q88/q96/q111/q112/q118/q127/q129 cross-join a broadcast 1-row
+    // scalar (corpus totals / max day / unigram N+V / ECDF total / nDocs)
     "q88_doc_frequency", "q96_sliding_distinct", "q111_heavy_hitters",
-    "q112_drift", "q117_bm25", "q118_unigram_logprob",
+    "q112_drift", "q117_bm25", "q118_unigram_logprob", "q127_ecdf",
+    "q129_token_pmi",
     // q45 is an EXACT cosine-threshold join: all-pairs by definition
     // (the oracle verifies exact pairs). Its scale-path siblings are
     // the SRP-LSH bucketed join and IVF ANN in VectorOps.
