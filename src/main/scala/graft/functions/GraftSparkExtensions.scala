@@ -87,9 +87,17 @@ object GraftSparkExtensions {
       RollingHashExpr(children.head)
     })
 
+  val vecNorm: FnDef = (
+    FunctionIdentifier("vec_norm"),
+    new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "vec_norm takes exactly 1 argument")
+      VecNorm(children.head)
+    })
+
   val all: Seq[FnDef] =
     Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8,
-      wordShingles, rollingHash)
+      wordShingles, rollingHash, vecNorm)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

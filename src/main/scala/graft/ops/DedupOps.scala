@@ -129,23 +129,39 @@ object DedupOps {
   def minhashAccuracy(df: DataFrame, idCol: String, tokens: Column,
                       nHashes: Int, rowsPerBand: Int): DataFrame = {
     val sigCols = (0 until nHashes).map(i => s"mh$i")
-    val t = withMinhash(df.select(col(idCol), tokens.as("__toks")),
-        col("__toks"), nHashes)
-      .withColumn("__n", size(col("__toks")))
+    // Dense-rank the vocabulary and carry token sets into the pair join
+    // as INT-id arrays: the per-candidate-pair intersection (the hot
+    // loop — degenerate corpora make candidates quadratic) then hashes
+    // ints instead of strings. array_position over the sorted broadcast
+    // vocab is injective, so intersection sizes — hence exact Jaccard —
+    // are unchanged. Signatures still hash the original tokens.
+    val raw = withMinhash(df.select(col(idCol), tokens.as("__toks")),
+      col("__toks"), nHashes)
+    val vocab = raw.select(explode(col("__toks")).as("t")).distinct()
+      .agg(sort_array(collect_list(col("t"))).as("__vl"))
+    val t = raw
+      .crossJoin(broadcast(vocab))
+      .withColumn("__ti",
+        transform(col("__toks"), x => array_position(col("__vl"), x).cast("int")))
+      .withColumn("__n", size(col("__ti")))
+      .drop("__toks", "__vl")
       .localCheckpoint()
     val pairs = candidatePairs(minhashBands(t, idCol, sigCols, rowsPerBand), idCol)
     def side(sfx: String) = t.select(
-      (col(idCol).as(s"id_$sfx") +: col("__toks").as(s"__toks_$sfx") +:
+      (col(idCol).as(s"id_$sfx") +: col("__ti").as(s"__ti_$sfx") +:
         col("__n").as(s"__n_$sfx") +:
         sigCols.map(c => col(c).as(s"${c}_$sfx"))): _*)
     val agree = sigCols.map(c =>
       when(col(s"${c}_a") === col(s"${c}_b"), 1).otherwise(0))
       .reduce(_ + _)
-    val inter = size(array_intersect(col("__toks_a"), col("__toks_b")))
     pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      // own projection: array_intersect is non-cheap, so CollapseProject
+      // keeps it single-evaluated here instead of inlining it twice
+      .withColumn("__i",
+        size(array_intersect(col("__ti_a"), col("__ti_b"))).cast("double"))
       .withColumn("est_jacc", agree.cast("double") / nHashes)
-      .withColumn("jaccard", inter.cast("double") /
-        (col("__n_a") + col("__n_b") - inter))
+      .withColumn("jaccard",
+        col("__i") / (col("__n_a") + col("__n_b") - col("__i")))
       .select(col("id_a"), col("id_b"), col("est_jacc"), col("jaccard"))
   }
 

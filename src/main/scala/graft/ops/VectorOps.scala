@@ -23,6 +23,14 @@ object VectorOps {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Native codegen L2 norm (`graft.functions.VecNorm`) — identical
+    * doubles to [[norm]] (same accumulation order), but a fused
+    * primitive loop inside WholeStageCodegen instead of an interpreted
+    * HOF chain. Prefer in hot paths; needs graft extensions registered
+    * (all session builders here do).
+    */
+  def normNative(v: Column): Column = call_function("vec_norm", v)
+
   /** HOF cosine (no session/extension needed — the fallback; prefer
     * [[cosineNative]] in any hot path: higher-order functions are
     * CodegenFallback, so every call site evaluates interpreted AND

@@ -89,9 +89,11 @@ object CorpusQueries {
     * flag can't flip on a final-ulp double difference.
     */
   def q102NormOutliers(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
     val n = Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"),
-        VectorOps.norm(col("embedding")).as("nrm"))
+        VectorOps.normNative(col("embedding")).as("nrm"))
+      .localCheckpoint()
     val pct = StatOps.exactPercentiles(n, "label", "nrm",
       Seq("p25" -> 0.25, "p75" -> 0.75))
     val lo = round(col("p25") - (col("p75") - col("p25")) * 1.5, 4)
@@ -293,9 +295,14 @@ object CorpusQueries {
     * for embedding post-processing.
     */
   def q119RobustScale(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    // norms materialize ONCE (localCheckpoint): seven downstream passes
+    // (2 × 3-pass selection + count) reread a 3-column frame instead of
+    // re-deriving the norm from the embedding array each time
     val n = Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"),
-        VectorOps.norm(col("embedding")).as("nrm"))
+        VectorOps.normNative(col("embedding")).as("nrm"))
+      .localCheckpoint()
     val med = StatOps.exactPercentiles(n, "label", "nrm", Seq("med" -> 0.5))
     val dev = n.join(broadcast(med), Seq("label"))
       .select(col("label"), abs(col("nrm") - col("med")).as("dev"))

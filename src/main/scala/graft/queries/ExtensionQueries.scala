@@ -257,12 +257,14 @@ object ExtensionQueries {
   }
 
   /** q29_embedding_stats — per-label L2-norm statistics. */
-  def q29EmbeddingStats(s: SparkSession, dir: String): DataFrame =
+  def q29EmbeddingStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
     Tables.embeddings(s, dir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(VectorOps.norm(col("embedding"))), 4).as("avg_norm"))
+        round(avg(VectorOps.normNative(col("embedding"))), 4).as("avg_norm"))
       .orderBy(col("label"))
+  }
 
   /** q45_embedding_neardup — embedding-cosine near-duplicate pairs
     * (exact). All-pairs native-cosine with id-ordered dedup; the

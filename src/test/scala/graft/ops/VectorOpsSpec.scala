@@ -14,6 +14,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("normNative is bit-identical to the HOF norm on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val both = emb.select(
+      VectorOps.norm(col("embedding")).as("hof"),
+      VectorOps.normNative(col("embedding")).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    // null array → null; known vector → exact value
+    val df = Seq((Some(Seq(3f, 4f)), Option.empty[Seq[Float]]))
+      .toDF("v", "nv")
+    assert(df.select(VectorOps.normNative(col("v"))).head().getDouble(0) == 5.0)
+    assert(df.select(VectorOps.normNative(col("nv"))).head().isNullAt(0))
+  }
+
   test("cosine is symmetric and bounded") {
     val df = Seq((Seq(0.3f, -1.2f, 4f), Seq(-2f, 0.5f, 1f))).toDF("a", "b")
     val ab = df.select(VectorOps.cosine(col("a"), col("b"))).head().getDouble(0)
