@@ -95,9 +95,17 @@ object GraftSparkExtensions {
       VecNorm(children.head)
     })
 
+  val poissonDraw: FnDef = (
+    FunctionIdentifier("poisson_draw"),
+    new ExpressionInfo(classOf[PoissonDraw].getName, "poisson_draw"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "poisson_draw takes (u, lambda, cap)")
+      PoissonDraw(children.head, children(1), children(2))
+    })
+
   val all: Seq[FnDef] =
     Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8,
-      wordShingles, rollingHash, vecNorm)
+      wordShingles, rollingHash, vecNorm, poissonDraw)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

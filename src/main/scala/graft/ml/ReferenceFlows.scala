@@ -53,7 +53,8 @@ object ReferenceFlows {
   def multiclassFlow(df: DataFrame, freqCols: Seq[String], catCols: Seq[String],
                      numCols: Seq[String], labelCol: String,
                      targetPerClass: Long, treeKind: String = "rf",
-                     tune: String = "none", seed: Long = 42L): MulticlassResult = {
+                     tune: String = "none", seed: Long = 42L,
+                     rfNumTrees: Int = 20): MulticlassResult = {
     // C1 — persist the frequency-encoded frame across its consumers
     // (the balancer's count pass + sampled scan), same placement as the
     // reference (`random_forest_final_class_8.py:104-106`) but
@@ -74,7 +75,8 @@ object ReferenceFlows {
     val featureNames = catCols.map(c => s"${c}_idx") ++ allNum
     val (model, preds) = treeKind match {
       case "rf" =>
-        val rf = ClassifierPipelines.randomForest(seed = seed)
+        val rf = ClassifierPipelines.randomForest(numTrees = rfNumTrees,
+          seed = seed)
         val pipe = ClassifierPipelines.pipeline(catCols, allNum, labelCol, rf)
         tune match {
           case "cv" =>

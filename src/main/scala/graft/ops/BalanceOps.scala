@@ -86,23 +86,20 @@ object BalanceOps {
         "unrolled Poisson walk; use resamplePerClassScan for >200x " +
         "oversampling of a class")
     val cap = math.max(10, math.ceil(maxLam + 10 * math.sqrt(maxLam) + 10).toInt)
-    // Poisson(λ) draw per row via inverse-CDF walk. The uniform MUST be
-    // materialized as its own column first: inlining rand(seed) into
-    // every `when` branch would create independent RNG streams whose
-    // short-circuited evaluation desynchronizes per row, biasing the
-    // draw. Rand is nondeterministic, so CollapseProject keeps the
+    // Poisson(λ) draw per row via the native inverse-CDF loop
+    // (`functions.PoissonDraw`): N = #{k ≤ cap : U > CDF(k−1)}. The
+    // former pure-Column unrolled fold embedded each step's term/cum
+    // subtree (and the λ when-chain) into the next — a quadratically
+    // large tree whose per-job analysis/codegen dominated the resample
+    // at any data size. Draws are bit-identical (same op order).
+    // The uniform MUST be materialized as its own column first:
+    // inlining rand(seed) per consumer would create independent RNG
+    // streams. Rand is nondeterministic, so CollapseProject keeps the
     // projection boundary and each row reads one shared u.
+    graft.functions.GraftSparkExtensions.register(df.sparkSession)
     val withU = df.withColumn("__u", rand(seed))
-    val u = col("__u")
-    val lam = fracExpr
-    // N = #{k : U > CDF(k-1)}
-    val cdf0 = exp(-lam)
-    val copies = (1 to cap).foldLeft((lit(0), cdf0, cdf0)) {
-      case ((n, term, cum), k) =>
-        val nextN = when(u > cum, lit(k)).otherwise(n)
-        val nextTerm = term * lam / k
-        (nextN, nextTerm, cum + nextTerm)
-    }._1
+    val copies = call_function("poisson_draw",
+      col("__u"), fracExpr.cast("double"), lit(cap))
     withU.withColumn("__copies", copies)
       .filter(col("__copies") > 0)
       .withColumn("__dup", explode(sequence(lit(1), col("__copies"))))

@@ -184,8 +184,73 @@ object PipelineQueries {
       .toDF("tp", "fp", "tn", "fn", "auc")
   }
 
+  /** q133_topic_model — the reference's entry point C as a manifest
+    * entry (M18-M21: clean → StopWordsRemover → CountVectorizer → IDF →
+    * EM LDA, `complaints_narrative_LDA.py:25-127`): top terms per topic
+    * via the vocab-array join-back (D2's broadcast-vocab mapping, no
+    * UDF). Model output is engine-specific → rows-only driver check;
+    * determinism and pipeline invariants are asserted in
+    * `TopicPipelineSpec`. Sampled to doc_id % 5 == 0 and k=4/5 iters so
+    * the fit stays a small fixed share of bench time (reference scale:
+    * k=25, 1.7 M narratives).
+    */
+  def q133TopicModel(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.TopicPipeline
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+    val r = TopicPipeline.fit(docs, "text", k = 4, seed = 123L,
+      vocabSize = 64, maxIter = 5)
+    TopicPipeline.topicsWithWords(r, maxTermsPerTopic = 5)
+      .select(col("topic"),
+        array_join(col("termWords"), " ").as("top_terms"),
+        round(element_at(col("termWeights"), 1), 4).as("w0"))
+      .orderBy(col("topic"))
+  }
+
+  /** q134_rf_confusion — the reference's entry point B as a manifest
+    * entry (M1-M4/M7/M16: frequency encoding → per-class resample to
+    * target → seeded split → RandomForest → confusion matrix,
+    * `random_forest_final_class_8.py`). Rows-only driver check (tree
+    * training is not SQL-expressible); flow invariants live in
+    * `ClassifierPipelinesSpec`/`FrequencyEncoderModelSpec`. Sampled and
+    * untuned to bound bench time — the CV/TVS tuned forms are exercised
+    * in specs.
+    */
+  def q134RfConfusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.ClassifierPipelines
+    import graft.ops.{BalanceOps, FrequencyEncoder}
+    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 0)
+    // the flow's stages inline (encode → balance → split → fit →
+    // confusion): the full multiclassFlow additionally computes metric/
+    // per-class/importance frames this entry would discard — see
+    // ClassifierPipelinesSpec for those surfaces
+    val enc = FrequencyEncoder.encodeAll(orders,
+      Seq("o_custkey" -> "frequency_o_custkey"))
+    val balanced = BalanceOps.resampleToTarget(enc, "o_orderpriority", 200L)
+    val (train0, test0) = BalanceOps.trainTestSplit(balanced, 0.7, 42L)
+    // pin the SPLITS, not the encode layer: the tree fit re-reads its
+    // training frame ~depth × trees times, and every uncached read
+    // would re-run the whole resample expression + split lineage
+    val train = train0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val test = test0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pipe = ClassifierPipelines.pipeline(Seq("o_orderstatus"),
+      Seq("o_totalprice", "frequency_o_custkey"), "o_orderpriority",
+      ClassifierPipelines.randomForest(numTrees = 8))
+    val preds = pipe.fit(train).transform(test)
+    val cm = ClassifierPipelines.confusionMatrix(preds)
+    // classes² rows, driver-scale (the reference plots this matrix):
+    // collect while the splits are pinned, so the returned frame doesn't
+    // re-run the resample/fit lineage when the driver materializes it
+    val rows = cm.collect().toSeq
+    train.unpersist(false)
+    test.unpersist(false)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, cm.schema)
+  }
+
   val queries: Map[String, Q] = Map(
     "q114_ml_eval" -> (q114MlEval _),
+    "q133_topic_model" -> (q133TopicModel _),
+    "q134_rf_confusion" -> (q134RfConfusion _),
     "q104_streaks" -> (q104Streaks _),
     "q106_scd2" -> (q106Scd2 _),
     "q107_histogram" -> (q107Histogram _),

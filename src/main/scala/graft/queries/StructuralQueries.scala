@@ -234,9 +234,31 @@ object StructuralQueries {
       .orderBy(col("modality"))
   }
 
+  /** q132_partitioned_sink — partitioned file sink + partition-pruned
+    * read-back (S5 extension): events written `partitionBy(day)`, one
+    * day read back through the partition filter — the scan touches ONE
+    * directory regardless of corpus size (the layout that makes daily
+    * incremental processing O(day), not O(history), at 100 TB).
+    * PartitionFilters pruning is asserted in PlanQualitySpec; the
+    * aggregate is oracle-checked against the unpartitioned source.
+    */
+  def q132PartitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q132_part_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    s.read.parquet(path)
+      .filter(col("day") === "2024-01-15")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q82_clean_text" -> (q82CleanText _),
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
+    "q132_partitioned_sink" -> (q132PartitionedSink _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
@@ -249,6 +271,11 @@ object StructuralQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q132_partitioned_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events WHERE ts::DATE = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q74_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,

@@ -103,6 +103,13 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"JSON parse was pushed below the repartition:\n$plan")
   }
 
+  test("q132 partitioned-sink read-back prunes to one partition") {
+    val plan = planOf(SparkEntry.queries("q132_partitioned_sink")(spark, sf0001))
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("2024-01-15"),
+      s"day filter should prune partitions, not scan them:\n$plan")
+  }
+
   test("chunkTokens is a pure generator projection — zero exchanges") {
     val docs = Tables.documents(spark, sf0001)
     val plan = planOf(graft.ops.CurationOps

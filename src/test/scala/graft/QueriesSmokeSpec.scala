@@ -19,7 +19,11 @@ class QueriesSmokeSpec extends SparkSpec {
       "q83_multimodal_features",
       // model training is not SQL-expressible; determinism + metric
       // bounds are asserted in ClassifierPipelinesSpec
-      "q114_ml_eval")
+      "q114_ml_eval",
+      // entry points C and B as manifest queries: LDA topics and the
+      // RF confusion matrix are model outputs — pipeline invariants in
+      // TopicPipelineSpec / ClassifierPipelinesSpec
+      "q133_topic_model", "q134_rf_confusion")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
