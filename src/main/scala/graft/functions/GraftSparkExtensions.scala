@@ -103,9 +103,18 @@ object GraftSparkExtensions {
       PoissonDraw(children.head, children(1), children(2))
     })
 
+  val sortedIntersectCount: FnDef = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName,
+      "sorted_intersect_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "sorted_intersect_count takes (a, b)")
+      SortedIntersectCount(children.head, children(1))
+    })
+
   val all: Seq[FnDef] =
     Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8,
-      wordShingles, rollingHash, vecNorm, poissonDraw)
+      wordShingles, rollingHash, vecNorm, poissonDraw, sortedIntersectCount)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

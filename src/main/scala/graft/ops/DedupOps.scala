@@ -135,14 +135,15 @@ object DedupOps {
     // ints instead of strings. array_position over the sorted broadcast
     // vocab is injective, so intersection sizes — hence exact Jaccard —
     // are unchanged. Signatures still hash the original tokens.
+    graft.functions.GraftSparkExtensions.register(df.sparkSession)
     val raw = withMinhash(df.select(col(idCol), tokens.as("__toks")),
       col("__toks"), nHashes)
     val vocab = raw.select(explode(col("__toks")).as("t")).distinct()
       .agg(sort_array(collect_list(col("t"))).as("__vl"))
     val t = raw
       .crossJoin(broadcast(vocab))
-      .withColumn("__ti",
-        transform(col("__toks"), x => array_position(col("__vl"), x).cast("int")))
+      .withColumn("__ti", sort_array(
+        transform(col("__toks"), x => array_position(col("__vl"), x).cast("int"))))
       .withColumn("__n", size(col("__ti")))
       .drop("__toks", "__vl")
       .localCheckpoint()
@@ -155,10 +156,12 @@ object DedupOps {
       when(col(s"${c}_a") === col(s"${c}_b"), 1).otherwise(0))
       .reduce(_ + _)
     pairs.join(side("a"), "id_a").join(side("b"), "id_b")
-      // own projection: array_intersect is non-cheap, so CollapseProject
-      // keeps it single-evaluated here instead of inlining it twice
+      // sorted two-pointer merge count (native, zero-allocation): the
+      // per-pair hot loop — array_intersect would build a hash set AND
+      // the intersection array per pair just to take its size
       .withColumn("__i",
-        size(array_intersect(col("__ti_a"), col("__ti_b"))).cast("double"))
+        call_function("sorted_intersect_count",
+          col("__ti_a"), col("__ti_b")).cast("double"))
       .withColumn("est_jacc", agree.cast("double") / nHashes)
       .withColumn("jaccard",
         col("__i") / (col("__n_a") + col("__n_b") - col("__i")))

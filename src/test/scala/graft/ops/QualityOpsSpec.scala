@@ -73,6 +73,19 @@ class QualityOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", "b"))) // 'rare' never reaches the join
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted sets") {
+    graft.functions.GraftSparkExtensions.register(spark)
+    val df = spark.range(500).select(
+      sort_array(array_distinct(transform(sequence(lit(0), (col("id") % 7 + 3).cast("int")),
+        i => pmod(i * (col("id") + 13), lit(23)).cast("int")))).as("a"),
+      sort_array(array_distinct(transform(sequence(lit(0), (col("id") % 5 + 2).cast("int")),
+        i => pmod(i * (col("id") + 7), lit(23)).cast("int")))).as("b"))
+    val bad = df.filter(
+      call_function("sorted_intersect_count", col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b")))).count()
+    assert(bad == 0)
+  }
+
   test("zipfFit recovers an exact power law with r2 = 1") {
     // counts 64,32,16,8: ln c = ln 128 - 1 * ln rank exactly... rank_i=2^i
     // construct corpus where token t_i appears 2^(4-i) times
