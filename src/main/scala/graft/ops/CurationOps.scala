@@ -343,6 +343,49 @@ object CurationOps {
           count(lit(1)), 4).as("logprob"))
   }
 
+  /** Bigram language-model scoring — [[unigramLogProb]]'s next rung:
+    * per document, the mean conditional log-probability of its token
+    * BIGRAMS under the corpus's own add-one-smoothed bigram model.
+    * Catches word-salad documents whose unigram distribution looks
+    * fine but whose transitions are improbable (the failure mode
+    * unigram screens can't see).
+    *
+    *   p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    *
+    * where c(w1 ·) counts bigrams with history w1 and V is the corpus
+    * vocabulary size (add-one over possible successors).
+    *
+    * Scale shape: bigrams are a zero-shuffle generator projection
+    * (zip_with over the token array); the bigram and history count
+    * tables are map-side-combined aggregations, vocabulary-bounded,
+    * and join back broadcast. V rides in-plan as a broadcast scalar.
+    *
+    * @return (idCol, n_bigrams, logprob) — rounded to 4 dp, docs with
+    *         fewer than 2 tokens omitted
+    */
+  def bigramLogProb(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bi = t.select(col(idCol), explode(
+        zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1"), col("__bg.w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    val v = df.select(explode(TextOps.tokenSet(col(textCol))).as("__tok"))
+      .agg(count_distinct(col("__tok")).cast("double").as("__v"))
+    bi.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log((col("__c2") + 1) / (col("__c1") + col("__v")))) /
+          count(lit(1)), 4).as("logprob"))
+  }
+
   /** Corpus-level document frequency with a minimum-share cutoff: the
     * tokens appearing in at least `minFrac` of all documents. The
     * classic boilerplate/stopword discovery pass (df-too-high tokens

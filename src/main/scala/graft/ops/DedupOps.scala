@@ -283,6 +283,118 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Exact threshold Jaccard self-join via prefix filtering (AllPairs/
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+    * EXACT counterpart to MinHash-LSH. Where LSH trades recall for
+    * speed, the prefix filter is lossless: every pair with
+    * J(a, b) >= threshold is emitted, yet no all-pairs cross ever runs.
+    *
+    * How: tokens are rank-encoded by ascending document frequency
+    * (rarest first — the canonical order that minimizes candidates);
+    * each doc's candidate-generating prefix is its first
+    * n - floor(t*n) + 1 rarest tokens. Pigeonhole: two sets with
+    * J >= t (hence overlap >= ceil(t*|a|), given the size filter
+    * t*|a| <= |b| <= |a|/t) MUST share a prefix token — so the
+    * equi-join on prefix-token id has full recall, and only those
+    * candidates pay the exact verify.
+    *
+    * Scale shape: two exploded-token shuffles (rank join + prefix
+    * join) and a candidate-pair verify with the zero-allocation
+    * `sorted_intersect_count` two-pointer merge over int-rank arrays.
+    * The prefix join's key is a single int whose frequency is BOUNDED
+    * by construction — rare tokens head the prefixes, so no hot-key
+    * skew even on Zipfian vocabularies (contrast a join on raw
+    * tokens, where "the" would be a straggler).
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, unrounded.
+    */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, tokens: Column,
+                        threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    graft.functions.GraftSparkExtensions.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("__id"), tokens.as("__toks"))
+    val exploded = toks.select(col("__id"), explode(col("__toks")).as("__t"))
+    // ascending-df rank: ties broken by token for a total (engine-
+    // portable) order. The vocab frame is vocab-sized, so its window
+    // sort is not a corpus-scale concern.
+    val vocab = exploded.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__df"), col("__t"))))
+      .select(col("__t"), col("__rank"))
+    // re-assemble each doc as a sorted int-rank array (rarest-first ==
+    // ascending rank, so the sorted array IS the canonical prefix
+    // order and feeds sorted_intersect_count directly)
+    val ranked = exploded.join(vocab, Seq("__t"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__rank").cast("int"))).as("__r"))
+      .withColumn("__n", size(col("__r")))
+      // floor (not ceil) keeps the prefix a hair LONGER than the
+      // minimal |x| - ceil(t|x|) + 1 — immune to double rounding at
+      // integer t*n boundaries, always complete
+      .withColumn("__plen",
+        least(col("__n"),
+          (col("__n") - floor(col("__n") * threshold) + 1).cast("int")))
+      .localCheckpoint() // both join sides + verify read this frame
+    val prefixes = ranked.select(col("__id"), col("__n"),
+      explode(slice(col("__r"), lit(1), col("__plen"))).as("__pt"))
+    val cands = prefixes.select(col("__pt"), col("__id").as("id_a"), col("__n").as("__na"))
+      .join(prefixes.select(col("__pt"), col("__id").as("id_b"), col("__n").as("__nb")),
+        Seq("__pt"))
+      .filter(col("id_a") < col("id_b"))
+      // size filter: J >= t forces t <= |a|/|b| <= 1/t (epsilon guards
+      // the exact-boundary double product, e.g. 5 * 0.6 -> 3.0000…04)
+      .filter(col("__nb") >= col("__na") * threshold - 1e-9 &&
+        col("__na") >= col("__nb") * threshold - 1e-9)
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(ranked.select(col("__id").as("id_a"), col("__r").as("__ra"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(ranked.select(col("__id").as("id_b"), col("__r").as("__rb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__i",
+        call_function("sorted_intersect_count", col("__ra"), col("__rb"))
+          .cast("double"))
+      .withColumn("jaccard",
+        col("__i") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[contaminationHits]] restated for a benchmark side too large to
+    * broadcast as an exact hash set: a Bloom filter over the eval
+    * shingle hashes (`df.stat.bloomFilter` — constant-size bits at any
+    * eval-set cardinality) broadcasts instead, prunes the corpus
+    * shingle stream in the scan stage, and only the surviving sliver
+    * pays the exact shuffle join against the true hash set. False
+    * positives cost a re-check, never a wrong answer — the output is
+    * exactly [[contaminationHits]]'s.
+    *
+    * At 100 TB this is the standard asymmetric-join downgrade path:
+    * broadcast-exact (q85) while the eval side fits, Bloom-prune +
+    * shuffle-verify when it doesn't. fpp sizes bits/element
+    * (~ -ln(fpp)·1.44 bits): 1 % ≈ 9.6 bits/shingle vs 64-bit exact
+    * hashes — ~7× smaller broadcast for the same pruning work.
+    */
+  def bloomContaminationHits(corpus: DataFrame, bench: DataFrame,
+                             idCol: String, textCol: String, n: Int,
+                             fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol),
+        explode(TextOps.wordShingles(col(textCol), n)).as("__sh"))
+      .select(col(idCol), TextOps.hash32(col("__sh")).as("sh_hash"))
+    val b = bench.select(explode(TextOps.wordShingles(col(textCol), n)).as("__sh"))
+      .select(TextOps.hash32(col("__sh")).as("sh_hash")).distinct()
+      .localCheckpoint() // sketched once, then the verify join's build side
+    val bf = b.stat.bloomFilter("sh_hash", math.max(b.count(), 1L), fpp)
+    val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfBc.value.mightContainLong(h))
+    c.filter(mightContain(col("sh_hash")))
+      .join(b, Seq("sh_hash")) // exact re-check: kills FPs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Connected components over an undirected edge list — the final step
     * of any near-dup pipeline: candidate pairs only relate docs
     * PAIRWISE; keeping one representative per duplicate GROUP needs the

@@ -259,6 +259,64 @@ object StatOps {
         round(max(col("__v")), 4).as("hi"))
   }
 
+  /** Population Stability Index between a reference cohort and every
+    * other cohort — the standard ML-monitoring drift score for NUMERIC
+    * features (q112's KL covers categorical ones). Bins are the
+    * reference cohort's own equi-depth quantile fences (so ref shares
+    * are ~uniform by construction and the score is scale-free);
+    * PSI = Σ_bins (cur_i − ref_i)·ln(cur_i/ref_i), with +0.5 Laplace
+    * smoothing on counts so an empty bin contributes a finite term.
+    *
+    * Scale shape: one [[exactPercentiles]] selection pass over the
+    * reference cohort (no sort), then ONE binning aggregation over all
+    * rows against the broadcast fences. The bin grid is densified
+    * in-plan (cohorts × nBins via `sequence` explode), so missing bins
+    * appear with count 0 — no driver round trip, no fragile outer join
+    * on observed bins. Returns one row per (cohort, bin):
+    * (cohort, bin, ref_share, cur_share, psi_term) plus the per-cohort
+    * total in `psi` (repeated per row), unrounded.
+    */
+  def psi(df: DataFrame, cohortCol: String, refCohort: String,
+          valCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2)
+    val qs = (1 until nBins).map(i => s"__f${i - 1}" -> i.toDouble / nBins)
+    val fences = exactPercentiles(
+      df.filter(col(cohortCol) === refCohort).withColumn("__g", lit(1)),
+      "__g", valCol, qs).drop("__g")
+    val vals = df.select(col(cohortCol).as("cohort"),
+        col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bin = (0 until nBins - 1).foldRight(lit(nBins): Column) { (i, els) =>
+      when(col("__v") <= col(s"__f$i"), lit(i + 1)).otherwise(els)
+    }
+    val counts = vals.crossJoin(broadcast(fences))
+      .withColumn("bin", bin)
+      .groupBy(col("cohort"), col("bin"))
+      .agg(count(lit(1)).as("__c"))
+    // densify: every cohort × bin 1..nBins, zero-filled — smoothing
+    // needs the ABSENT bins' terms too
+    val grid = counts.groupBy(col("cohort"))
+      .agg(sum(col("__c")).as("__tot"))
+      .select(col("cohort"), col("__tot"),
+        explode(sequence(lit(1), lit(nBins))).as("bin"))
+    val share = (coalesce(col("__c"), lit(0L)) + 0.5) /
+      (col("__tot") + 0.5 * nBins)
+    val smoothed = grid.join(counts, Seq("cohort", "bin"), "left")
+      .select(col("cohort"), col("bin"), share.as("__share"))
+    val ref = smoothed.filter(col("cohort") === refCohort)
+      .select(col("bin"), col("__share").as("ref_share"))
+    smoothed.filter(col("cohort") =!= refCohort)
+      .join(broadcast(ref), Seq("bin"))
+      .withColumn("cur_share", col("__share"))
+      .withColumn("psi_term",
+        (col("cur_share") - col("ref_share")) *
+          log(col("cur_share") / col("ref_share")))
+      .withColumn("psi",
+        sum(col("psi_term")).over(Window.partitionBy(col("cohort"))))
+      .select(col("cohort"), col("bin"), col("ref_share"),
+        col("cur_share"), col("psi_term"), col("psi"))
+  }
+
   /** Exact empirical CDF over the DISTINCT values of a column: each
     * distinct value with its count and P(X <= v). The percentile-rank /
     * ECDF-normalization primitive.

@@ -65,11 +65,79 @@ object CurationQueries {
       Tables.parallelize(Tables.documents(s, dir)), "text", minFrac = 0.25)
       .orderBy(col("df").desc, col("token"))
 
+  /** q136_prefix_join — EXACT threshold-Jaccard self-join via prefix
+    * filtering (`DedupOps.prefixJaccardJoin`, AllPairs/PPJoin family):
+    * the lossless counterpart to MinHash-LSH (q27). Tokens rank-encoded
+    * by ascending document frequency; only docs sharing one of their
+    * n - floor(0.9n) + 1 rarest tokens (plus the size filter) become
+    * candidates, and every true pair provably survives — the oracle is
+    * the naive all-pairs join, and the hash match IS the recall proof.
+    */
+  def q136PrefixJoin(s: SparkSession, dir: String): DataFrame =
+    DedupOps.prefixJaccardJoin(
+      Tables.parallelize(Tables.documents(s, dir))
+        .select(col("doc_id"), TextOps.tokenSet(col("text")).as("toks")),
+      "doc_id", col("toks"), threshold = 0.9)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** q137_bloom_decontaminate — q85's decontamination restated for an
+    * eval set too large to broadcast exactly
+    * (`DedupOps.bloomContaminationHits`): a constant-size Bloom filter
+    * over the eval 4-gram hashes prunes the corpus shingle stream in
+    * the scan stage; only the surviving sliver pays the exact shuffle
+    * join. Output is exact (FPs die in the re-check), so the oracle is
+    * the same overlap SQL as q85's.
+    */
+  def q137BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+    DedupOps.bloomContaminationHits(
+      docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q138_psi_drift — Population Stability Index of o_totalprice between
+    * pre-1998 (reference) and 1998+ orders (`StatOps.psi`): decile
+    * fences from the reference cohort's own distribution via
+    * distributed-selection percentiles (no sort), one binning pass,
+    * in-plan densified bin grid, Laplace-smoothed shares. The numeric
+    * companion to q112's categorical KL drift.
+    */
+  def q138PsiDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StatOps.psi(
+      Tables.orders(s, dir).withColumn("cohort",
+        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"),
+          "ref").otherwise("cur")),
+      "cohort", "ref", "o_totalprice", nBins = 10)
+      .select(col("cohort"), col("bin"),
+        round(col("ref_share"), 6).as("ref_share"),
+        round(col("cur_share"), 6).as("cur_share"),
+        round(col("psi_term"), 6).as("psi_term"),
+        round(col("psi"), 6).as("psi"))
+      .orderBy(col("bin"))
+
+  /** q139_bigram_logprob — bigram language-model quality scoring
+    * (`CurationOps.bigramLogProb`): mean conditional log-probability of
+    * each doc's token transitions under the corpus's add-one-smoothed
+    * bigram model — the transition-aware rung above q118's unigram
+    * screen. Bigram generation is a zero-shuffle generator projection;
+    * count tables broadcast.
+    */
+  def q139BigramLogprob(s: SparkSession, dir: String): DataFrame =
+    CurationOps.bigramLogProb(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_repetition" -> (q86Repetition _),
     "q87_token_budget" -> (q87TokenBudget _),
     "q88_doc_frequency" -> (q88DocFrequency _),
+    "q136_prefix_join" -> (q136PrefixJoin _),
+    "q137_bloom_decontaminate" -> (q137BloomDecontaminate _),
+    "q138_psi_drift" -> (q138PsiDrift _),
+    "q139_bigram_logprob" -> (q139BigramLogprob _),
   )
 
   import ExtensionQueries.{toksSql, tokSetSql, stopIn}
@@ -119,5 +187,79 @@ object CurationQueries {
         |FROM tok GROUP BY token
         |HAVING count(*) >= 0.25 * (SELECT n FROM tot)
         |ORDER BY df DESC, token""".stripMargin,
+    // the naive all-pairs join: the hash match proves the prefix
+    // filter's full recall, not just its precision
+    "q136_prefix_join" ->
+      s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.toks, b.toks))::DOUBLE AS i,
+        |    (len(a.toks) + len(b.toks))::DOUBLE AS n2
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(i / (n2 - i), 4) AS jaccard
+        |FROM p WHERE i / (n2 - i) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // identical overlap semantics to q85's oracle: the Bloom prune is
+    // invisible in the output (4-grams, benches = doc_id % 25)
+    "q137_bloom_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(toks) - 4, 0) + 1),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + 4), ' ')))) AS s
+        |  FROM t),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS sh_hash FROM sh),
+        |b AS (SELECT DISTINCT sh_hash FROM h WHERE doc_id % 25 = 0)
+        |SELECT h.doc_id, count(*) AS n_hits
+        |FROM h JOIN b USING (sh_hash)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "q138_psi_drift" ->
+      """WITH v AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 'ref' ELSE 'cur' END AS cohort,
+        |    o_totalprice::DOUBLE AS val FROM orders),
+        |f AS (SELECT quantile_cont(val, 0.1) AS f0, quantile_cont(val, 0.2) AS f1,
+        |    quantile_cont(val, 0.3) AS f2, quantile_cont(val, 0.4) AS f3,
+        |    quantile_cont(val, 0.5) AS f4, quantile_cont(val, 0.6) AS f5,
+        |    quantile_cont(val, 0.7) AS f6, quantile_cont(val, 0.8) AS f7,
+        |    quantile_cont(val, 0.9) AS f8
+        |  FROM v WHERE cohort = 'ref'),
+        |b AS (SELECT cohort,
+        |    CASE WHEN val <= f0 THEN 1 WHEN val <= f1 THEN 2
+        |         WHEN val <= f2 THEN 3 WHEN val <= f3 THEN 4
+        |         WHEN val <= f4 THEN 5 WHEN val <= f5 THEN 6
+        |         WHEN val <= f6 THEN 7 WHEN val <= f7 THEN 8
+        |         WHEN val <= f8 THEN 9 ELSE 10 END AS bin
+        |  FROM v, f),
+        |c AS (SELECT cohort, bin, count(*) AS n FROM b GROUP BY cohort, bin),
+        |t AS (SELECT cohort, count(*) AS tot FROM b GROUP BY cohort),
+        |g AS (SELECT t.cohort, gs.bin, t.tot
+        |  FROM t, (SELECT unnest(range(1, 11)) AS bin) gs),
+        |sm AS (SELECT g.cohort, g.bin,
+        |    (coalesce(c.n, 0) + 0.5) / (g.tot + 5.0) AS share
+        |  FROM g LEFT JOIN c ON g.cohort = c.cohort AND g.bin = c.bin),
+        |r AS (SELECT bin, share AS ref_share FROM sm WHERE cohort = 'ref'),
+        |cu AS (SELECT cohort, bin, share AS cur_share FROM sm WHERE cohort <> 'ref')
+        |SELECT cohort, bin, round(ref_share, 6) AS ref_share,
+        |  round(cur_share, 6) AS cur_share,
+        |  round((cur_share - ref_share) * ln(cur_share / ref_share), 6) AS psi_term,
+        |  round(sum((cur_share - ref_share) * ln(cur_share / ref_share))
+        |    OVER (PARTITION BY cohort), 6) AS psi
+        |FROM cu JOIN r USING (bin)
+        |ORDER BY bin""".stripMargin,
+    "q139_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+        |  FROM tt),
+        |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v
+        |  FROM (SELECT unnest($tokSetSql) AS tok FROM documents))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(ln((c2 + 1) / (c1 + v))) / count(*), 4) AS logprob
+        |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

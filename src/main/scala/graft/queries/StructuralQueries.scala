@@ -255,7 +255,40 @@ object StructuralQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q135_bucketed_join — bucketed table sink + shuffle-free co-located
+    * join (S5/C1 extension; the storage-layout half of the skew/shuffle
+    * toolkit): both fact tables written `bucketBy(8, orderkey)` +
+    * `sortBy`, so the join's children arrive pre-partitioned — the
+    * sort-merge join runs with NO Exchange on either side (asserted
+    * in PlanQualitySpec; a partition-local sort over the pre-sorted
+    * per-file runs remains — the v3+ bucketed scan doesn't advertise
+    * file order without the legacy outputOrdering conf). At 100 TB this is
+    * THE pattern for repeated joins on a stable key: the shuffle is
+    * paid once at write time, then every downstream join of the two
+    * tables is exchange-free. The merge hint pins SMJ so the
+    * demonstration doesn't degrade to broadcast on the small test SF.
+    */
+  def q135BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (ordT, liT) = (s"g_orders_bkt_$sfx", s"g_lineitem_bkt_$sfx")
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .option("path", s"target/tmp/$ordT")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .option("path", s"target/tmp/$liT")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+    s.table(liT).hint("merge")
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_bucketed_join" -> (q135BucketedJoin _),
     "q82_clean_text" -> (q82CleanText _),
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q132_partitioned_sink" -> (q132PartitionedSink _),
@@ -271,6 +304,11 @@ object StructuralQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q135_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q132_partitioned_sink" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 2) AS total_value

@@ -72,6 +72,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q88_doc_frequency", "q96_sliding_distinct", "q111_heavy_hitters",
     "q112_drift", "q117_bm25", "q118_unigram_logprob", "q127_ecdf",
     "q129_token_pmi",
+    // q138/q139 cross-join a broadcast 1-row scalar (decile fences /
+    // vocabulary size V)
+    "q138_psi_drift", "q139_bigram_logprob",
     // q45 is an EXACT cosine-threshold join: all-pairs by definition
     // (the oracle verifies exact pairs). Its scale-path siblings are
     // the SRP-LSH bucketed join and IVF ANN in VectorOps.
@@ -141,6 +144,30 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // queries × corpus product; the only Sort allowed is the final
     // presentation orderBy of O(queries × k) rows
     assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("q135 bucketed join: no exchange and no sort inside the join") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = SparkEntry.queries("q135_bucketed_join")(spark, sf0001)
+    df.collect() // finalize AQE
+    val smj = collectFirst(df.queryExecution.executedPlan) {
+      case j: SortMergeJoinExec => j
+    }
+    assert(smj.isDefined, df.queryExecution.executedPlan.toString)
+    // bucketed layout on both sides: the shuffle was paid at write
+    // time — the join subtree must be exchange-free. (A partition-
+    // LOCAL Sort remains: since Spark 3.0 the bucketed scan does not
+    // advertise per-file sort order — a bucket may span files — unless
+    // spark.sql.legacy.bucketedTableScan.outputOrdering is set. The
+    // sort is over already-sorted runs within one executor, not a
+    // shuffle; the scale claim is the missing Exchange.)
+    assert(smj.get.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"bucketed join should not shuffle:\n${smj.get}")
+    val sorts = smj.get.collect { case s: SortExec => s }
+    assert(sorts.forall(!_.global),
+      s"any residual sort must be partition-local:\n${smj.get}")
   }
 
   test("whole-stage codegen covers the q33 string-function pipeline") {

@@ -171,4 +171,23 @@ class CurationOpsSpec extends SparkSpec {
     // common: 3 docs (multiplicity in doc 1 counted once) = 0.75; other: 2 = 0.5
     assert(out == Seq(("common", 3L, 0.75), ("other", 2L, 0.5)))
   }
+
+  test("bigramLogProb matches the hand-computed add-one model") {
+    // corpus bigrams: d1 = (a b)(b a)(a b), d2 = (a b)
+    // c2(a,b)=3 c2(b,a)=1; c1(a)=3 c1(b)=1; V=3 (corpus vocab counts
+    // ALL docs' tokens, including bigram-less d3's "solo")
+    // p(b|a) = (3+1)/(3+3) = 2/3, p(a|b) = (1+1)/(1+3) = 1/2
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pba = math.log(2.0 / 3.0)
+    val pab = math.log(1.0 / 2.0)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc 3 has one token -> no bigrams -> omitted
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 1L)))
+    assert(out(0)._3 == r4((pba + pab + pba) / 3))
+    assert(out(1)._3 == r4(pba))
+  }
 }

@@ -218,4 +218,49 @@ class DedupOpsSpec extends SparkSpec {
     assert(df.select(DedupOps.hammingDist(col("a"), col("b")))
       .head().getInt(0) == 8)
   }
+
+  test("prefixJaccardJoin: full recall vs brute force on random sets") {
+    // deterministic pseudo-random token sets over a 20-token vocab,
+    // skewed sizes — exercises the size filter and prefix boundaries
+    val rng = new scala.util.Random(7)
+    val docs = (1L to 60L).map { id =>
+      val n = 3 + rng.nextInt(10)
+      (id, Seq.fill(n * 2)(s"t${rng.nextInt(20)}").distinct.take(n))
+    }
+    val df = docs.toDF("id", "toks")
+    for (t <- Seq(0.5, 0.6, 0.75, 0.9)) {
+      val got = DedupOps.prefixJaccardJoin(df, "id", col("toks"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val brute = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        i = ta.toSet.intersect(tb.toSet).size.toDouble
+        j = i / (ta.size + tb.size - i) if j >= t
+      } yield (a, b, j)).toSet
+      assert(got == brute, s"threshold $t: got ${got.size}, want ${brute.size}")
+    }
+  }
+
+  test("prefixJaccardJoin: exact-boundary thresholds are kept") {
+    // J(a,b) = 3/5 = 0.6 exactly — integer t*n boundary both sides
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e"))).toDF("id", "toks")
+    val out = DedupOps.prefixJaccardJoin(df, "id", col("toks"), 0.6)
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 0.6)
+  }
+
+  test("bloomContaminationHits output equals the exact broadcast path") {
+    val docs = (1L to 40L).map { id =>
+      (id, (0 until 12).map(i => s"w${(id * 7 + i * 3) % 29}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 8 === 0)
+    val exact = DedupOps.contaminationHits(docs, bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = DedupOps.bloomContaminationHits(docs, bench, "doc_id", "text",
+        n = 3, fpp = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom == exact) // FPs must die in the re-check
+  }
 }

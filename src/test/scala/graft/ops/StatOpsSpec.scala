@@ -106,4 +106,43 @@ class StatOpsSpec extends SparkSpec {
       ("g2", 0L, 7.0, 7.0, 1L)))  // single-valued group → bucket 0
     assert(out.map(_._5).sum == df.count())
   }
+
+  test("psi: identical cohorts score exactly zero") {
+    val vals = (1 to 200).map(_.toDouble)
+    val df = (vals.map(("ref", _)) ++ vals.map(("cur", _))).toDF("cohort", "v")
+    val out = StatOps.psi(df, "cohort", "ref", "v", nBins = 5).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Double]("psi_term") == 0.0)
+      assert(r.getAs[Double]("psi") == 0.0)
+    }
+  }
+
+  test("psi: a shifted cohort scores positive, empty bins stay finite") {
+    // cur sits entirely above ref's 4/5 of mass: bins 1-4 are EMPTY for
+    // cur (smoothing must keep their terms finite), bin 5 is all of it
+    val df = ((1 to 100).map(v => ("ref", v.toDouble)) ++
+      (90 to 189).map(v => ("cur", v.toDouble))).toDF("cohort", "v")
+    val out = StatOps.psi(df, "cohort", "ref", "v", nBins = 5)
+      .orderBy("bin").collect()
+    assert(out.length == 5)
+    val psi = out.head.getAs[Double]("psi")
+    assert(psi > 1.0, s"strong drift should score high, got $psi")
+    out.foreach(r => assert(!r.getAs[Double]("psi_term").isNaN &&
+      !r.getAs[Double]("psi_term").isInfinite))
+    // shares on each side sum to 1 (smoothing preserves normalization)
+    assert(math.abs(out.map(_.getAs[Double]("ref_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getAs[Double]("cur_share")).sum - 1.0) < 1e-9)
+  }
+
+  test("psi: multiple non-reference cohorts each get their own total") {
+    val df = ((1 to 50).map(v => ("ref", v.toDouble)) ++
+      (1 to 50).map(v => ("same", v.toDouble)) ++
+      (51 to 100).map(v => ("far", v.toDouble))).toDF("cohort", "v")
+    val out = StatOps.psi(df, "cohort", "ref", "v", nBins = 4).collect()
+    val byCohort = out.groupBy(_.getAs[String]("cohort"))
+      .map { case (c, rs) => c -> rs.head.getAs[Double]("psi") }
+    assert(byCohort("same") == 0.0)
+    assert(byCohort("far") > byCohort("same"))
+  }
 }
