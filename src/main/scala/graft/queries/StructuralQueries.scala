@@ -287,8 +287,62 @@ object StructuralQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q140_csv_roundtrip — CSV source/sink (S1 extension: the reference
+    * reads schema-inferred JSON; real pipelines also land CSV). Orders
+    * written as headered CSV, read back with an EXPLICIT schema (no
+    * inference pass — at 100 TB schema inference is a full extra scan),
+    * then aggregated; the oracle reads the original parquet, so the
+    * hash match proves the text round trip is lossless (Spark prints
+    * doubles as their shortest round-trippable decimal).
+    */
+  def q140CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q140_csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("day"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING," +
+        " o_totalprice DOUBLE, day DATE")
+      .option("header", "true").csv(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q141_centroid_separation — per-class embedding centroids and the
+    * inter-class cosine-separation matrix: the clustering / label-
+    * quality diagnostic of an embedding store (well-separated classes
+    * → low off-diagonal cosine). Centroids via `Summarizer.mean` over
+    * ml vectors — ONE pass, no ×dim row explosion (the posexplode
+    * formulation puts 64× the rows through the aggregate); the
+    * labels-sized centroid frame then self-joins broadcast for the
+    * pair matrix. O(labels²) output, O(corpus) input — scale-safe by
+    * construction.
+    */
+  def q141CentroidSeparation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    graft.functions.GraftSparkExtensions.register(s)
+    val cent = Tables.embeddings(s, dir)
+      .select(col("label"), array_to_vector(col("embedding")).as("v"))
+      .groupBy(col("label"))
+      .agg(Summarizer.mean(col("v")).as("c"))
+      .select(col("label"), vector_to_array(col("c")).as("c"))
+    val a = cent.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("c").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(VectorOps.cosineNative(col("ca"), col("cb")), 4).as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q135_bucketed_join" -> (q135BucketedJoin _),
+    "q140_csv_roundtrip" -> (q140CsvRoundtrip _),
+    "q141_centroid_separation" -> (q141CentroidSeparation _),
     "q82_clean_text" -> (q82CleanText _),
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q132_partitioned_sink" -> (q132PartitionedSink _),
@@ -304,6 +358,22 @@ object StructuralQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q140_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  min(o_orderdate::DATE) AS first_day,
+        |  max(o_orderdate::DATE) AS last_day
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q141_centroid_separation" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |d AS (SELECT label, i, avg(emb[i]) AS m
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, i),
+        |c AS (SELECT label, list(m ORDER BY i) AS cent FROM d GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_cosine_similarity(a.cent, b.cent), 4) AS cos_sim
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
     "q135_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty

@@ -73,8 +73,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q112_drift", "q117_bm25", "q118_unigram_logprob", "q127_ecdf",
     "q129_token_pmi",
     // q138/q139 cross-join a broadcast 1-row scalar (decile fences /
-    // vocabulary size V)
-    "q138_psi_drift", "q139_bigram_logprob",
+    // vocabulary size V); q141's pair matrix is a non-equi self-join of
+    // the labels-sized (10-row) broadcast centroid frame
+    "q138_psi_drift", "q139_bigram_logprob", "q141_centroid_separation",
     // q45 is an EXACT cosine-threshold join: all-pairs by definition
     // (the oracle verifies exact pairs). Its scale-path siblings are
     // the SRP-LSH bucketed join and IVF ANN in VectorOps.
