@@ -36,6 +36,35 @@ object ExtensionQueries {
     EventOps.hourlyAgg(Tables.events(s, dir))
       .orderBy(col("hour"), col("event_type"))
 
+  /** q142_stream_hourly — the STREAMING form of q17 run as a manifest
+    * query (X15 made oracle-checkable): the events table replayed as a
+    * bounded file stream through `StreamingOps.hourlyAggStream`
+    * (readStream → withWatermark → window agg), Trigger.AvailableNow,
+    * complete mode into a memory sink. Complete mode retains every
+    * window (the watermark only bounds state for append/update), so the
+    * bounded replay must equal the batch aggregation — the hash match
+    * against q17's batch oracle IS the streaming/batch parity proof.
+    */
+  def q142StreamHourly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val path = "target/tmp/q142_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // materialize micros-ts events once: readStream needs a plain
+    // parquet schema (the raw table's TIMESTAMP(NANOS) escape hatch is
+    // a batch-reader flag)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(path)
+    val sink = "q142_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val q = graft.streaming.StreamingOps.hourlyAggStream(
+        s.readStream.schema(s.read.parquet(path).schema).parquet(path))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("hour"), col("event_type"))
+  }
+
   /** q18_json_extract — schema-on-read over the semi-structured props
     * column (X5). The JSON path evaluates inside codegen. The filter is
     * fenced: its predicate embeds the JSON parse, and unfenced it would
@@ -320,6 +349,7 @@ object ExtensionQueries {
 
   val queries: Map[String, Q] = Map(
     "q17_hourly_window" -> (q17Hourly _),
+    "q142_stream_hourly" -> (q142StreamHourly _),
     "q18_json_extract" -> (q18Json _),
     "q19_sessionize" -> (q19Sessionize _),
     "q20_token_count" -> (q20TokenCount _),
@@ -357,6 +387,12 @@ object ExtensionQueries {
 
   val oracle: Map[String, String] = Map(
     "q17_hourly_window" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // identical to q17's batch oracle: the streaming bounded replay in
+    // complete mode must reproduce the batch aggregation exactly
+    "q142_stream_hourly" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
