@@ -395,6 +395,36 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Asymmetric token-set containment against an eval set:
+    * C(corpus_doc ⊇ eval_doc) = |A ∩ B| / |B| — the decontamination
+    * test when eval items are SHORT relative to corpus docs (an exam
+    * question embedded in a long page keeps Jaccard low but containment
+    * ≈ 1; [[contaminationHits]]'s n-gram overlap needs contiguous
+    * matches, this doesn't). Returns (idCol, evalIdCol, containment)
+    * for pairs with containment >= threshold.
+    *
+    * Scale shape: the eval side explodes to (token, eval_id, eval_size)
+    * and broadcasts (evals are thousands, corpora billions); corpus
+    * tokens stream through the broadcast-hash join once, and the
+    * per-(doc, eval) hit counts collapse in one map-side-combined
+    * aggregation. `tokens` must produce DISTINCT sets (e.g.
+    * TextOps.tokenSet) so hits == |A ∩ B|.
+    */
+  def containmentHits(corpus: DataFrame, eval_ : DataFrame, idCol: String,
+                      evalIdCol: String, tokens: DataFrame => Column,
+                      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), explode(tokens(corpus)).as("__t"))
+    val e = eval_.select(col(evalIdCol), tokens(eval_).as("__ts"))
+      .select(col(evalIdCol), size(col("__ts")).as("__esz"),
+        explode(col("__ts")).as("__t"))
+    c.join(broadcast(e), Seq("__t"))
+      .groupBy(col(idCol), col(evalIdCol))
+      .agg(count(lit(1)).as("__hits"), first(col("__esz")).as("__esz"))
+      .filter(col("__hits") >= col("__esz") * threshold - 1e-9)
+      .select(col(idCol), col(evalIdCol),
+        (col("__hits").cast("double") / col("__esz")).as("containment"))
+  }
+
   /** Connected components over an undirected edge list — the final step
     * of any near-dup pipeline: candidate pairs only relate docs
     * PAIRWISE; keeping one representative per duplicate GROUP needs the

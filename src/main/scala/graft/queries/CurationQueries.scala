@@ -129,7 +129,28 @@ object CurationQueries {
       Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q143_containment — asymmetric containment decontamination
+    * (`DedupOps.containmentHits`): corpus docs holding >= 95 % of an
+    * eval doc's DISTINCT token set. The screen q85/q137's contiguous
+    * n-gram overlap misses: a short eval item paraphrase-embedded in a
+    * long page keeps Jaccard and n-gram counts low while containment
+    * stays ~1. Eval side exploded + broadcast; corpus streamed once.
+    */
+  def q143Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+    DedupOps.containmentHits(
+      docs.filter(col("doc_id") % 25 =!= 0),
+      docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("eval_id"), col("text")),
+      "doc_id", "eval_id", d => TextOps.tokenSet(col("text")),
+      threshold = 0.95)
+      .select(col("doc_id"), col("eval_id"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q143_containment" -> (q143Containment _),
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_repetition" -> (q86Repetition _),
     "q87_token_budget" -> (q87TokenBudget _),
@@ -187,6 +208,17 @@ object CurationQueries {
         |FROM tok GROUP BY token
         |HAVING count(*) >= 0.25 * (SELECT n FROM tot)
         |ORDER BY df DESC, token""".stripMargin,
+    "q143_containment" ->
+      s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents),
+        |c AS (SELECT * FROM t WHERE doc_id % 25 <> 0),
+        |e AS (SELECT doc_id AS eval_id, toks AS etoks FROM t WHERE doc_id % 25 = 0),
+        |p AS (SELECT c.doc_id, e.eval_id,
+        |    len(list_intersect(c.toks, e.etoks)) AS hits, len(e.etoks) AS esz
+        |  FROM c, e)
+        |SELECT doc_id, eval_id,
+        |  round(hits::DOUBLE / esz, 4) AS containment
+        |FROM p WHERE hits >= esz * 0.95 - 1e-9
+        |ORDER BY doc_id, eval_id""".stripMargin,
     // the naive all-pairs join: the hash match proves the prefix
     // filter's full recall, not just its precision
     "q136_prefix_join" ->

@@ -339,10 +339,38 @@ object StructuralQueries {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** q144_schema_evolution — mergeSchema read across batches written
+    * with DIFFERENT schemas (the ingest reality of a long-lived corpus:
+    * columns get added over time). An old batch (2 columns) and a new
+    * batch (+o_orderpriority) land under one root; the merged read
+    * unions the schemas, null-filling the old batch — no rewrite of
+    * history. Schema merging is a footer-only operation (no data scan);
+    * the explicit `coalesce` bucket for pre-schema rows keeps the
+    * aggregate total — at 100 TB re-writing old batches to add a column
+    * is exactly what this avoids.
+    */
+  def q144SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q144_evo_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val orders = Tables.orders(s, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("priority"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q135_bucketed_join" -> (q135BucketedJoin _),
     "q140_csv_roundtrip" -> (q140CsvRoundtrip _),
     "q141_centroid_separation" -> (q141CentroidSeparation _),
+    "q144_schema_evolution" -> (q144SchemaEvolution _),
     "q82_clean_text" -> (q82CleanText _),
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q132_partitioned_sink" -> (q132PartitionedSink _),
@@ -358,6 +386,11 @@ object StructuralQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q144_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+        |    ELSE o_orderpriority END AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY priority ORDER BY priority""".stripMargin,
     "q140_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total_price,

@@ -251,6 +251,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(2) == 0.6)
   }
 
+  test("containmentHits: asymmetric — short eval inside long doc scores 1") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated words live in this document")).toDF("doc_id", "text")
+    val ev = Seq((100L, "quick brown fox")).toDF("eval_id", "text")
+    val out = DedupOps.containmentHits(corpus, ev, "doc_id", "eval_id",
+        d => TextOps.tokenSet(col("text")), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Jaccard(doc1, eval) = 3/10 — symmetric scoring would miss it
+    assert(out.toSeq == Seq((1L, 100L, 1.0)))
+  }
+
   test("bloomContaminationHits output equals the exact broadcast path") {
     val docs = (1L to 40L).map { id =>
       (id, (0 until 12).map(i => s"w${(id * 7 + i * 3) % 29}").mkString(" "))
