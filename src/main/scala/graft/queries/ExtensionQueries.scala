@@ -234,6 +234,46 @@ object ExtensionQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q145_dedup_pipeline — the END-TO-END near-dup dedup pipeline a
+    * training-data run actually executes, composed from the pieces
+    * q26/q27/q95/q66 check in isolation: MinHash signatures → LSH
+    * banding → candidate pairs → EXACT Jaccard verify (>= 0.8) →
+    * connected components over verified edges → per-doc cluster id +
+    * keeper flag (keeper = min doc_id of the cluster; non-keepers are
+    * what the pipeline drops).
+    *
+    * Scale shape is the sum of its parts: sigs materialize once, the
+    * band join shuffles 3 small columns, the verify touches candidates
+    * only (linear in near-dups), CC iterates over the edge-touched
+    * subgraph at data-derived parallelism. The DuckDB oracle replays
+    * the identical pipeline (md5-derived sigs are engine-portable;
+    * transitive closure via recursive CTE), so the hash match checks
+    * every stage INCLUDING candidate completeness and the closure.
+    */
+  def q145DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokenSet(col("text")).as("toks"))
+    val sigs = DedupOps.withMinhash(docs, col("toks"), nMinhash)
+      .localCheckpoint()
+    val cands = DedupOps.candidatePairs(
+      DedupOps.minhashBands(sigs, "doc_id",
+        (0 until nMinhash).map(i => s"mh$i"), rowsPerBand = 4), "doc_id")
+    val a = sigs.select(col("doc_id").as("id_a"), col("toks").as("__ta"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("toks").as("__tb"))
+    val edges = cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("double"))
+      .withColumn("__j", col("__i") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")))
+      .filter(col("__j") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    DedupOps.connectedComponents(docs.select(col("doc_id")), "doc_id",
+        edges, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"),
+        (col("node") === col("cluster_id")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q30_simhash — 16-bit SimHash per document (near-dups = small
     * Hamming distance; the 64-bit library variant backs DedupOps tests).
     */
@@ -360,6 +400,7 @@ object ExtensionQueries {
     "q25_jaccard_pairs" -> (q25JaccardPairs _),
     "q26_minhash_sig" -> (q26MinhashSig _),
     "q27_minhash_bands" -> (q27MinhashBands _),
+    "q145_dedup_pipeline" -> (q145DedupPipeline _),
     "q28_cosine_topk" -> (q28CosineTopK _),
     "q29_embedding_stats" -> (q29EmbeddingStats _),
     "q30_simhash" -> (q30Simhash _),
@@ -474,6 +515,35 @@ object ExtensionQueries {
          |  ON a.band_id = b.band_id AND a.band_key = b.band_key
          |WHERE a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the full pipeline replayed in SQL: same sigs, same bands, exact
+    // verify, transitive closure via recursive CTE — candidate
+    // completeness and the closure are both inside the hash
+    "q145_dedup_pipeline" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $tokSetSql AS toks FROM documents),
+         |sig AS (SELECT doc_id, toks, $minhashColsSql FROM t),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |    md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id,
+         |    md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR) AS band_key FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT ea, eb FROM cand
+         |  JOIN sig sa ON cand.ea = sa.doc_id
+         |  JOIN sig sb ON cand.eb = sb.doc_id
+         |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+         |    (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) >= 0.8),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT CASE WHEN r.node = e.ea THEN e.eb ELSE e.ea END, r.root
+         |  FROM reach r JOIN edges e ON r.node = e.ea OR r.node = e.eb)
+         |SELECT node AS doc_id, min(root) AS cluster_id,
+         |  node = min(root) AS is_keeper
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q28_cosine_topk" ->
       """SELECT e.vec_id,
         |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim
