@@ -253,20 +253,18 @@ object ExtensionQueries {
   def q145DedupPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"), TextOps.tokenSet(col("text")).as("toks"))
-    val sigs = DedupOps.withMinhash(docs, col("toks"), nMinhash)
-      .localCheckpoint()
-    val cands = DedupOps.candidatePairs(
-      DedupOps.minhashBands(sigs, "doc_id",
-        (0 until nMinhash).map(i => s"mh$i"), rowsPerBand = 4), "doc_id")
-    val a = sigs.select(col("doc_id").as("id_a"), col("toks").as("__ta"))
-    val b = sigs.select(col("doc_id").as("id_b"), col("toks").as("__tb"))
-    val edges = cands.join(a, "id_a").join(b, "id_b")
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("double"))
-      .withColumn("__j", col("__i") /
-        (size(col("__ta")) + size(col("__tb")) - col("__i")))
-      .filter(col("__j") >= 0.8)
+    // sigs→bands→candidates→exact verify IS minhashAccuracy's path —
+    // reuse it for its int-rank token encoding + native
+    // sorted_intersect_count verify (the R4.0 hot-loop form; the
+    // string-set array_intersect formulation measured 4x slower on the
+    // degenerate corpus's quadratic candidate set)
+    val edges = DedupOps.minhashAccuracy(docs, "doc_id", col("toks"),
+        nMinhash, rowsPerBand = 4)
+      .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"))
+      // CC symmetrizes the edge list (a→b ∪ b→a): without
+      // materializing, the whole verify subtree evaluates twice
+      .localCheckpoint()
     DedupOps.connectedComponents(docs.select(col("doc_id")), "doc_id",
         edges, "id_a", "id_b")
       .select(col("node").as("doc_id"), col("cluster_id"),
