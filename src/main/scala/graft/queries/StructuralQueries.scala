@@ -366,11 +366,50 @@ object StructuralQueries {
       .orderBy(col("priority"))
   }
 
+  /** q146_ann_recall — recall@10 of the SRP-LSH probe (q78's scale
+    * path) against the exact top-10 (q100's batch kNN), per query:
+    * what q95 is to MinHash, this is to similarity search — the eval
+    * harness that decides whether the approximate index's parameters
+    * (bits, planes) are good enough to trust at corpus scale.
+    *
+    * Scale shape: both sides are one corpus pass — exact via the
+    * k-bounded TopKAgg (O(queries × k) exchange), ANN via the
+    * bucket-equi-join probe — and the recall join is queries-sized.
+    * Output counts only (no id arrays through the comparator).
+    */
+  def q146AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val bucketed = Tables.embeddings(s, dir)
+      .withColumn("bucket", VectorOps.srpBucket(col("embedding"), 64, 4))
+      .localCheckpoint() // probed by 3 passes (queries, exact, ANN)
+    val queries = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+    val exact = VectorOps.batchTopK(bucketed.drop("bucket"),
+        queries.drop("qbucket"), k = 10)
+      .groupBy(col("query_id")).agg(collect_set(col("vec_id")).as("__ex"))
+    val ann = bucketed.join(broadcast(queries), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(10)(
+        VectorOps.cosineNative(col("embedding"), col("qv")),
+        col("vec_id")).as("__tk"))
+      .select(col("query_id"), col("__tk.ks").as("__ann"))
+    exact.join(ann, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(size(col("__ann")), lit(0)).as("n_ann"),
+        coalesce(size(array_intersect(col("__ex"), col("__ann"))), lit(0))
+          .as("n_hit"))
+      .withColumn("recall_at_10", round(col("n_hit") / 10.0, 4))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q135_bucketed_join" -> (q135BucketedJoin _),
     "q140_csv_roundtrip" -> (q140CsvRoundtrip _),
     "q141_centroid_separation" -> (q141CentroidSeparation _),
     "q144_schema_evolution" -> (q144SchemaEvolution _),
+    "q146_ann_recall" -> (q146AnnRecall _),
     "q82_clean_text" -> (q82CleanText _),
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q132_partitioned_sink" -> (q132PartitionedSink _),
@@ -386,6 +425,37 @@ object StructuralQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q146_ann_recall" ->
+      """WITH planes AS (
+        |  SELECT j, list_transform(range(0, 64), i ->
+        |    (('0x' || substr(md5('plane' || j || ':' || i), 1, 8))::BIGINT)::DOUBLE / 2147483648 - 1) AS plane
+        |  FROM (SELECT unnest(range(0, 4)) AS j)),
+        |b AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+        |                THEN 1 << p.j ELSE 0 END)::BIGINT FROM planes p) AS bucket
+        |  FROM embeddings e),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+        |  FROM b WHERE vec_id < 20),
+        |ex AS (SELECT query_id, b.vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |        b.vec_id) AS rk
+        |  FROM b, q WHERE b.vec_id <> q.query_id),
+        |exk AS (SELECT query_id, list(vec_id) AS ids FROM ex WHERE rk <= 10 GROUP BY query_id),
+        |an AS (SELECT query_id, b.vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |        b.vec_id) AS rk
+        |  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id),
+        |ank AS (SELECT query_id, list(vec_id) AS ids FROM an WHERE rk <= 10 GROUP BY query_id)
+        |SELECT q.query_id,
+        |  coalesce(len(ank.ids), 0) AS n_ann,
+        |  coalesce(len(list_intersect(exk.ids, ank.ids)), 0) AS n_hit,
+        |  round(coalesce(len(list_intersect(exk.ids, ank.ids)), 0) / 10.0, 4) AS recall_at_10
+        |FROM q LEFT JOIN exk ON q.query_id = exk.query_id
+        |  LEFT JOIN ank ON q.query_id = ank.query_id
+        |ORDER BY q.query_id""".stripMargin,
     "q144_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
         |    ELSE o_orderpriority END AS priority,

@@ -82,7 +82,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q45_embedding_neardup",
     // q100/q101: broadcast of a small-by-construction side (the query
     // set / the ≤vocabSize vocab array) against one corpus pass
-    "q100_batch_topk", "q101_vocab_encode", "q109_crossmodal")
+    "q100_batch_topk", "q101_vocab_encode", "q109_crossmodal",
+    // q146's exact side is q100's broadcast-query batch kNN
+    "q146_ann_recall")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
