@@ -395,6 +395,45 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Incremental near-dup admission: verified MinHash near-dup pairs
+    * between a NEW batch and the EXISTING corpus only — the shape every
+    * continuously-ingesting pipeline actually runs (q27/q145 dedup a
+    * static corpus against itself). Candidates are new×old band
+    * matches; old×old pairs never form, so daily cost is
+    * O(batch × collision rate), not O(corpus²) — and at scale the
+    * corpus side's signatures are computed once and STORED (here they
+    * are derived in-plan for self-containment).
+    *
+    * Returns (batch_id, corpus_id, jaccard >= threshold), unrounded.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                         tokens: Column, nHashes: Int, rowsPerBand: Int,
+                         threshold: Double): DataFrame = {
+    val sigCols = (0 until nHashes).map(i => s"mh$i")
+    val sigC = withMinhash(corpus.select(col(idCol), tokens.as("__toks")),
+      col("__toks"), nHashes).localCheckpoint()
+    val sigB = withMinhash(batch.select(col(idCol), tokens.as("__toks")),
+      col("__toks"), nHashes).localCheckpoint()
+    val bandsC = minhashBands(sigC, idCol, sigCols, rowsPerBand)
+      .withColumnRenamed(idCol, "corpus_id")
+    val bandsB = minhashBands(sigB, idCol, sigCols, rowsPerBand)
+      .withColumnRenamed(idCol, "batch_id")
+    // batch side is the small one — broadcast it through the band join
+    val cands = bandsC.join(broadcast(bandsB), Seq("band_id", "band_key"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    cands
+      .join(sigB.select(col(idCol).as("batch_id"), col("__toks").as("__tb")),
+        Seq("batch_id"))
+      .join(sigC.select(col(idCol).as("corpus_id"), col("__toks").as("__tc")),
+        Seq("corpus_id"))
+      .withColumn("__i",
+        size(array_intersect(col("__tb"), col("__tc"))).cast("double"))
+      .withColumn("jaccard", col("__i") /
+        (size(col("__tb")) + size(col("__tc")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Asymmetric token-set containment against an eval set:
     * C(corpus_doc ⊇ eval_doc) = |A ∩ B| / |B| — the decontamination
     * test when eval items are SHORT relative to corpus docs (an exam

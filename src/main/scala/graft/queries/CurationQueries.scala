@@ -149,8 +149,32 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** q148_quality_vector — the fused quality-feature pass: every cheap
+    * per-document quality signal (token counts, type/token ratio,
+    * stopword ratio, 3-gram repetition, mean token length) computed in
+    * ONE scan-stage projection. Pipelines that score each feature in a
+    * separate pass re-read the corpus k times; at 100 TB feature
+    * fusion into a single projection is the difference between one
+    * scan and five. Codegen CSE shares the tokenization across the
+    * feature expressions.
+    */
+  def q148QualityVector(s: SparkSession, dir: String): DataFrame = {
+    val d = CurationOps.withRepetition(
+      Tables.parallelize(Tables.documents(s, dir)), "text", n = 3)
+    val toks = TextOps.tokens(col("text"))
+    d.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(TextOps.tokenSet(col("text"))).cast("long").as("n_distinct"),
+        TextOps.stopwordRatio(col("text")).as("stop_ratio"),
+        col("rep_frac"),
+        round(length(array_join(toks, "")).cast("double") /
+          greatest(size(toks), lit(1)), 4).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q143_containment" -> (q143Containment _),
+    "q148_quality_vector" -> (q148QualityVector _),
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_repetition" -> (q86Repetition _),
     "q87_token_budget" -> (q87TokenBudget _),
@@ -208,6 +232,24 @@ object CurationQueries {
         |FROM tok GROUP BY token
         |HAVING count(*) >= 0.25 * (SELECT n FROM tot)
         |ORDER BY df DESC, token""".stripMargin,
+    "q148_quality_vector" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |    greatest(len(toks) - 2, 0)::BIGINT AS n_ngrams,
+        |    len(list_distinct(list_transform(
+        |      range(0, greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS n_dist3
+        |  FROM t)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_distinct,
+        |  round(len(list_filter(toks, tk -> tk IN ${stopIn(TextOps.stopwords)}))::DOUBLE
+        |        / greatest(len(toks), 1), 4) AS stop_ratio,
+        |  CASE WHEN n_ngrams > 0
+        |       THEN round(1.0 - n_dist3::DOUBLE / n_ngrams, 4)
+        |       ELSE 0.0 END AS rep_frac,
+        |  round(len(array_to_string(toks, ''))::DOUBLE
+        |        / greatest(len(toks), 1), 4) AS mean_token_len
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q143_containment" ->
       s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents),
         |c AS (SELECT * FROM t WHERE doc_id % 25 <> 0),

@@ -272,6 +272,25 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q147_incremental_dedup — the continuously-ingesting form of near-
+    * dup detection (`DedupOps.incrementalNearDup`): verified MinHash
+    * near-dups of a NEW batch (doc_id % 10 == 7) against the EXISTING
+    * corpus only. Band candidates are new×old — old×old pairs never
+    * form — so a daily batch costs O(batch), not O(corpus²); the batch
+    * side's bands broadcast through the join.
+    */
+  def q147IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+    DedupOps.incrementalNearDup(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7),
+      "doc_id", TextOps.tokenSet(col("text")),
+      nMinhash, rowsPerBand = 4, threshold = 0.8)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** q30_simhash — 16-bit SimHash per document (near-dups = small
     * Hamming distance; the 64-bit library variant backs DedupOps tests).
     */
@@ -399,6 +418,7 @@ object ExtensionQueries {
     "q26_minhash_sig" -> (q26MinhashSig _),
     "q27_minhash_bands" -> (q27MinhashBands _),
     "q145_dedup_pipeline" -> (q145DedupPipeline _),
+    "q147_incremental_dedup" -> (q147IncrementalDedup _),
     "q28_cosine_topk" -> (q28CosineTopK _),
     "q29_embedding_stats" -> (q29EmbeddingStats _),
     "q30_simhash" -> (q30Simhash _),
@@ -513,6 +533,29 @@ object ExtensionQueries {
          |  ON a.band_id = b.band_id AND a.band_key = b.band_key
          |WHERE a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // new×old band candidates only, then the exact verify — mirrors
+    // incrementalNearDup stage for stage
+    "q147_incremental_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSetSql AS toks FROM documents),
+         |sig AS (SELECT doc_id, toks, $minhashColsSql FROM t),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |    md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id,
+         |    md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR) AS band_key FROM sig),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM banded b JOIN banded c
+         |    ON b.band_id = c.band_id AND b.band_key = c.band_key
+         |  WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+         |v AS (SELECT batch_id, corpus_id,
+         |    len(list_intersect(sb.toks, sc.toks))::DOUBLE AS i,
+         |    (len(sb.toks) + len(sc.toks))::DOUBLE AS n2
+         |  FROM cand JOIN sig sb ON cand.batch_id = sb.doc_id
+         |    JOIN sig sc ON cand.corpus_id = sc.doc_id)
+         |SELECT batch_id, corpus_id, round(i / (n2 - i), 4) AS jaccard
+         |FROM v WHERE i / (n2 - i) >= 0.8
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     // the full pipeline replayed in SQL: same sigs, same bands, exact
     // verify, transitive closure via recursive CTE — candidate
     // completeness and the closure are both inside the hash

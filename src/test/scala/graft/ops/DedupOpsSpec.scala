@@ -251,6 +251,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(2) == 0.6)
   }
 
+  test("incrementalNearDup: exactly the cross batch×corpus verified pairs") {
+    val rng = new scala.util.Random(11)
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(8)(s"w${rng.nextInt(12)}").distinct)
+    }
+    val df = docs.toDF("id", "toks")
+    val corpus = df.filter(col("id") % 4 =!= 0)
+    val batch = df.filter(col("id") % 4 === 0)
+    val got = DedupOps.incrementalNearDup(corpus, batch, "id", col("toks"),
+        nHashes = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair is batch×corpus
+    assert(got.forall { case (b, c) => b % 4 == 0 && c % 4 != 0 })
+    // and matches the full-pipeline candidates restricted to cross pairs
+    val full = DedupOps.minhashAccuracy(df, "id", col("toks"), 8, 4)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(p => Seq(p, p.swap))
+      .filter { case (b, c) => b % 4 == 0 && c % 4 != 0 }.toSet
+    assert(got == full)
+  }
+
   test("containmentHits: asymmetric — short eval inside long doc scores 1") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
