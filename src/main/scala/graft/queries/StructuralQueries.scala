@@ -404,12 +404,33 @@ object StructuralQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q149_reservoir_sample — q80's deterministic per-group sample
+    * restated on the k-bounded `TopKAgg` aggregate (the scale path
+    * q80's Scaladoc documents): map-side partial top-k buffers make
+    * the shuffle O(groups × k) instead of every row sorting under a
+    * window. Selection is identical to q80 — the k smallest
+    * md5(doc_id) per language; TopKAgg ranks by the NEGATED 48-bit
+    * md5 prefix (exact in double; ties on doc_id asc match the
+    * oracle's (md5, doc_id) order). Same oracle as q80.
+    */
+  def q149ReservoirSample(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("lang"), col("doc_id"),
+        negate(conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+          16, 10).cast("double")).as("__pri"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAgg.topK(5)(col("__pri"), col("doc_id"))
+        .as("__tk"))
+      .select(col("lang"), explode(col("__tk.ks")).as("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "q135_bucketed_join" -> (q135BucketedJoin _),
     "q140_csv_roundtrip" -> (q140CsvRoundtrip _),
     "q141_centroid_separation" -> (q141CentroidSeparation _),
     "q144_schema_evolution" -> (q144SchemaEvolution _),
     "q146_ann_recall" -> (q146AnnRecall _),
+    "q149_reservoir_sample" -> (q149ReservoirSample _),
     "q82_clean_text" -> (q82CleanText _),
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q132_partitioned_sink" -> (q132PartitionedSink _),
@@ -548,6 +569,15 @@ object StructuralQueries {
         |                            FROM orders o2
         |                            WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o.o_orderkey""".stripMargin,
+    // same selection as q80 — the aggregate restatement must pick the
+    // identical sample
+    "q149_reservoir_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
     "q80_hash_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -93,7 +93,39 @@ object TemporalQueries {
       "user_id", "event_type", "ts", "1 hour")
       .orderBy(col("event_type"))
 
+  /** q150_rolling_median — exact rolling median of each user's last 7
+    * event values (ROWS 6 PRECEDING..CURRENT, total (ts, event_id)
+    * order). Spark has no exact percentile over a window; the
+    * frame-bounded form is collect_list over the frame + array_sort +
+    * the SAME two-term interpolation `StatOps.exactPercentiles` uses
+    * (bit-identical to quantile_cont). Memory is bounded by the FRAME
+    * (7 values), not the partition, so the shape survives any corpus —
+    * contrast `percentile_cont OVER`, which engines implement with a
+    * whole-partition buffer. One shuffle on user_id.
+    */
+  def q150RollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, 0)
+    val sorted = array_sort(collect_list(col("value")).over(w))
+    val m = size(sorted)
+    val pos = (m - 1).cast("double") * 0.5
+    // exactPercentiles' two-term weights: bit-identical to quantile_cont
+    val med =
+      element_at(sorted, (floor(pos) + 1).cast("int")) *
+        ((floor(pos) + lit(1.0)) - pos) +
+        element_at(sorted, (ceil(pos) + 1).cast("int")) * (pos - floor(pos))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("n_frame", m.cast("long"))
+      .withColumn("rolling_med", round(med, 4))
+      .select(col("user_id"), col("event_id"), col("n_frame"),
+        col("rolling_med"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q150_rolling_median" -> (q150RollingMedian _),
     "q120_pit_join" -> (q120PitJoin _),
     "q121_merge_upsert" -> (q121MergeUpsert _),
     "q122_event_bigrams" -> (q122EventBigrams _),
@@ -104,6 +136,14 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q150_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER wf AS n_frame,
+        |  round(quantile_cont(value, 0.5) OVER wf, 4) AS rolling_med
+        |FROM events
+        |WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q120_pit_join" ->
       s"""WITH dim AS (SELECT user_id, ts AS valid_from, event_id, value,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -173,6 +173,15 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"any residual sort must be partition-local:\n${smj.get}")
   }
 
+  test("q149 reservoir sample: k-bounded aggregate, no Window sort") {
+    val df = SparkEntry.queries("q149_reservoir_sample")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"),
+      s"the aggregate form must not sort rows under a window:\n$plan")
+  }
+
   test("whole-stage codegen covers the q33 string-function pipeline") {
     val df = SparkEntry.queries("q33_string_funcs")(spark, sf0001)
     df.collect() // finalize AQE so codegen stages are annotated
