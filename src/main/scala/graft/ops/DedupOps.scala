@@ -337,15 +337,29 @@ object DedupOps {
           (col("__n") - floor(col("__n") * threshold) + 1).cast("int")))
       .localCheckpoint() // both join sides + verify read this frame
     val prefixes = ranked.select(col("__id"), col("__n"),
-      explode(slice(col("__r"), lit(1), col("__plen"))).as("__pt"))
-    val cands = prefixes.select(col("__pt"), col("__id").as("id_a"), col("__n").as("__na"))
-      .join(prefixes.select(col("__pt"), col("__id").as("id_b"), col("__n").as("__nb")),
-        Seq("__pt"))
+        posexplode(slice(col("__r"), lit(1), col("__plen"))))
+      .select(col("__id"), col("__n"), col("pos").as("__p"), col("col").as("__pt"))
+    val cands = prefixes.select(col("__pt"), col("__id").as("id_a"),
+        col("__n").as("__na"), col("__p").as("__pa"))
+      .join(prefixes.select(col("__pt"), col("__id").as("id_b"),
+        col("__n").as("__nb"), col("__p").as("__pb")), Seq("__pt"))
       .filter(col("id_a") < col("id_b"))
       // size filter: J >= t forces t <= |a|/|b| <= 1/t (epsilon guards
       // the exact-boundary double product, e.g. 5 * 0.6 -> 3.0000…04)
       .filter(col("__nb") >= col("__na") * threshold - 1e-9 &&
         col("__na") >= col("__nb") * threshold - 1e-9)
+      // positional filter (PPJoin, Xiao et al. WWW'08): for a shared
+      // token at 0-based sorted positions (pa, pb), the overlap cannot
+      // exceed min(pa,pb) + 1 + min(na-pa-1, nb-pb-1) — a true bound
+      // for ANY shared token, so if the pair's true overlap reaches
+      // alpha = ceil(t/(1+t)(na+nb)), EVERY shared prefix token passes
+      // and completeness is preserved; mismatched-position matches are
+      // pruned before the distinct/verify. alpha via floor(x-eps)+1 ==
+      // ceil with the boundary-safe direction (never overestimates).
+      .filter(
+        least(col("__pa"), col("__pb")) + 1 +
+          least(col("__na") - col("__pa") - 1, col("__nb") - col("__pb") - 1) >=
+          floor((col("__na") + col("__nb")) * (threshold / (1 + threshold)) - 1e-9) + 1)
       .select(col("id_a"), col("id_b")).distinct()
     cands
       .join(ranked.select(col("__id").as("id_a"), col("__r").as("__ra"),
