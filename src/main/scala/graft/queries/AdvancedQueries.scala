@@ -197,6 +197,64 @@ object AdvancedQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q151_frequent_itemsets — association mining (M-surface extension):
+    * FPGrowth over per-order brand baskets, reported at itemset size
+    * <= 2 so the DuckDB oracle can replay it as plain counting
+    * (singles = per-brand basket counts, pairs = the basket self-join)
+    * — the hash match checks FPGrowth's support arithmetic exactly
+    * (minCount = ceil(minSupport × nBaskets), both engines computing
+    * the same double product). Scale shape: FPGrowth shuffles
+    * conditional pattern bases by item — never materializing the
+    * all-pairs basket join the oracle (deliberately) runs.
+    */
+  def q151FrequentItemsets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Seq("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_distinct(collect_list(col("p_brand"))).as("items"))
+    val model = new FPGrowth().setItemsCol("items")
+      .setMinSupport(0.015).fit(baskets)
+    model.freqItemsets
+      .filter(size(col("items")) <= 2)
+      .select(array_join(sort_array(col("items")), ",").as("items"),
+        col("freq"))
+      .orderBy(col("items"))
+  }
+
+  /** q152_triangles — triangle counting over the simhash near-dup graph
+    * (q59's edges): the graph-analytics step past connected components
+    * — triangle density separates genuine duplicate clusters from
+    * chains of borderline pairs. Orientation by id (a < b < c) counts
+    * each triangle exactly once via three edge-table joins — the
+    * standard distributed shape (at scale, orient low-degree → high-
+    * degree so hub nodes don't quadratically fan out their wedges).
+    */
+  def q152Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
+        maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // read by 3 join sides + 2 aggregates
+    val ab = e.select(col("id_a").as("a"), col("id_b").as("b"))
+    val bc = e.select(col("id_a").as("b"), col("id_b").as("c"))
+    val ac = e.select(col("id_a").as("a"), col("id_b").as("c"))
+    val tri = ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = e.agg(count(lit(1)).as("n_edges"))
+    val nodes = e.select(col("id_a").as("n")).unionByName(
+        e.select(col("id_b").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(stats).crossJoin(tri)
+  }
+
   /** q60_funnel — ordered conversion funnel over the events stream:
     * users whose first view is followed by a click, then a purchase
     * (each stage's timestamp ≥ the previous stage's first hit). Three
@@ -504,6 +562,8 @@ object AdvancedQueries {
     "q55_month_series" -> (q55MonthSeries _),
     "q56_geomean" -> (q56Geomean _),
     "q57_approx_distinct" -> (q57ApproxDistinct _),
+    "q151_frequent_itemsets" -> (q151FrequentItemsets _),
+    "q152_triangles" -> (q152Triangles _),
   )
 
   private val toksSql =
@@ -665,6 +725,32 @@ object AdvancedQueries {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q151_frequent_itemsets" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS total FROM b),
+        |i1 AS (SELECT p_brand AS items, count(*) AS freq FROM b GROUP BY 1),
+        |i2 AS (SELECT x.p_brand || ',' || y.p_brand AS items, count(*) AS freq
+        |  FROM b x JOIN b y
+        |    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+        |  GROUP BY 1),
+        |u AS (SELECT * FROM i1 UNION ALL SELECT * FROM i2)
+        |SELECT items, freq FROM u, n
+        |WHERE freq >= ceil(0.015 * total)
+        |ORDER BY items""".stripMargin,
+    "q152_triangles" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |nodes AS (SELECT count(DISTINCT n) AS n_nodes FROM
+         |  (SELECT ea AS n FROM e UNION ALL SELECT eb FROM e)),
+         |edges AS (SELECT count(*) AS n_edges FROM e),
+         |tri AS (SELECT count(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.eb = e2.ea
+         |    JOIN e e3 ON e1.ea = e3.ea AND e2.eb = e3.eb)
+         |SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri""".stripMargin,
     "q58_group_topk_agg" ->
       """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,

@@ -84,7 +84,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // set / the ≤vocabSize vocab array) against one corpus pass
     "q100_batch_topk", "q101_vocab_encode", "q109_crossmodal",
     // q146's exact side is q100's broadcast-query batch kNN
-    "q146_ann_recall")
+    "q146_ann_recall",
+    // q152 cross-joins three 1-row aggregates (nodes/edges/triangles)
+    "q152_triangles")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
