@@ -255,6 +255,57 @@ object AdvancedQueries {
     nodes.crossJoin(stats).crossJoin(tri)
   }
 
+  /** q153_target_encoding — leakage-safe K-fold target encoding (the
+    * feature-engineering step the reference's frequency encoding M4
+    * approximates without labels): each (category, fold) gets the mean
+    * label computed from the OTHER folds only — encode(c, f) =
+    * (sum_all(c) − sum_f(c)) / (n_all(c) − n_f(c)) — so a row never
+    * sees its own label. Folds are md5-hash-assigned (engine-portable,
+    * retry-stable). ONE aggregation at data scale; the per-category
+    * totals ride a category-sized window — no second pass.
+    */
+  def q153TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .withColumn("fold",
+        TextOps.hash32(col("o_orderkey").cast("string"), seed = "fold:") % 5)
+      .groupBy(col("o_orderpriority"), col("fold"))
+      .agg(sum(col("o_totalprice")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("encoding",
+        round((sum(col("__s")).over(w) - col("__s")) /
+          (sum(col("__n")).over(w) - col("__n")), 4))
+      .select(col("o_orderpriority"), col("fold"), col("__n").as("n_rows"),
+        col("encoding"))
+      .orderBy(col("o_orderpriority"), col("fold"))
+  }
+
+  /** q154_dedup_survivors — best-of-cluster survivorship: q145's
+    * near-dup clusters reduced to one survivor each, chosen by QUALITY
+    * (longest token count, doc_id tiebreak) rather than q145's
+    * min-id-keeper — the policy real pipelines want (keep the best
+    * copy, drop the rest). Selection is one `max_by` hash aggregate
+    * over (cluster, quality-key) — no window sort over the corpus.
+    */
+  def q154DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.queries.ExtensionQueries
+      .q145DedupPipeline(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        // numeric total-order key (n_tokens, doc_id) — exact in long,
+        // and the one arg_max ordering DuckDB replays identically
+        max_by(col("doc_id"),
+          col("n_tokens") * lit(10000000L) + col("doc_id"))
+          .as("survivor_id"),
+        max(col("n_tokens")).as("survivor_tokens"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** q60_funnel — ordered conversion funnel over the events stream:
     * users whose first view is followed by a click, then a purchase
     * (each stage's timestamp ≥ the previous stage's first hit). Three
@@ -564,6 +615,8 @@ object AdvancedQueries {
     "q57_approx_distinct" -> (q57ApproxDistinct _),
     "q151_frequent_itemsets" -> (q151FrequentItemsets _),
     "q152_triangles" -> (q152Triangles _),
+    "q153_target_encoding" -> (q153TargetEncoding _),
+    "q154_dedup_survivors" -> (q154DedupSurvivors _),
   )
 
   private val toksSql =
@@ -738,6 +791,46 @@ object AdvancedQueries {
         |SELECT items, freq FROM u, n
         |WHERE freq >= ceil(0.015 * total)
         |ORDER BY items""".stripMargin,
+    "q153_target_encoding" ->
+      """WITH o AS (SELECT o_orderpriority, o_totalprice,
+        |    ('0x' || substr(md5('fold:' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 5 AS fold
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, fold, sum(o_totalprice) AS s, count(*) AS n
+        |  FROM o GROUP BY o_orderpriority, fold)
+        |SELECT o_orderpriority, fold, n AS n_rows,
+        |  round((sum(s) OVER (PARTITION BY o_orderpriority) - s) /
+        |        (sum(n) OVER (PARTITION BY o_orderpriority) - n), 4) AS encoding
+        |FROM g ORDER BY o_orderpriority, fold""".stripMargin,
+    "q154_dedup_survivors" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${ExtensionQueries.tokSetSql} AS toks FROM documents),
+         |sig AS (SELECT doc_id, toks, ${ExtensionQueries.minhashColsSql} FROM t),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_id,
+         |    md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id,
+         |    md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR) AS band_key FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT ea, eb FROM cand
+         |  JOIN sig sa ON cand.ea = sa.doc_id
+         |  JOIN sig sb ON cand.eb = sb.doc_id
+         |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+         |    (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) >= 0.8),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT CASE WHEN r.node = e.ea THEN e.eb ELSE e.ea END, r.root
+         |  FROM reach r JOIN edges e ON r.node = e.ea OR r.node = e.eb),
+         |cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+         |tok AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents)
+         |SELECT cluster_id, count(*) AS n_members,
+         |  arg_max(cl.doc_id, n_tokens * 10000000 + cl.doc_id) AS survivor_id,
+         |  max(n_tokens) AS survivor_tokens
+         |FROM cl JOIN tok ON cl.doc_id = tok.doc_id
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q152_triangles" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
