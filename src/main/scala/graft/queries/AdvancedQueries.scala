@@ -280,16 +280,15 @@ object AdvancedQueries {
       .orderBy(col("o_orderpriority"), col("fold"))
   }
 
-  /** q154_dedup_survivors — best-of-cluster survivorship: q145's
-    * near-dup clusters reduced to one survivor each, chosen by QUALITY
-    * (longest token count, doc_id tiebreak) rather than q145's
-    * min-id-keeper — the policy real pipelines want (keep the best
+  /** q154_dedup_survivors — best-of-cluster survivorship: q66's
+    * simhash near-dup clusters reduced to one survivor each, chosen by
+    * QUALITY (longest token count, doc_id tiebreak) rather than the
+    * min-id keeper — the policy real pipelines want (keep the best
     * copy, drop the rest). Selection is one `max_by` hash aggregate
     * over (cluster, quality-key) — no window sort over the corpus.
     */
   def q154DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val clusters = graft.queries.ExtensionQueries
-      .q145DedupPipeline(s, dir)
+    val clusters = q66DedupClusters(s, dir)
       .select(col("doc_id"), col("cluster_id"))
     val quality = Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long")
@@ -802,23 +801,11 @@ object AdvancedQueries {
         |        (sum(n) OVER (PARTITION BY o_orderpriority) - n), 4) AS encoding
         |FROM g ORDER BY o_orderpriority, fold""".stripMargin,
     "q154_dedup_survivors" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, ${ExtensionQueries.tokSetSql} AS toks FROM documents),
-         |sig AS (SELECT doc_id, toks, ${ExtensionQueries.minhashColsSql} FROM t),
-         |banded AS (
-         |  SELECT doc_id, 0 AS band_id,
-         |    md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS band_key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band_id,
-         |    md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR) AS band_key FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
-         |  FROM banded a JOIN banded b
-         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |  WHERE a.doc_id < b.doc_id),
-         |edges AS (SELECT ea, eb FROM cand
-         |  JOIN sig sa ON cand.ea = sa.doc_id
-         |  JOIN sig sb ON cand.eb = sb.doc_id
-         |  WHERE len(list_intersect(sa.toks, sb.toks))::DOUBLE /
-         |    (len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks))) >= 0.8),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |edges AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
          |reach(node, root) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
