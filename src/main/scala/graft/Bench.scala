@@ -22,6 +22,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
+      // parallelismFirst stays at its default TRUE: the byte-advisory
+      // alternative (parallelismFirst=false) was A/B'd in round 4 and
+      // LOST 156 -> 240 s — small-byte/high-CPU reduce stages (the
+      // md5/intersection verify joins: q95 3.7 -> 22.7 s) coalesce to
+      // ~1 partition and serialize. Bytes are a bad proxy for work in
+      // compute-dense stages; see PERF_NOTES R4.3.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
