@@ -172,9 +172,59 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q155_sentences — sentence-level segmentation (the granularity
+    * between q97's token windows and whole docs): split on [.!?]+
+    * runs, trim, drop empties; per sentence emit its index, word
+    * count, and an md5 dedup key (the unit line-level/citation-level
+    * dedup operates on). Pure generator projection — no exchange at
+    * any scale.
+    */
+  def q155Sentences(s: SparkSession, dir: String): DataFrame = {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)),
+      x => length(x) > 0)
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), posexplode(sents))
+      .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
+        size(TextOps.tokens(col("col"))).cast("long").as("n_words"),
+        md5(col("col")).as("sent_hash"))
+      .orderBy(col("doc_id"), col("sent_idx"))
+  }
+
+  /** q156_datacard — the corpus "data card": per-language rollup of
+    * the statistics a dataset release documents — doc/token counts,
+    * exact-duplicate rate, mean quality signals, token length spread.
+    * One aggregation over a fused scan-stage projection (q148's
+    * feature-fusion shape feeding a groupBy); the exact-dup rate rides
+    * the same pass via a count over per-text occurrence counts.
+    */
+  def q156Datacard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+    val dupes = docs.groupBy(col("lang"), md5(col("text")).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("__c") - 1).as("n_exact_dupes"))
+    docs.select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("__nt"),
+        TextOps.stopwordRatio(col("text")).as("__sr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        round(avg(col("__nt")), 2).as("avg_tokens"),
+        min(col("__nt")).as("min_tokens"),
+        max(col("__nt")).as("max_tokens"),
+        round(avg(col("__sr")), 4).as("avg_stop_ratio"))
+      .join(dupes, Seq("lang"))
+      .withColumn("dup_rate",
+        round(col("n_exact_dupes") / col("n_docs"), 4))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q143_containment" -> (q143Containment _),
     "q148_quality_vector" -> (q148QualityVector _),
+    "q155_sentences" -> (q155Sentences _),
+    "q156_datacard" -> (q156Datacard _),
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_repetition" -> (q86Repetition _),
     "q87_token_budget" -> (q87TokenBudget _),
@@ -232,6 +282,34 @@ object CurationQueries {
         |FROM tok GROUP BY token
         |HAVING count(*) >= 0.25 * (SELECT n FROM tot)
         |ORDER BY df DESC, token""".stripMargin,
+    "q155_sentences" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |      x -> trim(x)), x -> len(x) > 0) AS sents
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(sents) AS sent,
+        |    generate_subscripts(sents, 1) AS idx FROM s)
+        |SELECT doc_id, (idx - 1)::BIGINT AS sent_idx,
+        |  len(list_filter(string_split_regex(sent, '\s+'),
+        |    tk -> len(tk) > 0))::BIGINT AS n_words,
+        |  md5(sent) AS sent_hash
+        |FROM e ORDER BY doc_id, sent_idx""".stripMargin,
+    "q156_datacard" ->
+      s"""WITH t AS (SELECT lang, text, $toksSql AS toks FROM documents),
+        |f AS (SELECT lang, len(toks)::BIGINT AS nt,
+        |    round(len(list_filter(toks, tk -> tk IN ${stopIn(TextOps.stopwords)}))::DOUBLE
+        |          / greatest(len(toks), 1), 4) AS sr
+        |  FROM t),
+        |d AS (SELECT lang, md5(text) AS h, count(*) AS c FROM documents GROUP BY lang, h),
+        |dd AS (SELECT lang, sum(c - 1)::BIGINT AS n_exact_dupes FROM d GROUP BY lang)
+        |SELECT f.lang, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+        |  round(avg(nt), 2) AS avg_tokens,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens,
+        |  round(avg(sr), 4) AS avg_stop_ratio,
+        |  any_value(n_exact_dupes) AS n_exact_dupes,
+        |  round(any_value(n_exact_dupes)::DOUBLE / count(*), 4) AS dup_rate
+        |FROM f JOIN dd ON f.lang = dd.lang
+        |GROUP BY f.lang ORDER BY f.lang""".stripMargin,
     "q148_quality_vector" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |g AS (SELECT doc_id, toks,
