@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.TemporalQueries.queries ++
-      graft.queries.QualityQueries.queries
+      graft.queries.QualityQueries.queries ++
+      graft.queries.GovernanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
       graft.queries.TemporalQueries.oracle ++
-      graft.queries.QualityQueries.oracle
+      graft.queries.QualityQueries.oracle ++
+      graft.queries.GovernanceQueries.oracle
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Privacy / governance primitives a training-data pipeline runs before
+  * releasing a corpus snapshot: pattern redaction, deterministic
+  * pseudonymization, and the per-document signals (character entropy)
+  * release QA reports on.
+  *
+  * All pure codegen'd Catalyst expressions — redaction and
+  * pseudonymization run in the scan stage at 100 TB (no shuffle, no
+  * UDF); reports aggregate map-side. The reference has no privacy
+  * pass (its narratives arrive pre-redacted as `XXXX` runs —
+  * `complaints_narrative_LDA.py:47` strips them); these ops are the
+  * producer side of that contract.
+  */
+object PrivacyOps {
+
+  /** Replace every match of `pattern` with `mask` (global, in-plan). */
+  def redact(text: Column, pattern: String, mask: String): Column =
+    regexp_replace(text, pattern, mask)
+
+  /** Number of `pattern` matches in `text` — the redaction count a
+    * governance report aggregates.
+    */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Deterministic keyed surrogate: md5(key || ":" || value). The same
+    * value maps to the same surrogate in every table, partition, and
+    * engine — referential integrity survives pseudonymization (joins on
+    * the surrogate equal joins on the raw key), unlike salted or
+    * per-run-random anonymization.
+    */
+  def surrogate(c: Column, key: String): Column =
+    md5(concat(lit(key + ":"), c.cast("string")))
+
+  /** Shannon entropy (nats) of the a-z letter distribution of `text`,
+    * lowercased; non-letters ignored. Low entropy flags degenerate /
+    * repeated-character documents that length and stopword ratios miss.
+    *
+    * Formulated as 26 `translate`-delete counts — no explode, no lambda
+    * HOF (CodegenFallback, PERF_NOTES §5) — so it fuses into the same
+    * scan-stage projection as the other quality signals. Term order is
+    * 'a'..'z'; the DuckDB oracle mirrors it, so the double sum is
+    * bit-identical.
+    */
+  def letterEntropy(text: Column): Column = {
+    val lc = lower(text)
+    val total = greatest(
+      length(regexp_replace(lc, "[^a-z]", "")).cast("double"), lit(1.0))
+    ('a' to 'z').map { ch =>
+      val cnt = (length(lc) - length(translate(lc, ch.toString, "")))
+        .cast("double")
+      when(cnt > 0, -(cnt / total) * log(cnt / total)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+  }
+
+  /** Count of a-z letters (the entropy denominator, reported with it). */
+  def letterCount(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{PrivacyOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Governance / release-QA manifest (SURVEY.md §2.13 X86-X90): the
+  * privacy and audit passes that run between curation and publishing a
+  * corpus snapshot — redaction, pseudonymization, entropy QA, lang-id
+  * evaluation, and cross-split leakage audit. Each oracle-checked
+  * against DuckDB.
+  */
+object GovernanceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q157_redact — pattern redaction report (`PrivacyOps.redact`):
+    * digit runs in event props masked to `#`, counted per event type.
+    * Redaction is a scan-stage projection (regexp_replace +
+    * regexp_extract_all, both codegen'd) — at 100 TB the pass is
+    * bounded by the read, and the report is one map-side-combined
+    * aggregation.
+    */
+  def q157Redact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        PrivacyOps.redact(col("props"), "\\d+", "#").as("__r"),
+        PrivacyOps.matchCount(col("props"), "\\d+").as("__c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__c")).cast("long").as("n_redactions"),
+        countDistinct(col("__r")).as("n_forms"))
+      .orderBy(col("event_type"))
+
+  /** q158_pseudonymize — keyed-hash pseudonymization audit
+    * (`PrivacyOps.surrogate`): user ids replaced by deterministic md5
+    * surrogates; the report proves the mapping is injective in this
+    * data (n_users == n_surrogates per type, so joins on the surrogate
+    * equal joins on the raw key). Engine-portable — the oracle computes
+    * the identical surrogates.
+    */
+  def q158Pseudonymize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        PrivacyOps.surrogate(col("user_id"), "pseud").as("__s"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("__s")).as("n_surrogates"))
+      .orderBy(col("event_type"))
+
+  /** q159_char_entropy — per-document letter-distribution Shannon
+    * entropy (`PrivacyOps.letterEntropy`): the release-QA signal that
+    * catches degenerate repeated-character text that length/stopword
+    * filters miss. Pure scan-stage projection, no exchange at any
+    * scale.
+    */
+  def q159CharEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        PrivacyOps.letterCount(col("text")).as("n_letters"),
+        round(PrivacyOps.letterEntropy(col("text")), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** q160_langid_eval — confusion matrix of the stopword-profile
+    * lang-id heuristic (q31) against the labeled `lang` column: how a
+    * pipeline validates a cheap classifier before trusting it to route
+    * 100 TB. Scores + argmax are scan-stage; the matrix is one
+    * |langs|²-bounded aggregation.
+    */
+  def q160LangidEval(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("lang"),
+        TextOps.langIdScore(col("text"), "en").as("s_en"),
+        TextOps.langIdScore(col("text"), "de").as("s_de"),
+        TextOps.langIdScore(col("text"), "es").as("s_es"),
+        TextOps.langIdScore(col("text"), "fr").as("s_fr"))
+      .withColumn("predicted_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"),
+            "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+    scored.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  /** q161_split_leak — cross-split contamination audit: exact-dup
+    * fingerprints (q23) shared between train/val/test assignments
+    * (q131's portable hash split). The leak check every eval pipeline
+    * must run — a val doc with a train twin inflates every metric.
+    * Fingerprints join on their hash (near-dup-sized, not corpus-
+    * sized); pair counts collapse per split pair.
+    */
+  def q161SplitLeak(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.parallelize(Tables.documents(s, dir))
+      .withColumn("bucket",
+        pmod(TextOps.hash32(col("doc_id").cast("string"), seed = "split:"),
+          lit(10L)))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val")).otherwise(lit("test")))
+      .withColumn("rank",
+        when(col("split") === "train", 0)
+          .when(col("split") === "val", 1).otherwise(2))
+      .select(col("doc_id"), col("split"), col("rank"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    val a = d.select(col("fp"), col("split").as("split_a"),
+      col("rank").as("__ra"), col("doc_id").as("__ida"))
+    val b = d.select(col("fp"), col("split").as("split_b"),
+      col("rank").as("__rb"), col("doc_id").as("__idb"))
+    a.join(b, Seq("fp"))
+      .filter(col("__ra") < col("__rb"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("fp")).as("n_shared_fps"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q157_redact" -> (q157Redact _),
+    "q158_pseudonymize" -> (q158Pseudonymize _),
+    "q159_char_entropy" -> (q159CharEntropy _),
+    "q160_langid_eval" -> (q160LangidEval _),
+    "q161_split_leak" -> (q161SplitLeak _),
+  )
+
+  import ExtensionQueries.{toksSql, tokSetSql, stopIn}
+
+  private def h32(expr: String, seed: String = ""): String =
+    s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
+
+  // mirrors PrivacyOps.letterEntropy term-by-term ('a'..'z', same
+  // order → bit-identical double sum)
+  private val entropySql: String = {
+    val total = "greatest(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE, 1.0)"
+    ('a' to 'z').map { ch =>
+      val cnt = s"(len(lower(text)) - len(replace(lower(text), '$ch', '')))::DOUBLE"
+      s"CASE WHEN $cnt > 0 THEN -($cnt / $total) * ln($cnt / $total) ELSE 0.0 END"
+    }.mkString("(", " + ", ")")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q157_redact" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(len(regexp_extract_all(props, '\d+')))::BIGINT AS n_redactions,
+        |  count(DISTINCT regexp_replace(props, '\d+', '#', 'g')) AS n_forms
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q158_pseudonymize" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT md5('pseud:' || user_id::VARCHAR)) AS n_surrogates
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q159_char_entropy" ->
+      s"""SELECT doc_id, lang,
+         |  len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT
+         |    AS n_letters,
+         |  round($entropySql, 4) AS entropy
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q160_langid_eval" ->
+      s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+         |s AS (SELECT lang,
+         |  len(list_filter(toks, t -> t IN ${stopIn(TextOps.langProfiles("en"))}))::BIGINT AS s_en,
+         |  len(list_filter(toks, t -> t IN ${stopIn(TextOps.langProfiles("de"))}))::BIGINT AS s_de,
+         |  len(list_filter(toks, t -> t IN ${stopIn(TextOps.langProfiles("es"))}))::BIGINT AS s_es,
+         |  len(list_filter(toks, t -> t IN ${stopIn(TextOps.langProfiles("fr"))}))::BIGINT AS s_fr
+         |  FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |  FROM s)
+         |SELECT lang, predicted_lang, count(*) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+    "q161_split_leak" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    ${h32("doc_id::VARCHAR", "split:")} % 10 AS bucket,
+         |    md5(array_to_string(list_sort($tokSetSql), ' ')) AS fp
+         |  FROM documents),
+         |sp AS (SELECT doc_id, fp,
+         |    CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN bucket < 8 THEN 0 WHEN bucket = 8 THEN 1
+         |         ELSE 2 END AS rnk
+         |  FROM d)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |  count(*) AS n_pairs, count(DISTINCT a.fp) AS n_shared_fps
+         |FROM sp a JOIN sp b ON a.fp = b.fp AND a.rnk < b.rnk
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+  )
+}
