@@ -100,6 +100,42 @@ object PipelineQueries {
         round(abs(col("est_jacc") - col("jaccard")), 4).as("abs_err"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q162_threshold_curve — dedup-rate sensitivity sweep: for each
+    * candidate Jaccard threshold, the verified edge count and the
+    * number of documents with at least one near-dup — how a pipeline
+    * picks its threshold before committing to a full dedup run. ONE
+    * sigs→bands→verify pass (`DedupOps.minhashAccuracy`, the q95
+    * machinery) feeds every threshold; the sweep itself touches only
+    * the candidate-pair frame (linear in near-dups).
+    */
+  def q162ThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.minhashAccuracy(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id",
+      TextOps.tokenSet(col("text")), nHashes = 8, rowsPerBand = 4)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // the sweep + the candidate count read this frame three times —
+      // materialize so the minhash pipeline runs once
+      .localCheckpoint()
+    val th = Seq(0.7, 0.8, 0.9).toDF("threshold")
+    val edges = th.crossJoin(pairs)
+      .filter(col("jaccard") >= col("threshold"))
+    val eAgg = edges.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_edges"))
+    val dAgg = edges
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs_with_dup"))
+    th.crossJoin(pairs.agg(count(lit(1)).as("n_candidates")))
+      .join(eAgg, Seq("threshold"), "left")
+      .join(dAgg, Seq("threshold"), "left")
+      .select(col("threshold"), col("n_candidates"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"))
+      .orderBy(col("threshold"))
+  }
+
   /** q96_sliding_distinct — trailing-7-day distinct active users
     * (`EventOps.slidingDistinctUsers`): the windowed COUNT DISTINCT
     * rewrite (dedup → bounded explode → one distinct agg), since no
@@ -262,6 +298,7 @@ object PipelineQueries {
     "q93_quantize" -> (q93Quantize _),
     "q94_profile" -> (q94Profile _),
     "q95_sketch_accuracy" -> (q95SketchAccuracy _),
+    "q162_threshold_curve" -> (q162ThresholdCurve _),
     "q96_sliding_distinct" -> (q96SlidingDistinct _),
   )
 
@@ -272,6 +309,29 @@ object PipelineQueries {
          |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  // q95/q162 shared replay: sigs → bands → candidate pairs → exact
+  // Jaccard (+ signature-agreement estimate), mirroring
+  // DedupOps.minhashAccuracy at nHashes=8, rowsPerBand=4
+  private val candidateJaccardCte: String =
+    s"""WITH t AS (SELECT doc_id, ${ExtensionQueries.tokSetSql} AS toks FROM documents),
+       |sig AS (SELECT doc_id, toks, len(toks) AS n, ${ExtensionQueries.minhashColsSql} FROM t),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band_id,
+       |    md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band_id,
+       |    md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR) AS band_key FROM sig),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |e AS (SELECT p.doc_a, p.doc_b,
+       |    (${(0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 8 AS est,
+       |    len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+       |      (sa.n + sb.n - len(list_intersect(sa.toks, sb.toks))) AS jac
+       |  FROM p JOIN sig sa ON sa.doc_id = p.doc_a
+       |         JOIN sig sb ON sb.doc_id = p.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q106_scd2" ->
@@ -382,27 +442,26 @@ object PipelineQueries {
         |FROM s ORDER BY vec_id""".stripMargin,
     "q94_profile" -> profileOracle,
     "q95_sketch_accuracy" ->
-      s"""WITH t AS (SELECT doc_id, ${ExtensionQueries.tokSetSql} AS toks FROM documents),
-        |sig AS (SELECT doc_id, toks, len(toks) AS n, ${ExtensionQueries.minhashColsSql} FROM t),
-        |banded AS (
-        |  SELECT doc_id, 0 AS band_id,
-        |    md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS band_key FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, 1 AS band_id,
-        |    md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR) AS band_key FROM sig),
-        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-        |  WHERE a.doc_id < b.doc_id),
-        |e AS (SELECT p.doc_a, p.doc_b,
-        |    (${(0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 8 AS est,
-        |    len(list_intersect(sa.toks, sb.toks))::DOUBLE /
-        |      (sa.n + sb.n - len(list_intersect(sa.toks, sb.toks))) AS jac
-        |  FROM p JOIN sig sa ON sa.doc_id = p.doc_a
-        |         JOIN sig sb ON sb.doc_id = p.doc_b)
+      s"""$candidateJaccardCte
         |SELECT doc_a, doc_b, round(est, 4) AS est_jacc, round(jac, 4) AS jaccard,
         |  round(abs(est - jac), 4) AS abs_err
         |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+    "q162_threshold_curve" ->
+      s"""$candidateJaccardCte,
+        |th AS (SELECT unnest([0.7, 0.8, 0.9]) AS threshold),
+        |ed AS (SELECT th.threshold, e.doc_a, e.doc_b
+        |  FROM th JOIN e ON e.jac >= th.threshold),
+        |en AS (SELECT threshold, count(*) AS n_edges FROM ed GROUP BY 1),
+        |dn AS (SELECT threshold, count(*) AS n_docs_with_dup FROM (
+        |    SELECT DISTINCT threshold, d FROM (
+        |      SELECT threshold, doc_a AS d FROM ed
+        |      UNION ALL SELECT threshold, doc_b FROM ed))
+        |  GROUP BY 1)
+        |SELECT th.threshold, (SELECT count(*) FROM e) AS n_candidates,
+        |  coalesce(en.n_edges, 0) AS n_edges,
+        |  coalesce(dn.n_docs_with_dup, 0) AS n_docs_with_dup
+        |FROM th LEFT JOIN en USING (threshold) LEFT JOIN dn USING (threshold)
+        |ORDER BY threshold""".stripMargin,
     "q96_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
         |            FROM events),

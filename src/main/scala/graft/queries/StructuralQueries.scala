@@ -255,6 +255,41 @@ object StructuralQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q163_range_export — deterministic range-sharded sorted export: the
+    * ordered-output sink (data lake snapshots, downstream merge-readers)
+    * without `orderBy`'s single global sort pipeline. Shard fences come
+    * from `StatOps.exactPercentiles` (deterministic, engine-portable —
+    * `repartitionByRange`'s sampled boundaries are not), rows route to
+    * their shard by broadcast fence compare, each shard sorts LOCALLY
+    * (`sortWithinPartitions`), and `partitionBy(shard)` writes one
+    * directory per shard. Read-back per-shard min/max prove the ranges
+    * tile: file order within a shard + shard numbering = total order,
+    * no stage ever saw more than 1/k of the data.
+    */
+  def q163RangeExport(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q163_range_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val fences = graft.ops.StatOps.exactPercentiles(
+      li.withColumn("__g", lit(1)), "__g", "l_extendedprice",
+      Seq("f1" -> 0.25, "f2" -> 0.5, "f3" -> 0.75)).drop("__g")
+    li.crossJoin(broadcast(fences))
+      .withColumn("shard",
+        when(col("l_extendedprice") <= col("f1"), 1)
+          .when(col("l_extendedprice") <= col("f2"), 2)
+          .when(col("l_extendedprice") <= col("f3"), 3).otherwise(4))
+      .drop("f1", "f2", "f3")
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("l_extendedprice"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy(col("shard"))
+  }
+
   /** q135_bucketed_join — bucketed table sink + shuffle-free co-located
     * join (S5/C1 extension; the storage-layout half of the skew/shuffle
     * toolkit): both fact tables written `bucketBy(8, orderkey)` +
@@ -434,6 +469,7 @@ object StructuralQueries {
     "q82_clean_text" -> (q82CleanText _),
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q132_partitioned_sink" -> (q132PartitionedSink _),
+    "q163_range_export" -> (q163RangeExport _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
@@ -503,6 +539,17 @@ object StructuralQueries {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q163_range_export" ->
+      """WITH v AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |f AS (SELECT quantile_cont(x, 0.25) AS f1, quantile_cont(x, 0.5) AS f2,
+        |             quantile_cont(x, 0.75) AS f3 FROM v),
+        |b AS (SELECT x, CASE WHEN x <= f1 THEN 1 WHEN x <= f2 THEN 2
+        |                     WHEN x <= f3 THEN 3 ELSE 4 END AS shard
+        |      FROM v, f)
+        |SELECT shard, count(*) AS n_rows, round(min(x), 2) AS lo,
+        |  round(max(x), 2) AS hi
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "q132_partitioned_sink" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 2) AS total_value

@@ -124,7 +124,48 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q164_dow_profile — day-of-week seasonality profile: mean daily
+    * event count per (type, weekday) — the baseline any anomaly/forecast
+    * layer normalizes against. Raw events collapse to daily counts
+    * first (one map-side-combined agg at data scale); the profile runs
+    * over the types×days frame. Weekday is 0=Sunday..6 in both engines
+    * (Spark `dayofweek` is 1-based, DuckDB `dow` 0-based).
+    */
+  def q164DowProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(round(avg(col("__n")), 2).as("avg_events"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"), col("dow"))
+
+  /** q165_autocorr — lag-1 / lag-7 autocorrelation of the daily count
+    * series per event type: the cheap periodicity detector (a high ac7
+    * says "weekly cycle") run before committing to seasonal models.
+    * The window sees only the days-sized series; `corr` ignores the
+    * lag's leading nulls in both engines.
+    */
+  def q165Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("lag1", lag(col("n"), 1).over(w))
+      .withColumn("lag7", lag(col("n"), 7).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("n"), col("lag1")), 4).as("ac1"),
+        round(corr(col("n"), col("lag7")), 4).as("ac7"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q164_dow_profile" -> (q164DowProfile _),
+    "q165_autocorr" -> (q165Autocorr _),
     "q150_rolling_median" -> (q150RollingMedian _),
     "q120_pit_join" -> (q120PitJoin _),
     "q121_merge_upsert" -> (q121MergeUpsert _),
@@ -136,6 +177,22 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q164_dow_profile" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, date_part('dow', day)::INTEGER AS dow,
+        |  round(avg(n), 2) AS avg_events, count(*) AS n_days
+        |FROM d GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+    "q165_autocorr" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS lag1,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS lag7
+        |  FROM d)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(corr(n, lag1), 4) AS ac1, round(corr(n, lag7), 4) AS ac7
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q150_rolling_median" ->
       """SELECT user_id, event_id,
         |  count(*) OVER wf AS n_frame,
