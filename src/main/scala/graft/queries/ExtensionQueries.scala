@@ -385,6 +385,58 @@ object ExtensionQueries {
           .cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** q166_fertility — tokenizer fertility per language: BPE-ish pieces
+    * per whitespace word and characters per piece — the stats that
+    * decide whether a tokenizer (q46's regex pre-tokenization) is
+    * efficient enough for a language before training on it. Pure
+    * scan-stage counts collapsing into a langs-sized aggregation.
+    */
+  def q166Fertility(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("lang"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+          .cast("long").as("__np"),
+        TextOps.tokenCount(col("text")).cast("long").as("__nw"),
+        length(col("text")).cast("long").as("__nc"))
+      .groupBy(col("lang"))
+      .agg(sum(col("__np")).as("n_pieces"), sum(col("__nw")).as("n_words"),
+        sum(col("__nc")).as("n_chars"),
+        round(sum(col("__np")) / sum(col("__nw")), 4)
+          .as("pieces_per_word"),
+        round(sum(col("__nc")) / sum(col("__np")), 4)
+          .as("chars_per_piece"))
+      .orderBy(col("lang"))
+
+  /** q168_stream_dedup — streaming exact dedup as a manifest query
+    * (`StreamingOps.dedupStream`, X15/X1): the events table replayed as
+    * a bounded file stream through `dropDuplicatesWithinWatermark` on
+    * (user_id, event_type) into a memory sink; the sink then aggregates
+    * to per-type distinct-user counts, which hash-match the batch
+    * DISTINCT oracle. Counting the sink (not emitting kept rows) makes
+    * the check arrival-order-independent — WHICH duplicate survives is
+    * processing-order-dependent, HOW MANY keys survive is not.
+    */
+  def q168StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val path = "target/tmp/q168_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(path)
+    val sink = "q168_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val q = graft.streaming.StreamingOps.dedupStream(
+        s.readStream.schema(s.read.parquet(path).schema).parquet(path),
+        Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** q47_rolling_hash — polynomial rolling hash over the token stream
     * (order-SENSITIVE document fingerprint, vs q23's order-insensitive
     * set fingerprint): h ← (31·h + hash32(token)) mod 1e9+7, one
@@ -426,6 +478,8 @@ object ExtensionQueries {
     "q44_cosine_expr" -> (q44CosineExpr _),
     "q45_embedding_neardup" -> (q45EmbeddingNearDup _),
     "q46_bpe_tokens" -> (q46BpeTokens _),
+    "q166_fertility" -> (q166Fertility _),
+    "q168_stream_dedup" -> (q168StreamDedup _),
     "q47_rolling_hash" -> (q47RollingHash _),
     "q48_asof_join" -> (q48AsofJoin _),
   )
@@ -631,6 +685,19 @@ object ExtensionQueries {
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q166_fertility" ->
+      s"""WITH d AS (SELECT lang,
+         |    len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))::BIGINT AS np,
+         |    len($toksSql)::BIGINT AS nw, len(text)::BIGINT AS nc
+         |  FROM documents)
+         |SELECT lang, sum(np)::BIGINT AS n_pieces, sum(nw)::BIGINT AS n_words,
+         |  sum(nc)::BIGINT AS n_chars,
+         |  round(sum(np)::DOUBLE / sum(nw), 4) AS pieces_per_word,
+         |  round(sum(nc)::DOUBLE / sum(np), 4) AS chars_per_piece
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q168_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q47_rolling_hash" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_transform($toksSql, t -> ${hash32Sql("t")}) AS hs

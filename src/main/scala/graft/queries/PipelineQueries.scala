@@ -189,6 +189,34 @@ object PipelineQueries {
       "l_returnflag", "l_extendedprice", buckets = 8)
       .orderBy(col("l_returnflag"), col("bucket"))
 
+  /** q167_gbt_eval — the reference's "best overall" binary model
+    * (`README.md:33,38` promises a GBT for the timely-response task; the
+    * script is absent from the repo — M9). Same harness as q114 with
+    * `ClassifierPipelines.gbt`: StringIndexer + VectorAssembler +
+    * GBTClassifier, seeded 70/30 split, confusion cells + AUC.
+    * Engine-specific output → rows-only driver check; determinism and
+    * metric bounds asserted in `ClassifierPipelinesSpec`.
+    */
+  def q167GbtEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.ClassifierPipelines
+    val df = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", "late").otherwise(lit("ontime"))
+          .as("is_late"))
+    val Array(train, test) = df.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val pipe = ClassifierPipelines.pipeline(
+      Seq("o_orderpriority"), Seq("o_totalprice"), "is_late",
+      ClassifierPipelines.gbt(maxIter = 5))
+    val preds = pipe.fit(train).transform(test)
+    val cells = ClassifierPipelines.binaryCells(preds)
+    val auc = ClassifierPipelines.auc(preds)
+    import s.implicits._
+    Seq((cells("tp"), cells("fp"), cells("tn"), cells("fn"),
+      math.rint(auc * 1000) / 1000))
+      .toDF("tp", "fp", "tn", "fn", "auc")
+  }
+
   /** q114_ml_eval — the reference's core ML loop as a manifest entry
     * (M1-M5/M14: StringIndexer + VectorAssembler + LogisticRegression,
     * seeded 70/30 split, confusion cells + AUC). Engine-specific output
@@ -285,6 +313,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "q114_ml_eval" -> (q114MlEval _),
+    "q167_gbt_eval" -> (q167GbtEval _),
     "q133_topic_model" -> (q133TopicModel _),
     "q134_rf_confusion" -> (q134RfConfusion _),
     "q104_streaks" -> (q104Streaks _),
