@@ -301,6 +301,30 @@ object EventOps {
           .as("src"))
   }
 
+  /** Changelog compaction with tombstones: reduce a CDC stream to one
+    * row per key — the LATEST by the total order `orderCols` — and flag
+    * keys whose final operation is a delete (`isDelete` on the
+    * surviving row). The consumer drops flagged keys; base+delta
+    * compaction jobs run exactly this shape.
+    *
+    * Same scale plan as [[mergeUpsert]]: argmax via `max(struct(...))`
+    * — one hash aggregate with map-side partial merge, one shuffle on
+    * the key, NO row_number window (which would sort every group).
+    *
+    * @param orderCols   total order within a key (e.g. ts, seq)
+    * @param payloadCols columns carried through on the surviving row
+    * @param isDelete    tombstone predicate evaluated on each change row
+    */
+  def compact(changes: DataFrame, keyCol: String, orderCols: Seq[String],
+              payloadCols: Seq[String], isDelete: Column): DataFrame = {
+    val st = struct(
+      (orderCols ++ payloadCols).map(col) :+ isDelete.as("__del"): _*)
+    changes.groupBy(col(keyCol)).agg(max(st).as("__m"))
+      .select(col(keyCol) +:
+        payloadCols.map(c => col(s"__m.$c").as(c)) :+
+        col("__m.__del").as("is_tombstone"): _*)
+  }
+
   /** Per-key transition (bigram) counts over an ordered event stream:
     * how often does `a` immediately precede `b` within a key. The
     * sequence-mining primitive behind next-event prediction features and

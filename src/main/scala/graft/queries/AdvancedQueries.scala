@@ -255,6 +255,52 @@ object AdvancedQueries {
     nodes.crossJoin(stats).crossJoin(tri)
   }
 
+  /** q172_pagerank — fixed-iteration PageRank over the simhash
+    * near-dup graph (q152's edge source): 3 synchronous iterations,
+    * damping 0.85, nodes restricted to edge participants (undirected ⇒
+    * every node has out-degree, no dangling mass). Rank centrality
+    * over the dup graph surfaces hub documents (template pages) that
+    * plain degree misses. Each iteration is one join + one
+    * map-side-combined sum on the checkpointed symmetric edge list —
+    * the standard BSP shape; ranks are checkpointed per round so the
+    * plan stays iteration-deep, not product-deep. Constants are
+    * literal (0.15, not 1−0.85) so both engines sum identical doubles.
+    */
+  def q172Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
+        maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // 3 iterations + degree read this
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nFrame = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var ranks = deg.crossJoin(broadcast(nFrame))
+      .select(col("src").as("node"), col("deg"),
+        (lit(1.0) / col("n_nodes")).as("p"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contrib = ranks.join(sym, ranks("node") === sym("src"))
+        .select(col("dst").as("node"), (col("p") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("__in"))
+      ranks = deg.select(col("src").as("node"), col("deg"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nFrame))
+        .select(col("node"), col("deg"),
+          (lit(0.15) / col("n_nodes") +
+            lit(0.85) * coalesce(col("__in"), lit(0.0))).as("p"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("doc_id"), round(col("p"), 4).as("pagerank"),
+        col("deg"))
+      .orderBy(col("pagerank").desc, col("doc_id")).limit(25)
+  }
+
   /** q153_target_encoding — leakage-safe K-fold target encoding (the
     * feature-engineering step the reference's frequency encoding M4
     * approximates without labels): each (category, fold) gets the mean
@@ -614,6 +660,7 @@ object AdvancedQueries {
     "q57_approx_distinct" -> (q57ApproxDistinct _),
     "q151_frequent_itemsets" -> (q151FrequentItemsets _),
     "q152_triangles" -> (q152Triangles _),
+    "q172_pagerank" -> (q172Pagerank _),
     "q153_target_encoding" -> (q153TargetEncoding _),
     "q154_dedup_survivors" -> (q154DedupSurvivors _),
   )
@@ -818,6 +865,37 @@ object AdvancedQueries {
          |  max(n_tokens) AS survivor_tokens
          |FROM cl JOIN tok ON cl.doc_id = tok.doc_id
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "q172_pagerank" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |sym AS (SELECT ea AS src, eb AS dst FROM e
+         |        UNION ALL SELECT eb, ea FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |n AS (SELECT count(*)::DOUBLE AS nn FROM deg),
+         |p0 AS (SELECT src AS node, deg, (SELECT 1.0 / nn FROM n) AS p FROM deg),
+         |p1 AS (SELECT d.src AS node, d.deg,
+         |    (SELECT 0.15 / nn FROM n) + 0.85 * coalesce(c.sin, 0.0) AS p
+         |  FROM deg d LEFT JOIN (
+         |    SELECT sym.dst AS node, sum(p0.p / p0.deg) AS sin
+         |    FROM p0 JOIN sym ON p0.node = sym.src GROUP BY sym.dst) c
+         |  ON c.node = d.src),
+         |p2 AS (SELECT d.src AS node, d.deg,
+         |    (SELECT 0.15 / nn FROM n) + 0.85 * coalesce(c.sin, 0.0) AS p
+         |  FROM deg d LEFT JOIN (
+         |    SELECT sym.dst AS node, sum(p1.p / p1.deg) AS sin
+         |    FROM p1 JOIN sym ON p1.node = sym.src GROUP BY sym.dst) c
+         |  ON c.node = d.src),
+         |p3 AS (SELECT d.src AS node, d.deg,
+         |    (SELECT 0.15 / nn FROM n) + 0.85 * coalesce(c.sin, 0.0) AS p
+         |  FROM deg d LEFT JOIN (
+         |    SELECT sym.dst AS node, sum(p2.p / p2.deg) AS sin
+         |    FROM p2 JOIN sym ON p2.node = sym.src GROUP BY sym.dst) c
+         |  ON c.node = d.src)
+         |SELECT node AS doc_id, round(p, 4) AS pagerank, deg
+         |FROM p3 ORDER BY pagerank DESC, doc_id LIMIT 25""".stripMargin,
     "q152_triangles" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),

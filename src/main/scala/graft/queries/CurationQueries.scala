@@ -191,6 +191,65 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("sent_idx"))
   }
 
+  /** q169_decontaminated_release — the full decontamination pass as one
+    * query: corpus docs flagged by EITHER detector (q85's 5-gram
+    * overlap OR q143's 0.95 token containment) are anti-joined away,
+    * and the release report shows per-language before/after doc and
+    * token counts. At 100 TB both detectors broadcast the eval side
+    * and stream the corpus once each; the hit set is near-dup-sized,
+    * so the anti-join build side stays tiny.
+    */
+  def q169DecontaminatedRelease(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    val ngramHits = DedupOps.contaminationHits(
+      corpus, evalSet, "doc_id", "text", n = 5).select(col("doc_id"))
+    val containHits = DedupOps.containmentHits(
+      corpus, evalSet.select(col("doc_id").as("eval_id"), col("text")),
+      "doc_id", "eval_id", d => TextOps.tokenSet(col("text")),
+      threshold = 0.95).select(col("doc_id"))
+    val bad = ngramHits.unionByName(containHits).distinct()
+    val before = corpus.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_before"))
+    val after = corpus.join(bad, Seq("doc_id"), "left_anti")
+      .select(col("lang"), TextOps.tokenCount(col("text")).cast("long").as("__nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_after"),
+        sum(col("__nt")).as("n_tokens_after"))
+    before.join(after, Seq("lang"))
+      .withColumn("n_removed", col("n_docs_before") - col("n_docs_after"))
+      .orderBy(col("lang"))
+  }
+
+  /** q171_boilerplate — cross-document boilerplate scoring: the
+    * fraction of each doc's word 5-grams that appear in at least one
+    * OTHER doc of the same language (CCNet-style line/paragraph
+    * dedup signal, at shingle granularity). Shingle doc-frequencies
+    * aggregate map-side; the join back is per (lang, shingle-hash).
+    * At 100 TB the df>=2 set is the small side — broadcast it instead
+    * of shuffling the full shingle stream twice.
+    */
+  def q171Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+    val sh = docs.select(col("lang"), col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 5)).as("__s"))
+      .select(col("lang"), col("doc_id"),
+        TextOps.hash32(col("__s")).as("sh_hash"))
+      .localCheckpoint() // feeds the df agg AND the join back
+    val dfreq = sh.groupBy(col("lang"), col("sh_hash"))
+      // shingles are distinct within a doc → count == doc frequency
+      .agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, Seq("lang", "sh_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__df") >= 2, 1)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler") / greatest(col("n_shingles"), lit(1)), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** q156_datacard — the corpus "data card": per-language rollup of
     * the statistics a dataset release documents — doc/token counts,
     * exact-duplicate rate, mean quality signals, token length spread.
@@ -225,6 +284,8 @@ object CurationQueries {
     "q148_quality_vector" -> (q148QualityVector _),
     "q155_sentences" -> (q155Sentences _),
     "q156_datacard" -> (q156Datacard _),
+    "q169_decontaminated_release" -> (q169DecontaminatedRelease _),
+    "q171_boilerplate" -> (q171Boilerplate _),
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_repetition" -> (q86Repetition _),
     "q87_token_budget" -> (q87TokenBudget _),
@@ -238,6 +299,49 @@ object CurationQueries {
   import ExtensionQueries.{toksSql, tokSetSql, stopIn}
 
   val oracle: Map[String, String] = Map(
+    "q169_decontaminated_release" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        |c AS (SELECT * FROM t WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT * FROM t WHERE doc_id % 50 = 0),
+        |csh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(toks) - 5, 0) + 1),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))) AS s
+        |  FROM c),
+        |ch AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS sh_hash FROM csh),
+        |esh AS (SELECT DISTINCT ('0x' || substr(md5(s), 1, 8))::BIGINT AS sh_hash FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(toks) - 5, 0) + 1),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))) AS s
+        |    FROM ev)),
+        |hit1 AS (SELECT DISTINCT ch.doc_id FROM ch JOIN esh USING (sh_hash)),
+        |cset AS (SELECT doc_id, list_distinct(toks) AS st FROM c),
+        |eset AS (SELECT list_distinct(toks) AS et FROM ev),
+        |hit2 AS (SELECT DISTINCT cset.doc_id FROM cset, eset
+        |  WHERE len(list_intersect(cset.st, eset.et)) >= len(eset.et) * 0.95 - 1e-9),
+        |bad AS (SELECT doc_id FROM hit1 UNION SELECT doc_id FROM hit2),
+        |before_t AS (SELECT lang, count(*) AS n_docs_before FROM c GROUP BY lang),
+        |after_t AS (SELECT lang, count(*) AS n_docs_after,
+        |    sum(len(toks))::BIGINT AS n_tokens_after
+        |  FROM c WHERE doc_id NOT IN (SELECT doc_id FROM bad) GROUP BY lang)
+        |SELECT lang, n_docs_before, n_docs_after, n_tokens_after,
+        |  n_docs_before - n_docs_after AS n_removed
+        |FROM before_t JOIN after_t USING (lang) ORDER BY lang""".stripMargin,
+    "q171_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        |sh AS (SELECT lang, doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(toks) - 5, 0) + 1),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))) AS s
+        |  FROM t),
+        |h AS (SELECT lang, doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS sh_hash FROM sh),
+        |f AS (SELECT lang, sh_hash, count(*) AS df FROM h GROUP BY 1, 2)
+        |SELECT h.doc_id, count(*) AS n_shingles,
+        |  count(*) FILTER (WHERE f.df >= 2) AS n_boiler,
+        |  round((count(*) FILTER (WHERE f.df >= 2))::DOUBLE
+        |    / greatest(count(*), 1), 4) AS boiler_frac
+        |FROM h JOIN f USING (lang, sh_hash)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "q85_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,

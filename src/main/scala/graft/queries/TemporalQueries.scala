@@ -163,7 +163,24 @@ object TemporalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q170_compaction — tombstone-aware changelog compaction
+    * (`EventOps.compact`): the event stream reduced to each user's
+    * final state; a final `error` event is the delete marker, so the
+    * flag tells the consumer which keys to drop. One argmax hash
+    * aggregate (no per-key sort), then a types-sized rollup of the
+    * compacted frame.
+    */
+  def q170Compaction(s: SparkSession, dir: String): DataFrame =
+    EventOps.compact(Tables.events(s, dir), "user_id",
+      Seq("ts", "event_id"), Seq("event_type", "value"),
+      col("event_type") === "error")
+      .groupBy(col("event_type").as("final_type"), col("is_tombstone"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("final_type"))
+
   val queries: Map[String, Q] = Map(
+    "q170_compaction" -> (q170Compaction _),
     "q164_dow_profile" -> (q164DowProfile _),
     "q165_autocorr" -> (q165Autocorr _),
     "q150_rolling_median" -> (q150RollingMedian _),
@@ -177,6 +194,15 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q170_compaction" ->
+      """WITH r AS (SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type AS final_type, event_type = 'error' AS is_tombstone,
+        |  count(*) AS n_users, round(sum(value), 2) AS total_value
+        |FROM r WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY final_type""".stripMargin,
     "q164_dow_profile" ->
       """WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS n
         |           FROM events GROUP BY 1, 2)

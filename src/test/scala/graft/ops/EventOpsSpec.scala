@@ -166,6 +166,22 @@ class EventOpsSpec extends SparkSpec {
       (2L, 103L, None, 1)))
   }
 
+  test("compact keeps latest per key and flags tombstones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "upsert", 10.0), (1L, 2L, "upsert", 20.0),
+      (2L, 3L, "upsert", 5.0), (2L, 4L, "delete", 0.0),
+      (3L, 5L, "delete", 0.0), (3L, 6L, "upsert", 7.0))
+      .toDF("k", "seq", "op", "v")
+    val out = EventOps.compact(df, "k", Seq("seq"), Seq("op", "v"),
+        org.apache.spark.sql.functions.col("op") === "delete")
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[Boolean]("is_tombstone"))).toSeq
+    // key 2's final op is the delete; key 3's delete was superseded
+    assert(out == Seq((1L, 20.0, false), (2L, 0.0, true), (3L, 7.0, false)))
+  }
+
   test("events table loader yields microsecond timestamps (ns truncated)") {
     val e = graft.Tables.events(spark, sf0001)
     assert(e.schema("ts").dataType ==
