@@ -86,7 +86,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q146's exact side is q100's broadcast-query batch kNN
     "q146_ann_recall",
     // q152 cross-joins three 1-row aggregates (nodes/edges/triangles)
-    "q152_triangles")
+    "q152_triangles",
+    // q162/q163/q172 cross-join broadcast 1-row scalars (candidate
+    // count / percentile fences / node count)
+    "q162_threshold_curve", "q163_range_export", "q172_pagerank")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

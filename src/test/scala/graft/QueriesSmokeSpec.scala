@@ -20,6 +20,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // model training is not SQL-expressible; determinism + metric
       // bounds are asserted in ClassifierPipelinesSpec
       "q114_ml_eval",
+      // same harness as q114 with GBTClassifier (the reference
+      // README's promised best binary model)
+      "q167_gbt_eval",
       // entry points C and B as manifest queries: LDA topics and the
       // RF confusion matrix are model outputs — pipeline invariants in
       // TopicPipelineSpec / ClassifierPipelinesSpec
