@@ -65,6 +65,43 @@ object ExtensionQueries {
     s.table(sink).orderBy(col("hour"), col("event_type"))
   }
 
+  /** q174_stream_sessionize — stateful `flatMapGroupsWithState`
+    * sessionization as a manifest query (`StreamingOps.sessionizeStream`,
+    * X15): events replayed as a bounded file stream. A session emits
+    * either when a LATER same-user event exceeds the 30-min gap
+    * (in-batch) or when the closing timeout batch fires — the final
+    * watermark is max(ts) − 10min delay, so a user's last session also
+    * emits iff its lastTs + 30min gap <= that watermark. The DuckDB
+    * oracle computes exactly that set with q19's gap arithmetic.
+    * Per-user counts are arrival-order-independent: the state fn sorts
+    * each group by (ts, event_id).
+    */
+  def q174StreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val path = "target/tmp/q174_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(path)
+    val sink = "q174_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    import s.implicits._
+    val stream = s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(path).as[graft.streaming.StreamingOps.Event]
+    val q = graft.streaming.StreamingOps.sessionizeStream(stream, 30)
+      .toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_closed_sessions"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(col("session_value")), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** q18_json_extract — schema-on-read over the semi-structured props
     * column (X5). The JSON path evaluates inside codegen. The filter is
     * fenced: its predicate embeds the JSON parse, and unfenced it would
@@ -480,6 +517,7 @@ object ExtensionQueries {
     "q46_bpe_tokens" -> (q46BpeTokens _),
     "q166_fertility" -> (q166Fertility _),
     "q168_stream_dedup" -> (q168StreamDedup _),
+    "q174_stream_sessionize" -> (q174StreamSessionize _),
     "q47_rolling_hash" -> (q47RollingHash _),
     "q48_asof_join" -> (q48AsofJoin _),
   )
@@ -514,6 +552,33 @@ object ExtensionQueries {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
         |ORDER BY event_id""".stripMargin,
+    "q174_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id)
+        |), flagged AS (
+        |  SELECT user_id, value, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session,
+        |    event_id
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, value, us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |agg AS (SELECT user_id, session_id, count(*) AS ne,
+        |    sum(value) AS sv, max(us) AS last_us
+        |  FROM sess GROUP BY user_id, session_id),
+        |mx AS (SELECT user_id, max(session_id) AS last_s FROM agg GROUP BY user_id),
+        |wm AS (SELECT max(us) - 600000000 AS watermark FROM e)
+        |SELECT a.user_id, count(*) AS n_closed_sessions,
+        |  sum(a.ne)::BIGINT AS n_events, round(sum(a.sv), 2) AS total_value
+        |FROM agg a JOIN mx USING (user_id), wm
+        |WHERE a.session_id < mx.last_s
+        |   OR a.last_us + 1800000000 <= wm.watermark
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q19_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,

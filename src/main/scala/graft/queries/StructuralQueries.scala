@@ -290,6 +290,61 @@ object StructuralQueries {
       .orderBy(col("shard"))
   }
 
+  /** q176_pca — PCA dimensionality reduction over the embeddings table
+    * (`org.apache.spark.ml.feature.PCA`, k=4): per-component explained
+    * variance ratio and component L2 norm (≈1, orthonormal columns).
+    * The covariance pass is one distributed Gramian aggregation; the
+    * dim×dim eigensolve is driver-local — the right split at 100 TB,
+    * where rows are billions but dim is hundreds. Model output →
+    * rows-only check; orthonormality/variance-ordering invariants in
+    * `FeatureSurfaceSpec`.
+    */
+  def q176Pca(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(s, dir)
+      .select(array_to_vector(
+        transform(col("embedding"), _.cast("double"))).as("features"))
+    val model = new PCA().setInputCol("features").setOutputCol("pc")
+      .setK(4).fit(emb)
+    val ev = model.explainedVariance.toArray
+    val pcNorms = (0 until 4).map { j =>
+      math.sqrt((0 until model.pc.numRows)
+        .map(i => model.pc(i, j) * model.pc(i, j)).sum)
+    }
+    import s.implicits._
+    ev.zip(pcNorms).zipWithIndex
+      .map { case ((v, n), i) =>
+        (i, math.rint(v * 10000) / 10000, math.rint(n * 10000) / 10000) }
+      .toSeq.toDF("component", "explained_variance", "pc_norm")
+  }
+
+  /** q173_skew_report — partition-skew diagnostic: simulate hash
+    * partitioning of candidate shuffle keys into 32 reducers (portable
+    * hash32 mod 32, so the oracle computes identical buckets) and
+    * report per-key max/avg bucket sizes + skew ratio. The planning
+    * query a pipeline runs BEFORE picking join/agg keys at 100 TB —
+    * the skew it measures is what q64/q81's salting mitigates. Each
+    * key's histogram is one map-side-combined count; the report is
+    * buckets-sized.
+    */
+  def q173SkewReport(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def report(keyName: String, key: org.apache.spark.sql.Column) =
+      li.select(pmod(graft.ops.TextOps.hash32(key.cast("string"),
+          seed = "part:"), lit(32L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"),
+          min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
+          round(avg(col("n")), 2).as("avg_rows"),
+          round(max(col("n")) / avg(col("n")), 4).as("skew_ratio"))
+        .select(lit(keyName).as("key_name"), col("*"))
+    report("l_orderkey", col("l_orderkey"))
+      .unionByName(report("l_suppkey", col("l_suppkey")))
+      .unionByName(report("l_returnflag", col("l_returnflag")))
+      .orderBy(col("key_name"))
+  }
+
   /** q135_bucketed_join — bucketed table sink + shuffle-free co-located
     * join (S5/C1 extension; the storage-layout half of the skew/shuffle
     * toolkit): both fact tables written `bucketBy(8, orderkey)` +
@@ -470,6 +525,8 @@ object StructuralQueries {
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q132_partitioned_sink" -> (q132PartitionedSink _),
     "q163_range_export" -> (q163RangeExport _),
+    "q173_skew_report" -> (q173SkewReport _),
+    "q176_pca" -> (q176Pca _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
@@ -481,7 +538,23 @@ object StructuralQueries {
     "q84_ivf_topk" -> (q84IvfTopK _),
   )
 
+  private def h32(expr: String, seed: String = ""): String =
+    s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
+
   val oracle: Map[String, String] = Map(
+    "q173_skew_report" ->
+      s"""WITH k AS (
+        |  SELECT 'l_orderkey' AS key_name,
+        |    ${h32("l_orderkey::VARCHAR", "part:")} % 32 AS bucket FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey',
+        |    ${h32("l_suppkey::VARCHAR", "part:")} % 32 FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag',
+        |    ${h32("l_returnflag", "part:")} % 32 FROM lineitem),
+        |b AS (SELECT key_name, bucket, count(*) AS n FROM k GROUP BY 1, 2)
+        |SELECT key_name, count(*) AS n_buckets, min(n) AS min_rows,
+        |  max(n) AS max_rows, round(avg(n), 2) AS avg_rows,
+        |  round(max(n) / avg(n), 4) AS skew_ratio
+        |FROM b GROUP BY key_name ORDER BY key_name""".stripMargin,
     "q146_ann_recall" ->
       """WITH planes AS (
         |  SELECT j, list_transform(range(0, 64), i ->

@@ -179,7 +179,32 @@ object TemporalQueries {
         round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("final_type"))
 
+  /** q175_decayed_counts — exponentially time-decayed frequency: each
+    * event weighted 2^(−age/7d) relative to the corpus's max timestamp
+    * (in-plan scalar, no wall clock — deterministic across engines and
+    * reruns). The recency-weighted popularity signal feature stores
+    * serve; one scan + one types-sized aggregation at any scale.
+    * Microsecond integer age arithmetic, so both engines raise the
+    * same doubles.
+    */
+  def q175DecayedCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val ref = ev.agg(max(unix_micros(col("ts"))).as("__ref"))
+    ev.select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("__us"))
+      .crossJoin(broadcast(ref))
+      .withColumn("__w",
+        pow(lit(0.5),
+          (col("__ref") - col("__us")).cast("double") / (7.0 * 86400e6)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("__w")), 4).as("decayed_count"),
+        round(sum(col("__w") * col("value")), 2).as("decayed_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_decayed_counts" -> (q175DecayedCounts _),
     "q170_compaction" -> (q170Compaction _),
     "q164_dow_profile" -> (q164DowProfile _),
     "q165_autocorr" -> (q165Autocorr _),
@@ -194,6 +219,16 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q175_decayed_counts" ->
+      """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(sum(pow(0.5,
+        |    (r.ref - epoch_us(ts))::DOUBLE / (7.0 * 86400e6))), 4)
+        |    AS decayed_count,
+        |  round(sum(pow(0.5,
+        |    (r.ref - epoch_us(ts))::DOUBLE / (7.0 * 86400e6)) * value), 2)
+        |    AS decayed_value
+        |FROM events, r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q170_compaction" ->
       """WITH r AS (SELECT user_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id

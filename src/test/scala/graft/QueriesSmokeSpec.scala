@@ -23,6 +23,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // same harness as q114 with GBTClassifier (the reference
       // README's promised best binary model)
       "q167_gbt_eval",
+      // PCA eigenvectors are model output; orthonormality + variance
+      // ordering invariants live in FeatureSurfaceSpec
+      "q176_pca",
       // entry points C and B as manifest queries: LDA topics and the
       // RF confusion matrix are model outputs — pipeline invariants in
       // TopicPipelineSpec / ClassifierPipelinesSpec

@@ -93,6 +93,31 @@ class FeatureSurfaceSpec extends AnyFunSuite {
     assert(!model.categoryMaps.contains(1))
   }
 
+  test("PCA components are orthonormal and variance-ordered (q176)") {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .select(array_to_vector(
+        transform(col("embedding"), _.cast("double"))).as("features"))
+    val m = new PCA().setInputCol("features").setOutputCol("pc")
+      .setK(4).fit(emb)
+    val ev = m.explainedVariance.toArray
+    assert(ev.forall(v => v > 0 && v <= 1.0))
+    assert(ev.zip(ev.tail).forall { case (a, b) => a >= b },
+      "explained variance must be non-increasing")
+    val pc = m.pc
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = (0 until pc.numRows).map(r => pc(r, i) * pc(r, j)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"pc($i)·pc($j) = $dot")
+    }
+    // projection is deterministic across refits
+    val m2 = new PCA().setInputCol("features").setOutputCol("pc")
+      .setK(4).fit(emb)
+    assert(m2.explainedVariance.toArray.sameElements(ev))
+  }
+
   test("pipeline model save/load roundtrip (MLWritable)") {
     val df = Tables.orders(spark, sf)
     val model: PipelineModel = new Pipeline()
