@@ -250,6 +250,33 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q178_line_dedup — line(sentence)-level NORMALIZED dedup across the
+    * corpus (the C4-style pass below q24's doc-level dedup and above
+    * q98's chunk dedup): sentences collide on their order-insensitive
+    * token-set fingerprint (q23's normalization at line granularity —
+    * casing/whitespace/word-order invariant); for every fingerprint
+    * appearing more than once, the copy count and the first-occurrence
+    * keeper — a `min(struct)` argmax per hash, no corpus-wide window.
+    * Generator projection + one hash aggregation is the whole plan at
+    * any scale.
+    */
+  def q178LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)),
+      x => length(x) > 0)
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), posexplode(sents))
+      .select(TextOps.fingerprint(col("col")).as("sent_hash"), col("doc_id"),
+        col("pos").cast("long").as("sent_idx"))
+      .groupBy(col("sent_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("sent_idx"))).as("__k"))
+      .filter(col("n_copies") > 1)
+      .select(col("sent_hash"), col("n_copies"),
+        col("__k.doc_id").as("keep_doc"), col("__k.sent_idx").as("keep_idx"))
+      .orderBy(col("sent_hash"))
+  }
+
   /** q156_datacard — the corpus "data card": per-language rollup of
     * the statistics a dataset release documents — doc/token counts,
     * exact-duplicate rate, mean quality signals, token length spread.
@@ -286,6 +313,7 @@ object CurationQueries {
     "q156_datacard" -> (q156Datacard _),
     "q169_decontaminated_release" -> (q169DecontaminatedRelease _),
     "q171_boilerplate" -> (q171Boilerplate _),
+    "q178_line_dedup" -> (q178LineDedup _),
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_repetition" -> (q86Repetition _),
     "q87_token_budget" -> (q87TokenBudget _),
@@ -386,6 +414,26 @@ object CurationQueries {
         |FROM tok GROUP BY token
         |HAVING count(*) >= 0.25 * (SELECT n FROM tot)
         |ORDER BY df DESC, token""".stripMargin,
+    "q178_line_dedup" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |      x -> trim(x)), x -> len(x) > 0) AS sents
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(sents) AS sent,
+        |    generate_subscripts(sents, 1) AS idx FROM s),
+        |h AS (SELECT md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split_regex(lower(sent), '\s+'),
+        |        tk -> len(tk) > 0))), ' ')) AS sent_hash,
+        |    doc_id, (idx - 1)::BIGINT AS sent_idx FROM e),
+        |g AS (SELECT sent_hash, count(*) AS n_copies FROM h
+        |      GROUP BY 1 HAVING count(*) > 1),
+        |k AS (SELECT sent_hash, doc_id AS keep_doc, sent_idx AS keep_idx,
+        |    row_number() OVER (PARTITION BY sent_hash
+        |                       ORDER BY doc_id, sent_idx) AS rn
+        |  FROM h)
+        |SELECT g.sent_hash, g.n_copies, k.keep_doc, k.keep_idx
+        |FROM g JOIN k USING (sent_hash) WHERE k.rn = 1
+        |ORDER BY sent_hash""".stripMargin,
     "q155_sentences" ->
       """WITH s AS (SELECT doc_id,
         |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),

@@ -319,6 +319,40 @@ object StructuralQueries {
       .toSeq.toDF("component", "explained_variance", "pc_norm")
   }
 
+  /** q177_zorder — Z-order (Morton) data clustering: interleave the
+    * bits of two columns' 10-bit equi-width buckets so that contiguous
+    * z ranges are small in BOTH dimensions — the lakehouse layout trick
+    * that makes multi-column range predicates prune files. Bucket
+    * bounds are in-plan scalars; z is pure integer bit arithmetic
+    * (engine-exact); the report groups by the top 4 z bits — contiguous
+    * z ranges by construction, NO global sort/window anywhere. The
+    * narrow per-bucket x AND y spans in the output are the locality
+    * proof.
+    */
+  def q177Zorder(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice").cast("double").as("x"),
+        col("l_quantity").cast("double").as("y"))
+    val mm = li.agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+      min(col("y")).as("ymn"), max(col("y")).as("ymx"))
+    def bucket(v: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+               mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(floor((v - mn) / (mx - mn) * 1024).cast("long"), lit(1023L))
+    val z = (0 until 10).map { j =>
+      shiftleft(shiftright(col("bx"), j).bitwiseAND(lit(1L)), 2 * j + 1) +
+        shiftleft(shiftright(col("by"), j).bitwiseAND(lit(1L)), 2 * j)
+    }.reduce(_ + _)
+    li.crossJoin(broadcast(mm))
+      .withColumn("bx", bucket(col("x"), col("xmn"), col("xmx")))
+      .withColumn("by", bucket(col("y"), col("ymn"), col("ymx")))
+      .withColumn("z_bucket", shiftright(z, 16))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 2).as("x_lo"), round(max(col("x")), 2).as("x_hi"),
+        round(min(col("y")), 2).as("y_lo"), round(max(col("y")), 2).as("y_hi"))
+      .orderBy(col("z_bucket"))
+  }
+
   /** q173_skew_report — partition-skew diagnostic: simulate hash
     * partitioning of candidate shuffle keys into 32 reducers (portable
     * hash32 mod 32, so the oracle computes identical buckets) and
@@ -527,6 +561,7 @@ object StructuralQueries {
     "q163_range_export" -> (q163RangeExport _),
     "q173_skew_report" -> (q173SkewReport _),
     "q176_pca" -> (q176Pca _),
+    "q177_zorder" -> (q177Zorder _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
@@ -542,6 +577,34 @@ object StructuralQueries {
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "q177_zorder" ->
+      """WITH v AS (SELECT l_extendedprice::DOUBLE AS x, l_quantity::DOUBLE AS y
+        |           FROM lineitem),
+        |mm AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn,
+        |              max(y) AS ymx FROM v),
+        |b AS (SELECT x, y,
+        |    least(floor((x - xmn) / (xmx - xmn) * 1024)::BIGINT, 1023) AS bx,
+        |    least(floor((y - ymn) / (ymx - ymn) * 1024)::BIGINT, 1023) AS by
+        |  FROM v, mm),
+        |z AS (SELECT x, y, ((((bx >> 0) & 1) << 1) + (((by >> 0) & 1) << 0) + (((bx >> 1) & 1) << 3) + (((by >> 1) & 1) << 2) + (((bx >> 2) & 1) << 5) + (((by >> 2) & 1) << 4) + (((bx >> 3) & 1) << 7) + (((by >> 3) & 1) << 6) + (((bx >> 4) & 1) << 9) + (((by >> 4) & 1) << 8) + (((bx >> 5) & 1) << 11) + (((by >> 5) & 1) << 10) + (((bx >> 6) & 1) << 13) + (((by >> 6) & 1) << 12) + (((bx >> 7) & 1) << 15) + (((by >> 7) & 1) << 14) + (((bx >> 8) & 1) << 17) + (((by >> 8) & 1) << 16) + (((bx >> 9) & 1) << 19) + (((by >> 9) & 1) << 18)) AS zv FROM b)
+        |SELECT zv >> 16 AS z_bucket, count(*) AS n,
+        |  round(min(x), 2) AS x_lo, round(max(x), 2) AS x_hi,
+        |  round(min(y), 2) AS y_lo, round(max(y), 2) AS y_hi
+        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
+    "q177_zorder" ->
+      """WITH v AS (SELECT l_extendedprice::DOUBLE AS x, l_quantity::DOUBLE AS y
+        |           FROM lineitem),
+        |mm AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn,
+        |              max(y) AS ymx FROM v),
+        |b AS (SELECT x, y,
+        |    least(floor((x - xmn) / (xmx - xmn) * 1024)::BIGINT, 1023) AS bx,
+        |    least(floor((y - ymn) / (ymx - ymn) * 1024)::BIGINT, 1023) AS by
+        |  FROM v, mm),
+        |z AS (SELECT x, y, ((((bx >> 0) & 1) << 1) + (((by >> 0) & 1) << 0) + (((bx >> 1) & 1) << 3) + (((by >> 1) & 1) << 2) + (((bx >> 2) & 1) << 5) + (((by >> 2) & 1) << 4) + (((bx >> 3) & 1) << 7) + (((by >> 3) & 1) << 6) + (((bx >> 4) & 1) << 9) + (((by >> 4) & 1) << 8) + (((bx >> 5) & 1) << 11) + (((by >> 5) & 1) << 10) + (((bx >> 6) & 1) << 13) + (((by >> 6) & 1) << 12) + (((bx >> 7) & 1) << 15) + (((by >> 7) & 1) << 14) + (((bx >> 8) & 1) << 17) + (((by >> 8) & 1) << 16) + (((bx >> 9) & 1) << 19) + (((by >> 9) & 1) << 18)) AS zv FROM b)
+        |SELECT zv >> 16 AS z_bucket, count(*) AS n,
+        |  round(min(x), 2) AS x_lo, round(max(x), 2) AS x_hi,
+        |  round(min(y), 2) AS y_lo, round(max(y), 2) AS y_hi
+        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
     "q173_skew_report" ->
       s"""WITH k AS (
         |  SELECT 'l_orderkey' AS key_name,

@@ -203,7 +203,33 @@ object TemporalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q179_attribution — bounded last-touch attribution: each purchase
+    * credits the user's most recent click no older than 30 minutes.
+    * The as-of machinery (`EventOps.asofJoin`: union + ONE key shuffle
+    * + LOCF window — no range theta-join) attaches the click; the
+    * bound is a post-filter on the µs gap. DuckDB's native
+    * ASOF LEFT JOIN replays it.
+    */
+  def q179Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    EventOps.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("event_id", "ts"))
+      .withColumn("__attr",
+        col("asof_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("asof_ts")) <=
+            30L * 60 * 1000000)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("__attr"), 1)).as("n_attributed"),
+        round(sum(when(col("__attr"), col("value"))), 2)
+          .as("attributed_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_attribution" -> (q179Attribution _),
     "q175_decayed_counts" -> (q175DecayedCounts _),
     "q170_compaction" -> (q170Compaction _),
     "q164_dow_profile" -> (q164DowProfile _),
@@ -219,6 +245,20 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q179_attribution" ->
+      """WITH p AS (SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS cus
+        |      FROM events WHERE event_type = 'click'),
+        |sel AS (SELECT p.user_id, p.value, p.us, c.cus
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.us >= c.cus)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  count(*) FILTER (WHERE cus IS NOT NULL
+        |    AND us - cus <= 1800000000) AS n_attributed,
+        |  round(sum(value) FILTER (WHERE cus IS NOT NULL
+        |    AND us - cus <= 1800000000), 2) AS attributed_value
+        |FROM sel GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q175_decayed_counts" ->
       """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
         |SELECT event_type, count(*) AS n_events,

@@ -89,7 +89,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q152_triangles",
     // q162/q163/q172 cross-join broadcast 1-row scalars (candidate
     // count / percentile fences / node count)
-    "q162_threshold_curve", "q163_range_export", "q172_pagerank")
+    "q162_threshold_curve", "q163_range_export", "q172_pagerank",
+    // q175/q177 cross-join broadcast 1-row scalars (max-ts reference /
+    // min-max bounds)
+    "q175_decayed_counts", "q177_zorder")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
