@@ -304,6 +304,80 @@ object AdvancedQueries {
       .orderBy(col("pagerank").desc, col("doc_id")).limit(25)
   }
 
+  /** q180_typed_cogroup — the typed Dataset escape hatch (SURVEY §7's
+    * preference (d)): `KeyValueGroupedDataset.cogroup` merges each
+    * order with its lineitems under case-class Encoders and runs
+    * arbitrary per-key Scala (here: net-price reconciliation). One
+    * shuffle per side on the key — same exchange plan as the join the
+    * DuckDB oracle uses; the per-key fold is in integer cents, so it
+    * is deterministic under any iterator order. Use the declarative
+    * join+agg when
+    * semantics allow (everything else in this engine does); cogroup is
+    * for logic Catalyst can't express.
+    */
+  def q180TypedCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+    val lis = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double)]
+    ords.groupByKey(_._1).cogroup(lis.groupByKey(_._1)) { (k, os, ls) =>
+      val o = os.toSeq
+      if (o.isEmpty) Iterator.empty
+      else {
+        val items = ls.toSeq
+        // integer-cent fold: each term is one double product rounded
+        // identically in both engines; the long sum is then exact under
+        // ANY order — a double fold flipped a half-cent boundary on 1
+        // of 15k orders between engines
+        val cents = items.iterator
+          .map(t => math.floor(t._2 * (1 - t._3) * 100 + 0.5).toLong).sum
+        Iterator((k, o.head._2, items.size.toLong, cents / 100.0))
+      }
+    }.toDF("o_orderkey", "o_totalprice", "n_items", "items_net")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q181_exists_subquery — EXISTS / NOT EXISTS predicate subqueries
+    * through `spark.sql`: Catalyst rewrites both into one left-semi
+    * and one left-anti hash join (no per-row re-scan) — the
+    * decorrelation counterpart to q79's scalar subquery.
+    */
+  def q181ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_q181")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q181")
+    s.sql(
+      """SELECT c_custkey, c_nationkey FROM customer_q181 c
+        |WHERE EXISTS (SELECT 1 FROM orders_q181 o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_q181 o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q182_ntile — quartile bucketing via `ntile(4)` per return flag:
+    * the rank-based window form, correct when partitions fit a sort
+    * (ties share a price, so bucket stats are deterministic under any
+    * tie order). The scale path for unbounded groups is
+    * `StatOps.equiDepthBins` (q126) — fences without a per-group sort.
+    */
+  def q182Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy(col("l_returnflag"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy(col("l_returnflag"), col("quartile"))
+  }
+
   /** q153_target_encoding — leakage-safe K-fold target encoding (the
     * feature-engineering step the reference's frequency encoding M4
     * approximates without labels): each (category, fold) gets the mean
@@ -664,6 +738,9 @@ object AdvancedQueries {
     "q151_frequent_itemsets" -> (q151FrequentItemsets _),
     "q152_triangles" -> (q152Triangles _),
     "q172_pagerank" -> (q172Pagerank _),
+    "q180_typed_cogroup" -> (q180TypedCogroup _),
+    "q181_exists_subquery" -> (q181ExistsSubquery _),
+    "q182_ntile" -> (q182Ntile _),
     "q153_target_encoding" -> (q153TargetEncoding _),
     "q154_dedup_survivors" -> (q154DedupSurvivors _),
   )
@@ -868,6 +945,31 @@ object AdvancedQueries {
          |  max(n_tokens) AS survivor_tokens
          |FROM cl JOIN tok ON cl.doc_id = tok.doc_id
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "q180_typed_cogroup" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  count(l.l_orderkey) AS n_items,
+        |  coalesce(sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+        |    + 0.5)::BIGINT), 0) / 100.0 AS items_net
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+    "q181_exists_subquery" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q182_ntile" ->
+      """WITH q AS (SELECT l_returnflag, l_extendedprice,
+        |    ntile(4) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile
+        |  FROM lineitem)
+        |SELECT l_returnflag, quartile, count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM q GROUP BY 1, 2 ORDER BY l_returnflag, quartile""".stripMargin,
     "q172_pagerank" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
