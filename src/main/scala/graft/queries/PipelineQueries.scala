@@ -217,6 +217,42 @@ object PipelineQueries {
       .toDF("tp", "fp", "tn", "fn", "auc")
   }
 
+  /** q183_batch_inference — model scoring at data scale + decile lift
+    * table: a FIXED linear model (weights are constants, as they are at
+    * serving time) scores every order in the scan stage; deciles come
+    * from `StatOps.exactPercentiles` fences on the score — NO global
+    * ntile sort (q182's window form dies on unbounded data) — and the
+    * lift table divides each decile's positive rate by the base rate.
+    * Fully deterministic, so the oracle replays scoring, fences, and
+    * lift bit-for-bit — unlike q114/q167 whose TRAINED weights are
+    * engine-specific.
+    */
+  def q183BatchInference(s: SparkSession, dir: String): DataFrame = {
+    val pr = substring(col("o_orderpriority"), 1, 1).cast("int")
+    val score = lit(1.0) / (lit(1.0) +
+      exp(-(lit(0.00002) * col("o_totalprice") - lit(0.5) * pr - lit(1.0))))
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), score.as("score"),
+        (col("o_orderstatus") === "F").cast("int").as("label"))
+    val fences = graft.ops.StatOps.exactPercentiles(
+      base.withColumn("__g", lit(1)), "__g", "score",
+      (1 to 9).map(i => (s"f$i", i / 10.0))).drop("__g")
+    val decile = (1 to 9).foldLeft(when(lit(false), 0)) { (acc, i) =>
+      acc.when(col("score") <= col(s"f$i"), i)
+    }.otherwise(10)
+    val overall = base.agg(avg(col("label").cast("double")).as("__base"))
+    base.crossJoin(broadcast(fences))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        avg(col("label").cast("double")).as("__pr"))
+      .crossJoin(broadcast(overall))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("__pr"), 4).as("pos_rate"),
+        round(col("__pr") / col("__base"), 4).as("lift"))
+      .orderBy(col("decile"))
+  }
+
   /** q114_ml_eval — the reference's core ML loop as a manifest entry
     * (M1-M5/M14: StringIndexer + VectorAssembler + LogisticRegression,
     * seeded 70/30 split, confusion cells + AUC). Engine-specific output
@@ -314,6 +350,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "q114_ml_eval" -> (q114MlEval _),
     "q167_gbt_eval" -> (q167GbtEval _),
+    "q183_batch_inference" -> (q183BatchInference _),
     "q133_topic_model" -> (q133TopicModel _),
     "q134_rf_confusion" -> (q134RfConfusion _),
     "q104_streaks" -> (q104Streaks _),
@@ -475,6 +512,29 @@ object PipelineQueries {
         |SELECT doc_a, doc_b, round(est, 4) AS est_jacc, round(jac, 4) AS jaccard,
         |  round(abs(est - jac), 4) AS abs_err
         |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+    "q183_batch_inference" ->
+      """WITH sc AS (SELECT o_orderkey,
+        |    1.0 / (1.0 + exp(-(0.00002 * o_totalprice
+        |      - 0.5 * substr(o_orderpriority, 1, 1)::INTEGER - 1.0))) AS score,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |f AS (SELECT quantile_cont(score, 0.1) AS f1, quantile_cont(score, 0.2) AS f2,
+        |    quantile_cont(score, 0.3) AS f3, quantile_cont(score, 0.4) AS f4,
+        |    quantile_cont(score, 0.5) AS f5, quantile_cont(score, 0.6) AS f6,
+        |    quantile_cont(score, 0.7) AS f7, quantile_cont(score, 0.8) AS f8,
+        |    quantile_cont(score, 0.9) AS f9 FROM sc),
+        |base AS (SELECT avg(label::DOUBLE) AS br FROM sc),
+        |d AS (SELECT label,
+        |    CASE WHEN score <= f1 THEN 1 WHEN score <= f2 THEN 2
+        |         WHEN score <= f3 THEN 3 WHEN score <= f4 THEN 4
+        |         WHEN score <= f5 THEN 5 WHEN score <= f6 THEN 6
+        |         WHEN score <= f7 THEN 7 WHEN score <= f8 THEN 8
+        |         WHEN score <= f9 THEN 9 ELSE 10 END AS decile
+        |  FROM sc, f)
+        |SELECT decile, count(*) AS n, sum(label)::BIGINT AS n_pos,
+        |  round(avg(label::DOUBLE), 4) AS pos_rate,
+        |  round(avg(label::DOUBLE) / br, 4) AS lift
+        |FROM d, base GROUP BY decile, br ORDER BY decile""".stripMargin,
     "q162_threshold_curve" ->
       s"""$candidateJaccardCte,
         |th AS (SELECT unnest([0.7, 0.8, 0.9]) AS threshold),

@@ -319,6 +319,32 @@ object StructuralQueries {
       .toSeq.toDF("component", "explained_variance", "pc_norm")
   }
 
+  /** q184_bucketed_neardup — embedding near-dup detection, the SCALE
+    * path (q45 is the exact all-pairs baseline): candidate pairs form
+    * only WITHIN an SRP sign bucket (same 4-bit bucket ⇒ same side of
+    * all 4 hyperplanes — cosine-similar vectors collide with high
+    * probability), then exact cosine verifies. The bucket equi-join
+    * replaces q45's corpus² cross join; at 100 TB the corpus is
+    * written bucketed and each bucket joins co-located. Same 0.4
+    * threshold as q45, so the two outputs measure the probe's recall
+    * directly.
+    */
+  def q184BucketedNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", VectorOps.srpBucket(col("embedding"), 64, 4))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("__ea"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("__eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", VectorOps.cosineNative(col("__ea"), col("__eb")))
+      .filter(col("__cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q177_zorder — Z-order (Morton) data clustering: interleave the
     * bits of two columns' 10-bit equi-width buckets so that contiguous
     * z ranges are small in BOTH dimensions — the lakehouse layout trick
@@ -562,6 +588,7 @@ object StructuralQueries {
     "q173_skew_report" -> (q173SkewReport _),
     "q176_pca" -> (q176Pca _),
     "q177_zorder" -> (q177Zorder _),
+    "q184_bucketed_neardup" -> (q184BucketedNearDup _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
@@ -576,7 +603,26 @@ object StructuralQueries {
   private def h32(expr: String, seed: String = ""): String =
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
 
+  // shared q78/q184 replay: md5-derived hyperplanes -> 4-bit SRP bucket
+  private val srpBucketCte: String =
+    """WITH planes AS (
+      |  SELECT j, list_transform(range(0, 64), i ->
+      |    (('0x' || substr(md5('plane' || j || ':' || i), 1, 8))::BIGINT)::DOUBLE / 2147483648 - 1) AS plane
+      |  FROM (SELECT unnest(range(0, 4)) AS j)),
+      |b AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+      |                THEN 1 << p.j ELSE 0 END)::BIGINT FROM planes p) AS bucket
+      |  FROM embeddings e)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q184_bucketed_neardup" ->
+      s"""$srpBucketCte,
+        |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |    list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS cos
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos_sim
+        |FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q177_zorder" ->
       """WITH v AS (SELECT l_extendedprice::DOUBLE AS x, l_quantity::DOUBLE AS y
         |           FROM lineitem),
@@ -723,15 +769,7 @@ object StructuralQueries {
         |FROM customer WHERE c_acctbal > 0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q78_ann_srp" ->
-      """WITH planes AS (
-        |  SELECT j, list_transform(range(0, 64), i ->
-        |    (('0x' || substr(md5('plane' || j || ':' || i), 1, 8))::BIGINT)::DOUBLE / 2147483648 - 1) AS plane
-        |  FROM (SELECT unnest(range(0, 4)) AS j)),
-        |b AS (
-        |  SELECT vec_id, embedding,
-        |    (SELECT sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
-        |                THEN 1 << p.j ELSE 0 END)::BIGINT FROM planes p) AS bucket
-        |  FROM embeddings e),
+      s"""$srpBucketCte,
         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 2)
         |SELECT b.vec_id, round(list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim
         |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 2

@@ -92,7 +92,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q162_threshold_curve", "q163_range_export", "q172_pagerank",
     // q175/q177 cross-join broadcast 1-row scalars (max-ts reference /
     // min-max bounds)
-    "q175_decayed_counts", "q177_zorder")
+    "q175_decayed_counts", "q177_zorder",
+    // q183 cross-joins broadcast 1-row scalars (decile fences, base rate)
+    "q183_batch_inference")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
