@@ -14,8 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSparkExtensions.all.foreach(ext.injectFunction)
+    // optimizer extension: naive sorted-set intersection counts compile
+    // to the native two-pointer merge (see IntersectCountRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+  }
 }
 
 object GraftSparkExtensions {

@@ -277,6 +277,31 @@ object CurationQueries {
       .orderBy(col("sent_hash"))
   }
 
+  /** q186_mixture_weights — temperature-scaled sampling weights: the
+    * multilingual-training recipe w_l ∝ p_l^α (α=0.3 upsamples tail
+    * languages) over per-language token shares, with the expected
+    * token allocation for a 1M-token budget. One datacard-style
+    * aggregation + a langs-sized arithmetic pass — the weights that
+    * drive q99's mixture selection.
+    */
+  def q186MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("lang"), TextOps.tokenCount(col("text")).cast("long").as("__nt"))
+      .groupBy(col("lang")).agg(sum(col("__nt")).as("n_tokens"))
+    val tot = byLang.agg(sum(col("n_tokens")).cast("double").as("__tot"))
+    val powed = byLang.crossJoin(broadcast(tot))
+      .withColumn("__p", col("n_tokens") / col("__tot"))
+      .withColumn("__pa", pow(col("__p"), lit(0.3)))
+    val z = powed.agg(sum(col("__pa")).as("__z"))
+    powed.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_tokens"),
+        round(col("__p"), 6).as("share"),
+        round(col("__pa") / col("__z"), 6).as("weight"),
+        round(col("__pa") / col("__z") * 1000000).cast("long")
+          .as("alloc_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** q156_datacard — the corpus "data card": per-language rollup of
     * the statistics a dataset release documents — doc/token counts,
     * exact-duplicate rate, mean quality signals, token length spread.
@@ -314,6 +339,7 @@ object CurationQueries {
     "q169_decontaminated_release" -> (q169DecontaminatedRelease _),
     "q171_boilerplate" -> (q171Boilerplate _),
     "q178_line_dedup" -> (q178LineDedup _),
+    "q186_mixture_weights" -> (q186MixtureWeights _),
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_repetition" -> (q86Repetition _),
     "q87_token_budget" -> (q87TokenBudget _),
@@ -414,6 +440,17 @@ object CurationQueries {
         |FROM tok GROUP BY token
         |HAVING count(*) >= 0.25 * (SELECT n FROM tot)
         |ORDER BY df DESC, token""".stripMargin,
+    "q186_mixture_weights" ->
+      s"""WITH t AS (SELECT lang, sum(len($toksSql))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(n_tokens)::DOUBLE AS tt FROM t),
+         |p AS (SELECT lang, n_tokens, n_tokens / tt AS sh,
+         |    pow(n_tokens / tt, 0.3) AS pa FROM t, tot),
+         |z AS (SELECT sum(pa) AS zz FROM p)
+         |SELECT lang, n_tokens, round(sh, 6) AS share,
+         |  round(pa / zz, 6) AS weight,
+         |  round(pa / zz * 1000000)::BIGINT AS alloc_tokens
+         |FROM p, z ORDER BY lang""".stripMargin,
     "q178_line_dedup" ->
       """WITH s AS (SELECT doc_id,
         |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),

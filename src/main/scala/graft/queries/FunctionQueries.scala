@@ -201,7 +201,39 @@ object FunctionQueries {
     q38OuterJoins(s, dir).na.drop(Seq("s_suppkey", "n_items"))
       .orderBy(col("s_suppkey"))
 
+  /** q185_optimized_intersect — the optimizer-extension demo
+    * (`graft.plans.IntersectCountRewrite` via `injectOptimizerRule`):
+    * the query is WRITTEN as the naive
+    * `size(array_intersect(sort_array(array_distinct(a)), ...))` —
+    * per-pair hash set + materialized intersection — and the injected
+    * rule compiles it to the native zero-allocation
+    * `sorted_intersect_count` merge (the pattern itself proves the
+    * sorted/distinct/int contract). PlanQualitySpec asserts the
+    * rewrite fired; the DuckDB oracle replays the naive form, proving
+    * it semantics-preserving. Day-set overlap between users is the
+    * co-activity matrix shape.
+    */
+  def q185OptimizedIntersect(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("int").as("d"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("d")).as("ds"))
+    val a = days.select(col("user_id").as("user_a"), col("ds").as("da"))
+    val b = days.select(col("user_id").as("user_b"), col("ds").as("db"))
+    a.join(b, col("user_a") < col("user_b"))
+      .select(col("user_a"), col("user_b"),
+        size(array_intersect(
+          sort_array(array_distinct(col("da"))),
+          sort_array(array_distinct(col("db"))))).cast("long")
+          .as("shared_days"))
+      .orderBy(col("user_a"), col("user_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_optimized_intersect" -> (q185OptimizedIntersect _),
     "q32_window_analytics" -> (q32WindowAnalytics _),
     "q33_string_funcs" -> (q33StringFuncs _),
     "q34_math_funcs" -> (q34MathFuncs _),
@@ -217,6 +249,15 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q185_optimized_intersect" ->
+      """WITH d AS (SELECT user_id,
+        |    list_sort(list_distinct(
+        |      list(date_diff('day', DATE '2024-01-01', ts::DATE)))) AS ds
+        |  FROM events WHERE user_id < 40 GROUP BY user_id)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  len(list_intersect(a.ds, b.ds)) AS shared_days
+        |FROM d a JOIN d b ON a.user_id < b.user_id
+        |ORDER BY user_a, user_b""".stripMargin,
     "q32_window_analytics" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_totalprice) OVER w AS prev_price,

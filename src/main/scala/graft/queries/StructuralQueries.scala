@@ -319,6 +319,30 @@ object StructuralQueries {
       .toSeq.toDF("component", "explained_variance", "pc_norm")
   }
 
+  /** q187_union_evolve — schema-drift union: two batches with
+    * different column sets merged via
+    * `unionByName(allowMissingColumns = true)` (the READ-side sibling
+    * of q144's mergeSchema) — missing columns null-fill, no history
+    * rewrite. The report counts rows and non-null presence per column
+    * per batch. DuckDB's UNION ALL BY NAME replays it.
+    */
+  def q187UnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val v1 = ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("batch", lit("v1"))
+    val v2 = ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")) // the column added in v2
+      .withColumn("batch", lit("v2"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("batch"))
+  }
+
   /** q184_bucketed_neardup — embedding near-dup detection, the SCALE
     * path (q45 is the exact all-pairs baseline): candidate pairs form
     * only WITHIN an SRP sign bucket (same 4-bit bucket ⇒ same side of
@@ -589,6 +613,7 @@ object StructuralQueries {
     "q176_pca" -> (q176Pca _),
     "q177_zorder" -> (q177Zorder _),
     "q184_bucketed_neardup" -> (q184BucketedNearDup _),
+    "q187_union_evolve" -> (q187UnionEvolve _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
@@ -616,6 +641,17 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q187_union_evolve" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, 'v1' AS batch
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS batch
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT batch, count(*) AS n_rows,
+        |  count(o_orderpriority) AS n_with_priority,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM u GROUP BY batch ORDER BY batch""".stripMargin,
     "q184_bucketed_neardup" ->
       s"""$srpBucketCte,
         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,

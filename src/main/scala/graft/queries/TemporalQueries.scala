@@ -228,7 +228,29 @@ object TemporalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q188_time_range_frame — event-time RANGE window: each event's
+    * trailing-1-hour count and value sum for its user, as a
+    * value-based frame over epoch-µs (`rangeBetween(-3600e6, 0)`, both
+    * bounds inclusive in both engines). The VALUE-based frame is the
+    * correct semantics for irregular event spacing — a ROWS frame
+    * (q150) counts rows, not time. Restricted to users 0-9 to bound
+    * the verify output.
+    */
+  def q188TimeRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-3600L * 1000000, 0)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 10)
+      .withColumn("__us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum(col("value")).over(w), 2).as("value_last_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_time_range_frame" -> (q188TimeRangeFrame _),
     "q179_attribution" -> (q179Attribution _),
     "q175_decayed_counts" -> (q175DecayedCounts _),
     "q170_compaction" -> (q170Compaction _),
@@ -245,6 +267,16 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q188_time_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER wf AS n_last_hour,
+        |  round(sum(value) OVER wf, 2) AS value_last_hour
+        |FROM (SELECT user_id, event_id, value,
+        |        epoch_us(ts::TIMESTAMP) AS us
+        |      FROM events WHERE user_id < 10)
+        |WINDOW wf AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q179_attribution" ->
       """WITH p AS (SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS us
         |           FROM events WHERE event_type = 'purchase'),

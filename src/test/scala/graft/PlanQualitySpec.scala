@@ -93,8 +93,13 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q175/q177 cross-join broadcast 1-row scalars (max-ts reference /
     // min-max bounds)
     "q175_decayed_counts", "q177_zorder",
+    // q185's pair generation is a theta join (user_a < user_b) of a
+    // 40-row broadcast side
+    "q185_optimized_intersect",
     // q183 cross-joins broadcast 1-row scalars (decile fences, base rate)
-    "q183_batch_inference")
+    "q183_batch_inference",
+    // q186 cross-joins broadcast 1-row scalars (corpus total, Z norm)
+    "q186_mixture_weights")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -105,6 +110,15 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected BroadcastNestedLoopJoin:\n$plan")
     }
+  }
+
+  test("q185's naive intersect is rewritten to the native sorted merge") {
+    val plan = SparkEntry.queries("q185_optimized_intersect")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sorted_intersect_count"),
+      s"IntersectCountRewrite did not fire:\n$plan")
+    assert(!plan.contains("array_intersect"),
+      s"naive array_intersect survived the rewrite:\n$plan")
   }
 
   test("q18 fence keeps the JSON parse ABOVE the repartition") {

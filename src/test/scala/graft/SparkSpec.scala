@@ -20,6 +20,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // functions AND the optimizer rule (IntersectCountRewrite):
+      // injectOptimizerRule only applies at session build, unlike the
+      // runtime function registration below
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events
