@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++
       graft.queries.TemporalQueries.queries ++
       graft.queries.QualityQueries.queries ++
-      graft.queries.GovernanceQueries.queries
+      graft.queries.GovernanceQueries.queries ++
+      graft.queries.ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracle ++
       graft.queries.TemporalQueries.oracle ++
       graft.queries.QualityQueries.oracle ++
-      graft.queries.GovernanceQueries.oracle
+      graft.queries.GovernanceQueries.oracle ++
+      graft.queries.ModelQueries.oracle
 }

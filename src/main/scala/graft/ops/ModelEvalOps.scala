@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation analytics the reference computes driver-side with
+  * sklearn/MLlib evaluators (`random_forest_final_class_8.py:237-261`,
+  * `timely_LR.py:125-148`) or not at all, re-expressed as distributed
+  * Spark plans so they run inside the engine at corpus scale:
+  *
+  *  - per-group simple OLS regression (closed form from raw sums),
+  *  - Mann-Whitney / rank-sum ROC AUC with tie-averaged ranks,
+  *  - decision-stump split search (weighted Gini over candidate
+  *    thresholds) — the inner loop of the reference's tree learners.
+  *
+  * All three reduce the data to a bounded aggregate (|groups|,
+  * |distinct scores|, |distinct thresholds|) before any window runs, so
+  * the unbounded input is consumed by one map-side-combined shuffle and
+  * the window/sort operates on the small summary frame — the shape that
+  * holds at 100 TB.
+  */
+object ModelEvalOps {
+
+  /** Per-group simple OLS of y on x, computed from raw co-moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²) in ONE map-side-combined aggregation —
+    * no second pass, no driver collect. slope/intercept/r² derive in
+    * the projection. The identical closed form runs in the oracle so
+    * both engines share the arithmetic (4-dp rounding absorbs
+    * partition-order float noise, PERF_NOTES R4 float-sum rule).
+    */
+  def groupRegression(df: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      .select(col(groupCol), col("n"),
+        round((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          .as("slope"),
+        round((col("__sy") - (col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n") * col("__sxx") - col("__sx") * col("__sx")) * col("__sx")) /
+          col("n"), 4).as("intercept"),
+        round(((col("n") * col("__sxy") - col("__sx") * col("__sy")) *
+          (col("n") * col("__sxy") - col("__sx") * col("__sy"))) /
+          ((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+            (col("n") * col("__syy") - col("__sy") * col("__sy"))), 4)
+          .as("r2"))
+  }
+
+  /** Per-group ROC AUC via the Mann-Whitney rank-sum identity with
+    * tie-averaged ranks: collapse to one row per (group, score) with
+    * (cnt, pos) counts, cumulative-count window → average rank of the
+    * tie block, then AUC = (Σ_pos rank − P(P+1)/2) / (P·N).
+    *
+    * Every intermediate is an integer or an exact half-integer in
+    * doubles, so the result is BIT-exact and partition-order-free —
+    * no rounding tolerance needed (4 dp kept for report formatting).
+    * The window runs over |distinct scores| rows per group, not raw
+    * rows; the raw pass is one map-side-combined count shuffle.
+    */
+  def rankAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      posCond: Column): DataFrame = {
+    val perScore = df
+      .groupBy(col(groupCol), col(scoreCol).cast("double").as("__score"))
+      .agg(count(lit(1)).as("__cnt"),
+        count(when(posCond, lit(1))).as("__pos"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("__rank",
+        sum(col("__cnt")).over(w) - col("__cnt") + (col("__cnt") + 1) / 2.0)
+      .groupBy(col(groupCol))
+      .agg(sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"),
+        sum(col("__pos") * col("__rank")).as("__rp"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        round((col("__rp") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos") * col("n_neg")), 4).as("auc"))
+  }
+
+  /** Decision-stump split search — the inner loop of the reference's
+    * DecisionTree/RandomForest grid (`decision_tree_final_class_8
+    * .py:229-232`) as a declarative plan: one count aggregation per
+    * distinct feature value, a cumulative window over the sorted
+    * candidate frame, and weighted binary Gini for the (≤ t | > t)
+    * partition at every candidate threshold. Returns the topK lowest-
+    * impurity splits (6-dp impurity key, threshold tiebreak — both
+    * engines evaluate the identical integer-ratio formula).
+    *
+    * The raw table is consumed by the value-histogram aggregation
+    * (map-side combine, |distinct values| output rows); the window and
+    * top-k sort touch only that summary, exactly how MLlib's binned
+    * split evaluation scales.
+    */
+  def bestSplit(df: DataFrame, featureCol: String, posCond: Column,
+      topK: Int): DataFrame = {
+    val perV = df.groupBy(col(featureCol).cast("double").as("threshold"))
+      .agg(count(lit(1)).as("__cnt"),
+        count(when(posCond, lit(1))).as("__pos"))
+    val cumW = Window.orderBy(col("threshold"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nL = col("__nl"); val pL = col("__pl")
+    val nT = col("__nt"); val pT = col("__pt")
+    val nR = nT - nL; val pR = pT - pL
+    val giniL = lit(1.0) - (pL / nL) * (pL / nL) -
+      ((nL - pL) / nL) * ((nL - pL) / nL)
+    val giniR = lit(1.0) - (pR / nR) * (pR / nR) -
+      ((nR - pR) / nR) * ((nR - pR) / nR)
+    perV
+      .withColumn("__nl", sum(col("__cnt")).over(cumW))
+      .withColumn("__pl", sum(col("__pos")).over(cumW))
+      .withColumn("__nt", sum(col("__cnt")).over(totW))
+      .withColumn("__pt", sum(col("__pos")).over(totW))
+      .filter(nL < nT) // the max value splits nothing off
+      .select(col("threshold"), nL.as("n_left"), nR.as("n_right"),
+        pL.as("pos_left"), pR.as("pos_right"),
+        round((nL * giniL + nR * giniR) / nT, 4).as("weighted_gini"),
+        round((nL * giniL + nR * giniR) / nT, 6).as("__key"))
+      .orderBy(col("__key"), col("threshold"))
+      .limit(topK)
+      .drop("__key")
+  }
+}

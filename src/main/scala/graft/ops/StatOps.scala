@@ -328,6 +328,34 @@ object StatOps {
     * orders of magnitude smaller than the data; rows then look up their
     * value's ECDF by (broadcast) join when normalizing.
     */
+  /** Lower weighted median per group: collapse to one row per
+    * (group, value) with its weight sum, cumulative-weight window over
+    * the sorted value frame, then the smallest value whose cumulative
+    * weight reaches half the group total. Pre-aggregating by value makes
+    * the result tie-order-independent (the cumulative weight at a value
+    * includes its whole tie block) and shrinks the window input to
+    * |distinct values| rows per group — the raw pass is one
+    * map-side-combined shuffle, the scale shape of q40's exact
+    * percentiles with per-row mass replaced by arbitrary weights.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String): DataFrame = {
+    val perV = df
+      .groupBy(col(groupCol), col(valCol).cast("double").as("__value"))
+      .agg(sum(col(weightCol).cast("double")).as("__w"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("__value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perV
+      .withColumn("__cw", sum(col("__w")).over(cumW))
+      .withColumn("__tw", sum(col("__w")).over(totW))
+      .filter(col("__cw") >= col("__tw") / 2)
+      .groupBy(col(groupCol))
+      .agg(min(col("__value")).as("weighted_median"),
+        round(max(col("__tw")), 2).as("total_weight"))
+  }
+
   def ecdf(df: DataFrame, valCol: String): DataFrame = {
     val counts = df.select(col(valCol).cast("double").as("value"))
       .filter(col("value").isNotNull)

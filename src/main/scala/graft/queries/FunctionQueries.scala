@@ -174,6 +174,18 @@ object FunctionQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q193_weighted_median — quantity-weighted median extended price per
+    * return flag (`StatOps.weightedMedian`): each row counts with its
+    * shipped-quantity mass, the estimator a price index actually wants.
+    * Pre-aggregation by (group, value) makes the cumulative-weight
+    * window tie-order-free and shrinks its input to distinct values;
+    * q40's per-row percentile family is the unweighted special case.
+    */
+  def q193WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StatOps.weightedMedian(Tables.lineitem(s, dir),
+      "l_returnflag", "l_extendedprice", "l_quantity")
+      .orderBy(col("l_returnflag"))
+
   /** q41_intersect — INTERSECT set op (SURVEY §2.6 U2): custkeys present
     * in both high- and low-price order populations.
     */
@@ -243,6 +255,7 @@ object FunctionQueries {
     "q38_outer_joins" -> (q38OuterJoins _),
     "q39_scalar_subquery" -> (q39ScalarSubquery _),
     "q40_percentiles" -> (q40Percentiles _),
+    "q193_weighted_median" -> (q193WeightedMedian _),
     "q41_intersect" -> (q41Intersect _),
     "q42_cross_join" -> (q42CrossJoin _),
     "q43_na_drop" -> (q43NaDrop _),
@@ -350,5 +363,20 @@ object FunctionQueries {
         |      GROUP BY l_suppkey HAVING l_suppkey % 3 = 0) li
         |ON s.s_suppkey = li.l_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+    "q193_weighted_median" ->
+      """WITH pv AS (
+        |  SELECT l_returnflag, l_extendedprice::DOUBLE AS value,
+        |    sum(l_quantity::DOUBLE) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, value,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM pv)
+        |SELECT l_returnflag, min(value) AS weighted_median,
+        |  round(max(tw), 2) AS total_weight
+        |FROM c WHERE cw >= tw / 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.ModelEvalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine model-evaluation analytics (SURVEY.md §2.13 X118-X120):
+  * the statistics the reference computes driver-side with MLlib
+  * evaluators or sklearn (`random_forest_final_class_8.py:237-261`,
+  * `desicion_tree_confusion_matrix.py:16-31`), re-expressed as
+  * distributed plans that reduce the unbounded input to a bounded
+  * summary before any window/sort — each oracle-checked against DuckDB.
+  */
+object ModelQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q189_group_regression — per-return-flag simple OLS of extended
+    * price on quantity (`ModelEvalOps.groupRegression`): closed-form
+    * slope/intercept/r² from one pass of raw co-moments. The whole
+    * input collapses in a single map-side-combined aggregation to
+    * |groups| rows — no iteration, no collect, scale-free.
+    */
+  def q189GroupRegression(s: SparkSession, dir: String): DataFrame =
+    ModelEvalOps.groupRegression(Tables.lineitem(s, dir),
+      "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_returnflag"))
+
+  /** q190_auc — ROC AUC of "total price predicts fulfilled status" per
+    * order priority (`ModelEvalOps.rankAuc`): the Mann-Whitney
+    * rank-sum identity with tie-averaged ranks. Integer/half-integer
+    * arithmetic end-to-end, so the AUC is bit-exact across engines and
+    * partition orders; the window runs over distinct scores only.
+    * The reference's BinaryClassificationEvaluator
+    * (`timely_LR.py:125-148`) computes this same statistic driver-side.
+    */
+  def q190Auc(s: SparkSession, dir: String): DataFrame =
+    ModelEvalOps.rankAuc(Tables.orders(s, dir),
+      "o_orderpriority", "o_totalprice", col("o_orderstatus") === "F")
+      .orderBy(col("o_orderpriority"))
+
+  /** q191_best_split — decision-stump split search on quantity for
+    * "returned" (`ModelEvalOps.bestSplit`): weighted binary Gini at
+    * every distinct-value threshold, top-5 lowest impurity. The inner
+    * loop of the reference's tree grid (`decision_tree_final_class_8
+    * .py:229-232`) as one histogram aggregation + a window over the
+    * candidate frame.
+    */
+  def q191BestSplit(s: SparkSession, dir: String): DataFrame =
+    ModelEvalOps.bestSplit(Tables.lineitem(s, dir),
+      "l_quantity", col("l_returnflag") === "R", 5)
+      .orderBy(col("weighted_gini"), col("threshold"))
+
+  val queries: Map[String, Q] = Map(
+    "q189_group_regression" -> (q189GroupRegression _),
+    "q190_auc" -> (q190Auc _),
+    "q191_best_split" -> (q191BestSplit _))
+
+  val oracle: Map[String, String] = Map(
+    "q189_group_regression" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity::DOUBLE) AS sx,
+        |    sum(l_extendedprice::DOUBLE) AS sy,
+        |    sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy,
+        |    sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+        |    sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4)
+        |    AS intercept,
+        |  round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+        |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q190_auc" ->
+      """WITH ps AS (
+        |  SELECT o_orderpriority, o_totalprice::DOUBLE AS score,
+        |    count(*) AS cnt,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS pos
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderpriority, pos, cnt,
+        |    (sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY score
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      - cnt + (cnt + 1) / 2.0 AS avg_rank
+        |  FROM ps)
+        |SELECT o_orderpriority,
+        |  sum(pos)::BIGINT AS n_pos, sum(cnt - pos)::BIGINT AS n_neg,
+        |  round((sum(pos * avg_rank) -
+        |      sum(pos)::BIGINT * (sum(pos)::BIGINT + 1) / 2.0) /
+        |    (sum(pos)::BIGINT * sum(cnt - pos)::BIGINT), 4) AS auc
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q191_best_split" ->
+      """WITH pv AS (
+        |  SELECT l_quantity::DOUBLE AS threshold, count(*) AS cnt,
+        |    count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT threshold,
+        |    (sum(cnt) OVER (ORDER BY threshold
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS nl,
+        |    (sum(pos) OVER (ORDER BY threshold
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS pl,
+        |    (sum(cnt) OVER ())::BIGINT AS nt,
+        |    (sum(pos) OVER ())::BIGINT AS pt
+        |  FROM pv),
+        |g AS (
+        |  SELECT threshold, nl AS n_left, nt - nl AS n_right,
+        |    pl AS pos_left, pt - pl AS pos_right,
+        |    (nl * (1.0 - (pl/nl)*(pl/nl) - ((nl-pl)/nl)*((nl-pl)/nl))
+        |     + (nt-nl) * (1.0 - ((pt-pl)/(nt-nl))*((pt-pl)/(nt-nl))
+        |         - (((nt-nl)-(pt-pl))/(nt-nl))*(((nt-nl)-(pt-pl))/(nt-nl))))
+        |      / nt AS wg
+        |  FROM c WHERE nl < nt)
+        |SELECT * FROM (
+        |  SELECT threshold, n_left, n_right, pos_left, pos_right,
+        |    round(wg, 4) AS weighted_gini
+        |  FROM g ORDER BY round(wg, 6), threshold LIMIT 5)
+        |ORDER BY weighted_gini, threshold""".stripMargin)
+}

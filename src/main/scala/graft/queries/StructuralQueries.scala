@@ -343,6 +343,39 @@ object StructuralQueries {
       .orderBy(col("batch"))
   }
 
+  /** q192_snapshot_diff — table-version diff report: per-customer
+    * order summaries of two period snapshots full-outer-joined on the
+    * key and classified added / removed / changed / unchanged — the
+    * audit that validates an incremental re-publish against the prior
+    * release (q121's MERGE is the write path; this is the read-side
+    * reconciliation). Both snapshots aggregate map-side on the same
+    * key the join shuffles on, so each side is one exchange and the
+    * diff is co-partitioned — at 100 TB no row ever moves twice.
+    */
+  def q192SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def snap(lo: String, hi: String, p: String) =
+      o.filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"${p}_orders"),
+          round(sum(col("o_totalprice")), 2).as(s"${p}_total"))
+    snap("1995-01-01", "1998-01-01", "a")
+      .join(snap("1998-01-01", "2001-01-01", "b"),
+        Seq("o_custkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("a_orders").isNull, lit("added"))
+          .when(col("b_orders").isNull, lit("removed"))
+          .when(col("a_orders") === col("b_orders") &&
+            col("a_total") === col("b_total"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(coalesce(col("b_total"), lit(0.0)) -
+          coalesce(col("a_total"), lit(0.0))), 2).as("net_delta"))
+      .orderBy(col("change_type"))
+  }
+
   /** q184_bucketed_neardup — embedding near-dup detection, the SCALE
     * path (q45 is the exact all-pairs baseline): candidate pairs form
     * only WITHIN an SRP sign bucket (same 4-bit bucket ⇒ same side of
@@ -614,6 +647,7 @@ object StructuralQueries {
     "q177_zorder" -> (q177Zorder _),
     "q184_bucketed_neardup" -> (q184BucketedNearDup _),
     "q187_union_evolve" -> (q187UnionEvolve _),
+    "q192_snapshot_diff" -> (q192SnapshotDiff _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
     "q76_window_nav" -> (q76WindowNav _),
@@ -652,6 +686,28 @@ object StructuralQueries {
         |  count(o_orderpriority) AS n_with_priority,
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM u GROUP BY batch ORDER BY batch""".stripMargin,
+    "q192_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey, count(*) AS a_orders,
+        |    round(sum(o_totalprice), 2) AS a_total
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS b_orders,
+        |    round(sum(o_totalprice), 2) AS b_total
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01' GROUP BY 1),
+        |j AS (SELECT a_orders, a_total, b_orders, b_total
+        |  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+        |SELECT CASE WHEN a_orders IS NULL THEN 'added'
+        |    WHEN b_orders IS NULL THEN 'removed'
+        |    WHEN a_orders = b_orders AND a_total = b_total
+        |      THEN 'unchanged'
+        |    ELSE 'changed' END AS change_type,
+        |  count(*) AS n_customers,
+        |  round(sum(coalesce(b_total, 0) - coalesce(a_total, 0)), 2)
+        |    AS net_delta
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q184_bucketed_neardup" ->
       s"""$srpBucketCte,
         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ModelEvalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupRegression recovers an exact linear relationship") {
+    // y = 3x + 2 exactly → slope 3, intercept 2, r² 1
+    val df = (1 to 100).map(i => ("g", i.toDouble, 3.0 * i + 2.0))
+      .toDF("grp", "x", "y")
+    val r = ModelEvalOps.groupRegression(df, "grp", "x", "y").collect()(0)
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 2.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("groupRegression slope sign follows the correlation per group") {
+    val up = (1 to 50).map(i => ("up", i.toDouble, i + (i % 3).toDouble))
+    val dn = (1 to 50).map(i => ("dn", i.toDouble, 100.0 - i + (i % 3)))
+    val out = ModelEvalOps.groupRegression((up ++ dn).toDF("grp", "x", "y"),
+      "grp", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("slope")).toMap
+    assert(out("up") > 0 && out("dn") < 0)
+  }
+
+  test("rankAuc: perfect separation → 1.0, anti-separation → 0.0") {
+    // positives all score higher than negatives
+    val df = ((1 to 10).map(i => ("g", i + 100.0, true)) ++
+      (1 to 10).map(i => ("g", i.toDouble, false)))
+      .toDF("grp", "score", "label")
+    val auc = ModelEvalOps.rankAuc(df, "grp", "score", col("label"))
+      .collect()(0).getAs[Double]("auc")
+    assert(auc == 1.0)
+    val anti = ModelEvalOps.rankAuc(df, "grp", "score", !col("label"))
+      .collect()(0).getAs[Double]("auc")
+    assert(anti == 0.0)
+  }
+
+  test("rankAuc: all-tied scores → 0.5 via average ranks") {
+    val df = ((1 to 7).map(_ => ("g", 5.0, true)) ++
+      (1 to 13).map(_ => ("g", 5.0, false))).toDF("grp", "score", "label")
+    val row = ModelEvalOps.rankAuc(df, "grp", "score", col("label"))
+      .collect()(0)
+    assert(row.getAs[Double]("auc") == 0.5)
+    assert(row.getAs[Long]("n_pos") == 7 && row.getAs[Long]("n_neg") == 13)
+  }
+
+  test("rankAuc matches the hand-computed Mann-Whitney on a tied mix") {
+    // scores: 1(neg) 2(pos,neg) 3(pos) → ranks 1, 2.5, 2.5, 4
+    // U = sum_pos_ranks - P(P+1)/2 = (2.5 + 4) - 3 = 3.5; AUC = 3.5/(2*2)
+    val df = Seq(("g", 1.0, false), ("g", 2.0, true), ("g", 2.0, false),
+      ("g", 3.0, true)).toDF("grp", "score", "label")
+    val auc = ModelEvalOps.rankAuc(df, "grp", "score", col("label"))
+      .collect()(0).getAs[Double]("auc")
+    assert(auc == 0.875)
+  }
+
+  test("bestSplit finds the exact boundary of a separable feature") {
+    // label = x > 30: threshold 30 separates perfectly → gini 0
+    val df = (1 to 60).map(i => (i.toDouble, i > 30)).toDF("x", "label")
+    val top = ModelEvalOps.bestSplit(df, "x", col("label"), 3).collect()
+    assert(top(0).getAs[Double]("threshold") == 30.0)
+    assert(top(0).getAs[Double]("weighted_gini") == 0.0)
+    assert(top(0).getAs[Long]("n_left") == 30 &&
+      top(0).getAs[Long]("pos_left") == 0)
+    // every other candidate is strictly worse
+    assert(top(1).getAs[Double]("weighted_gini") > 0.0)
+  }
+
+  test("bestSplit drops the max-value threshold (splits nothing)") {
+    val df = (1 to 10).map(i => (i.toDouble, i % 2 == 0)).toDF("x", "label")
+    val all = ModelEvalOps.bestSplit(df, "x", col("label"), 100)
+    assert(all.count() == 9)
+    assert(all.agg(max("threshold")).collect()(0).getDouble(0) == 9.0)
+  }
+
+  test("weightedMedian: weight mass shifts the median") {
+    // values 1..5 weight 1 → median 3; weight concentrated on 5 → 5
+    val flat = (1 to 5).map(i => ("g", i.toDouble, 1.0)).toDF("g", "v", "w")
+    val m1 = StatOps.weightedMedian(flat, "g", "v", "w")
+      .collect()(0).getAs[Double]("weighted_median")
+    assert(m1 == 3.0)
+    val heavy = flat.union(Seq(("g", 5.0, 10.0)).toDF("g", "v", "w"))
+    val m2 = StatOps.weightedMedian(heavy, "g", "v", "w")
+      .collect()(0).getAs[Double]("weighted_median")
+    assert(m2 == 5.0)
+  }
+
+  test("weightedMedian with unit weights equals the lower median") {
+    val df = (1 to 9).map(i => ("g", i.toDouble, 1.0)).toDF("g", "v", "w")
+    val r = StatOps.weightedMedian(df, "g", "v", "w").collect()(0)
+    assert(r.getAs[Double]("weighted_median") == 5.0)
+    assert(r.getAs[Double]("total_weight") == 9.0)
+  }
+}
