@@ -474,6 +474,42 @@ object ExtensionQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q194_stream_interval_join — watermarked stream-stream inner join
+    * as a manifest query (`StreamingOps.intervalJoinStream`, X15):
+    * view events match same-user purchases within the following hour,
+    * both sides replayed from one bounded file stream. The single-file
+    * replay makes AvailableNow one micro-batch, so every in-bound pair
+    * is emitted and the result equals the batch interval join exactly
+    * (arrival-order-free); the PRODUCTION property — watermark +
+    * time-bound condition keeps both state stores finite — is proven
+    * separately in StreamingOpsSpec with multi-batch input. µs epoch
+    * arithmetic in the oracle mirrors Tables.events' truncation.
+    */
+  def q194StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val path = "target/tmp/q194_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val sink = "q194_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val src = s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+    val views = src.filter(col("event_type") === "view").drop("event_type")
+    val buys = src.filter(col("event_type") === "purchase").drop("event_type")
+    val q = graft.streaming.StreamingOps
+      .intervalJoinStream(views, buys, "user_id", withinSeconds = 3600L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("l_event_id")).as("n_views_converted"))
+      .orderBy(col("user_id"))
+  }
+
   /** q47_rolling_hash — polynomial rolling hash over the token stream
     * (order-SENSITIVE document fingerprint, vs q23's order-insensitive
     * set fingerprint): h ← (31·h + hash32(token)) mod 1e9+7, one
@@ -518,6 +554,7 @@ object ExtensionQueries {
     "q166_fertility" -> (q166Fertility _),
     "q168_stream_dedup" -> (q168StreamDedup _),
     "q174_stream_sessionize" -> (q174StreamSessionize _),
+    "q194_stream_interval_join" -> (q194StreamIntervalJoin _),
     "q47_rolling_hash" -> (q47RollingHash _),
     "q48_asof_join" -> (q48AsofJoin _),
   )
@@ -579,6 +616,18 @@ object ExtensionQueries {
         |WHERE a.session_id < mx.last_s
         |   OR a.last_us + 1800000000 <= wm.watermark
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q194_stream_interval_join" ->
+      """WITH v AS (SELECT user_id, event_id,
+        |    epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT v.user_id AS user_id, v.event_id AS vid
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND p.us >= v.us AND p.us <= v.us + 3600000000)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  count(DISTINCT vid) AS n_views_converted
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,

@@ -52,10 +52,82 @@ object ModelQueries {
       "l_quantity", col("l_returnflag") === "R", 5)
       .orderBy(col("weighted_gini"), col("threshold"))
 
+  /** q195_gini_lorenz — Gini concentration of customer spend per market
+    * segment via the rank form of the Lorenz integral:
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spend sorted ascending
+    * (custkey tiebreak → total order). Per-customer spend is one
+    * map-side-combined aggregation; the rank window shuffles on the
+    * segment — |customers| rows, not |orders|. The concentration audit
+    * a curation pipeline runs on source/domain shares before fixing
+    * mixture weights (q186).
+    */
+  def q195GiniLorenz(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("__spend"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("__spend"), col("o_custkey"))
+    spend.withColumn("__rk", row_number().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("__spend")), 2).as("total_spend"),
+        round(lit(2) * sum(col("__rk") * col("__spend")) /
+          (count(lit(1)) * sum(col("__spend"))) -
+          (count(lit(1)) + 1) / count(lit(1)).cast("double"), 4).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q198_mutual_info — association screen between two categoricals
+    * (order priority × status): mutual information, normalized MI, χ²
+    * of independence, and Cramér's V, all from ONE contingency-table
+    * aggregation. Marginals ride as windows over the |r·c|-cell frame
+    * (15 rows), entropies use the Σ-over-cells weighting identity
+    * (Σ_cells (o/n)·ln(rx/n) = Σ_x px·ln px), and absent cells are
+    * exact via χ² = Σ o²·n/(rx·cy) − n. The feature-selection pass the
+    * reference approximates by eyeballing groupBy counts
+    * (`README.md:21`); everything reduces map-side, scale-free.
+    */
+  def q198MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+      .agg(count(lit(1)).as("o"))
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    val wAll = Window.partitionBy()
+    val withMarg = cells
+      .withColumn("rx", sum(col("o")).over(wx))
+      .withColumn("cy", sum(col("o")).over(wy))
+      .withColumn("n", sum(col("o")).over(wAll))
+    withMarg.agg(
+        max(col("n")).as("n"),
+        count_distinct(col("x")).as("r"),
+        count_distinct(col("y")).as("c"),
+        round(sum((col("o") / col("n")) *
+          log(col("o") * col("n") / (col("rx") * col("cy")))), 4).as("mi"),
+        round(sum((col("o") / col("n")) *
+            log(col("o") * col("n") / (col("rx") * col("cy")))) /
+          sqrt(sum((col("o") / col("n")) * -log(col("rx") / col("n"))) *
+            sum((col("o") / col("n")) * -log(col("cy") / col("n")))), 4)
+          .as("nmi"),
+        round(sum(col("o") * col("o") * col("n") / (col("rx") * col("cy"))) -
+          max(col("n")), 4).as("chi2"),
+        round(sqrt((sum(col("o") * col("o") * col("n") /
+            (col("rx") * col("cy"))) - max(col("n"))) /
+          (max(col("n")) * least(count_distinct(col("x")) - 1,
+            count_distinct(col("y")) - 1))), 4).as("cramers_v"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q189_group_regression" -> (q189GroupRegression _),
     "q190_auc" -> (q190Auc _),
-    "q191_best_split" -> (q191BestSplit _))
+    "q191_best_split" -> (q191BestSplit _),
+    "q195_gini_lorenz" -> (q195GiniLorenz _),
+    "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
     "q189_group_regression" ->
@@ -92,6 +164,42 @@ object ModelQueries {
         |      sum(pos)::BIGINT * (sum(pos)::BIGINT + 1) / 2.0) /
         |    (sum(pos)::BIGINT * sum(cnt - pos)::BIGINT), 4) AS auc
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q195_gini_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS spend
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT c_mktsegment, spend,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY spend, o_custkey) AS rk
+        |  FROM spend JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(sum(spend), 2) AS total_spend,
+        |  round(2.0 * sum(rk * spend) / (count(*) * sum(spend)) -
+        |    (count(*) + 1) / count(*)::DOUBLE, 4) AS gini
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q198_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |    count(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o,
+        |    (sum(o) OVER (PARTITION BY x))::BIGINT AS rx,
+        |    (sum(o) OVER (PARTITION BY y))::BIGINT AS cy,
+        |    (sum(o) OVER ())::BIGINT AS n, x, y
+        |  FROM cells)
+        |SELECT max(n) AS n, count(DISTINCT x) AS r, count(DISTINCT y) AS c,
+        |  round(sum((o / n::DOUBLE) * ln(o * n / (rx * cy::DOUBLE))), 4)
+        |    AS mi,
+        |  round(sum((o / n::DOUBLE) * ln(o * n / (rx * cy::DOUBLE))) /
+        |    sqrt(sum((o / n::DOUBLE) * -ln(rx / n::DOUBLE)) *
+        |      sum((o / n::DOUBLE) * -ln(cy / n::DOUBLE))), 4) AS nmi,
+        |  round(sum(o * o * n / (rx * cy::DOUBLE)) - max(n), 4) AS chi2,
+        |  round(sqrt((sum(o * o * n / (rx * cy::DOUBLE)) - max(n)) /
+        |    (max(n) * least(count(DISTINCT x) - 1,
+        |      count(DISTINCT y) - 1))), 4) AS cramers_v
+        |FROM m""".stripMargin,
     "q191_best_split" ->
       """WITH pv AS (
         |  SELECT l_quantity::DOUBLE AS threshold, count(*) AS cnt,

@@ -124,7 +124,38 @@ object QualityQueries {
         sum(graft.ops.TextOps.tokenCount(col("text"))).as("n_tokens"))
       .orderBy(col("lang"), col("split"))
 
+  /** q196_benford — Benford first-digit conformance of order totals per
+    * priority: the fraud/synthetic-data screen. First significant digit
+    * comes from the INTEGER cent value's string form (identical across
+    * engines, no log10 boundary noise); expected shares are hard-coded
+    * 6-dp Benford literals summing to exactly 1, so the absent-digit
+    * χ² identity Σ o²/(n·p) − n is exact. One two-level aggregation,
+    * scale-free.
+    */
+  def q196Benford(s: SparkSession, dir: String): DataFrame = {
+    val benfordP = expr(
+      "CASE __d WHEN 1 THEN 0.30103D WHEN 2 THEN 0.176091D " +
+        "WHEN 3 THEN 0.124939D WHEN 4 THEN 0.09691D WHEN 5 THEN 0.079181D " +
+        "WHEN 6 THEN 0.066947D WHEN 7 THEN 0.057992D WHEN 8 THEN 0.051153D " +
+        "WHEN 9 THEN 0.045757D END")
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("__d"))
+      .groupBy(col("o_orderpriority"), col("__d"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__p", benfordP)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("__cnt")).as("n_orders"),
+        round(sum(col("__cnt") * col("__cnt") / col("__p")) /
+          sum(col("__cnt")) - sum(col("__cnt")), 4).as("chi2"),
+        round(sum(when(col("__d") === 1, col("__cnt")).otherwise(lit(0L)))
+          / sum(col("__cnt")), 4).as("freq_digit1"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q196_benford" -> (q196Benford _),
     "q125_dq_gate" -> (q125DqGate _),
     "q126_equidepth_bins" -> (q126EquidepthBins _),
     "q127_ecdf" -> (q127Ecdf _),
@@ -140,6 +171,24 @@ object QualityQueries {
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "q196_benford" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    substr(round(o_totalprice * 100)::BIGINT::VARCHAR, 1, 1)::INT
+        |      AS d,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT *, (CASE d WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+        |    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181
+        |    WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |    WHEN 9 THEN 0.045757 END)::DOUBLE AS pd
+        |  FROM c)
+        |SELECT o_orderpriority, sum(cnt)::BIGINT AS n_orders,
+        |  round(sum(cnt * cnt / pd) / sum(cnt) - sum(cnt), 4) AS chi2,
+        |  round(sum(CASE WHEN d = 1 THEN cnt ELSE 0 END)::DOUBLE /
+        |    sum(cnt), 4) AS freq_digit1
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q125_dq_gate" ->
       """SELECT * FROM (
         |  SELECT 'li_discount_le_10pct' AS "check",

@@ -249,7 +249,40 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q197_mad_anomaly — robust day-level anomaly detection on revenue:
+    * median + MAD (both `StatOps.exactPercentiles`, bit-identical to
+    * the oracle's quantile_cont) with the 1.4826 normal-consistency
+    * factor; days with robust-z > 3 surface. The robust fence survives
+    * the outliers that would inflate a mean/stddev fence (q102's
+    * percentile-fence sibling on the time axis). The raw table reduces
+    * to ~|days| rows in one aggregation; the two medians and the scan
+    * over the daily frame are bounded by that, and the two 1-row fence
+    * frames broadcast.
+    */
+  def q197MadAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("__total"))
+      .withColumn("__g", lit(1))
+    val med = graft.ops.StatOps.exactPercentiles(
+        daily, "__g", "__total", Seq("med" -> 0.5))
+      .select(col("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("__dev", abs(col("__total") - col("med")))
+    val mad = graft.ops.StatOps.exactPercentiles(
+        dev.select(col("__g"), col("__dev")), "__g", "__dev",
+        Seq("mad" -> 0.5))
+      .select(col("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("robust_z", col("__dev") / (lit(1.4826) * col("mad")))
+      .filter(col("robust_z") > 3.0)
+      .select(col("day"), round(col("__total"), 2).as("daily_total"),
+        round(col("robust_z"), 4).as("robust_z"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_mad_anomaly" -> (q197MadAnomaly _),
     "q188_time_range_frame" -> (q188TimeRangeFrame _),
     "q179_attribution" -> (q179Attribution _),
     "q175_decayed_counts" -> (q175DecayedCounts _),
@@ -267,6 +300,19 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q197_mad_anomaly" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS total
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT quantile_cont(total, 0.5) AS med FROM daily),
+        |dev AS (SELECT day, total, abs(total - med) AS dev
+        |  FROM daily CROSS JOIN med),
+        |mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+        |SELECT day, round(total, 2) AS daily_total,
+        |  round(dev / (1.4826 * mad), 4) AS robust_z
+        |FROM dev CROSS JOIN mad
+        |WHERE dev / (1.4826 * mad) > 3.0
+        |ORDER BY day""".stripMargin,
     "q188_time_range_frame" ->
       """SELECT user_id, event_id,
         |  count(*) OVER wf AS n_last_hour,

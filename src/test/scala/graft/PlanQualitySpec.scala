@@ -99,7 +99,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q183 cross-joins broadcast 1-row scalars (decile fences, base rate)
     "q183_batch_inference",
     // q186 cross-joins broadcast 1-row scalars (corpus total, Z norm)
-    "q186_mixture_weights")
+    "q186_mixture_weights",
+    // q197 cross-joins broadcast 1-row fence frames (median, MAD)
+    "q197_mad_anomaly")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
