@@ -19,6 +19,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer extension: naive sorted-set intersection counts compile
     // to the native two-pointer merge (see IntersectCountRewrite)
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+    // planner extension: AsofJoinNode → AsofJoinExec (native sort-merge
+    // as-of join, see graft.plans.AsofJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -121,8 +124,14 @@ object GraftSparkExtensions {
       wordShingles, rollingHash, vecNorm, poissonDraw, sortedIntersectCount)
 
   /** Register directly on an existing session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // runtime path for the planner strategy (the config path is
+    // injectPlannerStrategy above); idempotent
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+  }
 }

@@ -142,6 +142,29 @@ object ExtensionQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q199_native_asof — the NATIVE as-of join physical operator
+    * ([[graft.plans.NativeAsof]]: AsofJoinNode → AsofJoinStrategy →
+    * AsofJoinExec, injected via SparkSessionExtensions). Same semantics
+    * as q48 but LEFT-OUTER (unmatched views keep null attach) and a
+    * single-pass two-pointer partition merge instead of the union+window
+    * LOCF — no right-payload rows sorted into the left stream. Oracle is
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  def q199NativeAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id").as("click_id"),
+        col("value"))
+    graft.plans.NativeAsof.asof(views, clicks, "user_id", "us",
+        Seq("click_id", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_id"),
+        round(col("asof_value"), 2).as("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- text (X4)
 
   /** q20_token_count — whitespace token counting per document. */
@@ -557,6 +580,7 @@ object ExtensionQueries {
     "q194_stream_interval_join" -> (q194StreamIntervalJoin _),
     "q47_rolling_hash" -> (q47RollingHash _),
     "q48_asof_join" -> (q48AsofJoin _),
+    "q199_native_asof" -> (q199NativeAsof _),
   )
 
   // simhash oracle: generated to mirror DedupOps.simhash(_, 16)
@@ -788,6 +812,16 @@ object ExtensionQueries {
         |SELECT v.event_id, v.user_id, c.asof_click_id,
         |  round(c.value, 2) AS asof_value
         |FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.us >= c.us
+        |ORDER BY v.event_id""".stripMargin,
+    "q199_native_asof" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS asof_click_id, user_id, value,
+        |        epoch_us(ts::TIMESTAMP) AS us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id, c.asof_click_id,
+        |  round(c.value, 2) AS asof_value
+        |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.us >= c.us
         |ORDER BY v.event_id""".stripMargin,
     "q45_embedding_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

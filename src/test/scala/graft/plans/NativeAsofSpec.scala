@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.ops.EventOps
+import org.apache.spark.sql.functions._
+
+class NativeAsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def native(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame) =
+    NativeAsof.asof(left, right, "k", "t", Seq("v"))
+
+  test("planner strategy produces AsofJoinExec with sorted exchanges") {
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "p")
+    val r = Seq((1L, 5L, 7.0)).toDF("k", "t", "v")
+    val df = native(l, r)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsofJoin"), plan)
+  }
+
+  test("backward match: latest right at or before left ts, inclusive") {
+    val l = Seq((1L, 10L, "x"), (1L, 20L, "y"), (1L, 4L, "z"))
+      .toDF("k", "t", "p")
+    val r = Seq((1L, 5L, 5.0), (1L, 10L, 10.0), (1L, 15L, 15.0),
+      (1L, 25L, 25.0)).toDF("k", "t", "v")
+    val out = native(l, r).collect()
+      .map(row => (row.getLong(1), Option(row.get(3)))).toMap
+    assert(out(10L).contains(10.0)) // inclusive at equal ts
+    assert(out(20L).contains(15.0)) // latest <= 20
+    assert(out(4L).isEmpty) // nothing at or before 4
+  }
+
+  test("unmatched keys and empty right → null attach (left outer)") {
+    val l = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "t", "p")
+    val r = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
+    val out = native(l, r).collect()
+      .map(row => row.getLong(0) -> Option(row.get(3))).toMap
+    assert(out(1L).contains(1.0) && out(2L).isEmpty)
+    assert(native(l, r.filter(col("k") < 0)).collect()
+      .forall(_.isNullAt(3)))
+  }
+
+  test("candidate does not leak across keys") {
+    // key 2 has no rights at all; key 1's candidate must not attach
+    val l = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "p")
+    val r = Seq((1L, 5L, 5.0)).toDF("k", "t", "v")
+    val out = native(l, r).collect()
+      .map(row => row.getLong(0) -> Option(row.get(3))).toMap
+    assert(out(1L).contains(5.0) && out(2L).isEmpty)
+  }
+
+  test("matches the union+window asofJoin on the events table") {
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("us", unix_micros(col("ts")))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us"),
+        col("value"))
+    val nat = NativeAsof.asof(
+        buys.withColumnRenamed("user_id", "k").withColumnRenamed("us", "t"),
+        clicks.withColumnRenamed("user_id", "k").withColumnRenamed("us", "t"),
+        "k", "t", Seq("click_id", "value"))
+      .select(col("event_id"), col("asof_click_id"), col("asof_value"))
+    val ref = EventOps.asofJoin(buys, clicks, "user_id", "us",
+        Seq("click_id", "value"))
+      .select(col("event_id"), col("asof_click_id"), col("asof_value"))
+    assert(nat.exceptAll(ref).isEmpty && ref.exceptAll(nat).isEmpty)
+  }
+}
