@@ -117,6 +117,38 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** Approximate trailing-window distinct users via mergeable HLL
+    * sketches (Apache DataSketches, `hll_sketch_agg`/`hll_union_agg`) —
+    * the 100 TB scale path of [[slidingDistinctUsers]]: the exact
+    * rewrite still shuffles |distinct user-days| × windowDays rows,
+    * while this pass reduces each day to ONE constant-size sketch
+    * (≈2^lgK bytes, map-side combined), then unions sketches over a
+    * days-sized RANGE frame. Per-day error ~1.04/sqrt(2^lgK) (0.4% at
+    * lgK=14); the union is lossless, so the trailing estimate carries
+    * the same bound. The unpartitioned window is safe: its input is the
+    * DAYS-sized sketch frame, never raw events.
+    *
+    * The day grid is densified (min..max day) so window-end days with
+    * no events of their own still report the trailing estimate, exactly
+    * like the exact rewrite's exploded coverage.
+    */
+  def slidingDistinctUsersHll(events: DataFrame, windowDays: Int,
+                              lgK: Int): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("__sk"))
+    val grid = daily
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(explode(sequence(col("__d0"), col("__d1"),
+        expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("day"), "left")
+      .withColumn("__dnum", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .withColumn("est_users", expr("hll_sketch_estimate(" +
+        s"hll_union_agg(__sk) OVER (ORDER BY __dnum " +
+        s"RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW))"))
+      .select(col("day"), col("est_users"))
+  }
+
   /** Time-series gap fill with forward fill (LOCF): project each user's
     * events onto a dense hourly grid between their first and last hour,
     * carrying the last observed hourly value across empty hours —

@@ -454,6 +454,31 @@ object AdvancedQueries {
       .orderBy(col("stage"))
   }
 
+  /** q202_seq_pattern — event-SEQUENCE pattern matching (the
+    * MATCH_RECOGNIZE analogue): each user's history compresses to a
+    * type-letter string in total (ts, event_id) order — one shuffle,
+    * per-user state bounded by that user's event count, never the
+    * corpus — then regexes run per USER, not per event: subsequence
+    * funnel `v.*c.*p` and non-overlapping view→purchase runs with no
+    * intermediate purchase (`v[^p]*p`). q60 counts per-stage
+    * populations with joins; this matches ORDER-dependent patterns the
+    * stage joins can't express (e.g. "no purchase between").
+    */
+  def q202SeqPattern(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("c")))),
+        x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+        col("seq").rlike("v.*c.*p").as("funnel_matched"),
+        size(expr("regexp_extract_all(seq, 'v[^p]*p', 0)"))
+          .cast("long").as("n_vp_runs"))
+      .orderBy(col("user_id"))
+
   /** q61_retention — cohort retention: users grouped by first-seen day,
     * counted on each subsequent active day offset. Two user_id
     * aggregations + one join; the result is O(days²) rows regardless
@@ -725,6 +750,7 @@ object AdvancedQueries {
     "q58_group_topk_agg" -> (q58GroupTopKAgg _),
     "q59_simhash_neardup" -> (q59SimhashNearDup _),
     "q60_funnel" -> (q60Funnel _),
+    "q202_seq_pattern" -> (q202SeqPattern _),
     "q61_retention" -> (q61Retention _),
     "q49_explode_wordcount" -> (q49ExplodeWordcount _),
     "q50_pivot" -> (q50Pivot _),
@@ -887,6 +913,16 @@ object AdvancedQueries {
         |UNION ALL SELECT '2_click', count(*) FROM c
         |UNION ALL SELECT '3_purchase', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+    "q202_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, length(seq)::BIGINT AS n_events,
+        |  regexp_matches(seq, 'v.*c.*p') AS funnel_matched,
+        |  len(regexp_extract_all(seq, 'v[^p]*p'))::BIGINT AS n_vp_runs
+        |FROM s ORDER BY user_id""".stripMargin,
     "q61_retention" ->
       """WITH f AS (SELECT user_id, date_trunc('day', min(ts::TIMESTAMP)) AS cohort
         |           FROM events GROUP BY user_id),

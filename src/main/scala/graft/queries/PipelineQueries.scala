@@ -145,6 +145,26 @@ object PipelineQueries {
     EventOps.slidingDistinctUsers(Tables.events(s, dir), windowDays = 7)
       .orderBy(col("day"))
 
+  /** q200_hll_sliding — trailing-7-day distinct users via mergeable HLL
+    * sketches (`EventOps.slidingDistinctUsersHll`, lgK=14 ⇒ ~0.4%
+    * stddev): one constant-size sketch per day, unioned over a
+    * days-sized RANGE frame — the sketch-merge scale path of q96's
+    * exact rewrite. The manifest check joins the estimate against the
+    * exact count and hashes the 5%-tolerance flag (deterministic: the
+    * sketch is order-independent), so the oracle replays the exact side
+    * and asserts `est_ok` literally true.
+    */
+  def q200HllSliding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    EventOps.slidingDistinctUsers(e, windowDays = 7)
+      .join(EventOps.slidingDistinctUsersHll(e, windowDays = 7, lgK = 14),
+        Seq("day"))
+      .select(col("day"), col("active_users"),
+        (abs(col("est_users") - col("active_users")) <=
+          col("active_users") * lit(0.05)).as("est_ok"))
+      .orderBy(col("day"))
+  }
+
   /** q104_streaks — consecutive-day activity streaks
     * (`EventOps.streaks`): the gaps-and-islands rewrite (day − rank is
     * constant per run) — no self-join, no iteration; events collapse to
@@ -366,6 +386,7 @@ object PipelineQueries {
     "q95_sketch_accuracy" -> (q95SketchAccuracy _),
     "q162_threshold_curve" -> (q162ThresholdCurve _),
     "q96_sliding_distinct" -> (q96SlidingDistinct _),
+    "q200_hll_sliding" -> (q200HllSliding _),
   )
 
   private val profileOracle: String =
@@ -560,6 +581,19 @@ object PipelineQueries {
         |                           INTERVAL '1 day')) AS day
         |  FROM ud)
         |SELECT day, count(DISTINCT user_id) AS active_users
+        |FROM c, b WHERE day <= b.d1
+        |GROUP BY day ORDER BY day""".stripMargin,
+    // exact side replayed; est_ok literally true = the 5%-tolerance
+    // assertion on the HLL estimate (deterministic, order-independent)
+    "q200_hll_sliding" ->
+      """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+        |            FROM events),
+        |b AS (SELECT max(d) AS d1 FROM ud),
+        |c AS (SELECT user_id,
+        |    unnest(generate_series(d, d + INTERVAL '6 days',
+        |                           INTERVAL '1 day')) AS day
+        |  FROM ud)
+        |SELECT day, count(DISTINCT user_id) AS active_users, true AS est_ok
         |FROM c, b WHERE day <= b.d1
         |GROUP BY day ORDER BY day""".stripMargin,
   )

@@ -255,6 +255,33 @@ object StructuralQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q201_dpp_join — DYNAMIC partition pruning: q132's static literal
+    * filter generalized to a partition filter only known at runtime.
+    * The day-partitioned fact joins a selective dim (the campaign days,
+    * a literal day-of-month IN-list over the distinct event days);
+    * Catalyst inserts a `dynamicpruning` subquery into the fact scan's
+    * PartitionFilters reusing the dim's broadcast, so only the 3
+    * matching day directories are read — at 100 TB the fact scan is
+    * O(selected partitions) with no literal in sight. Asserted in
+    * PlanQualitySpec; aggregate oracle-checked against the
+    * unpartitioned source.
+    */
+  def q201DppJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q201_dpp_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val fact = s.read.parquet(path)
+    val dim = Tables.events(s, dir)
+      .select(to_date(col("ts")).cast("string").as("day")).distinct()
+      .filter(dayofmonth(to_date(col("day"))).isin(5, 15, 25))
+    fact.join(broadcast(dim), Seq("day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q163_range_export — deterministic range-sharded sorted export: the
     * ordered-output sink (data lake snapshots, downstream merge-readers)
     * without `orderBy`'s single global sort pipeline. Shard fences come
@@ -288,6 +315,46 @@ object StructuralQueries {
         round(min(col("l_extendedprice")), 2).as("lo"),
         round(max(col("l_extendedprice")), 2).as("hi"))
       .orderBy(col("shard"))
+  }
+
+  /** q203_global_seq — scalable GLOBAL row numbering: the reference's
+    * `rdd.zipWithIndex` (init.py:29) and the naive unpartitioned
+    * `row_number() OVER (ORDER BY …)` both funnel the corpus through
+    * one task; this is the distributed rewrite. Deterministic
+    * percentile fences (q163's machinery) route rows to k ordered
+    * shards, ranks are computed per-SHARD (balanced window partitions),
+    * and a k-row cumulative-count offset table broadcast back lifts
+    * local ranks to global: `global_seq = offset(shard) + local_rank`.
+    * No stage sees more than ~1/k of the data; k scales with the
+    * cluster. Fences (not `repartitionByRange` samples) keep shard
+    * assignment — and the plan — fully deterministic.
+    */
+  def q203GlobalSeq(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val e = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val fences = graft.ops.StatOps.exactPercentiles(
+      e.withColumn("__g", lit(1)), "__g", "event_id",
+      (1 until nShards).map(i => s"f$i" -> i.toDouble / nShards)).drop("__g")
+    val shardExpr = (1 until nShards).reverse
+      .foldLeft(lit(nShards)) { case (acc, i) =>
+        when(col("event_id") <= col(s"f$i"), i).otherwise(acc)
+      }
+    val sharded = e.crossJoin(broadcast(fences))
+      .withColumn("shard", shardExpr)
+      .drop((1 until nShards).map(i => s"f$i"): _*)
+    val offsets = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("offset", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("offset"))
+    sharded
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("event_id"))))
+      .join(broadcast(offsets), Seq("shard"))
+      .select(col("event_id"), col("event_type"),
+        (col("offset") + col("__lr")).as("global_seq"))
+      .orderBy(col("event_id"))
   }
 
   /** q176_pca — PCA dimensionality reduction over the embeddings table
@@ -641,6 +708,8 @@ object StructuralQueries {
     "q82_clean_text" -> (q82CleanText _),
     "q83_multimodal_features" -> (q83MultimodalFeatures _),
     "q132_partitioned_sink" -> (q132PartitionedSink _),
+    "q201_dpp_join" -> (q201DppJoin _),
+    "q203_global_seq" -> (q203GlobalSeq _),
     "q163_range_export" -> (q163RangeExport _),
     "q173_skew_report" -> (q173SkewReport _),
     "q176_pca" -> (q176Pca _),
@@ -829,6 +898,15 @@ object StructuralQueries {
         |  round(sum(value), 2) AS total_value
         |FROM events WHERE ts::DATE = DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q201_dpp_join" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events WHERE day(ts::DATE) IN (5, 15, 25)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q203_global_seq" ->
+      """SELECT event_id, event_type,
+        |  row_number() OVER (ORDER BY event_id) AS global_seq
+        |FROM events ORDER BY event_id""".stripMargin,
     "q74_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,

@@ -101,7 +101,11 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q186 cross-joins broadcast 1-row scalars (corpus total, Z norm)
     "q186_mixture_weights",
     // q197 cross-joins broadcast 1-row fence frames (median, MAD)
-    "q197_mad_anomaly")
+    "q197_mad_anomaly",
+    // q200's exact side is q96's rewrite (broadcast 1-row max-day scalar)
+    "q200_hll_sliding",
+    // q203 cross-joins the broadcast 1-row percentile-fence frame
+    "q203_global_seq")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -140,6 +144,12 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("PartitionFilters: ["), plan)
     assert(plan.contains("2024-01-15"),
       s"day filter should prune partitions, not scan them:\n$plan")
+  }
+
+  test("q201 fact scan carries a dynamicpruning partition filter") {
+    val plan = planOf(SparkEntry.queries("q201_dpp_join")(spark, sf0001))
+    assert(plan.contains("dynamicpruning"),
+      s"the dim join should prune fact partitions at runtime:\n$plan")
   }
 
   test("chunkTokens is a pure generator projection — zero exchanges") {

@@ -110,6 +110,38 @@ class EventOpsSpec extends SparkSpec {
       (ts("2024-01-05 00:00:00"), 1L))) // {1@5}
   }
 
+  test("slidingDistinctUsersHll: small-cardinality estimates are exact " +
+      "and gap days are densified") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-02 00:00:00")),
+      (1L, ts("2024-01-05 00:00:00"))) // Jan 3/4 have no events
+      .toDF("user_id", "ts")
+    val out = EventOps.slidingDistinctUsersHll(df, windowDays = 3, lgK = 14)
+      .orderBy("day").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    // HLL is exact far below 2^lgK buckets → identical to the exact op
+    assert(out == Seq(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-02 00:00:00"), 2L),
+      (ts("2024-01-03 00:00:00"), 2L),
+      (ts("2024-01-04 00:00:00"), 1L),
+      (ts("2024-01-05 00:00:00"), 1L)))
+  }
+
+  test("slidingDistinctUsersHll tracks the exact rewrite within 5% on " +
+      "the events table") {
+    val e = graft.Tables.events(spark, sf0001)
+    val exact = EventOps.slidingDistinctUsers(e, 7)
+    val est = EventOps.slidingDistinctUsersHll(e, 7, lgK = 14)
+    val joined = exact.join(est, Seq("day")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (ex, ap) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(ap - ex) <= 0.05 * ex, s"day ${r.get(0)}: $ap vs $ex")
+    }
+  }
+
   test("streaks finds maximal consecutive-day islands per user") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 22:00:00")),
