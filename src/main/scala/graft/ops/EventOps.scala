@@ -436,4 +436,106 @@ object EventOps {
       .agg(sum(col("__raw")).as("n_raw"), count(lit(1)).as("n_kept"),
         round(count(lit(1)).cast("double") / sum(col("__raw")), 4)
           .as("keep_rate"))
+
+  /** Kaplan–Meier survival estimator for time-to-event analysis: per
+    * subject, the days from their first `startType` event to their first
+    * subsequent `eventType` event, observed through a `horizonDays`
+    * conversion window; subjects with no qualifying event inside
+    * min(start + horizon, corpus max ts) are right-censored there. The
+    * corpus max is an in-plan scalar — no wall clock, deterministic
+    * across engines and reruns.
+    *
+    * Scale shape: the raw stream collapses to one row per subject in a
+    * single left join + argmin aggregation (the conditional `min(when)`
+    * ignores pre-start events without a second pass), then to one row
+    * per distinct duration. The at-risk/survival windows run over that
+    * duration frame — bounded by the horizon in days, never by corpus
+    * size. Survival is the product-limit Π(1 − dᵢ/nᵢ) computed as
+    * exp(Σ ln ·) over the ordered cumulative frame, with an explicit
+    * zero guard for the d=n exhaustion row (Spark's log(0) is NULL, not
+    * −∞); µs integer duration arithmetic keeps both engines on
+    * identical doubles.
+    */
+  def kaplanMeier(events: DataFrame, startType: String,
+      eventType: String, horizonDays: Int): DataFrame = {
+    val dayUs = 86400000000L
+    val starts = events.filter(col("event_type") === startType)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__t0"))
+    val targets = events.filter(col("event_type") === eventType)
+      .select(col("user_id"), unix_micros(col("ts")).as("__te"))
+    val corpusEnd = events.agg(max(unix_micros(col("ts"))).as("__tmax"))
+    val durations = starts.join(targets, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(first(col("__t0")).as("__t0"),
+        min(when(col("__te") >= col("__t0"), col("__te"))).as("__t1"))
+      .crossJoin(broadcast(corpusEnd))
+      .withColumn("__cutoff",
+        least(col("__tmax"), col("__t0") + lit(horizonDays * dayUs)))
+      .select(
+        (col("__t1").isNotNull && col("__t1") <= col("__cutoff"))
+          .as("__event"),
+        floor((least(coalesce(col("__t1"), col("__cutoff")),
+          col("__cutoff")) - col("__t0")) / lit(dayUs)).as("duration_day"))
+    val perDay = durations.groupBy(col("duration_day"))
+      .agg(count(when(col("__event"), 1)).as("n_events"),
+        count(when(!col("__event"), 1)).as("n_censored"))
+    val total = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("duration_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val upTo = Window.orderBy(col("duration_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(total) -
+          coalesce(sum(col("n_events") + col("n_censored")).over(before),
+            lit(0L)))
+      // Π(1 − d/n) as exp(Σ ln): days with no events contribute ln(1)=0;
+      // a d=n row exhausts the risk set → survival pins to 0 from there
+      .withColumn("__exhausted",
+        max(when(col("n_events") >= col("n_at_risk"), 1).otherwise(0))
+          .over(upTo))
+      .withColumn("survival",
+        when(col("__exhausted") === 1, lit(0.0)).otherwise(
+          round(exp(sum(when(col("n_events") < col("n_at_risk"),
+            log(lit(1.0) -
+              col("n_events").cast("double") / col("n_at_risk")))
+            .otherwise(lit(0.0))).over(upTo)), 4)))
+      .select(col("duration_day"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
+  /** CUSUM change-point detection over each event type's daily count
+    * series: standardize the series against its own mean/stddev, then
+    * the peak |cumulative sum| marks the most likely level-shift day
+    * (the classic offline CUSUM statistic). Raw events collapse to
+    * |types|×|days| rows in one map-side-combined aggregation; the
+    * standardization and cumulative windows share one partitioning on
+    * event_type over that days-sized frame, and the peak is a 6-dp-keyed
+    * rank (day tiebreak) so float noise cannot flip the argmax.
+    */
+  def cusumChangePoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("__cnt"))
+    val full = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = Window.partitionBy(col("event_type"))
+      .orderBy(round(abs(col("__cusum")), 6).desc, col("day"))
+    daily
+      .withColumn("__mean", avg(col("__cnt")).over(full))
+      .withColumn("__sd", stddev_samp(col("__cnt")).over(full))
+      .withColumn("__n_days", count(lit(1)).over(full))
+      .withColumn("__cusum",
+        sum((col("__cnt") - col("__mean")) / col("__sd")).over(cum))
+      .withColumn("__rn", row_number().over(rk))
+      .filter(col("__rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("__n_days").as("n_days"),
+        round(col("__cusum"), 4).as("peak_cusum"),
+        round(abs(col("__cusum")), 4).as("peak_abs"))
+  }
 }

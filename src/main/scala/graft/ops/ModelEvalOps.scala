@@ -127,4 +127,38 @@ object ModelEvalOps {
       .limit(topK)
       .drop("__key")
   }
+
+  /** Per-group Welch's two-sample t-test (unequal variances): does the
+    * mean of `valueCol` differ between the `condA` and `condB` cohorts
+    * inside each group? Both cohorts' moments (n, Σx, Σx²) come from
+    * ONE map-side-combined aggregation over the unsplit input — no
+    * per-cohort scan, no join; t and the Welch–Satterthwaite df derive
+    * in the projection. Sample variance via the (Σx² − (Σx)²/n)/(n−1)
+    * identity — the same closed form the oracle runs.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      condA: Column, condB: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(when(condA, 1)).as("n_a"),
+        sum(when(condA, v)).as("__sa"),
+        sum(when(condA, v * v)).as("__ssa"),
+        count(when(condB, 1)).as("n_b"),
+        sum(when(condB, v)).as("__sb"),
+        sum(when(condB, v * v)).as("__ssb"))
+    val va = (col("__ssa") - col("__sa") * col("__sa") / col("n_a")) /
+      (col("n_a") - 1)
+    val vb = (col("__ssb") - col("__sb") * col("__sb") / col("n_b")) /
+      (col("n_b") - 1)
+    val sea = va / col("n_a")
+    val seb = vb / col("n_b")
+    agg.select(col(groupCol), col("n_a"), col("n_b"),
+      round(col("__sa") / col("n_a"), 2).as("mean_a"),
+      round(col("__sb") / col("n_b"), 2).as("mean_b"),
+      round((col("__sa") / col("n_a") - col("__sb") / col("n_b")) /
+        sqrt(sea + seb), 4).as("t_stat"),
+      round((sea + seb) * (sea + seb) /
+        (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 2)
+        .as("welch_df"))
+  }
 }

@@ -122,7 +122,24 @@ object ModelQueries {
             count_distinct(col("y")) - 1))), 4).as("cramers_v"))
   }
 
+  /** q205_welch_ttest — Welch's unequal-variance two-sample t-test per
+    * market segment (`ModelEvalOps.welchTTest`): do fulfilled ('F') and
+    * open ('O') orders differ in mean total price? The A/B-test
+    * primitive behind any experimentation readout; both cohorts' moments
+    * come from ONE map-side-combined aggregation over the joined frame —
+    * no per-cohort scan, no second pass — and t / Welch–Satterthwaite df
+    * derive in the projection.
+    */
+  def q205WelchTtest(s: SparkSession, dir: String): DataFrame =
+    ModelEvalOps.welchTTest(
+      Tables.orders(s, dir).join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", "o_totalprice",
+      col("o_orderstatus") === "F", col("o_orderstatus") === "O")
+      .orderBy(col("c_mktsegment"))
+
   val queries: Map[String, Q] = Map(
+    "q205_welch_ttest" -> (q205WelchTtest _),
     "q189_group_regression" -> (q189GroupRegression _),
     "q190_auc" -> (q190Auc _),
     "q191_best_split" -> (q191BestSplit _),
@@ -130,6 +147,31 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q205_welch_ttest" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_totalprice AS v, o_orderstatus AS st
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (
+        |  SELECT c_mktsegment,
+        |    count(CASE WHEN st = 'F' THEN 1 END) AS n_a,
+        |    sum(CASE WHEN st = 'F' THEN v END) AS sa,
+        |    sum(CASE WHEN st = 'F' THEN v * v END) AS ssa,
+        |    count(CASE WHEN st = 'O' THEN 1 END) AS n_b,
+        |    sum(CASE WHEN st = 'O' THEN v END) AS sb,
+        |    sum(CASE WHEN st = 'O' THEN v * v END) AS ssb
+        |  FROM j GROUP BY 1),
+        |m AS (
+        |  SELECT c_mktsegment, n_a, n_b, sa, sb,
+        |    ((ssa - sa * sa / n_a) / (n_a - 1)) / n_a AS sea,
+        |    ((ssb - sb * sb / n_b) / (n_b - 1)) / n_b AS seb
+        |  FROM a)
+        |SELECT c_mktsegment, n_a, n_b,
+        |  round(sa / n_a, 2) AS mean_a, round(sb / n_b, 2) AS mean_b,
+        |  round((sa / n_a - sb / n_b) / sqrt(sea + seb), 4) AS t_stat,
+        |  round((sea + seb) * (sea + seb) /
+        |    (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 2)
+        |    AS welch_df
+        |FROM m ORDER BY c_mktsegment""".stripMargin,
     "q189_group_regression" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

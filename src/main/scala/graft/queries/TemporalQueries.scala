@@ -281,7 +281,34 @@ object TemporalQueries {
       .orderBy(col("day"))
   }
 
+  /** q204_kaplan_meier — survival analysis of the signup→purchase
+    * funnel (`EventOps.kaplanMeier`): days from each user's first signup
+    * to their first subsequent purchase, right-censored at a 3-day
+    * conversion window (or the corpus end, whichever is earlier). The
+    * product-limit estimator runs over the horizon-sized duration frame
+    * after the stream collapses to one row per user — time-to-event
+    * analytics (activation latency, churn) with a plan bounded by the
+    * horizon, not the corpus.
+    */
+  def q204KaplanMeier(s: SparkSession, dir: String): DataFrame =
+    EventOps.kaplanMeier(Tables.events(s, dir), "signup", "purchase",
+      horizonDays = 3)
+      .orderBy(col("duration_day"))
+
+  /** q206_cusum — CUSUM change-point detection on each event type's
+    * daily count series (`EventOps.cusumChangePoint`): the peak
+    * |cumulative standardized deviation| marks the most likely
+    * level-shift day. The monitoring primitive behind data-freshness /
+    * volume alerts; one daily aggregation at data scale, windows over
+    * the days-sized series only.
+    */
+  def q206Cusum(s: SparkSession, dir: String): DataFrame =
+    EventOps.cusumChangePoint(Tables.events(s, dir))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "q204_kaplan_meier" -> (q204KaplanMeier _),
+    "q206_cusum" -> (q206Cusum _),
     "q197_mad_anomaly" -> (q197MadAnomaly _),
     "q188_time_range_frame" -> (q188TimeRangeFrame _),
     "q179_attribution" -> (q179Attribution _),
@@ -300,6 +327,65 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q204_kaplan_meier" ->
+      """WITH starts AS (
+        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |tg AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS te
+        |       FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events),
+        |dur AS (
+        |  SELECT s.user_id, any_value(t0) AS t0,
+        |    min(CASE WHEN te >= t0 THEN te END) AS t1
+        |  FROM starts s LEFT JOIN tg USING (user_id) GROUP BY s.user_id),
+        |d AS (
+        |  SELECT (t1 IS NOT NULL AND
+        |      t1 <= least(tmax, t0 + 3*86400000000)) AS ev,
+        |    floor((least(coalesce(t1, least(tmax, t0 + 3*86400000000)),
+        |        least(tmax, t0 + 3*86400000000)) - t0)
+        |      / 86400000000)::BIGINT AS duration_day
+        |  FROM dur, h),
+        |pd AS (
+        |  SELECT duration_day,
+        |    count(CASE WHEN ev THEN 1 END) AS n_events,
+        |    count(CASE WHEN NOT ev THEN 1 END) AS n_censored
+        |  FROM d GROUP BY 1),
+        |k AS (
+        |  SELECT duration_day, n_events, n_censored,
+        |    (sum(n_events + n_censored) OVER ())::BIGINT
+        |      - coalesce(sum(n_events + n_censored) OVER (
+        |          ORDER BY duration_day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0)::BIGINT AS n_at_risk
+        |  FROM pd)
+        |SELECT duration_day, n_at_risk, n_events, n_censored,
+        |  CASE WHEN max(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING) = 1
+        |    THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN n_events < n_at_risk
+        |      THEN ln(1.0 - n_events::DOUBLE / n_at_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4)
+        |  END AS survival
+        |FROM k ORDER BY duration_day""".stripMargin,
+    "q206_cusum" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, cnt,
+        |    avg(cnt) OVER (PARTITION BY event_type) AS m,
+        |    stddev_samp(cnt) OVER (PARTITION BY event_type) AS sd,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM d),
+        |c AS (SELECT event_type, day, nd,
+        |    sum((cnt - m) / sd) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM s),
+        |r AS (SELECT event_type, day, nd, cusum,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY round(abs(cusum), 6) DESC, day) AS rn
+        |  FROM c)
+        |SELECT event_type, day AS change_day, nd AS n_days,
+        |  round(cusum, 4) AS peak_cusum, round(abs(cusum), 4) AS peak_abs
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q197_mad_anomaly" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS total

@@ -102,6 +102,8 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q186_mixture_weights",
     // q197 cross-joins broadcast 1-row fence frames (median, MAD)
     "q197_mad_anomaly",
+    // q204 cross-joins the broadcast 1-row corpus-end scalar
+    "q204_kaplan_meier",
     // q200's exact side is q96's rewrite (broadcast 1-row max-day scalar)
     "q200_hll_sliding",
     // q203 cross-joins the broadcast 1-row percentile-fence frame

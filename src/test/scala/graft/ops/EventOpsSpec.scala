@@ -220,4 +220,58 @@ class EventOpsSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
     assert(e.count() > 0)
   }
+
+  test("kaplanMeier: product-limit curve with horizon censoring") {
+    val df = Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")), // event, day 0
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "purchase", ts("2024-01-03 06:00:00")), // event, day 2
+      (3L, "signup", ts("2024-01-01 00:00:00")),
+      (3L, "purchase", ts("2024-01-06 00:00:00")), // past 3d → censored @3
+      (4L, "signup", ts("2024-01-01 00:00:00"))) // never → censored @3
+      .toDF("user_id", "event_type", "ts")
+    val out = EventOps.kaplanMeier(df, "signup", "purchase", 3)
+      .orderBy("duration_day").collect()
+      .map(r => (r.getAs[Long]("duration_day"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("survival"))).toSeq
+    // S(0)=3/4, S(2)=3/4 · 2/3 = 1/2, censoring leaves S unchanged
+    assert(out == Seq(
+      (0L, 4L, 1L, 0L, 0.75),
+      (2L, 3L, 1L, 0L, 0.5),
+      (3L, 2L, 0L, 2L, 0.5)))
+  }
+
+  test("kaplanMeier pins survival to 0 when the risk set exhausts " +
+    "(Spark log(0) is NULL, not -inf)") {
+    val df = Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "purchase", ts("2024-01-01 06:00:00")),
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "purchase", ts("2024-01-02 06:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventOps.kaplanMeier(df, "signup", "purchase", 3)
+      .orderBy("duration_day").collect()
+      .map(r => (r.getAs[Long]("duration_day"), r.getAs[Double]("survival")))
+    assert(out.toSeq == Seq((0L, 0.5), (1L, 0.0)))
+  }
+
+  test("cusumChangePoint flags the level-shift day") {
+    // counts 5,5,5,9,9: the cumulative standardized sum bottoms out at
+    // day 3 (-4.8/sqrt(4.8) = -2.1909), then recovers
+    val rows = Seq(
+      ("2024-01-01", 5), ("2024-01-02", 5), ("2024-01-03", 5),
+      ("2024-01-04", 9), ("2024-01-05", 9)).flatMap { case (d, n) =>
+      (1 to n).map(i => ("click", ts(s"$d 00:0${i % 6}:0$i")))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val out = EventOps.cusumChangePoint(df).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[java.sql.Date]("change_day").toString == "2024-01-03")
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Double]("peak_cusum") == -2.1909)
+    assert(r.getAs[Double]("peak_abs") == 2.1909)
+  }
 }

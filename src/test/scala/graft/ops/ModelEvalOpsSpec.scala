@@ -94,4 +94,19 @@ class ModelEvalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("weighted_median") == 5.0)
     assert(r.getAs[Double]("total_weight") == 9.0)
   }
+
+  test("welchTTest: hand-computed t and Welch-Satterthwaite df") {
+    // A = [1,2,3] (mean 2, var 1), B = [4,6] (mean 5, var 2):
+    // t = -3/sqrt(1/3 + 1) = -2.5981, df = (4/3)² / (1/18 + 1) = 1.68
+    val df = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 4.0), ("g", "b", 6.0)).toDF("g", "side", "v")
+    val r = ModelEvalOps.welchTTest(df, "g", "v",
+      org.apache.spark.sql.functions.col("side") === "a",
+      org.apache.spark.sql.functions.col("side") === "b").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("mean_b") == 5.0)
+    assert(r.getAs[Double]("t_stat") == -2.5981)
+    assert(r.getAs[Double]("welch_df") == 1.68)
+  }
 }
