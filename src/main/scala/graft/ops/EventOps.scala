@@ -538,4 +538,40 @@ object EventOps {
         round(col("__cusum"), 4).as("peak_cusum"),
         round(abs(col("__cusum")), 4).as("peak_abs"))
   }
+
+  /** Truncated-window EWMA smoothing of each event type's daily count
+    * series: s_t = Σ_{j=0..w−1} b^j·x_{t−j} / Σ b^j over the trailing
+    * `windowDays` calendar days (decay `b` per day; α = 1−b). The
+    * textbook recursive EWMA is not expressible as a declarative plan,
+    * and the closed-form b^{−i} window trick overflows doubles on long
+    * series — the truncated form is both scale-safe and, for any real
+    * decay, numerically identical (b^28 ≈ 5e−5 of the mass at b=0.7).
+    *
+    * Raw events collapse to the |types|×|days| daily frame in ONE
+    * map-side-combined aggregation; the trailing window is a self-join
+    * of that bounded summary on event_type with a calendar-day band, so
+    * the quadratic term never touches raw data — the same
+    * aggregate-then-window shape as [[cusumChangePoint]]. Days absent
+    * from the series carry no weight (normalized mean over present
+    * days), so gaps do not bias the level estimate toward zero.
+    *
+    * `b` is applied as a literal constant in both engines (PERF_NOTES
+    * R4.6): weights are pow(b, integer-day-distance), bit-identical
+    * across engines; the 4-dp round absorbs join-order sum noise.
+    */
+  def ewmaDaily(events: DataFrame, b: Double, windowDays: Int): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val hist = daily.select(col("event_type").as("__t"),
+      col("day").as("__d"), col("cnt").as("__c"))
+    daily.join(hist,
+        col("event_type") === col("__t") && col("__d") <= col("day") &&
+          col("__d") >= date_sub(col("day"), windowDays - 1))
+      .withColumn("__w", pow(lit(b), datediff(col("day"), col("__d"))))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("cnt")).as("cnt"),
+        round(sum(col("__w") * col("__c")) / sum(col("__w")), 4)
+          .as("ewma"))
+  }
 }

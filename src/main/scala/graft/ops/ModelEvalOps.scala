@@ -161,4 +161,64 @@ object ModelEvalOps {
         (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 2)
         .as("welch_df"))
   }
+
+  /** Two-proportion z-test (pooled variance): does the success RATE
+    * differ between the `condA` and `condB` cohorts? The conversion-rate
+    * companion to [[welchTTest]]'s mean test — the readout of any A/B
+    * experiment whose metric is binary (converted, clicked, churned).
+    * One map-side-combined aggregation produces all four counts; the
+    * z statistic derives in the projection. Every intermediate before
+    * the final divisions is an exact integer in doubles, so rates and z
+    * are the same integer-ratio arithmetic in both engines.
+    */
+  def propZTest(df: DataFrame, condA: Column, condB: Column,
+      successCond: Column): DataFrame = {
+    val agg = df.agg(
+      count(when(condA, 1)).as("n_a"),
+      count(when(condA && successCond, 1)).as("x_a"),
+      count(when(condB, 1)).as("n_b"),
+      count(when(condB && successCond, 1)).as("x_b"))
+    val pa = col("x_a") / col("n_a")
+    val pb = col("x_b") / col("n_b")
+    val pp = (col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))
+    agg.select(col("n_a"), col("n_b"),
+      round(pa, 4).as("rate_a"), round(pb, 4).as("rate_b"),
+      round(pp, 4).as("pooled_rate"),
+      round((pa - pb) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters (columns) over the same rows, any number of categories.
+    * The inter-annotator / model-vs-model agreement statistic a labeling
+    * pipeline reports next to raw accuracy (q160's confusion counts).
+    *
+    * One contingency aggregation collapses the input to |r·c| cells;
+    * observed agreement p_o sums the diagonal, expected agreement p_e
+    * needs per-category marginal PRODUCTS — cells alone can't provide
+    * them when a diagonal cell is absent, so the two marginal frames
+    * (each ≤ |categories| rows, derived from the cells frame, not the
+    * raw data) full-outer-join on category. All counts stay integers
+    * until the final ratios, so p_o/p_e/κ are identical integer-ratio
+    * doubles in both engines.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df.groupBy(raterA.as("a"), raterB.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val base = cells.agg(
+      sum(col("o")).as("n"),
+      sum(when(col("a") === col("b"), col("o")).otherwise(lit(0)))
+        .as("__agree"))
+    val margA = cells.groupBy(col("a").as("k")).agg(sum(col("o")).as("__ra"))
+    val margB = cells.groupBy(col("b").as("k")).agg(sum(col("o")).as("__cb"))
+    val rc = margA.join(margB, Seq("k"), "full_outer")
+      .agg(sum(coalesce(col("__ra"), lit(0L)) *
+        coalesce(col("__cb"), lit(0L))).as("__rc"))
+    val po = col("__agree") / col("n")
+    val pe = col("__rc") / (col("n") * col("n"))
+    base.crossJoin(rc)
+      .select(col("n"), round(po, 4).as("po"), round(pe, 4).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
+  }
 }
