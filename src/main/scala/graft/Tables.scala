@@ -48,28 +48,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) — parquet's nanosecond
-    * precision, which Spark's vectorized reader rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]). We read the raw int64 nanos via the
-    * `nanosAsLong` escape hatch and rebuild a micros timestamp with
-    * INTEGER division (`div`): a double-precision detour would lose
-    * sub-millisecond digits at 2024-epoch magnitudes (~1.7e18 ns vs
-    * ~9e15 exact-double range). DuckDB's `ts::TIMESTAMP` truncates
-    * ns→us the same way, so oracles agree bit-for-bit.
-    *
-    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set WHEN THE
-    * SESSION IS BUILT (Bench / Verify / SparkSpec all do) — it is a
-    * global reader flag, and setting it here as a read side effect
-    * would silently change how every other nanos-typed parquet in the
-    * session is read, racily if sessions are shared across threads.
+  /** The events table's `ts` column has shipped in two physical forms
+    * across testdata generations: parquet TIMESTAMP(NANOS) — which
+    * Spark reads as a raw int64 of nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — and plain
+    * TIMESTAMP(MICROS), which reads as a native timestamp type. Adapt
+    * to whichever the file carries instead of assuming one: for the
+    * nanos-as-long form rebuild a micros timestamp with INTEGER
+    * division (`div`; a double detour would lose sub-millisecond
+    * digits at 2024-epoch magnitudes ~1.7e18 ns), matching DuckDB's
+    * ns→us truncation bit-for-bit. For a native timestamp (with or
+    * without timezone) normalize to session-TZ TIMESTAMP so downstream
+    * window/date functions behave uniformly. The branch is decided
+    * from the DataFrame schema (embedded parquet footer — no data
+    * scan), so this costs nothing at 100 TB.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(events.parquet carries TIMESTAMP(NANOS))")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
