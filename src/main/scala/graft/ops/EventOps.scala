@@ -560,6 +560,10 @@ object EventOps {
     * across engines; the 4-dp round absorbs join-order sum noise.
     */
   def ewmaDaily(events: DataFrame, b: Double, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays " +
+      "(a non-positive window would make the join band empty and " +
+      "silently return zero rows)")
+    require(b > 0.0, s"decay b must be > 0, got $b")
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))

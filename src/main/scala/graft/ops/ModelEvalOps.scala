@@ -170,6 +170,12 @@ object ModelEvalOps {
     * z statistic derives in the projection. Every intermediate before
     * the final divisions is an exact integer in doubles, so rates and z
     * are the same integer-ratio arithmetic in both engines.
+    *
+    * Degenerate cohorts surface as SQL nulls rather than exceptions —
+    * an empty cohort (n=0) nulls its rate and z, and a pooled rate of
+    * exactly 0 or 1 (no successes / all successes) nulls z via the
+    * zero pooled variance. Callers alerting on z must treat null as
+    * "test not evaluable", not as zero.
     */
   def propZTest(df: DataFrame, condA: Column, condB: Column,
       successCond: Column): DataFrame = {
@@ -178,15 +184,16 @@ object ModelEvalOps {
       count(when(condA && successCond, 1)).as("x_a"),
       count(when(condB, 1)).as("n_b"),
       count(when(condB && successCond, 1)).as("x_b"))
-    val pa = col("x_a") / col("n_a")
-    val pb = col("x_b") / col("n_b")
-    val pp = (col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))
+    val pa = try_divide(col("x_a"), col("n_a"))
+    val pb = try_divide(col("x_b"), col("n_b"))
+    val pp = try_divide(col("x_a") + col("x_b"), col("n_a") + col("n_b"))
     agg.select(col("n_a"), col("n_b"),
       round(pa, 4).as("rate_a"), round(pb, 4).as("rate_b"),
       round(pp, 4).as("pooled_rate"),
-      round((pa - pb) /
+      round(try_divide(pa - pb,
         sqrt(pp * (lit(1.0) - pp) *
-          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
+          (try_divide(lit(1.0), col("n_a")) +
+            try_divide(lit(1.0), col("n_b"))))), 4).as("z"))
   }
 
   /** Cohen's kappa — chance-corrected agreement between two categorical
@@ -199,12 +206,21 @@ object ModelEvalOps {
     * needs per-category marginal PRODUCTS — cells alone can't provide
     * them when a diagonal cell is absent, so the two marginal frames
     * (each ≤ |categories| rows, derived from the cells frame, not the
-    * raw data) full-outer-join on category. All counts stay integers
-    * until the final ratios, so p_o/p_e/κ are identical integer-ratio
-    * doubles in both engines.
+    * raw data) full-outer-join on category. Counts stay integers until
+    * the marginal products, which are computed in DOUBLES: Σ rᵢ·cᵢ and
+    * n² overflow Long past ~3×10⁹ rows — routine at 100 TB — and a
+    * silent wraparound would yield a plausible-looking wrong κ. The
+    * double detour is exact up to 2⁵³ and the final ratios round to
+    * 4 dp anyway. Null labels are excluded up front: null===null never
+    * counts as agreement and null keys don't meet in the outer join,
+    * so keeping them would only bias κ downward. Degenerate p_e = 1
+    * (both raters constant and equal) yields κ = null (0/0), which the
+    * caller should read as "agreement is not chance-correctable".
     */
   def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
-    val cells = df.groupBy(raterA.as("a"), raterB.as("b"))
+    val cells = df
+      .where(raterA.isNotNull && raterB.isNotNull)
+      .groupBy(raterA.as("a"), raterB.as("b"))
       .agg(count(lit(1)).as("o"))
     val base = cells.agg(
       sum(col("o")).as("n"),
@@ -213,12 +229,12 @@ object ModelEvalOps {
     val margA = cells.groupBy(col("a").as("k")).agg(sum(col("o")).as("__ra"))
     val margB = cells.groupBy(col("b").as("k")).agg(sum(col("o")).as("__cb"))
     val rc = margA.join(margB, Seq("k"), "full_outer")
-      .agg(sum(coalesce(col("__ra"), lit(0L)) *
-        coalesce(col("__cb"), lit(0L))).as("__rc"))
+      .agg(sum(coalesce(col("__ra"), lit(0L)).cast("double") *
+        coalesce(col("__cb"), lit(0L)).cast("double")).as("__rc"))
     val po = col("__agree") / col("n")
-    val pe = col("__rc") / (col("n") * col("n"))
+    val pe = col("__rc") / (col("n").cast("double") * col("n").cast("double"))
     base.crossJoin(rc)
       .select(col("n"), round(po, 4).as("po"), round(pe, 4).as("pe"),
-        round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
+        round(try_divide(po - pe, lit(1.0) - pe), 4).as("kappa"))
   }
 }

@@ -138,7 +138,34 @@ object ModelQueries {
       col("o_orderstatus") === "F", col("o_orderstatus") === "O")
       .orderBy(col("c_mktsegment"))
 
+  /** q207_prop_ztest — two-proportion z-test
+    * (`ModelEvalOps.propZTest`): do urgent (1-URGENT) and low-priority
+    * (5-LOW) orders convert to fulfilled ('F') at different rates? The
+    * binary-metric A/B readout; all four counts come from ONE
+    * map-side-combined aggregation — no per-cohort scan.
+    */
+  def q207PropZtest(s: SparkSession, dir: String): DataFrame =
+    ModelEvalOps.propZTest(Tables.orders(s, dir),
+      col("o_orderpriority") === "1-URGENT",
+      col("o_orderpriority") === "5-LOW",
+      col("o_orderstatus") === "F")
+
+  /** q208_cohen_kappa — chance-corrected agreement
+    * (`ModelEvalOps.cohenKappa`) between two binarized "raters" over
+    * lineitem: does "returned" (l_returnflag = 'R') agree with "large
+    * order" (l_quantity > 25) beyond chance? The inter-annotator
+    * statistic a labeling pipeline reports next to raw accuracy; one
+    * contingency aggregation collapses the table to 4 cells, marginal
+    * products are computed in overflow-safe doubles.
+    */
+  def q208CohenKappa(s: SparkSession, dir: String): DataFrame =
+    ModelEvalOps.cohenKappa(Tables.lineitem(s, dir),
+      when(col("l_returnflag") === "R", "hi").otherwise("lo"),
+      when(col("l_quantity") > 25, "hi").otherwise("lo"))
+
   val queries: Map[String, Q] = Map(
+    "q207_prop_ztest" -> (q207PropZtest _),
+    "q208_cohen_kappa" -> (q208CohenKappa _),
     "q205_welch_ttest" -> (q205WelchTtest _),
     "q189_group_regression" -> (q189GroupRegression _),
     "q190_auc" -> (q190Auc _),
@@ -147,6 +174,50 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q207_prop_ztest" ->
+      """WITH a AS (
+        |  SELECT
+        |    count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+        |      AS n_a,
+        |    count(CASE WHEN o_orderpriority = '1-URGENT'
+        |      AND o_orderstatus = 'F' THEN 1 END) AS x_a,
+        |    count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_b,
+        |    count(CASE WHEN o_orderpriority = '5-LOW'
+        |      AND o_orderstatus = 'F' THEN 1 END) AS x_b
+        |  FROM orders),
+        |m AS (
+        |  SELECT n_a, n_b,
+        |    x_a::DOUBLE / n_a AS pa, x_b::DOUBLE / n_b AS pb,
+        |    (x_a + x_b)::DOUBLE / (n_a + n_b) AS pp
+        |  FROM a)
+        |SELECT n_a, n_b,
+        |  round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+        |  round(pp, 4) AS pooled_rate,
+        |  round((pa - pb) /
+        |    sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        |FROM m""".stripMargin,
+    "q208_cohen_kappa" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 'hi' ELSE 'lo' END
+        |      AS a,
+        |    CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS b
+        |  FROM lineitem),
+        |base AS (
+        |  SELECT count(*) AS n,
+        |    count(CASE WHEN a = b THEN 1 END) AS agree
+        |  FROM r),
+        |ma AS (SELECT a AS k, count(*) AS ra FROM r GROUP BY 1),
+        |mb AS (SELECT b AS k, count(*) AS cb FROM r GROUP BY 1),
+        |rc AS (
+        |  SELECT sum(coalesce(ra, 0)::DOUBLE * coalesce(cb, 0)::DOUBLE)
+        |    AS rcsum
+        |  FROM ma FULL OUTER JOIN mb USING (k))
+        |SELECT n,
+        |  round(agree::DOUBLE / n, 4) AS po,
+        |  round(rcsum / (n::DOUBLE * n::DOUBLE), 4) AS pe,
+        |  round((agree::DOUBLE / n - rcsum / (n::DOUBLE * n::DOUBLE)) /
+        |    (1.0 - rcsum / (n::DOUBLE * n::DOUBLE)), 4) AS kappa
+        |FROM base, rc""".stripMargin,
     "q205_welch_ttest" ->
       """WITH j AS (
         |  SELECT c_mktsegment, o_totalprice AS v, o_orderstatus AS st

@@ -306,7 +306,19 @@ object TemporalQueries {
     EventOps.cusumChangePoint(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q209_ewma_daily — truncated-window EWMA smoothing of each event
+    * type's daily count series (`EventOps.ewmaDaily`, b=0.7, 28-day
+    * window): the trend line a volume monitor draws under the raw
+    * counts. Raw events collapse to the |types|×|days| daily frame in
+    * ONE aggregation; the trailing-window self-join runs over that
+    * bounded summary only, never raw data.
+    */
+  def q209EwmaDaily(s: SparkSession, dir: String): DataFrame =
+    EventOps.ewmaDaily(Tables.events(s, dir), b = 0.7, windowDays = 28)
+      .orderBy(col("event_type"), col("day"))
+
   val queries: Map[String, Q] = Map(
+    "q209_ewma_daily" -> (q209EwmaDaily _),
     "q204_kaplan_meier" -> (q204KaplanMeier _),
     "q206_cusum" -> (q206Cusum _),
     "q197_mad_anomaly" -> (q197MadAnomaly _),
@@ -327,6 +339,20 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q209_ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, max(d.cnt) AS cnt,
+        |  round(
+        |    sum(pow(0.7, date_diff('day', h.day, d.day)) * h.cnt) /
+        |    sum(pow(0.7, date_diff('day', h.day, d.day))), 4) AS ewma
+        |FROM daily d JOIN daily h
+        |  ON d.event_type = h.event_type
+        |  AND h.day <= d.day
+        |  AND date_diff('day', h.day, d.day) < 28
+        |GROUP BY d.event_type, d.day
+        |ORDER BY d.event_type, d.day""".stripMargin,
     "q204_kaplan_meier" ->
       """WITH starts AS (
         |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0

@@ -274,4 +274,38 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("peak_cusum") == -2.1909)
     assert(r.getAs[Double]("peak_abs") == 2.1909)
   }
+
+  test("ewmaDaily: hand-computed truncated-window weights") {
+    // b=0.5, window=2. day1 cnt 2 → ewma 2;
+    // day2 cnt 4 → (4·1 + 2·0.5)/1.5 = 3.3333;
+    // day3 cnt 6 → (6·1 + 4·0.5)/1.5 = 5.3333 (day1 outside window)
+    val df = (Seq.fill(2)("2024-01-01") ++ Seq.fill(4)("2024-01-02") ++
+      Seq.fill(6)("2024-01-03"))
+      .map(d => ("t", ts(s"$d 12:00:00"))).toDF("event_type", "ts")
+    val out = EventOps.ewmaDaily(df, b = 0.5, windowDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("cnt"), r.getAs[Double]("ewma")))
+    assert(out.toSeq == Seq((2L, 2.0), (4L, 3.3333), (6L, 5.3333)))
+  }
+
+  test("ewmaDaily: absent days carry no weight (gap does not bias)") {
+    // b=0.5, window=3, days 1 and 3 only (day2 missing):
+    // day3 → (4·b⁰ + 2·b²)/(1 + 0.25) = 4.5/1.25 = 3.6
+    val df = (Seq.fill(2)("2024-01-01") ++ Seq.fill(4)("2024-01-03"))
+      .map(d => ("t", ts(s"$d 12:00:00"))).toDF("event_type", "ts")
+    val out = EventOps.ewmaDaily(df, b = 0.5, windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("cnt"), r.getAs[Double]("ewma")))
+    assert(out.toSeq == Seq((2L, 2.0), (4L, 3.6)))
+  }
+
+  test("ewmaDaily rejects degenerate parameters up front") {
+    val df = Seq(("t", ts("2024-01-01 12:00:00"))).toDF("event_type", "ts")
+    intercept[IllegalArgumentException] {
+      EventOps.ewmaDaily(df, b = 0.5, windowDays = 0)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.ewmaDaily(df, b = 0.0, windowDays = 7)
+    }
+  }
 }

@@ -109,4 +109,61 @@ class ModelEvalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("t_stat") == -2.5981)
     assert(r.getAs[Double]("welch_df") == 1.68)
   }
+
+  test("propZTest: hand-computed pooled z") {
+    // A: 3/4 success, B: 1/4 success, pooled 4/8 = 0.5
+    // z = 0.5 / sqrt(0.5·0.5·(1/4+1/4)) = 0.5/sqrt(0.125) = 1.4142
+    val df = (Seq.fill(3)(("a", true)) ++ Seq(("a", false)) ++
+      Seq(("b", true)) ++ Seq.fill(3)(("b", false)))
+      .toDF("side", "ok")
+    val r = ModelEvalOps.propZTest(df,
+      col("side") === "a", col("side") === "b", col("ok")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("rate_a") == 0.75)
+    assert(r.getAs[Double]("rate_b") == 0.25)
+    assert(r.getAs[Double]("pooled_rate") == 0.5)
+    assert(r.getAs[Double]("z") == 1.4142)
+  }
+
+  test("propZTest: empty cohort surfaces as null rate and z, not a throw") {
+    val df = Seq(("a", true), ("a", false)).toDF("side", "ok")
+    val r = ModelEvalOps.propZTest(df,
+      col("side") === "a", col("side") === "b", col("ok")).collect()(0)
+    assert(r.getAs[Long]("n_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("rate_b")))
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("cohenKappa: the textbook 50-row contingency example") {
+    // cells (a,b,count): (y,y,20) (y,n,5) (n,y,10) (n,n,15)
+    // po = 35/50 = 0.7; pe = (25·30 + 25·20)/2500 = 0.5; κ = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = ModelEvalOps.cohenKappa(rows.toDF("ra", "rb"),
+      col("ra"), col("rb")).collect()(0)
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohenKappa excludes null-labeled rows from n and marginals") {
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq(("y", null), (null, "n"), (null, null))
+    val r = ModelEvalOps.cohenKappa(rows.toDF("ra", "rb"),
+      col("ra"), col("rb")).collect()(0)
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohenKappa degenerate constant-equal raters yields null kappa") {
+    // po = pe = 1 → κ = 0/0 → SQL null ("not chance-correctable")
+    val r = ModelEvalOps.cohenKappa(
+      Seq.fill(10)(("y", "y")).toDF("ra", "rb"),
+      col("ra"), col("rb")).collect()(0)
+    assert(r.getAs[Double]("po") == 1.0)
+    assert(r.getAs[Double]("pe") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
 }
