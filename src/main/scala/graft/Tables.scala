@@ -26,9 +26,21 @@ object Tables {
     * parallelism. Keep heavy expressions in projections ABOVE this call
     * — Catalyst pushes deterministic FILTERS below a repartition, but
     * leaves projections in place.
+    *
+    * The shuffle is CONDITIONAL on the scan actually being starved:
+    * when the source already yields >= defaultParallelism splits (the
+    * normal case at 100 TB — thousands of row groups), the input is
+    * returned untouched, so production plans carry no gratuitous
+    * full-shuffle of raw text. The split count comes from the physical
+    * plan's partitioning (`df.rdd.getNumPartitions`): driver-side file
+    * listing only — backed by the session's cached FileIndex — no job
+    * is triggered.
     */
-  def parallelize(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   /** Pushdown fence for filters whose predicate is EXPENSIVE (JSON
     * parse, tokenization): OR-in an always-false nondeterministic term

@@ -107,7 +107,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q200's exact side is q96's rewrite (broadcast 1-row max-day scalar)
     "q200_hll_sliding",
     // q203 cross-joins the broadcast 1-row percentile-fence frame
-    "q203_global_seq")
+    "q203_global_seq",
+    // q208 cross-joins two broadcast 1-row aggregates (observed
+    // agreement, marginal-product sum)
+    "q208_cohen_kappa")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -218,6 +221,25 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"),
       s"the aggregate form must not sort rows under a window:\n$plan")
+  }
+
+  test("Tables.parallelize: no-op when input already has enough splits") {
+    val target = spark.sparkContext.defaultParallelism
+    // already-parallel input: returned untouched, no shuffle in the plan
+    val wide = spark.range(0, 1000, 1, numPartitions = target)
+      .toDF("id")
+    val passthrough = graft.Tables.parallelize(wide)
+    assert(passthrough.rdd.getNumPartitions == target)
+    assert(!passthrough.queryExecution.executedPlan.toString
+      .contains("Exchange"),
+      "parallelize must not shuffle an already-parallel input")
+    // starved input (single split, the local one-row-group case):
+    // repartitioned up to defaultParallelism
+    val narrow = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    val widened = graft.Tables.parallelize(narrow)
+    assert(widened.queryExecution.executedPlan.toString
+      .contains("Exchange"),
+      "parallelize must widen a single-split input")
   }
 
   test("whole-stage codegen covers the q33 string-function pipeline") {
