@@ -65,6 +65,42 @@ class ClassifierPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("RF confusion flow reproduces the reference golden-matrix " +
+    "invariants: 8x8 shape, ~0.3*target row sums, seed-42 determinism") {
+    // The reference's published RF matrix
+    // (random_forest_confusion_matrix.py:16-31) is 8x8 over 8 company-
+    // response classes resampled to 15000/class and split 70/30 seed 42
+    // — every row sums to ~0.3*15000 (row 0: 4483). Reproduce the same
+    // INVARIANTS at local scale with a synthetic 8-class label.
+    val target = 300L
+    val eight = Tables.orders(spark, sf0001)
+      .withColumn("resp8", pmod(col("o_orderkey"), lit(8)).cast("string"))
+    def run() = ReferenceFlows.multiclassFlow(eight,
+      freqCols = Seq("o_custkey"), catCols = Seq("o_orderpriority"),
+      numCols = Seq("o_totalprice"), labelCol = "resp8",
+      targetPerClass = target, rfNumTrees = 8)
+    val r = run()
+    val cm = r.confusion.collect()
+    // 8 label rows; predicted columns are a subset of the 8 classes
+    assert(cm.length == 8, s"expected 8 actual-class rows, got ${cm.length}")
+    assert(cm.head.schema.fields.length <= 9,
+      "more predicted columns than classes")
+    // each actual-class row holds that class's share of the 30% test
+    // split: Poisson(300) resample then Bernoulli(0.3) split → mean 90,
+    // sd ~11; accept ±5 sd
+    cm.foreach { row =>
+      val rowSum = (1 until row.length)
+        .map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
+      assert(math.abs(rowSum - 0.3 * target) < 55,
+        s"row sum $rowSum far from ${0.3 * target}")
+    }
+    // the reference publishes ONE matrix for seed 42: cells must be
+    // bit-for-bit reproducible run-to-run
+    def cells(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.toSeq.map(v => if (v == null) 0L else v)).toSeq
+    assert(cells(cm) == cells(run().confusion.collect()))
+  }
+
   test("multiclassFlow (DT + TVS tuning) runs") {
     val r = ReferenceFlows.multiclassFlow(orders,
       freqCols = Seq.empty, catCols = Seq("price_bucket"),
