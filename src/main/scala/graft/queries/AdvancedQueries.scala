@@ -143,17 +143,23 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
 
   /** q57_approx_distinct — HyperLogLog++ approximate distinct counts
-    * next to the exact ones. No DuckDB oracle (sketches differ across
-    * engines — driver records the weaker rows-only check); the
-    * ±5 %-of-exact invariant is asserted in AdvancedQueriesSpec. At
-    * 100 TB approx_count_distinct is THE way to count uniques: fixed
-    * ~kB sketch per group vs an unbounded distinct-shuffle.
+    * validated against the exact ones. Raw sketch estimates differ
+    * across engines, so the manifest hashes the exact count plus a
+    * ±5 %-tolerance flag (the q200 pattern): the DuckDB oracle replays
+    * the exact side and asserts `est_ok` literally true, turning the
+    * former rows-only check into a full hash check of the accuracy
+    * invariant. Deterministic: HLL++ is order-independent. At 100 TB
+    * approx_count_distinct is THE way to count uniques: fixed ~kB
+    * sketch per group vs an unbounded distinct-shuffle.
     */
   def q57ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("est_ok"))
       .orderBy(col("l_returnflag"))
 
   /** q58_group_topk_agg — q14's per-brand top-3 restated on the
@@ -569,21 +575,31 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  /** q65_approx_percentiles — quantile sketches
-    * (Greenwald-Khanna `approx_percentile`) next to q40's exact
-    * percentiles. No oracle (sketches are engine-specific; driver
-    * rows-only check); AdvancedQueriesSpec asserts ≤1 % relative error
-    * vs exact. At 100 TB the sketch is mergeable, bounded-memory state
-    * — exact percentile must buffer every group value.
+  /** q65_approx_percentiles — quantile sketches (Greenwald-Khanna
+    * `approx_percentile`) validated against the exact linear-
+    * interpolated percentiles. Sketch estimates are engine-specific,
+    * so the manifest hashes the EXACT percentiles (bit-identical to
+    * DuckDB's `quantile_cont`, cf. StatOps) plus ≤1 %-relative-error
+    * flags for the sketch side; the oracle replays the exact values
+    * and asserts both flags literally true — a full hash check of the
+    * accuracy invariant instead of the former rows-only check. At
+    * 100 TB the sketch is mergeable, bounded-memory state — exact
+    * percentile must buffer every group value.
     */
   def q65ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2)
-          .as("ap50"),
-        round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 2)
-          .as("ap95"))
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__a50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("__a95"),
+        expr("percentile(l_extendedprice, 0.5)").as("__p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("__p95"))
+      .select(col("l_returnflag"),
+        round(col("__p50"), 2).as("p50"), round(col("__p95"), 2).as("p95"),
+        (abs(col("__a50") - col("__p50")) <= col("__p50") * 0.01)
+          .as("p50_ok"),
+        (abs(col("__a95") - col("__p95")) <= col("__p95") * 0.01)
+          .as("p95_ok"))
       .orderBy(col("l_returnflag"))
 
   /** q66_dedup_clusters — duplicate-GROUP resolution: q59's pairwise
@@ -780,6 +796,19 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q57_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS est_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q65_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  true AS p50_ok, true AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q72_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS spend

@@ -114,25 +114,22 @@ object PipelineQueries {
       Tables.parallelize(Tables.documents(s, dir)), "doc_id",
       TextOps.tokenSet(col("text")), nHashes = 8, rowsPerBand = 4)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      // the sweep + the candidate count read this frame three times —
-      // materialize so the minhash pipeline runs once
-      .localCheckpoint()
     val th = Seq(0.7, 0.8, 0.9).toDF("threshold")
-    val edges = th.crossJoin(pairs)
-      .filter(col("jaccard") >= col("threshold"))
-    val eAgg = edges.groupBy(col("threshold"))
-      .agg(count(lit(1)).as("n_edges"))
-    val dAgg = edges
-      .select(col("threshold"),
+    // ONE pass over the candidate frame (was: localCheckpoint + three
+    // reads, R5.2): broadcast the 3-row threshold side, explode each
+    // pair's two endpoints, and fold candidate count, edge count, and
+    // docs-with-dup into a single aggregation. The explode doubles
+    // every pair, so the plain counts halve exactly; the conditional
+    // count_distinct sees only endpoints of verified edges.
+    th.crossJoin(pairs)
+      .select(col("threshold"), col("jaccard"),
         explode(array(col("id_a"), col("id_b"))).as("d"))
-      .distinct()
-      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs_with_dup"))
-    th.crossJoin(pairs.agg(count(lit(1)).as("n_candidates")))
-      .join(eAgg, Seq("threshold"), "left")
-      .join(dAgg, Seq("threshold"), "left")
-      .select(col("threshold"), col("n_candidates"),
-        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
-        coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"))
+      .groupBy(col("threshold"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_candidates"),
+        (count(when(col("jaccard") >= col("threshold"), 1)) / 2)
+          .cast("long").as("n_edges"),
+        count_distinct(when(col("jaccard") >= col("threshold"), col("d")))
+          .as("n_docs_with_dup"))
       .orderBy(col("threshold"))
   }
 
