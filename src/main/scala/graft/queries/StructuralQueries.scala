@@ -216,10 +216,12 @@ object StructuralQueries {
   /** q83_multimodal_features — the multimodal pipeline end-to-end
     * (SURVEY §2.13 X5 / MultimodalOps): binary media rows → partition-
     * local feature extraction (one codec per partition, payload never
-    * shuffled) → per-modality corpus stats. The stub codec's features
-    * are deterministic (FNV-seeded xorshift), but not SQL-expressible,
-    * so this query takes the driver's rows-only check; the codec
-    * contract itself is asserted in MultimodalOpsSpec.
+    * shuffled) → per-modality corpus stats. The media plumbing IS
+    * SQL-replayable (payload = UTF-8 text bytes, modality = doc_id%3),
+    * so item counts and byte totals hash against DuckDB; the stub
+    * codec's feature VALUES are not SQL-expressible, so they enter as
+    * contract flags (dim = 16, finite f0) the oracle asserts literally
+    * true. Codec determinism is asserted in MultimodalOpsSpec.
     */
   def q83MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.MultimodalOps
@@ -230,7 +232,8 @@ object StructuralQueries {
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(element_at(col("feature"), 1)), 6).as("avg_f0"))
+        every(size(col("feature")) === 16).as("dim_ok"),
+        every(!isnan(element_at(col("feature"), 1))).as("f0_finite_ok"))
       .orderBy(col("modality"))
   }
 
@@ -358,32 +361,43 @@ object StructuralQueries {
   }
 
   /** q176_pca — PCA dimensionality reduction over the embeddings table
-    * (`org.apache.spark.ml.feature.PCA`, k=4): per-component explained
-    * variance ratio and component L2 norm (≈1, orthonormal columns).
-    * The covariance pass is one distributed Gramian aggregation; the
-    * dim×dim eigensolve is driver-local — the right split at 100 TB,
-    * where rows are billions but dim is hundreds. Model output →
-    * rows-only check; orthonormality/variance-ordering invariants in
-    * `FeatureSurfaceSpec`.
+    * (`org.apache.spark.ml.feature.PCA`, k = dim = 64). The covariance
+    * pass is one distributed Gramian aggregation; the dim×dim
+    * eigensolve is driver-local — the right split at 100 TB, where
+    * rows are billions but dim is hundreds. Eigenvectors are
+    * sign-ambiguous across solvers, so the manifest hashes what IS
+    * engine-independent (the q200 tolerance-flag pattern): the
+    * covariance TRACE recomputed from the data (= Σ per-dim sample
+    * variances, replayed by DuckDB), plus flags for the full-rank PCA
+    * identities — Σ explained-variance ratios = 1, orthonormal
+    * loadings, non-increasing spectrum. Per-component numeric
+    * invariants stay in `FeatureSurfaceSpec`.
     */
   def q176Pca(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.feature.PCA
     import org.apache.spark.ml.functions.array_to_vector
+    val k = 64
     val emb = Tables.embeddings(s, dir)
-      .select(array_to_vector(
-        transform(col("embedding"), _.cast("double"))).as("features"))
+      .select(transform(col("embedding"), _.cast("double")).as("emb"))
     val model = new PCA().setInputCol("features").setOutputCol("pc")
-      .setK(4).fit(emb)
+      .setK(k).fit(emb.select(array_to_vector(col("emb")).as("features")))
     val ev = model.explainedVariance.toArray
-    val pcNorms = (0 until 4).map { j =>
+    val pcNorms = (0 until k).map { j =>
       math.sqrt((0 until model.pc.numRows)
         .map(i => model.pc(i, j) * model.pc(i, j)).sum)
     }
-    import s.implicits._
-    ev.zip(pcNorms).zipWithIndex
-      .map { case ((v, n), i) =>
-        (i, math.rint(v * 10000) / 10000, math.rint(n * 10000) / 10000) }
-      .toSeq.toDF("component", "explained_variance", "pc_norm")
+    val evsumOk = math.abs(ev.sum - 1.0) < 1e-9
+    val normsOk = pcNorms.forall(n => math.abs(n - 1.0) < 1e-9)
+    val sortedOk = ev.sliding(2).forall(p => p(0) >= p(1) - 1e-12)
+    // trace from the DATA, same arithmetic as the DuckDB replay:
+    // posexplode → per-dim sample variance → sum
+    val trace = emb
+      .select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(var_samp(col("v")).as("pvar"))
+      .agg(round(sum(col("pvar")), 4).as("trace"))
+    trace.select(lit(k).as("n_components"), col("trace"),
+      lit(evsumOk).as("evsum_ok"), lit(normsOk).as("norms_ok"),
+      lit(sortedOk).as("ev_sorted_ok"))
   }
 
   /** q187_union_evolve — schema-drift union: two batches with
@@ -744,6 +758,23 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q83_multimodal_features" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  count(*) AS n_items,
+        |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+        |  true AS dim_ok, true AS f0_finite_ok
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q176_pca" ->
+      """WITH d AS (
+        |  SELECT unnest(embedding)::DOUBLE AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |pv AS (SELECT pos, var_samp(v) AS pvar FROM d GROUP BY 1)
+        |SELECT 64 AS n_components, round(sum(pvar), 4) AS trace,
+        |  true AS evsum_ok, true AS norms_ok, true AS ev_sorted_ok
+        |FROM pv""".stripMargin,
     "q187_union_evolve" ->
       """WITH u AS (
         |  SELECT o_orderkey, o_totalprice, 'v1' AS batch
