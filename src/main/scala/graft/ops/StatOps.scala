@@ -356,6 +356,52 @@ object StatOps {
         round(max(col("__tw")), 2).as("total_weight"))
   }
 
+  /** Shard-level data-skipping statistics — the min/max/null-count
+    * manifest a lake writer (Delta/Iceberg-style) collects per file so
+    * readers can prune shards from the predicate alone. One map-side-
+    * combined aggregation over the shard key; output is |shards| rows
+    * regardless of input size. A point/range predicate on any tracked
+    * column can then be answered from this bounded frame as "which
+    * shards might contain it" — O(shards) planning instead of O(rows)
+    * scanning, which is the difference between touching 1 file and
+    * 100 TB.
+    */
+  def shardStats(df: DataFrame, shard: Column, statCols: Seq[String])
+      : DataFrame = {
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"))
+    }
+    df.groupBy(shard.as("shard"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Merge algebraic per-fine-bucket aggregate state into a coarser
+    * rollup WITHOUT re-reading raw data: sums add, counts add, mins
+    * min, maxes max; averages re-derive as merged-sum/merged-count.
+    * This is the incremental-maintenance identity every pre-aggregated
+    * reporting table at 100 TB relies on — the daily frame is the only
+    * thing ever recomputed, the monthly/era rollup is a merge of
+    * |days| rows. Input must carry columns `cnt`, `sum_v`, `min_v`,
+    * `max_v` (the canonical state produced by [[dailyState]]).
+    */
+  def rollupMerge(state: DataFrame, mergeKeys: Seq[String]): DataFrame =
+    state.groupBy(mergeKeys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** The canonical algebraic aggregate state for [[rollupMerge]]:
+    * count / sum / min / max of `valCol` per (group, bucket). */
+  def dailyState(df: DataFrame, groupCols: Seq[Column], valCol: String)
+      : DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valCol)).as("sum_v"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"))
+
   def ecdf(df: DataFrame, valCol: String): DataFrame = {
     val counts = df.select(col(valCol).cast("double").as("value"))
       .filter(col("value").isNotNull)

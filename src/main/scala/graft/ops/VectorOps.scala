@@ -244,6 +244,43 @@ object VectorOps {
       call_function("quantize_int8", col(vecCol)).as("qvec"))
   }
 
+  /** All point pairs within Euclidean `radius` in a 2-D projection,
+    * via grid-cell bucketing — the canonical scale path for distance
+    * joins (spatial join / blocking step of geo dedup). Each point
+    * hashes to a `radius`-sized cell; a pair within `radius` must lie
+    * in the same or an adjacent cell, so the probe side explodes its
+    * 3×3 cell neighborhood and the join is a plain shuffled EQUI-join
+    * on (cx, cy) — never an all-pairs cross product. Each unordered
+    * pair is emitted exactly once (the build point's home cell is
+    * unique; `idA < idB` kills the mirror). Cost is O(n · density),
+    * independent of corpus size for bounded density; the exact
+    * all-pairs form only serves as the sf0.01 oracle.
+    */
+  def gridNeighborJoin(pts: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Double): DataFrame = {
+    val cells = pts.select(col(idCol), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .withColumn("__cx", floor(col("__x") / radius).cast("long"))
+      .withColumn("__cy", floor(col("__y") / radius).cast("long"))
+    val probe = cells.select(col(idCol).as("id_a"),
+        col("__x").as("__xa"), col("__y").as("__ya"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+          struct((col("__cx") + dx).as("cx"), (col("__cy") + dy).as("cy")))
+          : _*)).as("__c"))
+      .select(col("id_a"), col("__xa"), col("__ya"),
+        col("__c.cx").as("__cx"), col("__c.cy").as("__cy"))
+    val build = cells.select(col(idCol).as("id_b"),
+      col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__cx"), col("__cy"))
+    probe.join(build, Seq("__cx", "__cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", sqrt(
+        (col("__xa") - col("__xb")) * (col("__xa") - col("__xb")) +
+          (col("__ya") - col("__yb")) * (col("__ya") - col("__yb"))))
+      .filter(col("dist") < radius)
+      .select(col("id_a"), col("id_b"), round(col("dist"), 4).as("dist"))
+  }
+
   /** Fetch one embedding to the driver (for seeding a top-k query). */
   def embeddingOf(spark: SparkSession, dir: String, vecId: Long): Seq[Float] = {
     import org.apache.spark.sql.Row

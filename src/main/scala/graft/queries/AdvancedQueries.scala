@@ -142,6 +142,42 @@ object AdvancedQueries {
         .as("geo_price"))
       .orderBy(col("l_returnflag"))
 
+  /** q212_hll_overlap — audience-overlap estimation from mergeable
+    * Apache DataSketches HLL sketches (`hll_sketch_agg`/`hll_union`):
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-exclusion, the
+    * only way to intersect cohorts whose membership lists are too big
+    * to shuffle — each cohort collapses to a ~kB sketch that unions
+    * losslessly across partitions/days. Cohorts: urgent vs low-priority
+    * customers. The manifest hashes the EXACT counts (one two-level
+    * aggregation) plus a ±5 %-tolerance flag on the sketch estimate
+    * (q200 pattern; HLL is order-independent, so the flag is
+    * deterministic); the oracle replays the exact side.
+    */
+  def q212HllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val inA = col("o_orderpriority") === "1-URGENT"
+    val inB = col("o_orderpriority") === "5-LOW"
+    val exact = o.groupBy(col("o_custkey"))
+      .agg(max(when(inA, 1).otherwise(0)).as("__a"),
+        max(when(inB, 1).otherwise(0)).as("__b"))
+      .agg(sum(col("__a")).as("n_a_exact"),
+        sum(col("__b")).as("n_b_exact"),
+        sum(col("__a") * col("__b")).as("n_inter_exact"))
+    val sketches = o.agg(
+      hll_sketch_agg(when(inA, col("o_custkey"))).as("__ska"),
+      hll_sketch_agg(when(inB, col("o_custkey"))).as("__skb"))
+    val est = sketches.select(
+      hll_sketch_estimate(col("__ska")).as("__ea"),
+      hll_sketch_estimate(col("__skb")).as("__eb"),
+      hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))
+        .as("__eu"))
+    exact.crossJoin(est)
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
+        (abs(col("__ea") + col("__eb") - col("__eu") -
+          col("n_inter_exact")) <= col("n_inter_exact") * 0.05)
+          .as("est_ok"))
+  }
+
   /** q57_approx_distinct — HyperLogLog++ approximate distinct counts
     * validated against the exact ones. Raw sketch estimates differ
     * across engines, so the manifest hashes the exact count plus a
@@ -777,6 +813,7 @@ object AdvancedQueries {
     "q55_month_series" -> (q55MonthSeries _),
     "q56_geomean" -> (q56Geomean _),
     "q57_approx_distinct" -> (q57ApproxDistinct _),
+    "q212_hll_overlap" -> (q212HllOverlap _),
     "q151_frequent_itemsets" -> (q151FrequentItemsets _),
     "q152_triangles" -> (q152Triangles _),
     "q172_pagerank" -> (q172Pagerank _),
@@ -796,6 +833,17 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q212_hll_overlap" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS a,
+        |    max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+        |      AS b
+        |  FROM orders GROUP BY 1)
+        |SELECT sum(a)::BIGINT AS n_a_exact, sum(b)::BIGINT AS n_b_exact,
+        |  sum(a * b)::BIGINT AS n_inter_exact, true AS est_ok
+        |FROM f""".stripMargin,
     "q57_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

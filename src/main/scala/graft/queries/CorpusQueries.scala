@@ -314,7 +314,24 @@ object CorpusQueries {
       .orderBy(col("label"))
   }
 
+  /** q213_grid_neighbors — all embedding pairs within Euclidean radius
+    * 0.05 in the (dim0, dim1) projection, via grid-cell bucketing
+    * (`VectorOps.gridNeighborJoin`): cell-hash both sides, explode the
+    * probe's 3×3 neighborhood, shuffled EQUI-join on the cell — the
+    * canonical scale path for distance joins (spatial join / geo-dedup
+    * blocking), O(n·density) instead of the all-pairs cross product
+    * the DuckDB oracle uses at sf0.01.
+    */
+  def q213GridNeighbors(s: SparkSession, dir: String): DataFrame =
+    VectorOps.gridNeighborJoin(
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").getItem(0).as("x"),
+        col("embedding").getItem(1).as("y")),
+      "vec_id", "x", "y", radius = 0.05)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, Q] = Map(
+    "q213_grid_neighbors" -> (q213GridNeighbors _),
     "q118_unigram_logprob" -> (q118UnigramLogprob _),
     "q119_robust_scale" -> (q119RobustScale _),
     "q115_ks_drift" -> (q115KsDrift _),
@@ -358,6 +375,18 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q213_grid_neighbors" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding[1]::DOUBLE AS x,
+        |    embedding[2]::DOUBLE AS y
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(sqrt((a.x - b.x) * (a.x - b.x) +
+        |    (a.y - b.y) * (a.y - b.y)), 4) AS dist
+        |FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |WHERE sqrt((a.x - b.x) * (a.x - b.x) +
+        |  (a.y - b.y) * (a.y - b.y)) < 0.05
+        |ORDER BY 1, 2""".stripMargin,
     "q118_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
         |c AS (SELECT token, count(*) AS c FROM tok GROUP BY token),

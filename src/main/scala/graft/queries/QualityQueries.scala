@@ -154,7 +154,37 @@ object QualityQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q214_strat_split — EXACT-proportion stratified 70/20/10 split:
+    * per-class row_number over a total deterministic order, integer
+    * threshold arithmetic (rn·10 vs n·7 / n·9) — every class lands
+    * within 1 row of its target fraction, reproducible with no RNG at
+    * all. The contrast to q131's hash-based assignment (exact
+    * proportions vs exact independence) and to `randomSplit`
+    * (binomial jitter); the per-class window sort is the price, paid
+    * once at split time. Output is the per-(class, split) census the
+    * pipeline records next to the split.
+    */
+  def q214StratSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+    val n = Window.partitionBy(col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("split",
+        when(col("__rn") * 10 <= col("__n") * 7, "train")
+          .when(col("__rn") * 10 <= col("__n") * 9, "val")
+          .otherwise("test"))
+      .groupBy(col("o_orderpriority"), col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__rn")).as("first_rank"), max(col("__rn")).as("last_rank"))
+      .orderBy(col("o_orderpriority"), col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_strat_split" -> (q214StratSplit _),
     "q196_benford" -> (q196Benford _),
     "q125_dq_gate" -> (q125DqGate _),
     "q126_equidepth_bins" -> (q126EquidepthBins _),
@@ -171,6 +201,21 @@ object QualityQueries {
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    "q214_strat_split" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderpriority, rn,
+        |    CASE WHEN rn * 10 <= n * 7 THEN 'train'
+        |      WHEN rn * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT o_orderpriority, split, count(*) AS n_rows,
+        |  min(rn) AS first_rank, max(rn) AS last_rank
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q196_benford" ->
       """WITH c AS (
         |  SELECT o_orderpriority,

@@ -400,6 +400,26 @@ object StructuralQueries {
       lit(sortedOk).as("ev_sorted_ok"))
   }
 
+  /** q210_shard_stats — the data-skipping stats manifest
+    * (`StatOps.shardStats`): per-shard row count + min/max/null-count
+    * of the sort key and the value column, the per-file metadata a
+    * lake writer (Delta/Iceberg-style) maintains so readers prune
+    * shards from predicates alone. ONE map-side-combined aggregation;
+    * |shards| output rows regardless of input size — the planning
+    * frame that turns "scan 100 TB" into "scan the 3 files whose
+    * [min,max] straddle the predicate".
+    */
+  def q210ShardStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StatOps.shardStats(Tables.lineitem(s, dir),
+      pmod(col("l_orderkey"), lit(16L)),
+      Seq("l_orderkey", "l_extendedprice"))
+      .select(col("shard"), col("n_rows"),
+        col("l_orderkey_min"), col("l_orderkey_max"),
+        col("l_orderkey_nulls"),
+        round(col("l_extendedprice_min"), 2).as("price_min"),
+        round(col("l_extendedprice_max"), 2).as("price_max"))
+      .orderBy(col("shard"))
+
   /** q187_union_evolve — schema-drift union: two batches with
     * different column sets merged via
     * `unionByName(allowMissingColumns = true)` (the READ-side sibling
@@ -730,6 +750,7 @@ object StructuralQueries {
     "q177_zorder" -> (q177Zorder _),
     "q184_bucketed_neardup" -> (q184BucketedNearDup _),
     "q187_union_evolve" -> (q187UnionEvolve _),
+    "q210_shard_stats" -> (q210ShardStats _),
     "q192_snapshot_diff" -> (q192SnapshotDiff _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
@@ -758,6 +779,15 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q210_shard_stats" ->
+      """SELECT l_orderkey % 16 AS shard, count(*) AS n_rows,
+        |  min(l_orderkey) AS l_orderkey_min,
+        |  max(l_orderkey) AS l_orderkey_max,
+        |  count(CASE WHEN l_orderkey IS NULL THEN 1 END)
+        |    AS l_orderkey_nulls,
+        |  round(min(l_extendedprice), 2) AS price_min,
+        |  round(max(l_extendedprice), 2) AS price_max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q83_multimodal_features" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS modality,

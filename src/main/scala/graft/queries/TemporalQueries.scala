@@ -306,6 +306,33 @@ object TemporalQueries {
     EventOps.cusumChangePoint(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q211_rollup_merge — incremental pre-aggregate maintenance
+    * (`StatOps.dailyState` → `StatOps.rollupMerge`): raw events
+    * collapse once to per-(type, day) algebraic state (count/sum/min/
+    * max), and the monthly rollup is a MERGE of that bounded frame —
+    * sums add, mins min, averages re-derive as sum/count. The oracle
+    * computes the monthly numbers directly from raw data, so the hash
+    * check proves the merge identity the whole pattern rests on: at
+    * 100 TB only the current day is ever recomputed; history rolls up
+    * from |days| rows of state.
+    */
+  def q211RollupMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StatOps
+    val daily = StatOps.dailyState(Tables.events(s, dir),
+      Seq(col("event_type"), to_date(col("ts")).as("day")), "value")
+    StatOps.rollupMerge(
+        daily.withColumn("month",
+          date_trunc("month", col("day")).cast("date")),
+        Seq("event_type", "month"))
+      .select(col("event_type"), col("month"),
+        col("cnt").as("n_events"),
+        round(col("sum_v"), 2).as("total_value"),
+        round(col("min_v"), 4).as("min_value"),
+        round(col("max_v"), 4).as("max_value"),
+        round(col("sum_v") / col("cnt"), 4).as("avg_value"))
+      .orderBy(col("event_type"), col("month"))
+  }
+
   /** q209_ewma_daily — truncated-window EWMA smoothing of each event
     * type's daily count series (`EventOps.ewmaDaily`, b=0.7, 28-day
     * window): the trend line a volume monitor draws under the raw
@@ -318,6 +345,7 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("day"))
 
   val queries: Map[String, Q] = Map(
+    "q211_rollup_merge" -> (q211RollupMerge _),
     "q209_ewma_daily" -> (q209EwmaDaily _),
     "q204_kaplan_meier" -> (q204KaplanMeier _),
     "q206_cusum" -> (q206Cusum _),
@@ -339,6 +367,15 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q211_rollup_merge" ->
+      """SELECT event_type,
+        |  date_trunc('month', ts::DATE)::DATE AS month,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value,
+        |  round(sum(value) / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q209_ewma_daily" ->
       """WITH daily AS (
         |  SELECT event_type, ts::DATE AS day, count(*) AS cnt

@@ -110,7 +110,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q203_global_seq",
     // q208 cross-joins two broadcast 1-row aggregates (observed
     // agreement, marginal-product sum)
-    "q208_cohen_kappa")
+    "q208_cohen_kappa",
+    // q212 cross-joins the broadcast 1-row sketch-estimate frame
+    "q212_hll_overlap")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -145,4 +145,42 @@ class StatOpsSpec extends SparkSpec {
     assert(byCohort("same") == 0.0)
     assert(byCohort("far") > byCohort("same"))
   }
+
+  test("shardStats: hand-computed min/max/null counts per shard") {
+    val df = Seq((0L, Some(10.0)), (2L, Some(30.0)), (4L, None),
+      (1L, Some(5.0)), (3L, Some(7.0)))
+      .toDF("k", "v")
+    val out = StatOps.shardStats(df, pmod(col("k"), lit(2L)), Seq("v"))
+      .orderBy("shard").collect()
+    assert(out.length == 2)
+    val even = out(0)
+    assert(even.getAs[Long]("shard") == 0L)
+    assert(even.getAs[Long]("n_rows") == 3L)
+    assert(even.getAs[Double]("v_min") == 10.0 &&
+      even.getAs[Double]("v_max") == 30.0)
+    assert(even.getAs[Long]("v_nulls") == 1L)
+    val odd = out(1)
+    assert(odd.getAs[Long]("n_rows") == 2L &&
+      odd.getAs[Long]("v_nulls") == 0L)
+  }
+
+  test("rollupMerge of per-bucket state equals the direct aggregate") {
+    val raw = Seq(("a", "d1", 1.0), ("a", "d1", 3.0), ("a", "d2", 5.0),
+      ("b", "d1", 2.0), ("b", "d2", 8.0), ("b", "d2", 0.5))
+      .toDF("g", "day", "v")
+    val merged = StatOps.rollupMerge(
+      StatOps.dailyState(raw, Seq(col("g"), col("day")), "v"), Seq("g"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"),
+        r.getAs[Double]("sum_v"), r.getAs[Double]("min_v"),
+        r.getAs[Double]("max_v")))
+    val direct = raw.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"),
+        r.getAs[Double]("s"), r.getAs[Double]("mn"),
+        r.getAs[Double]("mx")))
+    assert(merged.toSeq == direct.toSeq)
+  }
 }

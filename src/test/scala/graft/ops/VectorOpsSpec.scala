@@ -130,4 +130,36 @@ class VectorOpsSpec extends SparkSpec {
     }.sortBy(t => (t._1, t._2))
     assert(batch == single)
   }
+
+  test("gridNeighborJoin finds exactly the within-radius pairs, once") {
+    // (1,2) dist 0.03 — same-cell pair; (3,4) dist 0.04 straddles a
+    // cell boundary; (5,6) dist exactly 0.05 — EXCLUDED (strict <);
+    // everything else is far apart
+    val pts = Seq(
+      (1L, 0.00, 0.00), (2L, 0.03, 0.00),
+      (3L, 0.24, 0.20), (4L, 0.28, 0.20),
+      (5L, 0.50, 0.50), (6L, 0.55, 0.50),
+      (7L, 0.90, 0.90))
+      .toDF("id", "x", "y")
+    val out = VectorOps.gridNeighborJoin(pts, "id", "x", "y", 0.05)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.03), (3L, 4L, 0.04)))
+  }
+
+  test("gridNeighborJoin matches brute force on random points") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 200L).map(i =>
+      (i, rnd.nextDouble() * 0.5, rnd.nextDouble() * 0.5))
+    val df = pts.toDF("id", "x", "y")
+    val grid = VectorOps.gridNeighborJoin(df, "id", "x", "y", 0.05)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d = math.sqrt((a._2 - b._2) * (a._2 - b._2) +
+        (a._3 - b._3) * (a._3 - b._3)) if d < 0.05
+    } yield (a._1, b._1)).toSet
+    assert(grid == brute)
+  }
 }
