@@ -622,14 +622,20 @@ object AdvancedQueries {
     * 100 TB the sketch is mergeable, bounded-memory state — exact
     * percentile must buffer every group value.
     */
-  def q65ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  def q65ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val approx = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__a50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("__a95"),
-        expr("percentile(l_extendedprice, 0.5)").as("__p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("__p95"))
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("__a95"))
+    // exact side via the distributed-selection op (quantile_cont /
+    // built-in-percentile parity, see StatOps scaladoc) — the built-in
+    // exact aggregate's value->count maps are the thing this engine
+    // replaces at scale
+    val exact = graft.ops.StatOps.exactPercentiles(
+      Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+      Seq("__p50" -> 0.5, "__p95" -> 0.95))
+    approx.join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         round(col("__p50"), 2).as("p50"), round(col("__p95"), 2).as("p95"),
         (abs(col("__a50") - col("__p50")) <= col("__p50") * 0.01)
@@ -637,6 +643,7 @@ object AdvancedQueries {
         (abs(col("__a95") - col("__p95")) <= col("__p95") * 0.01)
           .as("p95_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** q66_dedup_clusters — duplicate-GROUP resolution: q59's pairwise
     * near-dup candidates closed into transitive clusters via
