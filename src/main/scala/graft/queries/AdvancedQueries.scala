@@ -142,6 +142,39 @@ object AdvancedQueries {
         .as("geo_price"))
       .orderBy(col("l_returnflag"))
 
+  /** q216_cooccur_lift — order-free event-type co-occurrence lift per
+    * user: lift(a,b) = P(a∧b)/(P(a)·P(b)) = n_both·n_users/(n_a·n_b)
+    * over the user×type membership set. The market-basket association
+    * screen (which behaviors travel together), distinct from q122's
+    * SEQUENTIAL transition bigrams. Raw events collapse to the
+    * distinct user×type frame first (≤ users·|types| rows), so the
+    * self-join on user_id fans out at most C(|types|,2) pairs per user
+    * — bounded by the type-domain size, independent of event volume.
+    */
+  def q216CooccurLift(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_u"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n_u").as("__na"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n_u").as("__nb"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round((col("n_both") * col("__n")) / (col("__na") * col("__nb")), 4)
+          .as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** q212_hll_overlap — audience-overlap estimation from mergeable
     * Apache DataSketches HLL sketches (`hll_sketch_agg`/`hll_union`):
     * |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-exclusion, the
@@ -821,6 +854,7 @@ object AdvancedQueries {
     "q56_geomean" -> (q56Geomean _),
     "q57_approx_distinct" -> (q57ApproxDistinct _),
     "q212_hll_overlap" -> (q212HllOverlap _),
+    "q216_cooccur_lift" -> (q216CooccurLift _),
     "q151_frequent_itemsets" -> (q151FrequentItemsets _),
     "q152_triangles" -> (q152Triangles _),
     "q172_pagerank" -> (q172Pagerank _),
@@ -840,6 +874,24 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q216_cooccur_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+        |marg AS (SELECT event_type, count(*) AS n_u FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |  round((n_both * nu)::DOUBLE / (ma.n_u * mb.n_u), 4) AS lift
+        |FROM p
+        |JOIN marg ma ON ma.event_type = type_a
+        |JOIN marg mb ON mb.event_type = type_b
+        |CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin,
     "q212_hll_overlap" ->
       """WITH f AS (
         |  SELECT o_custkey,

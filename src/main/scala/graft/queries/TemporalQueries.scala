@@ -306,6 +306,33 @@ object TemporalQueries {
     EventOps.cusumChangePoint(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q215_rfm_features — the classic per-user RFM feature vector
+    * (recency / frequency / monetary, plus engagement breadth) from
+    * ONE aggregation over raw events: days since last activity vs the
+    * corpus horizon, event count, summed value, distinct types and
+    * active days. The feature-engineering pass a churn/LTV model
+    * consumes; |users| output rows, every aggregate map-side-combined
+    * or a small-domain distinct — nothing scales with history length
+    * except the scan.
+    */
+  def q215RfmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val horizon = e.agg(max(to_date(col("ts"))).as("__maxd"))
+    e.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"),
+        count_distinct(col("event_type")).as("n_types"),
+        count_distinct(to_date(col("ts"))).as("active_days"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        datediff(col("__maxd"), col("__last")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary"), col("n_types"),
+        col("active_days"))
+      .orderBy(col("user_id"))
+  }
+
   /** q211_rollup_merge — incremental pre-aggregate maintenance
     * (`StatOps.dailyState` → `StatOps.rollupMerge`): raw events
     * collapse once to per-(type, day) algebraic state (count/sum/min/
@@ -345,6 +372,7 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("day"))
 
   val queries: Map[String, Q] = Map(
+    "q215_rfm_features" -> (q215RfmFeatures _),
     "q211_rollup_merge" -> (q211RollupMerge _),
     "q209_ewma_daily" -> (q209EwmaDaily _),
     "q204_kaplan_meier" -> (q204KaplanMeier _),
@@ -367,6 +395,16 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q215_rfm_features" ->
+      """WITH m AS (SELECT max(ts::DATE) AS maxd FROM events)
+        |SELECT user_id,
+        |  date_diff('day', max(ts::DATE), (SELECT maxd FROM m))
+        |    AS recency_days,
+        |  count(*) AS frequency,
+        |  round(sum(value), 2) AS monetary,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(DISTINCT ts::DATE) AS active_days
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q211_rollup_merge" ->
       """SELECT event_type,
         |  date_trunc('month', ts::DATE)::DATE AS month,

@@ -112,7 +112,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // agreement, marginal-product sum)
     "q208_cohen_kappa",
     // q212 cross-joins the broadcast 1-row sketch-estimate frame
-    "q212_hll_overlap")
+    "q212_hll_overlap",
+    // q215/q216 cross-join broadcast 1-row scalars (corpus horizon /
+    // distinct-user count)
+    "q215_rfm_features", "q216_cooccur_lift")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -242,6 +245,20 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(widened.queryExecution.executedPlan.toString
       .contains("Exchange"),
       "parallelize must widen a single-split input")
+  }
+
+  test("q213 grid neighbor join is a shuffled equi-join on cells") {
+    val df = SparkEntry.queries("q213_grid_neighbors")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the scale claim: candidate generation is an EQUI-join on the
+    // (cx, cy) cell key — never a cross product over points
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on cell keys:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid join must not degrade to all-pairs:\n$plan")
   }
 
   test("whole-stage codegen covers the q33 string-function pipeline") {
