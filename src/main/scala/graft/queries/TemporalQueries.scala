@@ -306,6 +306,32 @@ object TemporalQueries {
     EventOps.cusumChangePoint(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q217_seasonal_anomaly — day-of-week-adjusted volume anomaly: each
+    * (type, day) count is standardized against ITS OWN weekday's
+    * mean/sd (q164's seasonality profile as windows over the bounded
+    * daily frame), so a quiet Sunday isn't flagged for being quieter
+    * than Tuesday. Emits days with |z| > 1.5 — the "volume looks wrong
+    * for a Tuesday" alert, the seasonal refinement of q197's global
+    * MAD fence. Raw events collapse to |types|×|days| in one agg;
+    * everything after is window arithmetic on that summary.
+    */
+  def q217SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+    val w = Window.partitionBy(col("event_type"), col("dow"))
+    daily
+      .withColumn("__m", avg(col("n_events")).over(w))
+      .withColumn("__sd", stddev_samp(col("n_events")).over(w))
+      .withColumn("z", (col("n_events") - col("__m")) / col("__sd"))
+      .filter(abs(col("z")) > 1.5)
+      .select(col("event_type"), col("day"), col("dow"), col("n_events"),
+        round(col("__m"), 2).as("dow_mean"), round(col("z"), 4).as("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** q215_rfm_features — the classic per-user RFM feature vector
     * (recency / frequency / monetary, plus engagement breadth) from
     * ONE aggregation over raw events: days since last activity vs the
@@ -372,6 +398,7 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("day"))
 
   val queries: Map[String, Q] = Map(
+    "q217_seasonal_anomaly" -> (q217SeasonalAnomaly _),
     "q215_rfm_features" -> (q215RfmFeatures _),
     "q211_rollup_merge" -> (q211RollupMerge _),
     "q209_ewma_daily" -> (q209EwmaDaily _),
@@ -395,6 +422,23 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q217_seasonal_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, n_events,
+        |    date_part('dow', day)::INTEGER AS dow,
+        |    avg(n_events)
+        |      OVER (PARTITION BY event_type, date_part('dow', day)) AS m,
+        |    stddev_samp(n_events)
+        |      OVER (PARTITION BY event_type, date_part('dow', day)) AS sd
+        |  FROM d)
+        |SELECT event_type, day, dow, n_events,
+        |  round(m, 2) AS dow_mean,
+        |  round((n_events - m) / sd, 4) AS z
+        |FROM s WHERE abs((n_events - m) / sd) > 1.5
+        |ORDER BY event_type, day""".stripMargin,
     "q215_rfm_features" ->
       """WITH m AS (SELECT max(ts::DATE) AS maxd FROM events)
         |SELECT user_id,
