@@ -65,6 +65,51 @@ object ExtensionQueries {
     s.table(sink).orderBy(col("hour"), col("event_type"))
   }
 
+  /** q218_stream_rollup — the streaming form of q211's incremental
+    * pre-aggregation: events replayed as a bounded file stream into a
+    * watermarked 1-day-window count/sum/min/max state (the daily frame
+    * a real deployment maintains continuously), then the MONTHLY
+    * numbers derive by `StatOps.rollupMerge` over that state — raw
+    * data is never re-read for the rollup. Hash-matching q211's
+    * direct-from-raw oracle proves streaming-maintained state + batch
+    * merge ≡ batch recomputation, which is the whole contract of an
+    * incremental pipeline at 100 TB.
+    */
+  def q218StreamRollup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val path = "target/tmp/q218_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.events(s, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(path)
+    val sink = "q218_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val q = s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("__w"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val daily = s.table(sink)
+      .select(col("event_type"),
+        col("__w.start").cast("date").as("day"),
+        col("cnt"), col("sum_v"), col("min_v"), col("max_v"))
+    graft.ops.StatOps.rollupMerge(
+        daily.withColumn("month",
+          org.apache.spark.sql.functions.date_trunc("month", col("day"))
+            .cast("date")),
+        Seq("event_type", "month"))
+      .select(col("event_type"), col("month"),
+        col("cnt").as("n_events"),
+        round(col("sum_v"), 2).as("total_value"),
+        round(col("min_v"), 4).as("min_value"),
+        round(col("max_v"), 4).as("max_value"),
+        round(col("sum_v") / col("cnt"), 4).as("avg_value"))
+      .orderBy(col("event_type"), col("month"))
+  }
+
   /** q174_stream_sessionize — stateful `flatMapGroupsWithState`
     * sessionization as a manifest query (`StreamingOps.sessionizeStream`,
     * X15): events replayed as a bounded file stream. A session emits
@@ -555,6 +600,7 @@ object ExtensionQueries {
   val queries: Map[String, Q] = Map(
     "q17_hourly_window" -> (q17Hourly _),
     "q142_stream_hourly" -> (q142StreamHourly _),
+    "q218_stream_rollup" -> (q218StreamRollup _),
     "q18_json_extract" -> (q18Json _),
     "q19_sessionize" -> (q19Sessionize _),
     "q20_token_count" -> (q20TokenCount _),
@@ -608,6 +654,17 @@ object ExtensionQueries {
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // identical to q211's direct-from-raw oracle: streaming-maintained
+    // daily state + algebraic merge must equal batch recomputation
+    "q218_stream_rollup" ->
+      """SELECT event_type,
+        |  date_trunc('month', ts::DATE)::DATE AS month,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value,
+        |  round(sum(value) / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q18_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events

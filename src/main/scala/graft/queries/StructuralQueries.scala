@@ -420,6 +420,25 @@ object StructuralQueries {
         round(col("l_extendedprice_max"), 2).as("price_max"))
       .orderBy(col("shard"))
 
+  /** q219_pivot — the `groupBy().pivot()` API surface explicitly
+    * (M16 uses it inside the confusion matrix): order counts per
+    * priority pivoted by status, with the pivot VALUES pinned
+    * (`Seq("F","O","P")`) — the scale-safe form, which skips the
+    * distinct-scan job Spark otherwise runs to discover the column
+    * set and fixes the output schema regardless of data. Absent cells
+    * coalesce to 0 to match SQL's conditional-count semantics.
+    */
+  def q219Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+
   /** q187_union_evolve — schema-drift union: two batches with
     * different column sets merged via
     * `unionByName(allowMissingColumns = true)` (the READ-side sibling
@@ -751,6 +770,7 @@ object StructuralQueries {
     "q184_bucketed_neardup" -> (q184BucketedNearDup _),
     "q187_union_evolve" -> (q187UnionEvolve _),
     "q210_shard_stats" -> (q210ShardStats _),
+    "q219_pivot" -> (q219Pivot _),
     "q192_snapshot_diff" -> (q192SnapshotDiff _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
@@ -779,6 +799,12 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q219_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q210_shard_stats" ->
       """SELECT l_orderkey % 16 AS shard, count(*) AS n_rows,
         |  min(l_orderkey) AS l_orderkey_min,
