@@ -337,9 +337,12 @@ object TemporalQueries {
     * ONE aggregation over raw events: days since last activity vs the
     * corpus horizon, event count, summed value, distinct types and
     * active days. The feature-engineering pass a churn/LTV model
-    * consumes; |users| output rows, every aggregate map-side-combined
-    * or a small-domain distinct — nothing scales with history length
-    * except the scan.
+    * consumes; |users| output rows, every aggregate map-side-combined.
+    * The two distinct counts use `collect_set` over BOUNDED domains
+    * (|types|, |days| — partial buffers dedup map-side) instead of
+    * `count_distinct`: two distinct aggregates in one groupBy would
+    * otherwise Expand the raw scan 3×, tripling the shuffle of the
+    * unbounded event stream.
     */
   def q215RfmFeatures(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -348,8 +351,9 @@ object TemporalQueries {
       .agg(max(to_date(col("ts"))).as("__last"),
         count(lit(1)).as("frequency"),
         round(sum(col("value")), 2).as("monetary"),
-        count_distinct(col("event_type")).as("n_types"),
-        count_distinct(to_date(col("ts"))).as("active_days"))
+        size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        size(collect_set(to_date(col("ts")))).cast("long")
+          .as("active_days"))
       .crossJoin(broadcast(horizon))
       .select(col("user_id"),
         datediff(col("__maxd"), col("__last")).cast("long")
