@@ -36,7 +36,8 @@ case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    attach: Seq[Attribute]) extends BinaryNode {
+    attach: Seq[Attribute],
+    toleranceUs: Long = Long.MaxValue) extends BinaryNode {
 
   require(leftKey.dataType == LongType && rightKey.dataType == LongType &&
     leftTs.dataType == LongType && rightTs.dataType == LongType,
@@ -55,8 +56,9 @@ case class AsofJoinNode(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lts, rts, attach) =>
-      AsofJoinExec(lk, rk, lts, rts, attach, planLater(l), planLater(r)) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lts, rts, attach, tol) =>
+      AsofJoinExec(lk, rk, lts, rts, attach, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -65,6 +67,7 @@ case class AsofJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     attach: Seq[Attribute],
+    toleranceUs: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++
@@ -134,7 +137,9 @@ case class AsofJoinExec(
       advanceRight()
 
       var candKey = 0L
+      var candTs = 0L
       var cand: InternalRow = null // copied attach projection
+      val tol = toleranceUs
 
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
@@ -151,10 +156,15 @@ case class AsofJoinExec(
             if (rHeadKey == lKey) {
               cand = attachProj(rHead).copy()
               candKey = lKey
+              candTs = rHeadTs
             }
             advanceRight()
           }
-          if (cand != null && candKey == lKey) joined(lRow, cand)
+          // staleness fence: the latest candidate only matches while
+          // left.ts - right.ts <= tolerance (merge_asof semantics);
+          // the subtraction cannot overflow — both are epoch-µs
+          if (cand != null && candKey == lKey && lTsV - candTs <= tol)
+            joined(lRow, cand)
           else joined(lRow, nullAttach)
         }
       }.map(outProj)

@@ -16,8 +16,15 @@ import org.apache.spark.sql.graftbridge.GraftDatasetBridge
   * it to `spark.experimental.extraStrategies` (runtime path).
   */
 object NativeAsof {
+  /** `toleranceUs` bounds staleness (pandas `merge_asof(tolerance=)`
+    * semantics): a candidate only matches while
+    * left.ts − right.ts <= toleranceUs; older candidates null-fill.
+    * Default unbounded (plain backward as-of).
+    */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-      attachCols: Seq[String]): DataFrame = {
+      attachCols: Seq[String],
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
     val rSel = right.select(
       (Seq(col(key).as("__rkey"), col(ts).as("__rts")) ++
         attachCols.map(c => col(c).as(s"asof_$c"))): _*)
@@ -30,6 +37,7 @@ object NativeAsof {
       AsofJoinNode(lPlan, rPlan,
         a(lPlan, key), a(rPlan, "__rkey"),
         a(lPlan, ts), a(rPlan, "__rts"),
-        rPlan.output.filter(_.name.startsWith("asof_"))))
+        rPlan.output.filter(_.name.startsWith("asof_")),
+        toleranceUs))
   }
 }

@@ -210,6 +210,32 @@ object ExtensionQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q220_asof_tolerance — the native as-of join with a STALENESS
+    * fence (`NativeAsof.asof(toleranceUs = 1h)`): a view only attaches
+    * its latest preceding click if that click is at most one hour old
+    * — pandas `merge_asof(tolerance=)` semantics, the attribution
+    * variant every "credit within N minutes" rule needs. Same
+    * single-pass O(1)-state partition merge as q199; the fence is one
+    * primitive compare in the emit path. DuckDB replays it as ASOF
+    * LEFT JOIN + a CASE nulling matches older than the tolerance
+    * (older candidates are staler still, so null — not fallback — is
+    * correct).
+    */
+  def q220AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id").as("click_id"),
+        col("value"))
+    graft.plans.NativeAsof.asof(views, clicks, "user_id", "us",
+        Seq("click_id", "value"), toleranceUs = 3600L * 1000 * 1000)
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_id"),
+        round(col("asof_value"), 2).as("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- text (X4)
 
   /** q20_token_count — whitespace token counting per document. */
@@ -627,6 +653,7 @@ object ExtensionQueries {
     "q47_rolling_hash" -> (q47RollingHash _),
     "q48_asof_join" -> (q48AsofJoin _),
     "q199_native_asof" -> (q199NativeAsof _),
+    "q220_asof_tolerance" -> (q220AsofTolerance _),
   )
 
   // simhash oracle: generated to mirror DedupOps.simhash(_, 16)
@@ -878,6 +905,19 @@ object ExtensionQueries {
         |      FROM events WHERE event_type = 'click')
         |SELECT v.event_id, v.user_id, c.asof_click_id,
         |  round(c.value, 2) AS asof_value
+        |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.us >= c.us
+        |ORDER BY v.event_id""".stripMargin,
+    "q220_asof_tolerance" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, value,
+        |        epoch_us(ts::TIMESTAMP) AS us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id, v.user_id,
+        |  CASE WHEN v.us - c.us <= 3600000000 THEN c.click_id END
+        |    AS asof_click_id,
+        |  CASE WHEN v.us - c.us <= 3600000000 THEN round(c.value, 2) END
+        |    AS asof_value
         |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.us >= c.us
         |ORDER BY v.event_id""".stripMargin,
     "q45_embedding_neardup" ->

@@ -70,4 +70,23 @@ class NativeAsofSpec extends SparkSpec {
       .select(col("event_id"), col("asof_click_id"), col("asof_value"))
     assert(nat.exceptAll(ref).isEmpty && ref.exceptAll(nat).isEmpty)
   }
+
+  test("toleranceUs nulls stale candidates without falling back") {
+    val l = Seq((1L, 100L, "a"), (1L, 107L, "b"), (1L, 120L, "c"))
+      .toDF("k", "t", "p")
+    val r = Seq((1L, 95L, 95.0), (1L, 105L, 105.0)).toDF("k", "t", "v")
+    val out = NativeAsof.asof(l, r, "k", "t", Seq("v"), toleranceUs = 5L)
+      .collect().map(row => (row.getLong(1), Option(row.get(3)))).toMap
+    assert(out(100L).contains(95.0)) // 100-95 = 5 <= 5: within fence
+    assert(out(107L).contains(105.0)) // 107-105 = 2: within fence
+    // 120-105 = 15 > 5: stale — NULL, not a fallback to the older 95
+    assert(out(120L).isEmpty)
+    // tolerance 0 keeps only exact-timestamp matches
+    val exact = NativeAsof.asof(l, r, "k", "t", Seq("v"), toleranceUs = 0L)
+      .collect().map(row => (row.getLong(1), Option(row.get(3)))).toMap
+    assert(exact(100L).isEmpty && exact(107L).isEmpty && exact(120L).isEmpty)
+    intercept[IllegalArgumentException] {
+      NativeAsof.asof(l, r, "k", "t", Seq("v"), toleranceUs = -1L)
+    }
+  }
 }
