@@ -402,6 +402,43 @@ object StatOps {
         min(col(valCol)).as("min_v"),
         max(col(valCol)).as("max_v"))
 
+  /** 2-D skyline (Pareto frontier, both dimensions maximized): points
+    * not dominated by any other (x' >= x ∧ y' >= y, one strict). The
+    * "best tradeoff" miner (price vs quality, cost vs coverage).
+    *
+    * Scale shape: the classic sort-scan (order by x desc, keep rows
+    * whose y exceeds the running max) needs a GLOBAL order — a single
+    * sorted partition, the q203 problem. So a bucket PREFILTER runs
+    * first: equi-width x-buckets, per-bucket max y (|buckets| rows),
+    * and any point whose y ≤ the max-y of a strictly-higher bucket is
+    * dominated (higher bucket ⇒ strictly larger x) and dropped
+    * map-side via a broadcast fence join. Only the survivors — the
+    * frontier plus same-bucket stragglers, typically ≪ n — enter the
+    * exact single-partition scan. Worst case (fully anti-correlated
+    * data) the frontier IS large and no algorithm avoids it.
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val pts = df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .distinct()
+      .withColumn("__b", floor(col("x") / bucketWidth).cast("long"))
+    val wb = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fences = pts.groupBy(col("__b")).agg(max(col("y")).as("__by"))
+      .withColumn("__hi", max(col("__by")).over(wb))
+      .select(col("__b"), col("__hi"))
+    val cand = pts.join(broadcast(fences), Seq("__b"))
+      .filter(col("__hi").isNull || col("y") > col("__hi"))
+    val w = Window.orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("__my", max(col("y")).over(w))
+      .filter(col("__my").isNull || col("y") > col("__my"))
+      .select(col("x"), col("y"))
+  }
+
   def ecdf(df: DataFrame, valCol: String): DataFrame = {
     val counts = df.select(col(valCol).cast("double").as("value"))
       .filter(col("value").isNotNull)

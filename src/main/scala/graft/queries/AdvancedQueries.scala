@@ -175,6 +175,38 @@ object AdvancedQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q221_skyline — Pareto frontier of (extended price, quantity) over
+    * lineitem (`StatOps.skyline2d`): the line items not dominated on
+    * both dimensions — best-tradeoff mining. Bucket prefilter drops
+    * dominated points map-side via a broadcast fence; only frontier
+    * candidates reach the exact scan. Oracle replays the sort-scan
+    * identity in SQL; brute-force dominance equivalence is
+    * spec-asserted.
+    */
+  def q221Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StatOps.skyline2d(Tables.lineitem(s, dir),
+      "l_extendedprice", "l_quantity", bucketWidth = 5000.0)
+      .select(round(col("x"), 2).as("price"), col("y").as("qty"))
+      .orderBy(col("price"))
+
+  /** q222_session_window — the BUILT-IN `session_window` grouping API
+    * (30-min gap), the declarative sibling of q19's lag/cumsum
+    * sessionization and q174's stateful streaming form: Spark merges
+    * events whose windows overlap (exactly-gap-apart events merge;
+    * strictly greater breaks — probed, matches q19's semantics).
+    * Per-session census hash-checks against the gap-island oracle.
+    */
+  def q222SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** q212_hll_overlap — audience-overlap estimation from mergeable
     * Apache DataSketches HLL sketches (`hll_sketch_agg`/`hll_union`):
     * |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-exclusion, the
@@ -855,6 +887,8 @@ object AdvancedQueries {
     "q57_approx_distinct" -> (q57ApproxDistinct _),
     "q212_hll_overlap" -> (q212HllOverlap _),
     "q216_cooccur_lift" -> (q216CooccurLift _),
+    "q221_skyline" -> (q221Skyline _),
+    "q222_session_window" -> (q222SessionWindow _),
     "q151_frequent_itemsets" -> (q151FrequentItemsets _),
     "q152_triangles" -> (q152Triangles _),
     "q172_pagerank" -> (q172Pagerank _),
@@ -874,6 +908,36 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q221_skyline" ->
+      """WITH p AS (
+        |  SELECT DISTINCT l_extendedprice::DOUBLE AS x,
+        |    l_quantity::DOUBLE AS y
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |w AS (
+        |  SELECT x, y,
+        |    max(y) OVER (ORDER BY x DESC, y DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS my
+        |  FROM p)
+        |SELECT round(x, 2) AS price, y AS qty
+        |FROM w WHERE my IS NULL OR y > my
+        |ORDER BY price""".stripMargin,
+    "q222_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, value, event_id,
+        |    CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q216_cooccur_lift" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events),

@@ -164,6 +164,29 @@ class StatOpsSpec extends SparkSpec {
       odd.getAs[Long]("v_nulls") == 0L)
   }
 
+  test("skyline2d matches brute-force dominance on random points") {
+    val rnd = new scala.util.Random(19)
+    val pts = (1 to 400).map(_ =>
+      (rnd.nextDouble() * 100, rnd.nextDouble() * 50)).distinct
+    val out = StatOps.skyline2d(pts.toDF("x", "y"), "x", "y",
+        bucketWidth = 10.0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val brute = pts.filter { case (x, y) =>
+      !pts.exists { case (x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.toSet
+    assert(out == brute)
+  }
+
+  test("skyline2d keeps equal-x points only if their y is maximal") {
+    // (5,1) dominated by (5,3); (1,9) survives (nothing beats its y)
+    val df = Seq((5.0, 3.0), (5.0, 1.0), (1.0, 9.0), (0.5, 2.0))
+      .toDF("x", "y")
+    val out = StatOps.skyline2d(df, "x", "y", bucketWidth = 2.0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(out == Set((5.0, 3.0), (1.0, 9.0)))
+  }
+
   test("rollupMerge of per-bucket state equals the direct aggregate") {
     val raw = Seq(("a", "d1", 1.0), ("a", "d1", 3.0), ("a", "d2", 5.0),
       ("b", "d1", 2.0), ("b", "d2", 8.0), ("b", "d2", 0.5))
