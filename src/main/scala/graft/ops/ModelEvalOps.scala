@@ -162,6 +162,50 @@ object ModelEvalOps {
         .as("welch_df"))
   }
 
+  /** Theil–Sen robust trend estimator per group: slope = median of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i), intercept = median of
+    * y − slope·x. Breakdown point ~29% — a level shift or outlier
+    * burst that wrecks OLS ([[groupRegression]]) barely moves it; the
+    * trend line a volume monitor should actually draw.
+    *
+    * Scale contract: intended for BOUNDED per-group series (daily
+    * aggregates — the caller collapses raw data first), where the
+    * O(n²) pair fan-out is a few hundred rows per group. Both medians
+    * run through [[graft.ops.StatOps.exactPercentiles]] (distributed
+    * selection, quantile_cont parity), so no per-group buffering.
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.select(col(groupCol), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val a = pts.select(col(groupCol), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = pts.select(col(groupCol).as("__g"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    // try_divide, NOT /: downstream null-filters get predicate-pushed
+    // into the join, where Catalyst may evaluate isNotNull(slope)
+    // BEFORE the __xa < __xb conjunct — an ANSI `/` then throws
+    // DIVIDE_BY_ZERO on the equal-x pairs the condition would have
+    // dropped. try_divide is evaluation-order-safe; the join condition
+    // still excludes those pairs from the output.
+    val pairs = a.join(b, col(groupCol) === col("__g") &&
+        col("__xa") < col("__xb"))
+      .select(col(groupCol),
+        try_divide(col("__yb") - col("__ya"), col("__xb") - col("__xa"))
+          .as("__slope"))
+    val m = graft.ops.StatOps.exactPercentiles(
+      pairs, groupCol, "__slope", Seq("slope" -> 0.5))
+    val resid = pts.join(broadcast(m), Seq(groupCol))
+      .select(col(groupCol),
+        (col("__y") - col("slope") * col("__x")).as("__b0"))
+    val b0 = graft.ops.StatOps.exactPercentiles(
+      resid, groupCol, "__b0", Seq("intercept" -> 0.5))
+    m.join(b0, Seq(groupCol))
+      .select(col(groupCol), round(col("slope"), 4).as("slope"),
+        round(col("intercept"), 4).as("intercept"))
+  }
+
   /** Two-proportion z-test (pooled variance): does the success RATE
     * differ between the `condA` and `condB` cohorts? The conversion-rate
     * companion to [[welchTTest]]'s mean test — the readout of any A/B

@@ -306,6 +306,22 @@ object TemporalQueries {
     EventOps.cusumChangePoint(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q223_theil_sen — robust daily-count trend per event type
+    * (`ModelEvalOps.theilSen`): median-of-pairwise-slopes, immune to
+    * the outlier days that bend an OLS line (contrast q189). Raw
+    * events collapse to the |types|×|days| frame first, so the O(n²)
+    * pair fan-out is ~days²/2 per type — bounded by the horizon, not
+    * the corpus; medians run through the distributed-selection op.
+    */
+  def q223TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01")))
+    graft.ops.ModelEvalOps.theilSen(daily, "event_type", "x", "n_events")
+      .orderBy(col("event_type"))
+  }
+
   /** q217_seasonal_anomaly — day-of-week-adjusted volume anomaly: each
     * (type, day) count is standardized against ITS OWN weekday's
     * mean/sd (q164's seasonality profile as windows over the bounded
@@ -402,6 +418,7 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("day"))
 
   val queries: Map[String, Q] = Map(
+    "q223_theil_sen" -> (q223TheilSen _),
     "q217_seasonal_anomaly" -> (q217SeasonalAnomaly _),
     "q215_rfm_features" -> (q215RfmFeatures _),
     "q211_rollup_merge" -> (q211RollupMerge _),
@@ -426,6 +443,26 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q223_theil_sen" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE)::DOUBLE AS x,
+        |    count(*)::DOUBLE AS y
+        |  FROM events GROUP BY event_type, ts::DATE),
+        |p AS (
+        |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |m AS (SELECT event_type, quantile_cont(slope, 0.5) AS slope
+        |      FROM p GROUP BY event_type),
+        |r AS (
+        |  SELECT d.event_type, d.y - m.slope * d.x AS b0
+        |  FROM d JOIN m ON d.event_type = m.event_type)
+        |SELECT m.event_type, round(m.slope, 4) AS slope,
+        |  round(quantile_cont(r.b0, 0.5), 4) AS intercept
+        |FROM m JOIN r ON m.event_type = r.event_type
+        |GROUP BY m.event_type, m.slope
+        |ORDER BY m.event_type""".stripMargin,
     "q217_seasonal_anomaly" ->
       """WITH d AS (
         |  SELECT event_type, ts::DATE AS day, count(*) AS n_events

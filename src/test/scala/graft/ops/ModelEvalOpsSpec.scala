@@ -110,6 +110,22 @@ class ModelEvalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("welch_df") == 1.68)
   }
 
+  test("theilSen recovers an exact line and shrugs off an outlier") {
+    val line = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 1.0))
+    val r = ModelEvalOps.theilSen(line.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()(0)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    // one wild outlier: the median-of-slopes barely moves (OLS would
+    // bend hard); intercept median likewise robust
+    val dirty = line :+ (("g", 10.5, 1000.0))
+    val r2 = ModelEvalOps.theilSen(dirty.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()(0)
+    assert(math.abs(r2.getAs[Double]("slope") - 2.0) < 0.1,
+      s"slope ${r2.getAs[Double]("slope")}")
+    assert(math.abs(r2.getAs[Double]("intercept") - 1.0) < 1.0)
+  }
+
   test("propZTest: hand-computed pooled z") {
     // A: 3/4 success, B: 1/4 success, pooled 4/8 = 0.5
     // z = 0.5 / sqrt(0.5·0.5·(1/4+1/4)) = 0.5/sqrt(0.125) = 1.4142
