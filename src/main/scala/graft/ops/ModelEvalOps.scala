@@ -206,6 +206,45 @@ object ModelEvalOps {
         round(col("intercept"), 4).as("intercept"))
   }
 
+  /** Mann–Kendall monotonic-trend test per group — [[theilSen]]'s
+    * significance companion: S = Σ_{i<j} sign(y_j − y_i) over the
+    * x-ordered series, tie-corrected variance
+    * Var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18, continuity-corrected
+    * z. Distribution-free: answers "is there ANY monotonic trend"
+    * without assuming linearity or normality. Same bounded-series
+    * contract as theilSen (collapse to daily aggregates first); the
+    * pair fan-out, the tie census, and the count reduce map-side.
+    */
+  def mannKendall(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.select(col(groupCol), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val b = pts.select(col(groupCol).as("__g"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val s = pts.join(b, col(groupCol) === col("__g") &&
+        col("__x") < col("__xb"))
+      .groupBy(col(groupCol))
+      .agg(sum(signum(col("__yb") - col("__y"))).cast("long").as("s"))
+    val ties = pts.groupBy(col(groupCol), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ngroups"), sum(col("__t")).as("n_obs"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))
+          .as("__tiesum"))
+    val joined = s.join(ties, Seq(groupCol))
+    val n = col("n_obs").cast("double")
+    val variance = (n * (n - 1) * (n * 2 + 5) -
+      col("__tiesum").cast("double")) / 18.0
+    val z = when(col("s") > 0, (col("s") - 1) / sqrt(variance))
+      .when(col("s") < 0, (col("s") + 1) / sqrt(variance))
+      .otherwise(lit(0.0))
+    joined.select(col(groupCol), col("n_obs"), col("s"),
+      round(z, 4).as("z"),
+      when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+        .otherwise("no_trend").as("trend"))
+  }
+
   /** Two-proportion z-test (pooled variance): does the success RATE
     * differ between the `condA` and `condB` cohorts? The conversion-rate
     * companion to [[welchTTest]]'s mean test — the readout of any A/B

@@ -163,7 +163,34 @@ object ModelQueries {
       when(col("l_returnflag") === "R", "hi").otherwise("lo"),
       when(col("l_quantity") > 25, "hi").otherwise("lo"))
 
+  /** q225_wilson_ci — Wilson 95% score interval for the fulfilled rate
+    * per order priority: the binomial CI that behaves at extreme rates
+    * and small n (unlike the Wald interval a naive pipeline reports).
+    * The uncertainty readout that belongs next to every q207-style
+    * rate comparison. One aggregation; the interval is pure projection
+    * arithmetic — identical integer-ratio doubles in both engines.
+    */
+  def q225WilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val zc = 1.96
+    val agg = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("x"))
+    val n = col("n").cast("double")
+    val p = col("x") / col("n")
+    val denom = lit(1.0) + lit(zc * zc) / n
+    val center = (p + lit(zc * zc) / (lit(2.0) * n)) / denom
+    val half = (lit(zc) * sqrt(p * (lit(1.0) - p) / n +
+      lit(zc * zc) / (lit(4.0) * n * n))) / denom
+    agg.select(col("o_orderpriority"), col("n"), col("x"),
+        round(p, 4).as("rate"),
+        round(center - half, 4).as("ci_lo"),
+        round(center + half, 4).as("ci_hi"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q225_wilson_ci" -> (q225WilsonCi _),
     "q207_prop_ztest" -> (q207PropZtest _),
     "q208_cohen_kappa" -> (q208CohenKappa _),
     "q205_welch_ttest" -> (q205WelchTtest _),
@@ -174,6 +201,25 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q225_wilson_ci" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS x
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT o_orderpriority, n, x,
+        |    x::DOUBLE / n AS p,
+        |    1.0 + (1.96 * 1.96) / n AS denom
+        |  FROM a)
+        |SELECT o_orderpriority, n, x,
+        |  round(p, 4) AS rate,
+        |  round(((p + (1.96 * 1.96) / (2.0 * n)) / denom) -
+        |    (1.96 * sqrt(p * (1.0 - p) / n +
+        |      (1.96 * 1.96) / (4.0 * n::DOUBLE * n))) / denom, 4) AS ci_lo,
+        |  round(((p + (1.96 * 1.96) / (2.0 * n)) / denom) +
+        |    (1.96 * sqrt(p * (1.0 - p) / n +
+        |      (1.96 * 1.96) / (4.0 * n::DOUBLE * n))) / denom, 4) AS ci_hi
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
     "q207_prop_ztest" ->
       """WITH a AS (
         |  SELECT

@@ -306,6 +306,21 @@ object TemporalQueries {
     EventOps.cusumChangePoint(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q224_mann_kendall — distribution-free monotonic-trend test on
+    * each type's daily count series (`ModelEvalOps.mannKendall`):
+    * tie-corrected S/z with a ±1.96 trend verdict — the significance
+    * companion to q223's Theil–Sen slope. Bounded pair fan-out over
+    * the daily frame only.
+    */
+  def q224MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01")))
+    graft.ops.ModelEvalOps.mannKendall(daily, "event_type", "x", "n_events")
+      .orderBy(col("event_type"))
+  }
+
   /** q223_theil_sen — robust daily-count trend per event type
     * (`ModelEvalOps.theilSen`): median-of-pairwise-slopes, immune to
     * the outlier days that bend an OLS line (contrast q189). Raw
@@ -419,6 +434,7 @@ object TemporalQueries {
 
   val queries: Map[String, Q] = Map(
     "q223_theil_sen" -> (q223TheilSen _),
+    "q224_mann_kendall" -> (q224MannKendall _),
     "q217_seasonal_anomaly" -> (q217SeasonalAnomaly _),
     "q215_rfm_features" -> (q215RfmFeatures _),
     "q211_rollup_merge" -> (q211RollupMerge _),
@@ -443,6 +459,39 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q224_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE)::DOUBLE AS x,
+        |    count(*)::DOUBLE AS y
+        |  FROM events GROUP BY event_type, ts::DATE),
+        |s AS (
+        |  SELECT a.event_type,
+        |    sum(sign(b.y - a.y))::BIGINT AS s
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.x < b.x
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, count(*) AS ngroups,
+        |    sum(c)::BIGINT AS n_obs,
+        |    sum(c * (c - 1) * (2 * c + 5))::DOUBLE AS tiesum
+        |  FROM (SELECT event_type, y, count(*) AS c FROM d GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT s.event_type, t.n_obs, s.s,
+        |    (t.n_obs::DOUBLE * (t.n_obs - 1) * (2 * t.n_obs + 5)
+        |      - t.tiesum) / 18.0 AS var
+        |  FROM s JOIN t ON s.event_type = t.event_type)
+        |SELECT event_type, n_obs, s,
+        |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+        |    WHEN s < 0 THEN (s + 1) / sqrt(var) ELSE 0.0 END, 4) AS z,
+        |  CASE WHEN CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+        |      WHEN s < 0 THEN (s + 1) / sqrt(var) ELSE 0.0 END > 1.96
+        |    THEN 'increasing'
+        |    WHEN CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+        |      WHEN s < 0 THEN (s + 1) / sqrt(var) ELSE 0.0 END < -1.96
+        |    THEN 'decreasing' ELSE 'no_trend' END AS trend
+        |FROM j ORDER BY event_type""".stripMargin,
     "q223_theil_sen" ->
       """WITH d AS (
         |  SELECT event_type,

@@ -126,6 +126,22 @@ class ModelEvalOpsSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("intercept") - 1.0) < 1.0)
   }
 
+  test("mannKendall: monotone series flags a trend, shuffled noise none") {
+    // strictly increasing, no ties: S = C(20,2) = 190,
+    // Var = 20·19·45/18 = 950, z = 189/sqrt(950) = 6.132
+    val up = (1 to 20).map(i => ("up", i.toDouble, i + 0.5))
+    val r = ModelEvalOps.mannKendall(up.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()(0)
+    assert(r.getAs[Long]("s") == 190L)
+    assert(r.getAs[Double]("z") == 6.132)
+    assert(r.getAs[String]("trend") == "increasing")
+    // alternating values: pair signs cancel, no trend
+    val flat = (1 to 20).map(i => ("f", i.toDouble, (i % 2).toDouble))
+    val rf = ModelEvalOps.mannKendall(flat.toDF("g", "x", "y"),
+      "g", "x", "y").collect()(0)
+    assert(rf.getAs[String]("trend") == "no_trend")
+  }
+
   test("propZTest: hand-computed pooled z") {
     // A: 3/4 success, B: 1/4 success, pooled 4/8 = 0.5
     // z = 0.5 / sqrt(0.5·0.5·(1/4+1/4)) = 0.5/sqrt(0.125) = 1.4142
