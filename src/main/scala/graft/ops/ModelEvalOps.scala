@@ -170,9 +170,12 @@ object ModelEvalOps {
     *
     * Scale contract: intended for BOUNDED per-group series (daily
     * aggregates — the caller collapses raw data first), where the
-    * O(n²) pair fan-out is a few hundred rows per group. Both medians
-    * run through [[graft.ops.StatOps.exactPercentiles]] (distributed
-    * selection, quantile_cont parity), so no per-group buffering.
+    * O(n²) pair fan-out is horizon²/2 rows per group. Because the
+    * medians run over that BOUNDED frame, they use the built-in
+    * `percentile` aggregate (quantile_cont parity) — per the StatOps
+    * guidance, the distributed-selection op only pays off when group
+    * value sets are unbounded; here its multi-pass job overhead
+    * dominated (3.7 s → sub-second on the manifest query).
     */
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
@@ -194,13 +197,14 @@ object ModelEvalOps {
       .select(col(groupCol),
         try_divide(col("__yb") - col("__ya"), col("__xb") - col("__xa"))
           .as("__slope"))
-    val m = graft.ops.StatOps.exactPercentiles(
-      pairs, groupCol, "__slope", Seq("slope" -> 0.5))
+    val m = pairs.filter(col("__slope").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__slope, 0.5)").as("slope"))
     val resid = pts.join(broadcast(m), Seq(groupCol))
       .select(col(groupCol),
         (col("__y") - col("slope") * col("__x")).as("__b0"))
-    val b0 = graft.ops.StatOps.exactPercentiles(
-      resid, groupCol, "__b0", Seq("intercept" -> 0.5))
+    val b0 = resid.groupBy(col(groupCol))
+      .agg(expr("percentile(__b0, 0.5)").as("intercept"))
     m.join(b0, Seq(groupCol))
       .select(col(groupCol), round(col("slope"), 4).as("slope"),
         round(col("intercept"), 4).as("intercept"))
