@@ -251,6 +251,27 @@ object CurationOps {
     * swap the broadcast array for a broadcast-join on exploded
     * (token, pos) pairs.
     */
+  /** Hashing-trick term-frequency features — the vocab-FREE sibling of
+    * [[vocabEncode]]: bucket = portable-hash(token) mod dim, so
+    * feature extraction needs no vocabulary pass, no broadcast
+    * dictionary, and a FIXED schema regardless of data. That is the
+    * property that makes it the 100 TB default for bag-of-words
+    * features: collisions trade a little signal for skipping an entire
+    * corpus scan. Output is the sparse (id, bucket, tf) triple frame;
+    * one generator projection + one aggregation, engine-portable via
+    * [[TextOps.hash32]].
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be > 0, got $dim")
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        pmod(TextOps.hash32(col("__tok"), seed = "fh:"), lit(dim.toLong))
+          .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   def vocabEncode(df: DataFrame, idCol: String, textCol: String,
                   vocabSize: Int): DataFrame = {
     val toks = "__ve_toks"

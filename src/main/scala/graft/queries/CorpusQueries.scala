@@ -314,6 +314,19 @@ object CorpusQueries {
       .orderBy(col("label"))
   }
 
+  /** q226_feature_hash — hashing-trick term frequencies
+    * (`CurationOps.featureHash`, dim=64): the vocab-free counterpart
+    * of q101's vocab-build+encode — no dictionary pass, no broadcast,
+    * fixed schema at any corpus size; the 100 TB default for
+    * bag-of-words features. Sparse (doc, bucket, tf) triples hash
+    * against the portable-md5 replay.
+    */
+  def q226FeatureHash(s: SparkSession, dir: String): DataFrame =
+    CurationOps.featureHash(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+      dim = 64)
+      .orderBy(col("doc_id"), col("bucket"))
+
   /** q213_grid_neighbors — all embedding pairs within Euclidean radius
     * 0.05 in the (dim0, dim1) projection, via grid-cell bucketing
     * (`VectorOps.gridNeighborJoin`): cell-hash both sides, explode the
@@ -331,6 +344,7 @@ object CorpusQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   val queries: Map[String, Q] = Map(
+    "q226_feature_hash" -> (q226FeatureHash _),
     "q213_grid_neighbors" -> (q213GridNeighbors _),
     "q118_unigram_logprob" -> (q118UnigramLogprob _),
     "q119_robust_scale" -> (q119RobustScale _),
@@ -375,6 +389,14 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q226_feature_hash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |SELECT doc_id,
+         |  (('0x' || substr(md5('fh:' || token), 1, 8))::BIGINT % 64)
+         |    AS bucket,
+         |  count(*) AS tf
+         |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     "q213_grid_neighbors" ->
       """WITH p AS (
         |  SELECT vec_id, embedding[1]::DOUBLE AS x,
