@@ -270,6 +270,39 @@ object PipelineQueries {
       .orderBy(col("decile"))
   }
 
+  /** q227_calibration — reliability diagram + expected calibration
+    * error for q183's fixed serving-time model: equal-width score bins
+    * (0.1), per-bin mean confidence vs observed rate, and
+    * ECE = Σ (nᵇ/n)·|acc_b − conf_b| — the standard "are the
+    * probabilities honest" readout next to AUC/lift. One aggregation
+    * over the scored scan; the ECE scalar rides every row (windowed
+    * over the ≤10-bin frame), fully deterministic in both engines.
+    */
+  def q227Calibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = substring(col("o_orderpriority"), 1, 1).cast("int")
+    val score = lit(1.0) / (lit(1.0) +
+      exp(-(lit(0.00002) * col("o_totalprice") - lit(0.5) * pr - lit(1.0))))
+    val binned = Tables.orders(s, dir)
+      .select(score.as("score"),
+        (col("o_orderstatus") === "F").cast("int").as("label"))
+      .withColumn("bin", least(floor(col("score") * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("score")).as("__conf"),
+        avg(col("label").cast("double")).as("__acc"))
+    val w = Window.partitionBy()
+    binned
+      .withColumn("__tot", sum(col("n")).over(w))
+      .withColumn("__ece", sum(abs(col("__acc") - col("__conf")) *
+        col("n")).over(w) / col("__tot"))
+      .select(col("bin"), col("n"),
+        round(col("__conf"), 4).as("mean_conf"),
+        round(col("__acc"), 4).as("obs_rate"),
+        round(col("__ece"), 4).as("ece"))
+      .orderBy(col("bin"))
+  }
+
   /** q114_ml_eval — the reference's core ML loop as a manifest entry
     * (M1-M5/M14: StringIndexer + VectorAssembler + LogisticRegression,
     * seeded 70/30 split, confusion cells + AUC). Engine-specific output
@@ -368,6 +401,7 @@ object PipelineQueries {
     "q114_ml_eval" -> (q114MlEval _),
     "q167_gbt_eval" -> (q167GbtEval _),
     "q183_batch_inference" -> (q183BatchInference _),
+    "q227_calibration" -> (q227Calibration _),
     "q133_topic_model" -> (q133TopicModel _),
     "q134_rf_confusion" -> (q134RfConfusion _),
     "q104_streaks" -> (q104Streaks _),
@@ -530,6 +564,24 @@ object PipelineQueries {
         |SELECT doc_a, doc_b, round(est, 4) AS est_jacc, round(jac, 4) AS jaccard,
         |  round(abs(est - jac), 4) AS abs_err
         |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+    "q227_calibration" ->
+      """WITH s AS (
+        |  SELECT 1.0 / (1.0 + exp(-(0.00002 * o_totalprice
+        |      - 0.5 * substr(o_orderpriority, 1, 1)::INT - 1.0)))
+        |    AS score,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |b AS (
+        |  SELECT least(floor(score * 10)::INT, 9) AS bin,
+        |    count(*) AS n, avg(score) AS conf,
+        |    avg(label::DOUBLE) AS acc
+        |  FROM s GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot,
+        |        sum(abs(acc - conf) * n) / sum(n) AS ece
+        |      FROM b)
+        |SELECT bin, n, round(conf, 4) AS mean_conf,
+        |  round(acc, 4) AS obs_rate, round(ece, 4) AS ece
+        |FROM b CROSS JOIN t ORDER BY bin""".stripMargin,
     "q183_batch_inference" ->
       """WITH sc AS (SELECT o_orderkey,
         |    1.0 / (1.0 + exp(-(0.00002 * o_totalprice

@@ -190,4 +190,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0)._3 == r4((pba + pab + pba) / 3))
     assert(out(1)._3 == r4(pba))
   }
+
+  test("featureHash: tf sums to token count, buckets bounded, " +
+    "same token same bucket") {
+    val df = Seq((1L, "alpha beta alpha gamma"), (2L, "alpha alpha"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.featureHash(df, "doc_id", "text", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 8 })
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 4) // 4 tokens
+    assert(out.filter(_._1 == 2L).map(_._3).sum == 2)
+    // doc 2 is all-"alpha": exactly one bucket, tf 2 — and that same
+    // bucket must carry alpha's mass (tf >= 2) in doc 1 too
+    val a2 = out.filter(_._1 == 2L)
+    assert(a2.length == 1 && a2.head._3 == 2L)
+    val alphaBucket = a2.head._2
+    assert(out.exists(t => t._1 == 1L && t._2 == alphaBucket && t._3 >= 2L))
+    intercept[IllegalArgumentException] {
+      CurationOps.featureHash(df, "doc_id", "text", dim = 0)
+    }
+  }
 }
