@@ -261,6 +261,37 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"grid join must not degrade to all-pairs:\n$plan")
   }
 
+  test("q215 RFM features: no Expand — distinct counts stay one agg") {
+    val df = SparkEntry.queries("q215_rfm_features")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // collect_set over bounded domains replaced count_distinct exactly
+    // so the raw event scan is NOT tripled through an Expand
+    assert(!plan.contains("Expand"),
+      s"distinct-count Expand crept back into the RFM aggregation:\n$plan")
+  }
+
+  test("q210 shard stats: one aggregation pass, no join, no window") {
+    val df = SparkEntry.queries("q210_shard_stats")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"shard stats must be a single aggregation over the scan:\n$plan")
+  }
+
+  test("q211 rollup merge: raw data scanned once, merge reads state") {
+    val df = SparkEntry.queries("q211_rollup_merge")(spark, sf0001)
+    df.collect()
+    // count scans in the FINAL plan only — AQE's toString appends an
+    // "== Initial Plan ==" section that duplicates every node
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = plan.split("FileScan").length - 1
+    assert(scans == 1,
+      s"rollup must merge daily STATE, not re-read raw data ($scans scans):\n$plan")
+  }
+
   test("whole-stage codegen covers the q33 string-function pipeline") {
     val df = SparkEntry.queries("q33_string_funcs")(spark, sf0001)
     df.collect() // finalize AQE so codegen stages are annotated
