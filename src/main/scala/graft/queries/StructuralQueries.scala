@@ -639,6 +639,29 @@ object StructuralQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q228_orc_roundtrip — ORC source/sink (S5's third format) as a
+    * manifest query: q140's shape through `Ingest.writeOrc`/`readOrc`.
+    * ORC shares Spark's vectorized-read + pushdown machinery with
+    * parquet; the oracle reads the ORIGINAL parquet, so the hash match
+    * proves the columnar round trip is lossless, and the predicate
+    * exercises ORC filter pushdown on the read-back.
+    */
+  def q228OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q228_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.sources.Ingest.writeOrc(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("day")),
+      path)
+    graft.sources.Ingest.readOrc(s, path)
+      .filter(col("o_totalprice") > 1000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** q141_centroid_separation — per-class embedding centroids and the
     * inter-class cosine-separation matrix: the clustering / label-
     * quality diagnostic of an embedding store (well-separated classes
@@ -771,6 +794,7 @@ object StructuralQueries {
     "q187_union_evolve" -> (q187UnionEvolve _),
     "q210_shard_stats" -> (q210ShardStats _),
     "q219_pivot" -> (q219Pivot _),
+    "q228_orc_roundtrip" -> (q228OrcRoundtrip _),
     "q192_snapshot_diff" -> (q192SnapshotDiff _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_unpivot" -> (q75Unpivot _),
@@ -799,6 +823,13 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q228_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  min(o_orderdate::DATE) AS first_day,
+        |  max(o_orderdate::DATE) AS last_day
+        |FROM orders WHERE o_totalprice > 1000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q219_pivot" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
