@@ -60,4 +60,31 @@ object PrivacyOps {
   /** Count of a-z letters (the entropy denominator, reported with it). */
   def letterCount(text: Column): Column =
     length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns:
+    * every row must share its QI combination with >= k−1 others
+    * (re-identification resistance), and each equivalence class must
+    * contain >= l distinct sensitive values (attribute-disclosure
+    * resistance — a k-anonymous class that is all one diagnosis still
+    * leaks). One two-level aggregation: rows collapse to |classes|
+    * rows, the audit scalar frame collapses from those. The release
+    * gate a training-data pipeline runs BEFORE publishing any
+    * user-keyed table.
+    */
+  def kAnonymityAudit(df: org.apache.spark.sql.DataFrame,
+      qiCols: Seq[String], sensitiveCol: String,
+      k: Int, l: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"),
+        count_distinct(col(sensitiveCol)).as("__div"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("__sz")).as("n_rows"),
+      min(col("__sz")).as("min_class_size"),
+      count(when(col("__sz") < k, 1)).as("classes_below_k"),
+      coalesce(sum(when(col("__sz") < k, col("__sz"))), lit(0L))
+        .as("rows_below_k"),
+      count(when(col("__div") < l, 1)).as("classes_below_l"))
+  }
 }

@@ -120,7 +120,24 @@ object GovernanceQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** q229_k_anonymity — k-anonymity / l-diversity release gate
+    * (`PrivacyOps.kAnonymityAudit`, k=5, l=3): customers grouped by
+    * the quasi-identifier pair (market segment, nation); account
+    * balance sign+magnitude bucket is the sensitive attribute. The
+    * audit a pipeline runs before publishing any user-keyed table —
+    * classes smaller than k re-identify, k-anonymous classes with
+    * uniform sensitive values still disclose. Two-level aggregation,
+    * |classes| intermediate rows.
+    */
+  def q229KAnonymity(s: SparkSession, dir: String): DataFrame =
+    PrivacyOps.kAnonymityAudit(
+      Tables.customer(s, dir)
+        .withColumn("bal_bucket",
+          (col("c_acctbal") / lit(2000.0)).cast("int")),
+      Seq("c_mktsegment", "c_nationkey"), "bal_bucket", k = 5, l = 3)
+
   val queries: Map[String, Q] = Map(
+    "q229_k_anonymity" -> (q229KAnonymity _),
     "q157_redact" -> (q157Redact _),
     "q158_pseudonymize" -> (q158Pseudonymize _),
     "q159_char_entropy" -> (q159CharEntropy _),
@@ -144,6 +161,20 @@ object GovernanceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q229_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    count(*) AS sz,
+        |    count(DISTINCT trunc(c_acctbal / 2000.0)::INT) AS div
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |  sum(sz)::BIGINT AS n_rows,
+        |  min(sz) AS min_class_size,
+        |  count(CASE WHEN sz < 5 THEN 1 END) AS classes_below_k,
+        |  coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0)::BIGINT
+        |    AS rows_below_k,
+        |  count(CASE WHEN div < 3 THEN 1 END) AS classes_below_l
+        |FROM c""".stripMargin,
     "q157_redact" ->
       """SELECT event_type, count(*) AS n_events,
         |  sum(len(regexp_extract_all(props, '\d+')))::BIGINT AS n_redactions,

@@ -59,4 +59,25 @@ class PrivacyOpsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(h - math.log(26)) < 1e-12)
   }
+
+  test("kAnonymityAudit: hand-computed class census") {
+    // QI classes: (a,1)x3 all same sensitive -> below l(2);
+    // (a,2)x1 -> below k(2) AND below l; (b,1)x4 two values -> passes
+    val df = Seq(
+      ("a", 1, "s1"), ("a", 1, "s1"), ("a", 1, "s1"),
+      ("a", 2, "s1"),
+      ("b", 1, "s1"), ("b", 1, "s2"), ("b", 1, "s2"), ("b", 1, "s1"))
+      .toDF("qi1", "qi2", "sens")
+    val r = PrivacyOps.kAnonymityAudit(df, Seq("qi1", "qi2"), "sens",
+      k = 2, l = 2).collect()(0)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("min_class_size") == 1L)
+    assert(r.getAs[Long]("classes_below_k") == 1L)
+    assert(r.getAs[Long]("rows_below_k") == 1L)
+    assert(r.getAs[Long]("classes_below_l") == 2L)
+    intercept[IllegalArgumentException] {
+      PrivacyOps.kAnonymityAudit(df, Seq("qi1"), "sens", k = 0, l = 1)
+    }
+  }
 }
