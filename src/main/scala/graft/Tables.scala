@@ -37,6 +37,17 @@ object Tables {
     * is triggered.
     */
   def parallelize(df: DataFrame): DataFrame = {
+    // the split-count probe (df.rdd.getNumPartitions) is only job-free
+    // for exchange-free plans; behind a shuffle, AQE would MATERIALIZE
+    // upstream stages to plan the probe — running the expensive part
+    // twice. A post-shuffle frame already has parallelism, so for any
+    // plan with an exchange-introducing node just pass through.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val hasExchange = df.queryExecution.analyzed.collectFirst {
+      case _: Aggregate | _: Join | _: Window | _: Sort |
+           _: RepartitionOperation | _: Distinct | _: Deduplicate => ()
+    }.isDefined
+    if (hasExchange) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
@@ -78,8 +89,24 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = table(s, d, "events")
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: Throwable
+            if String.valueOf(e.getMessage).contains("ILLEGAL_PARQUET_TYPE") =>
+          throw new IllegalStateException(
+            "events.parquet carries TIMESTAMP(NANOS), which Spark's " +
+              "vectorized reader rejects — set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true AT SESSION BUILD " +
+              "(Bench/Verify/RunOne/SparkSpec all do)", e)
+      }
     raw.schema("ts").dataType match {
+      // a LongType ts can only be the nanosAsLong escape hatch reading
+      // TIMESTAMP(NANOS): a plain-int64 ts would ALSO surface as
+      // LongType and be misread here as nanos (1000x too small). If a
+      // future generation ships unannotated int64, the TESTDATA.md
+      // dtype table must be updated and this branch re-keyed on the
+      // parquet logical type, not the Spark surface type.
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw

@@ -233,7 +233,7 @@ object ModelEvalOps {
     val ties = pts.groupBy(col(groupCol), col("__y"))
       .agg(count(lit(1)).as("__t"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__ngroups"), sum(col("__t")).as("n_obs"),
+      .agg(sum(col("__t")).as("n_obs"),
         sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))
           .as("__tiesum"))
     val joined = s.join(ties, Seq(groupCol))

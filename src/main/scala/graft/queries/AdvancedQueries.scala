@@ -169,8 +169,11 @@ object AdvancedQueries {
       .join(broadcast(marg.select(col("event_type").as("type_b"),
         col("n_u").as("__nb"))), Seq("type_b"))
       .crossJoin(broadcast(nUsers))
+      // double the factors BEFORE multiplying: n_both·n and n_a·n_b
+      // overflow Long past ~3e9 users (the cohenKappa fix, same class)
       .select(col("type_a"), col("type_b"), col("n_both"),
-        round((col("n_both") * col("__n")) / (col("__na") * col("__nb")), 4)
+        round((col("n_both").cast("double") * col("__n").cast("double")) /
+          (col("__na").cast("double") * col("__nb").cast("double")), 4)
           .as("lift"))
       .orderBy(col("type_a"), col("type_b"))
   }
@@ -236,10 +239,17 @@ object AdvancedQueries {
       hll_sketch_estimate(col("__skb")).as("__eb"),
       hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))
         .as("__eu"))
+    // tolerance is 5% of the UNION, not the intersection: the
+    // inclusion-exclusion error combines three sketches whose rse
+    // scales with COHORT cardinality, so an intersection-relative
+    // bound would flap whenever the overlap is small relative to the
+    // cohorts even though the sketches are within spec
     exact.crossJoin(est)
       .select(col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
         (abs(col("__ea") + col("__eb") - col("__eu") -
-          col("n_inter_exact")) <= col("n_inter_exact") * 0.05)
+          col("n_inter_exact")) <=
+          greatest(col("n_a_exact") + col("n_b_exact") -
+            col("n_inter_exact"), lit(1L)) * 0.05)
           .as("est_ok"))
   }
 
@@ -256,7 +266,10 @@ object AdvancedQueries {
   def q57ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
+      // rsd=0.01 against the 5% flag: a 5-sigma margin. The default
+      // rsd=0.05 would make the hashed flag a 1-sigma coin flip on
+      // any fresh data distribution.
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("__approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("__approx") - col("exact_parts")) <=

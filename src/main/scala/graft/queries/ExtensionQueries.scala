@@ -67,13 +67,19 @@ object ExtensionQueries {
 
   /** q218_stream_rollup — the streaming form of q211's incremental
     * pre-aggregation: events replayed as a bounded file stream into a
-    * watermarked 1-day-window count/sum/min/max state (the daily frame
-    * a real deployment maintains continuously), then the MONTHLY
-    * numbers derive by `StatOps.rollupMerge` over that state — raw
-    * data is never re-read for the rollup. Hash-matching q211's
-    * direct-from-raw oracle proves streaming-maintained state + batch
-    * merge ≡ batch recomputation, which is the whole contract of an
-    * incremental pipeline at 100 TB.
+    * 1-day-window count/sum/min/max state (the daily frame a real
+    * deployment maintains continuously), then the MONTHLY numbers
+    * derive by `StatOps.rollupMerge` over that state — raw data is
+    * never re-read for the rollup. Complete mode deliberately, and
+    * therefore NO watermark: AvailableNow may split the replay into
+    * several micro-batches, and in Append/Update a window touched
+    * twice would land in the memory sink twice; Complete rewrites the
+    * full window set so the bounded replay equals the batch
+    * aggregation exactly (a watermark is ignored in Complete mode —
+    * state eviction belongs to the Append/Update deployment shape).
+    * Hash-matching q211's direct-from-raw oracle proves
+    * streaming-maintained state + batch merge ≡ batch recomputation,
+    * which is the whole contract of an incremental pipeline at 100 TB.
     */
   def q218StreamRollup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -84,7 +90,6 @@ object ExtensionQueries {
     val sink = "q218_sink"
     scala.util.Try(s.catalog.dropTempView(sink))
     val q = s.readStream.schema(s.read.parquet(path).schema).parquet(path)
-      .withWatermark("ts", "1 hour")
       .groupBy(col("event_type"), window(col("ts"), "1 day").as("__w"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"),
         min(col("value")).as("min_v"), max(col("value")).as("max_v"))

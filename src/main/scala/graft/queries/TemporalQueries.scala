@@ -326,7 +326,9 @@ object TemporalQueries {
     * the outlier days that bend an OLS line (contrast q189). Raw
     * events collapse to the |types|×|days| frame first, so the O(n²)
     * pair fan-out is ~days²/2 per type — bounded by the horizon, not
-    * the corpus; medians run through the distributed-selection op.
+    * the corpus; the medians use the built-in percentile aggregate,
+    * which is the right tool for bounded groups (see
+    * `ModelEvalOps.theilSen`).
     */
   def q223TheilSen(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
@@ -472,7 +474,7 @@ object TemporalQueries {
         |    ON a.event_type = b.event_type AND a.x < b.x
         |  GROUP BY 1),
         |t AS (
-        |  SELECT event_type, count(*) AS ngroups,
+        |  SELECT event_type,
         |    sum(c)::BIGINT AS n_obs,
         |    sum(c * (c - 1) * (2 * c + 5))::DOUBLE AS tiesum
         |  FROM (SELECT event_type, y, count(*) AS c FROM d GROUP BY 1, 2)
