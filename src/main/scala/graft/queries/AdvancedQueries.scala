@@ -266,10 +266,10 @@ object AdvancedQueries {
   def q57ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      // rsd=0.01 against the 5% flag: a 5-sigma margin. The default
-      // rsd=0.05 would make the hashed flag a 1-sigma coin flip on
-      // any fresh data distribution.
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("__approx"),
+      // rsd=0.02 against the 5% flag: a 2.5-sigma margin at a quarter
+      // of rsd=0.01's sketch cost. The default rsd=0.05 would make
+      // the hashed flag a 1-sigma coin flip on fresh data.
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("__approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("__approx") - col("exact_parts")) <=
