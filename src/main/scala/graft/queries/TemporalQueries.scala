@@ -306,6 +306,60 @@ object TemporalQueries {
     EventOps.cusumChangePoint(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q230_time_weighted_mean — duration-weighted mean value per user
+    * (the TWAP shape): each event's value holds until the user's next
+    * event, so the mean weights each value by how long it was held —
+    * the correct aggregate for any sampled-state series (price, queue
+    * depth, battery level), where the arithmetic mean over-counts
+    * bursts. One lead() window per user + one aggregation; the last
+    * event has no successor and carries zero weight, users with a
+    * single event fall out (no held interval).
+    */
+  def q230TimeWeightedMean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("__next", lead(unix_micros(col("ts")), 1).over(w))
+      .withColumn("__dur",
+        (col("__next") - unix_micros(col("ts"))).cast("double"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum(col("__dur")) / 1e6, 1).as("span_sec"),
+        round(sum(col("value") * col("__dur")) / sum(col("__dur")), 4)
+          .as("tw_mean"),
+        round(avg(col("value")), 4).as("plain_mean"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q231_burstiness — inter-arrival-time dispersion per event type:
+    * mean/sd of the gaps and the Goh–Barabási burstiness
+    * B = (σ−μ)/(σ+μ) ∈ (−1, 1): 0 for a Poisson stream, → 1 for
+    * bursty traffic, < 0 for pacemaker-regular. The operational
+    * signature that distinguishes organic activity from batch/bot
+    * injection. One lag() window over (type, time)-sorted events +
+    * one aggregation.
+    */
+  def q231Burstiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("__gap",
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).cast("double") / 1e6)
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("__gap")), 2).as("mean_gap_sec"),
+        round(stddev_samp(col("__gap")), 2).as("sd_gap_sec"),
+        round((stddev_samp(col("__gap")) - avg(col("__gap"))) /
+          (stddev_samp(col("__gap")) + avg(col("__gap"))), 4)
+          .as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
   /** q224_mann_kendall — distribution-free monotonic-trend test on
     * each type's daily count series (`ModelEvalOps.mannKendall`):
     * tie-corrected S/z with a ±1.96 trend verdict — the significance
@@ -437,6 +491,8 @@ object TemporalQueries {
   val queries: Map[String, Q] = Map(
     "q223_theil_sen" -> (q223TheilSen _),
     "q224_mann_kendall" -> (q224MannKendall _),
+    "q230_time_weighted_mean" -> (q230TimeWeightedMean _),
+    "q231_burstiness" -> (q231Burstiness _),
     "q217_seasonal_anomaly" -> (q217SeasonalAnomaly _),
     "q215_rfm_features" -> (q215RfmFeatures _),
     "q211_rollup_merge" -> (q211RollupMerge _),
@@ -461,6 +517,35 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q230_time_weighted_mean" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    epoch_us(ts::TIMESTAMP) AS us,
+        |    lead(epoch_us(ts::TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, value, (next_us - us)::DOUBLE AS dur
+        |  FROM e WHERE next_us IS NOT NULL)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  round(sum(dur) / 1e6, 1) AS span_sec,
+        |  round(sum(value * dur) / sum(dur), 4) AS tw_mean,
+        |  round(avg(value), 4) AS plain_mean
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q231_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id))::DOUBLE
+        |      / 1e6 AS gap
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(avg(gap), 2) AS mean_gap_sec,
+        |  round(stddev_samp(gap), 2) AS sd_gap_sec,
+        |  round((stddev_samp(gap) - avg(gap)) /
+        |    (stddev_samp(gap) + avg(gap)), 4) AS burstiness
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q224_mann_kendall" ->
       """WITH d AS (
         |  SELECT event_type,
