@@ -327,6 +327,34 @@ object CorpusQueries {
       dim = 64)
       .orderBy(col("doc_id"), col("bucket"))
 
+  /** q232_label_noise — mislabel screening by k-NN label consensus:
+    * for every embedding, the fraction of its 10 nearest neighbors
+    * (cosine) sharing its label; per-label average agreement and the
+    * count of suspects (< 50% consensus) — the standard
+    * training-data QC pass that surfaces mislabeled examples before
+    * they poison a classifier. Reuses the k-bounded `batchTopK`
+    * aggregate (broadcast queries, O(groups×k) shuffle); at corpus
+    * scale the exact pass swaps for the IVF/SRP bucketed variants.
+    */
+  def q232LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val lbl = emb.select(col("vec_id"), col("label"))
+    VectorOps.batchTopK(emb, queries, k = 10)
+      .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), Seq("query_id"))
+      .join(broadcast(lbl), Seq("vec_id"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(avg((col("label") === col("qlabel")).cast("double"))
+        .as("__agree"))
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("__agree")), 4).as("avg_agreement"),
+        count(when(col("__agree") < 0.5, 1)).as("n_suspect"))
+      .orderBy(col("label"))
+  }
+
   /** q213_grid_neighbors — all embedding pairs within Euclidean radius
     * 0.05 in the (dim0, dim1) projection, via grid-cell bucketing
     * (`VectorOps.gridNeighborJoin`): cell-hash both sides, explode the
@@ -345,6 +373,7 @@ object CorpusQueries {
 
   val queries: Map[String, Q] = Map(
     "q226_feature_hash" -> (q226FeatureHash _),
+    "q232_label_noise" -> (q232LabelNoise _),
     "q213_grid_neighbors" -> (q213GridNeighbors _),
     "q118_unigram_logprob" -> (q118UnigramLogprob _),
     "q119_robust_scale" -> (q119RobustScale _),
@@ -389,6 +418,26 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q232_label_noise" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel, e.vec_id,
+        |    e.label,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      q.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, qlabel, label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |  FROM p),
+        |a AS (
+        |  SELECT query_id, qlabel,
+        |    avg(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END) AS agree
+        |  FROM r WHERE rn <= 10 GROUP BY 1, 2)
+        |SELECT qlabel AS label, count(*) AS n_vecs,
+        |  round(avg(agree), 4) AS avg_agreement,
+        |  count(CASE WHEN agree < 0.5 THEN 1 END) AS n_suspect
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q226_feature_hash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS token FROM documents)

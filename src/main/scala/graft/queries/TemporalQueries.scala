@@ -327,9 +327,9 @@ object TemporalQueries {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_intervals"),
         round(sum(col("__dur")) / 1e6, 1).as("span_sec"),
-        round(sum(col("value") * col("__dur")) / sum(col("__dur")), 4)
+        round(sum(col("value") * col("__dur")) / sum(col("__dur")), 2)
           .as("tw_mean"),
-        round(avg(col("value")), 4).as("plain_mean"))
+        round(avg(col("value")), 2).as("plain_mean"))
       .orderBy(col("user_id"))
   }
 
@@ -529,8 +529,8 @@ object TemporalQueries {
         |  FROM e WHERE next_us IS NOT NULL)
         |SELECT user_id, count(*) AS n_intervals,
         |  round(sum(dur) / 1e6, 1) AS span_sec,
-        |  round(sum(value * dur) / sum(dur), 4) AS tw_mean,
-        |  round(avg(value), 4) AS plain_mean
+        |  round(sum(value * dur) / sum(dur), 2) AS tw_mean,
+        |  round(avg(value), 2) AS plain_mean
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q231_burstiness" ->
       """WITH g AS (
