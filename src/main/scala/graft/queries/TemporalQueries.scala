@@ -306,6 +306,34 @@ object TemporalQueries {
     EventOps.cusumChangePoint(Tables.events(s, dir))
       .orderBy(col("event_type"))
 
+  /** q233_backtest_folds — rolling-origin (expanding-window) backtest
+    * assignment: K=3 temporal folds, each training on everything
+    * before its cutoff day and testing on the following 5-day horizon
+    * — the leakage-safe alternative to random K-fold for any temporal
+    * model (q153's target encoding, q183's scoring). Pure projection
+    * against broadcast literal cutoffs (the corpus min-day anchors
+    * them), so assignment is scan-stage at any scale; the census
+    * proves folds nest (train_n grows with k) and horizons are
+    * disjoint from their train sets.
+    */
+  def q233BacktestFolds(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    val anchor = e.agg(min(col("day")).as("__d0"))
+    val folds = Seq(1, 2, 3)
+    val tagged = e.crossJoin(broadcast(anchor))
+      .select(col("day"), col("__d0"),
+        explode(array(folds.map(lit): _*)).as("fold"))
+      .withColumn("__cut", expr("date_add(__d0, fold * 7)"))
+      .withColumn("part",
+        when(col("day") < col("__cut"), "train")
+          .when(col("day") < expr("date_add(__cut, 5)"), "test"))
+      .filter(col("part").isNotNull)
+    tagged.groupBy(col("fold"), col("part"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("fold"), col("part"))
+  }
+
   /** q230_time_weighted_mean — duration-weighted mean value per user
     * (the TWAP shape): each event's value holds until the user's next
     * event, so the mean weights each value by how long it was held —
@@ -493,6 +521,7 @@ object TemporalQueries {
     "q224_mann_kendall" -> (q224MannKendall _),
     "q230_time_weighted_mean" -> (q230TimeWeightedMean _),
     "q231_burstiness" -> (q231Burstiness _),
+    "q233_backtest_folds" -> (q233BacktestFolds _),
     "q217_seasonal_anomaly" -> (q217SeasonalAnomaly _),
     "q215_rfm_features" -> (q215RfmFeatures _),
     "q211_rollup_merge" -> (q211RollupMerge _),
@@ -517,6 +546,21 @@ object TemporalQueries {
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q233_backtest_folds" ->
+      """WITH d0 AS (SELECT min(ts::DATE) AS d0 FROM events),
+        |t AS (
+        |  SELECT ts::DATE AS day, f.fold,
+        |    (SELECT d0 FROM d0) + (f.fold * 7) AS cut
+        |  FROM events CROSS JOIN (VALUES (1), (2), (3)) AS f(fold)),
+        |p AS (
+        |  SELECT fold, day,
+        |    CASE WHEN day < cut THEN 'train'
+        |      WHEN day < cut + 5 THEN 'test' END AS part
+        |  FROM t)
+        |SELECT fold, part, count(*) AS n_events,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM p WHERE part IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q230_time_weighted_mean" ->
       """WITH e AS (
         |  SELECT user_id, value,
