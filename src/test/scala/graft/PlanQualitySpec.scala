@@ -115,7 +115,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q212_hll_overlap",
     // q215/q216 cross-join broadcast 1-row scalars (corpus horizon /
     // distinct-user count)
-    "q215_rfm_features", "q216_cooccur_lift")
+    "q215_rfm_features", "q216_cooccur_lift",
+    // q232 is q100's broadcast-query batch kNN (self-join form)
+    "q232_label_noise")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
