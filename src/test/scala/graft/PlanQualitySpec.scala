@@ -117,7 +117,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // distinct-user count)
     "q215_rfm_features", "q216_cooccur_lift",
     // q232 is q100's broadcast-query batch kNN (self-join form)
-    "q232_label_noise")
+    "q232_label_noise",
+    // q233 cross-joins the broadcast 1-row corpus-min-day anchor
+    "q233_backtest_folds")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
