@@ -327,27 +327,54 @@ object CorpusQueries {
       dim = 64)
       .orderBy(col("doc_id"), col("bucket"))
 
-  /** q232_label_noise — mislabel screening by k-NN label consensus:
-    * for every embedding, the fraction of its 10 nearest neighbors
-    * (cosine) sharing its label; per-label average agreement and the
-    * count of suspects (< 50% consensus) — the standard
-    * training-data QC pass that surfaces mislabeled examples before
-    * they poison a classifier. Reuses the k-bounded `batchTopK`
-    * aggregate (broadcast queries, O(groups×k) shuffle); at corpus
-    * scale the exact pass swaps for the IVF/SRP bucketed variants.
+  /** q232_label_noise — mislabel screening by k-NN label consensus,
+    * the SCALE form: for every embedding, the fraction of its 10
+    * nearest SAME-SRP-BUCKET neighbors (cosine) sharing its label;
+    * per-label average agreement and the count of suspects (< 50%
+    * consensus) — the training-data QC pass that surfaces mislabeled
+    * examples before they poison a classifier.
+    *
+    * Neighbor candidates come from the q184 machinery — an EQUI
+    * self-join on the deterministic SRP sign bucket (`srp_bucket`,
+    * 4 bits here) with the k-bounded `TopKAgg` collapsing each
+    * bucket's candidates map-side — so the plan is one shuffle on the
+    * bucket key carrying O(n) rows and an O(queries × k) aggregate
+    * exchange: NO broadcast of the corpus, NO BroadcastNestedLoopJoin,
+    * no all-pairs product anywhere (the previous form broadcast the
+    * whole corpus as `batchTopK`'s query set — an O(n²) compare that
+    * dies at 100 TB). At real scale `bits` grows with log₂(n) to keep
+    * bucket populations bounded, and the corpus is written bucketed so
+    * the join co-locates. The SRP screen is approximate (neighbors
+    * restricted to the query's bucket; singleton-bucket vectors drop
+    * out) but fully DETERMINISTIC — the DuckDB oracle replays the
+    * md5-plane bucketing exactly, so the output is hash-checked, not
+    * tolerance-flagged; `LabelNoiseSpec` additionally bounds the
+    * bucketed screen's consensus drift against the exact kNN form.
     */
   def q232LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
     val emb = Tables.embeddings(s, dir)
-    val queries = emb.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"))
-    val lbl = emb.select(col("vec_id"), col("label"))
-    VectorOps.batchTopK(emb, queries, k = 10)
-      .join(broadcast(lbl.select(col("vec_id").as("query_id"),
-        col("label").as("qlabel"))), Seq("query_id"))
-      .join(broadcast(lbl), Seq("vec_id"))
+      .withColumn("bucket", VectorOps.srpBucket(col("embedding"), 64, 4))
+    val cand = emb.select(col("bucket"), col("vec_id"), col("label"),
+      col("embedding"))
+    val q = emb.select(col("bucket"), col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("embedding").as("qv"))
+    cand.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("qlabel"))
-      .agg(avg((col("label") === col("qlabel")).cast("double"))
-        .as("__agree"))
+      .agg(graft.functions.TopKAgg.topK(10)(
+        VectorOps.cosineNative(col("embedding"), col("qv")),
+        // the neighbor's label rides along packed into the heap key
+        // (vec_id·16 + label, label ∈ 0..9 < 16) — no post-hoc
+        // id→label decode join; cosine ties still break by vec_id ASC
+        // (the pack is order-preserving: one key per vec_id), matching
+        // the oracle's ORDER BY cos DESC, vec_id
+        col("vec_id") * 16 + col("label")).as("__tk"))
+      .select(col("query_id"), col("qlabel"),
+        explode(col("__tk.ks")).as("__packed"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(avg((col("__packed").bitwiseAND(lit(15L)) ===
+        col("qlabel").cast("long")).cast("double")).as("__agree"))
       .groupBy(col("qlabel").as("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("__agree")), 4).as("avg_agreement"),
@@ -419,12 +446,14 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q232_label_noise" ->
-      """WITH p AS (
+      s"""${StructuralQueries.srpBucketCte},
+        |p AS (
         |  SELECT q.vec_id AS query_id, q.label AS qlabel, e.vec_id,
         |    e.label,
         |    list_cosine_similarity(e.embedding::DOUBLE[],
         |      q.embedding::DOUBLE[]) AS cos
-        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |  FROM b e JOIN b q
+        |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id),
         |r AS (
         |  SELECT query_id, qlabel, label,
         |    row_number() OVER (PARTITION BY query_id

@@ -121,7 +121,7 @@ object PipelineQueries {
     // docs-with-dup into a single aggregation. The explode doubles
     // every pair, so the plain counts halve exactly; the conditional
     // count_distinct sees only endpoints of verified edges.
-    th.crossJoin(pairs)
+    val agg = th.crossJoin(pairs)
       .select(col("threshold"), col("jaccard"),
         explode(array(col("id_a"), col("id_b"))).as("d"))
       .groupBy(col("threshold"))
@@ -130,6 +130,15 @@ object PipelineQueries {
           .cast("long").as("n_edges"),
         count_distinct(when(col("jaccard") >= col("threshold"), col("d")))
           .as("n_docs_with_dup"))
+    // left-join the 3-row threshold frame back in: an EMPTY candidate
+    // frame must still emit every threshold row (with zero counts) —
+    // the grouped crossJoin alone would emit nothing, silently changing
+    // the output shape on the empty edge
+    th.join(agg, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"))
       .orderBy(col("threshold"))
   }
 

@@ -233,7 +233,12 @@ object StructuralQueries {
       .agg(count(lit(1)).as("n_items"),
         sum(col("n_bytes")).as("total_bytes"),
         every(size(col("feature")) === 16).as("dim_ok"),
-        every(!isnan(element_at(col("feature"), 1))).as("f0_finite_ok"))
+        // "finite" means finite: reject NaN AND ±Infinity (abs(x) <
+        // +Inf is false for +Inf and for NaN, but NaN is checked
+        // explicitly for clarity)
+        every(!isnan(element_at(col("feature"), 1)) &&
+          abs(element_at(col("feature"), 1).cast("double")) <
+            lit(Double.PositiveInfinity)).as("f0_finite_ok"))
       .orderBy(col("modality"))
   }
 
@@ -810,14 +815,15 @@ object StructuralQueries {
   private def h32(expr: String, seed: String = ""): String =
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
 
-  // shared q78/q184 replay: md5-derived hyperplanes -> 4-bit SRP bucket
-  private val srpBucketCte: String =
+  // shared q78/q184/q232 replay: md5-derived hyperplanes -> 4-bit SRP
+  // bucket (label carried through for the label-consensus consumers)
+  private[queries] val srpBucketCte: String =
     """WITH planes AS (
       |  SELECT j, list_transform(range(0, 64), i ->
       |    (('0x' || substr(md5('plane' || j || ':' || i), 1, 8))::BIGINT)::DOUBLE / 2147483648 - 1) AS plane
       |  FROM (SELECT unnest(range(0, 4)) AS j)),
       |b AS (
-      |  SELECT vec_id, embedding,
+      |  SELECT vec_id, label, embedding,
       |    (SELECT sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
       |                THEN 1 << p.j ELSE 0 END)::BIGINT FROM planes p) AS bucket
       |  FROM embeddings e)""".stripMargin

@@ -355,8 +355,11 @@ object TemporalQueries {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_intervals"),
         round(sum(col("__dur")) / 1e6, 1).as("span_sec"),
-        round(sum(col("value") * col("__dur")) / sum(col("__dur")), 2)
-          .as("tw_mean"),
+        // try_divide: a user whose held intervals all have zero
+        // duration (events sharing one microsecond) has sum(__dur)=0 —
+        // null tw_mean instead of an ANSI DIVIDE_BY_ZERO crash
+        round(try_divide(sum(col("value") * col("__dur")),
+          sum(col("__dur"))), 2).as("tw_mean"),
         round(avg(col("value")), 2).as("plain_mean"))
       .orderBy(col("user_id"))
   }
@@ -382,8 +385,12 @@ object TemporalQueries {
       .agg(count(lit(1)).as("n_gaps"),
         round(avg(col("__gap")), 2).as("mean_gap_sec"),
         round(stddev_samp(col("__gap")), 2).as("sd_gap_sec"),
-        round((stddev_samp(col("__gap")) - avg(col("__gap"))) /
-          (stddev_samp(col("__gap")) + avg(col("__gap"))), 4)
+        // try_divide: sd + mean = 0 when every gap of a type is zero
+        // (all events on one microsecond) — null burstiness, no ANSI
+        // DIVIDE_BY_ZERO
+        round(try_divide(
+          stddev_samp(col("__gap")) - avg(col("__gap")),
+          stddev_samp(col("__gap")) + avg(col("__gap"))), 4)
           .as("burstiness"))
       .orderBy(col("event_type"))
   }
@@ -440,7 +447,11 @@ object TemporalQueries {
     daily
       .withColumn("__m", avg(col("n_events")).over(w))
       .withColumn("__sd", stddev_samp(col("n_events")).over(w))
-      .withColumn("z", (col("n_events") - col("__m")) / col("__sd"))
+      // try_divide, not `/`: a (type, dow) class whose daily counts are
+      // all identical has __sd = 0.0, and ANSI `/` would throw
+      // DIVIDE_BY_ZERO; the null z is dropped by the |z| filter below,
+      // matching the oracle where the constant-class 0/0 is dropped too
+      .withColumn("z", try_divide(col("n_events") - col("__m"), col("__sd")))
       .filter(abs(col("z")) > 1.5)
       .select(col("event_type"), col("day"), col("dow"), col("n_events"),
         round(col("__m"), 2).as("dow_mean"), round(col("z"), 4).as("z"))

@@ -116,8 +116,6 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q215/q216 cross-join broadcast 1-row scalars (corpus horizon /
     // distinct-user count)
     "q215_rfm_features", "q216_cooccur_lift",
-    // q232 is q100's broadcast-query batch kNN (self-join form)
-    "q232_label_noise",
     // q233 cross-joins the broadcast 1-row corpus-min-day anchor
     "q233_backtest_folds")
 
