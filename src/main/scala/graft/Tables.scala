@@ -58,11 +58,16 @@ object Tables {
     * so the filter evaluates where it stands — Catalyst refuses to push
     * nondeterministic conditions — instead of being pushed below a
     * [[parallelize]] repartition into the single-file scan task.
-    * Semantically a no-op (`rand() < -1` is never true).
+    * Semantically a no-op: [[graft.functions.PushdownBarrier]] is a
+    * structurally-nondeterministic constant `false` (codegens to a bare
+    * literal), so no future constant-folding of `rand()` comparisons
+    * can collapse the fence (the previous `rand() < -1` spelling's
+    * risk). TableFenceSpec pins the not-pushed-below-repartition
+    * behavior.
     */
   def fence(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    cond || org.apache.spark.sql.functions.rand() <
-      org.apache.spark.sql.functions.lit(-1.0)
+    cond || org.apache.spark.sql.graftbridge.GraftDatasetBridge.column(
+      graft.functions.PushdownBarrier())
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
@@ -100,6 +105,17 @@ object Tables {
               "spark.sql.legacy.parquet.nanosAsLong=true AT SESSION BUILD " +
               "(Bench/Verify/RunOne/SparkSpec all do)", e)
       }
+    eventsNormalize(raw)
+  }
+
+  /** The ts-normalization half of [[events]], usable on ANY frame with
+    * the events schema — in particular a `readStream` source over the
+    * same parquet (q194), which cannot go through the batch loader.
+    * Schema-only decision: no data scan, streaming-safe.
+    */
+  def eventsNormalize(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
       // a LongType ts can only be the nanosAsLong escape hatch reading
       // TIMESTAMP(NANOS): a plain-int64 ts would ALSO surface as

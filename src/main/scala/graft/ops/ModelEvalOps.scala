@@ -177,11 +177,39 @@ object ModelEvalOps {
     * value sets are unbounded; here its multi-pass job overhead
     * dominated (3.7 s → sub-second on the manifest query).
     */
+  /** In-plan enforcement of the bounded-series contract shared by
+    * [[theilSen]] and [[mannKendall]]: both fan out O(n²) pairs PER
+    * GROUP, which is only sane on a pre-collapsed series (daily
+    * aggregates — horizon-bounded), never on raw events. A doc-only
+    * contract is a foot-gun at 100 TB, so the bound is enforced in the
+    * plan itself: per-group sizes join back and `assert_true` fails the
+    * job on the FIRST oversized group — before the pair join runs,
+    * since the guard filter sits below it. Costs one extra aggregation
+    * of the (already bounded) input frame; `maxSeriesPoints` is a
+    * caller-visible knob for legitimately longer horizons.
+    */
+  private def boundedSeriesGuard(pts: DataFrame, groupCol: String,
+      maxSeriesPoints: Int, op: String): DataFrame = {
+    val sizes = pts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__series_n"))
+    pts.join(sizes, Seq(groupCol))
+      .filter(coalesce(assert_true(col("__series_n") <= maxSeriesPoints,
+        concat(lit(s"$op: per-group series of "),
+          col("__series_n").cast("string"),
+          lit(s" points exceeds maxSeriesPoints=$maxSeriesPoints — " +
+            "collapse raw data to bounded aggregates (e.g. daily) " +
+            "first; the O(n^2) pair fan-out would explode"))),
+        lit(true)))
+      .drop("__series_n")
+  }
+
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
-      yCol: String): DataFrame = {
-    val pts = df.select(col(groupCol), col(xCol).cast("double").as("__x"),
-        col(yCol).cast("double").as("__y"))
-      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      yCol: String, maxSeriesPoints: Int = 10000): DataFrame = {
+    val pts = boundedSeriesGuard(
+      df.select(col(groupCol), col(xCol).cast("double").as("__x"),
+          col(yCol).cast("double").as("__y"))
+        .filter(col("__x").isNotNull && col("__y").isNotNull),
+      groupCol, maxSeriesPoints, "theilSen")
     val a = pts.select(col(groupCol), col("__x").as("__xa"),
       col("__y").as("__ya"))
     val b = pts.select(col(groupCol).as("__g"), col("__x").as("__xb"),
@@ -220,10 +248,12 @@ object ModelEvalOps {
     * pair fan-out, the tie census, and the count reduce map-side.
     */
   def mannKendall(df: DataFrame, groupCol: String, xCol: String,
-      yCol: String): DataFrame = {
-    val pts = df.select(col(groupCol), col(xCol).cast("double").as("__x"),
-        col(yCol).cast("double").as("__y"))
-      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      yCol: String, maxSeriesPoints: Int = 10000): DataFrame = {
+    val pts = boundedSeriesGuard(
+      df.select(col(groupCol), col(xCol).cast("double").as("__x"),
+          col(yCol).cast("double").as("__y"))
+        .filter(col("__x").isNotNull && col("__y").isNotNull),
+      groupCol, maxSeriesPoints, "mannKendall")
     val b = pts.select(col(groupCol).as("__g"), col("__x").as("__xb"),
       col("__y").as("__yb"))
     val s = pts.join(b, col(groupCol) === col("__g") &&

@@ -489,18 +489,31 @@ object ExtensionQueries {
   }
 
   /** q45_embedding_neardup — embedding-cosine near-duplicate pairs
-    * (exact). All-pairs native-cosine with id-ordered dedup; the
-    * approximate scale path for huge corpora is SRP bucketing
-    * (VectorOps.annTopK) — exact here so the DuckDB oracle can confirm
-    * every pair. Threshold 0.4 sits above the corpus's 99.9th
-    * percentile, so output is the genuine near-dup tail.
+    * (exact). All-pairs native-cosine with id-ordered dedup —
+    * FIXTURE-ONLY BY CONSTRUCTION: this is the oracle baseline whose
+    * every pair DuckDB confirms, and the recall yardstick q184's
+    * SRP-bucketed scale path is measured against. It is deliberately a
+    * cartesian, so an in-plan `assert_true` size guard fails the job
+    * if anyone points it at > 100k vectors (10¹⁰ pairs) instead of
+    * using q184 / VectorOps.annTopK — the guard is the same
+    * broadcast-1-row-scalar idiom the plan already carries. Threshold
+    * 0.4 sits above the corpus's 99.9th percentile, so output is the
+    * genuine near-dup tail.
     */
   def q45EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftSparkExtensions.register(s)
     val e = Tables.embeddings(s, dir)
+    val n = e.agg(count(lit(1)).as("__n"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.crossJoin(b)
+    a.crossJoin(broadcast(n))
+      .filter(coalesce(assert_true(col("__n") <= 100000,
+        lit("q45_embedding_neardup is the exact all-pairs ORACLE " +
+          "BASELINE, fixture-only: corpus exceeds 100k vectors — use " +
+          "the SRP-bucketed q184 path (VectorOps.annTopK) at scale")),
+        lit(true)))
+      .drop("__n")
+      .crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", call_function("cosine_sim", col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.4)
@@ -576,24 +589,38 @@ object ExtensionQueries {
   /** q194_stream_interval_join — watermarked stream-stream inner join
     * as a manifest query (`StreamingOps.intervalJoinStream`, X15):
     * view events match same-user purchases within the following hour,
-    * both sides replayed from one bounded file stream. The single-file
-    * replay makes AvailableNow one micro-batch, so every in-bound pair
-    * is emitted and the result equals the batch interval join exactly
-    * (arrival-order-free); the PRODUCTION property — watermark +
-    * time-bound condition keeps both state stores finite — is proven
-    * separately in StreamingOpsSpec with multi-batch input. µs epoch
-    * arithmetic in the oracle mirrors Tables.events' truncation.
+    * both sides replayed from one bounded file stream. The stream
+    * reads the SOURCE events.parquet directly (schema from the footer,
+    * ts normalized post-read via `Tables.eventsNormalize`) — no temp
+    * rewrite inside the timed body (the r5 harness coalesce(1)-copied
+    * the table first, roughly doubling the query's wall time). The
+    * single-file replay makes AvailableNow one micro-batch, so every
+    * in-bound pair is emitted and the result equals the batch interval
+    * join exactly (arrival-order-free); the PRODUCTION property —
+    * watermark + time-bound condition keeps both state stores finite —
+    * is proven separately in StreamingOpsSpec with multi-batch input.
+    * µs epoch arithmetic in the oracle mirrors Tables.events'
+    * truncation.
     */
   def q194StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val path = "target/tmp/q194_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path)
+    // the file stream source requires a DIRECTORY; the source table is
+    // a single parquet FILE — bridge with a symlink (zero data copied,
+    // unlike the r5 harness's coalesce(1) rewrite of the whole table)
+    import java.nio.file.{Files, LinkOption, Paths}
+    val srcDir = Paths.get(
+      "target/tmp/q194_src_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link,
+        Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val path = srcDir.toString
     val sink = "q194_sink"
     scala.util.Try(s.catalog.dropTempView(sink))
-    val src = s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+    val src = Tables.eventsNormalize(
+        s.readStream.schema(s.read.parquet(path).schema).parquet(path))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val views = src.filter(col("event_type") === "view").drop("event_type")
     val buys = src.filter(col("event_type") === "purchase").drop("event_type")
     val q = graft.streaming.StreamingOps

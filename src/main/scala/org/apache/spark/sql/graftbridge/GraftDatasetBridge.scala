@@ -15,4 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftDatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Column from a raw Catalyst expression — the session-free
+    * counterpart of `call_function` for expressions that must work
+    * before any extension registration (Tables.fence's
+    * [[graft.functions.PushdownBarrier]]). Same auditable-single-call
+    * rationale as [[ofRows]].
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -142,6 +142,33 @@ class ModelEvalOpsSpec extends SparkSpec {
     assert(rf.getAs[String]("trend") == "no_trend")
   }
 
+  test("theilSen/mannKendall fail fast on an unbounded per-group series") {
+    // the O(n²) pair fan-out is only sane on pre-collapsed series; the
+    // in-plan guard must abort BEFORE the pair join, with a message
+    // naming the contract — simulate with a tiny maxSeriesPoints bound
+    val big = (1 to 50).map(i => ("g", i.toDouble, i * 2.0))
+      .toDF("g", "x", "y")
+    val e1 = intercept[Exception] {
+      ModelEvalOps.theilSen(big, "g", "x", "y", maxSeriesPoints = 10)
+        .collect()
+    }
+    assert(e1.getMessage.contains("maxSeriesPoints") ||
+      String.valueOf(e1.getCause).contains("maxSeriesPoints"),
+      s"wrong error: $e1")
+    val e2 = intercept[Exception] {
+      ModelEvalOps.mannKendall(big, "g", "x", "y", maxSeriesPoints = 10)
+        .collect()
+    }
+    assert(e2.getMessage.contains("maxSeriesPoints") ||
+      String.valueOf(e2.getCause).contains("maxSeriesPoints"),
+      s"wrong error: $e2")
+    // at the bound itself: no throw (guard is <=)
+    val ok = (1 to 10).map(i => ("g", i.toDouble, i * 2.0))
+      .toDF("g", "x", "y")
+    assert(ModelEvalOps.theilSen(ok, "g", "x", "y", maxSeriesPoints = 10)
+      .collect().length == 1)
+  }
+
   test("propZTest: hand-computed pooled z") {
     // A: 3/4 success, B: 1/4 success, pooled 4/8 = 0.5
     // z = 0.5 / sqrt(0.5·0.5·(1/4+1/4)) = 0.5/sqrt(0.125) = 1.4142
