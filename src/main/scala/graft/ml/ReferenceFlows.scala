@@ -95,10 +95,17 @@ object ReferenceFlows {
       case "dt" =>
         val dt = ClassifierPipelines.decisionTree(seed = seed)
         val pipe = ClassifierPipelines.pipeline(catCols, allNum, labelCol, dt)
+        lazy val grid = new ParamGridBuilder()
+          .addGrid(dt.maxDepth, Seq(3, 5)).build()
         tune match {
+          // the reference publishes BOTH tuned DT matrices
+          // (desicion_tree_confusion_matrix.py:16-31 CV, :52-67 TV)
+          case "cv" =>
+            val m = ClassifierPipelines.crossValidate(pipe, grid,
+              folds = 3, "accuracy", train, seed)
+            val best = m.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+            (best, best.transform(test))
           case "tvs" =>
-            val grid = new ParamGridBuilder()
-              .addGrid(dt.maxDepth, Seq(3, 5)).build()
             val m = ClassifierPipelines.trainValSelect(pipe, grid, train, 0.8, seed)
             val best = m.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
             (best, best.transform(test))

@@ -62,7 +62,29 @@ object BalanceOps {
     * map literal.
     */
   def resampleToTarget(df: DataFrame, classCol: String, target: Long,
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L): DataFrame =
+    resampleImpl(df, classCol, target, d => d.withColumn("__u", rand(seed)))
+
+  /** R2, content-keyed form: the same single-pass Poisson resample but
+    * with the uniform derived from md5 of a row id
+    * (u = (hash32(id)+0.5)/2³², the [[weightedSampleKPerGroup]] trick)
+    * instead of `rand(seed)`. Draws are then deterministic across
+    * engines, retries AND partitionings — `rand(seed)` is only fixed
+    * for a fixed partitioning — which makes the resample's output
+    * DuckDB-replayable bit-for-bit (manifest q235): the oracle rebuilds
+    * u and walks the identical inverse-CDF recurrence. Prefer this form
+    * whenever rows carry a stable id; it is also the safer shape at
+    * 100 TB (a lost executor's recomputed partition re-draws the SAME
+    * copies, so speculative execution can't skew class balance).
+    */
+  def resampleToTargetDeterministic(df: DataFrame, classCol: String,
+      target: Long, idCol: String): DataFrame =
+    resampleImpl(df, classCol, target, d => d.withColumn("__u",
+      (TextOps.hash32(col(idCol).cast("string"), seed = "rs:") + 0.5) /
+        lit(4294967296.0)))
+
+  private def resampleImpl(df: DataFrame, classCol: String, target: Long,
+      withU: DataFrame => DataFrame): DataFrame = {
     val counts = df.groupBy(classCol).count().collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     val fracExpr = counts.foldLeft(lit(Double.NaN)) { case (acc, (cls, n)) =>
@@ -97,10 +119,10 @@ object BalanceOps {
     // streams. Rand is nondeterministic, so CollapseProject keeps the
     // projection boundary and each row reads one shared u.
     graft.functions.GraftSparkExtensions.register(df.sparkSession)
-    val withU = df.withColumn("__u", rand(seed))
+    val uDf = withU(df)
     val copies = call_function("poisson_draw",
       col("__u"), fracExpr.cast("double"), lit(cap))
-    withU.withColumn("__copies", copies)
+    uDf.withColumn("__copies", copies)
       .filter(col("__copies") > 0)
       .withColumn("__dup", explode(sequence(lit(1), col("__copies"))))
       .drop("__u", "__copies", "__dup")

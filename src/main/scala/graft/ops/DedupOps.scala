@@ -310,6 +310,25 @@ object DedupOps {
     */
   def prefixJaccardJoin(df: DataFrame, idCol: String, tokens: Column,
                         threshold: Double): DataFrame = {
+    val f = prefixCandidateFrames(df, idCol, tokens, threshold)
+    verifyPrefixCandidates(f, threshold)
+  }
+
+  /** The candidate-generation half of [[prefixJaccardJoin]], exposed
+    * (package-private) so PrefixJoinSpec can A/B the PPJoin positional
+    * filter's pruning on a skewed vocabulary: with
+    * `positionalFilter = false` the candidates are plain prefix-token
+    * blocking + size filter; with it (the default and the production
+    * path) mismatched-position collisions are pruned BEFORE the
+    * distinct/verify. Both settings are complete (verified output is
+    * identical); the difference is candidate volume.
+    */
+  private[graft] case class PrefixJoinFrames(ranked: DataFrame,
+                                             candidates: DataFrame)
+
+  private[graft] def prefixCandidateFrames(df: DataFrame, idCol: String,
+      tokens: Column, threshold: Double,
+      positionalFilter: Boolean = true): PrefixJoinFrames = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     graft.functions.GraftSparkExtensions.register(df.sparkSession)
     val toks = df.select(col(idCol).as("__id"), tokens.as("__toks"))
@@ -356,12 +375,18 @@ object DedupOps {
       // and completeness is preserved; mismatched-position matches are
       // pruned before the distinct/verify. alpha via floor(x-eps)+1 ==
       // ceil with the boundary-safe direction (never overestimates).
-      .filter(
+      .filter(!lit(positionalFilter) ||
         least(col("__pa"), col("__pb")) + 1 +
           least(col("__na") - col("__pa") - 1, col("__nb") - col("__pb") - 1) >=
           floor((col("__na") + col("__nb")) * (threshold / (1 + threshold)) - 1e-9) + 1)
       .select(col("id_a"), col("id_b")).distinct()
-    cands
+    PrefixJoinFrames(ranked, cands)
+  }
+
+  private[graft] def verifyPrefixCandidates(f: PrefixJoinFrames,
+      threshold: Double): DataFrame = {
+    val ranked = f.ranked
+    f.candidates
       .join(ranked.select(col("__id").as("id_a"), col("__r").as("__ra"),
         col("__n").as("__na")), Seq("id_a"))
       .join(ranked.select(col("__id").as("id_b"), col("__r").as("__rb"),

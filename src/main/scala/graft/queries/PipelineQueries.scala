@@ -406,7 +406,70 @@ object PipelineQueries {
     s.createDataFrame(rows.asJava, cm.schema)
   }
 
+  /** q234_lda_vocab — the DETERMINISTIC half of q133's topic pipeline,
+    * split out so it can be ORACLE-HASHED (q133 itself stays rows-only
+    * because trained-LDA output is engine-specific): the
+    * CountVectorizer vocabulary with per-term document frequency and
+    * the fitted IDF weights (`complaints_narrative_LDA.py:71-78`) are
+    * pure doc-frequency arithmetic — idf(t) = ln((m+1)/(df(t)+1)) —
+    * that DuckDB replays from the cleaned tokens + the default English
+    * stopword list. Same doc slice and vocabSize as q133; on this
+    * fixture the distinct-term count (30) sits under vocabSize (64),
+    * so vocabulary membership is the full non-stopword term set and
+    * immune to CountVectorizer's arbitrary ordering of count ties at a
+    * cutoff boundary. The vocab/idf arrays are model-driver-side by
+    * construction (bounded by vocabSize — the C2 broadcast-vocab
+    * idiom), so surfacing them as a 30-row frame is driver-scale.
+    */
+  def q234LdaVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{CountVectorizer, IDF, StopWordsRemover}
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+    val tokens = docs.withColumn("tokens",
+      graft.ml.TopicPipeline.cleanText("text"))
+    val filtered = new StopWordsRemover()
+      .setInputCol("tokens").setOutputCol("filtered").transform(tokens)
+    val cv = new CountVectorizer().setInputCol("filtered")
+      .setOutputCol("raw_features").setVocabSize(64).fit(filtered)
+    val idf = new IDF().setInputCol("raw_features")
+      .setOutputCol("features").fit(cv.transform(filtered))
+    import s.implicits._
+    cv.vocabulary.toSeq.zip(idf.docFreq.toSeq).zip(idf.idf.toArray.toSeq)
+      .map { case ((t, df), w) => (t, df, math.rint(w * 10000) / 10000) }
+      .toDF("term", "df", "idf")
+      .orderBy(col("term"))
+  }
+
+  /** q235_resample_counts — the DETERMINISTIC pre-model stages of
+    * q134's classifier flow, split out so they can be ORACLE-HASHED
+    * (q134 stays rows-only because tree training is engine-specific):
+    * frequency encoding (M4) + the per-class Poisson resample-to-200
+    * (R2) on the same orders slice, with
+    * [[graft.ops.BalanceOps.resampleToTargetDeterministic]]'s
+    * content-keyed uniform u = (md5₃₂('rs:'||o_orderkey)+0.5)/2³² in
+    * place of rand(seed). Every draw is then bit-reproducible in ANY
+    * engine: the oracle rebuilds u and walks the IDENTICAL inverse-CDF
+    * recurrence (term·λ/k, cum+=term — same op order as
+    * `PoissonDrawUtil.draw`) in a recursive CTE, and the per-class
+    * resampled row counts and summed frequency-encode values
+    * hash-match exactly. This is the proof the resample semantics are
+    * engine-portable, not an artifact of Spark's RNG.
+    */
+  def q235ResampleCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{BalanceOps, FrequencyEncoder}
+    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 0)
+    val enc = FrequencyEncoder.encodeAll(orders,
+      Seq("o_custkey" -> "frequency_o_custkey"))
+    BalanceOps.resampleToTargetDeterministic(enc, "o_orderpriority",
+        target = 200L, idCol = "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("frequency_o_custkey")).as("sum_freq_enc"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q234_lda_vocab" -> (q234LdaVocab _),
+    "q235_resample_counts" -> (q235ResampleCounts _),
     "q114_ml_eval" -> (q114MlEval _),
     "q167_gbt_eval" -> (q167GbtEval _),
     "q183_batch_inference" -> (q183BatchInference _),
@@ -460,7 +523,67 @@ object PipelineQueries {
        |  FROM p JOIN sig sa ON sa.doc_id = p.doc_a
        |         JOIN sig sb ON sb.doc_id = p.doc_b)""".stripMargin
 
+  // q234 replay: Spark's default English stopword list inlined from the
+  // public API (cleanText tokens are pure lowercase alpha, so the
+  // apostrophe'd entries can never match — they ride along for fidelity)
+  private val stopwordListSql: String =
+    org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english")
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
+  // q82's cleanText replay (lowercase → drop xx+ redactions → strip
+  // non-alpha → tokens of length > 1), shared with q234
+  private val cleanToksSql: String =
+    """list_filter(string_split_regex(
+      |    regexp_replace(regexp_replace(lower(text), 'x{2,}', ' ', 'g'),
+      |                   '[^a-z\s]', ' ', 'g'),
+      |    '\s+'), tk -> len(tk) > 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q234_lda_vocab" ->
+      s"""WITH t AS (SELECT doc_id, $cleanToksSql AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |m AS (SELECT count(*)::DOUBLE AS m FROM t),
+        |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+        |d AS (SELECT term, count(*)::BIGINT AS df FROM tok
+        |  WHERE term NOT IN ($stopwordListSql) GROUP BY term)
+        |SELECT term, df, round(ln((m.m + 1) / (df + 1)), 4) AS idf
+        |FROM d, m ORDER BY term""".stripMargin,
+    "q235_resample_counts" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |fr AS (SELECT o_custkey, count(*)::BIGINT AS freq FROM o
+        |  GROUP BY 1),
+        |cls AS (SELECT o_orderpriority AS cls, count(*) AS n FROM o
+        |  GROUP BY 1),
+        |lam AS (SELECT cls, 200.0 / n AS l FROM cls),
+        |cap AS (SELECT greatest(10,
+        |  CAST(ceil(max(l) + 10 * sqrt(max(l)) + 10) AS INT)) AS cap
+        |  FROM lam),
+        |walk AS (
+        |  -- cum after row k is CDF(k); identical op order to
+        |  -- PoissonDrawUtil.draw: term := term*l/k, cum += term
+        |  SELECT cls, 0 AS k, exp(-l) AS term, exp(-l) AS cum FROM lam
+        |  UNION ALL
+        |  SELECT w.cls, w.k + 1,
+        |    w.term * l.l / (w.k + 1),
+        |    w.cum + w.term * l.l / (w.k + 1)
+        |  FROM walk w JOIN lam l ON w.cls = l.cls
+        |  WHERE w.k + 1 <= (SELECT cap - 1 FROM cap)),
+        |u AS (SELECT o.o_orderkey, o.o_orderpriority AS cls, fr.freq,
+        |    (('0x' || substr(md5('rs:' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+        |      + 0.5) / 4294967296.0 AS u
+        |  FROM o JOIN fr USING (o_custkey)),
+        |cp AS (SELECT u.o_orderkey, u.cls, u.freq,
+        |    -- draw = #{k in 1..cap : u > CDF(k-1)} — count over the
+        |    -- k=0..cap-1 walk rows
+        |    (SELECT count(*) FROM walk w
+        |     WHERE w.cls = u.cls AND u.u > w.cum) AS copies
+        |  FROM u)
+        |SELECT cls AS o_orderpriority, sum(copies)::BIGINT AS n_rows,
+        |  sum(copies * freq)::BIGINT AS sum_freq_enc
+        |FROM cp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q106_scd2" ->
       """WITH c AS (SELECT user_id, ts AS valid_from, event_id, event_type,
         |    value,

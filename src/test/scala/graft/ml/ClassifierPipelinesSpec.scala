@@ -101,6 +101,40 @@ class ClassifierPipelinesSpec extends SparkSpec {
     assert(cells(cm) == cells(run().confusion.collect()))
   }
 
+  test("DT confusion flows (CV and TV) reproduce the reference " +
+    "golden-matrix invariants: 8x8 shape, ~0.3*target row sums, " +
+    "seed-42 determinism") {
+    // mirrors the RF golden test above for the DT variants the
+    // reference publishes (desicion_tree_confusion_matrix.py:16-31 CV
+    // matrix, :52-67 TV matrix; decision_tree_final_class_8.py:395-398)
+    // — 8 classes resampled to a common target, split 70/30 seed 42,
+    // one PUBLISHED matrix per tuning mode ⇒ bit-reproducible cells
+    val target = 300L
+    val eight = Tables.orders(spark, sf0001)
+      .withColumn("resp8", pmod(col("o_orderkey"), lit(8)).cast("string"))
+    Seq("cv", "tvs").foreach { tune =>
+      def run() = ReferenceFlows.multiclassFlow(eight,
+        freqCols = Seq("o_custkey"), catCols = Seq("o_orderpriority"),
+        numCols = Seq("o_totalprice"), labelCol = "resp8",
+        targetPerClass = target, treeKind = "dt", tune = tune)
+      val cm = run().confusion.collect()
+      assert(cm.length == 8,
+        s"[$tune] expected 8 actual-class rows, got ${cm.length}")
+      assert(cm.head.schema.fields.length <= 9,
+        s"[$tune] more predicted columns than classes")
+      cm.foreach { row =>
+        val rowSum = (1 until row.length)
+          .map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
+        assert(math.abs(rowSum - 0.3 * target) < 55,
+          s"[$tune] row sum $rowSum far from ${0.3 * target}")
+      }
+      def cells(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => r.toSeq.map(v => if (v == null) 0L else v)).toSeq
+      assert(cells(cm) == cells(run().confusion.collect()),
+        s"[$tune] DT matrix not seed-reproducible")
+    }
+  }
+
   test("multiclassFlow (DT + TVS tuning) runs") {
     val r = ReferenceFlows.multiclassFlow(orders,
       freqCols = Seq.empty, catCols = Seq("price_bucket"),
