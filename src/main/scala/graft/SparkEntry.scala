@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.TemporalQueries.queries ++
       graft.queries.QualityQueries.queries ++
       graft.queries.GovernanceQueries.queries ++
-      graft.queries.ModelQueries.queries
+      graft.queries.ModelQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.TemporalQueries.oracle ++
       graft.queries.QualityQueries.oracle ++
       graft.queries.GovernanceQueries.oracle ++
-      graft.queries.ModelQueries.oracle
+      graft.queries.ModelQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle
 }

@@ -1,0 +1,549 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 extension operators (SURVEY.md §2.13 X165+): sketch-vs-exact
+  * quantile evaluation, retrieval fusion, funnel analysis,
+  * sorted-neighborhood blocking, textual KL drift, deterministic
+  * Poisson-bootstrap CIs, OHLC downsampling, sequential testing,
+  * association rules.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q236_quantile_sketch — mergeable quantile sketch vs exact
+    * distributed selection: `percentile_approx` (Greenwald–Khanna
+    * summaries, merged map-side — the only quantile shape that scales,
+    * since exact percentiles are not algebraic) against
+    * `StatOps.exactPercentiles` (multi-pass distributed selection) on
+    * lineitem prices, with a 1%-of-value tolerance flag per quantile.
+    * The exact values hash against DuckDB's quantile_cont; the sketch
+    * enters ONLY through the asserted flag, so sketch-internal noise
+    * (partition merge order) cannot break determinism — the q200/q212
+    * sketch-evaluation pattern applied to quantiles.
+    */
+  def q236QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice").cast("double").as("v"))
+      .withColumn("g", lit(1))
+    val exact = StatOps.exactPercentiles(li, "g", "v", qs)
+    val approx = li.agg(percentile_approx(col("v"),
+      array(qs.map(q => lit(q._2)): _*), lit(10000)).as("ap"))
+    exact.crossJoin(broadcast(approx))
+      .select(explode(array(qs.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("quantile"),
+          round(col(name), 2).as("exact_v"),
+          (abs(element_at(col("ap"), i + 1) - col(name)) <=
+            abs(col(name)) * 0.01).as("approx_ok"))
+      }: _*)).as("r"))
+      .select(col("r.quantile"), col("r.exact_v"), col("r.approx_ok"))
+      .orderBy(col("quantile"))
+  }
+
+  /** q237_rrf_fusion — reciprocal-rank fusion of two retrieval systems
+    * (the standard hybrid-search combiner, Cormack et al. SIGIR'09):
+    * BM25 lexical top-30 (q117's scorer) and embedding cosine top-30
+    * (q28's scorer, query = vec 7) fuse by
+    * score(d) = Σ 1/(60 + rank_i(d)); top-10 fused docs. The fusion
+    * stage touches only the two k-bounded result lists (a full-outer
+    * join of two 30-row frames) — at any corpus scale the cost is the
+    * two retrievals, which are each one bounded-shuffle pass. Ranks
+    * derive from the ROUNDED scores (4dp) with id tiebreak so both
+    * engines rank identically.
+    */
+  def q237RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val bm = RetrievalOps.bm25TopK(
+        Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+        Seq("spark", "sql", "hash"), k = 30)
+      .withColumn("r_bm25", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_bm25"))
+    val qv = VectorOps.embeddingOf(s, dir, vecId = 7L)
+    val ann = VectorOps.bruteForceTopK(Tables.embeddings(s, dir), qv, k = 30)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    bm.join(ann, Seq("doc_id"), "outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+      .select(col("doc_id"), col("r_bm25"), col("r_vec"), col("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** q238_funnel — ordered multi-step funnel conversion
+    * (view → click → purchase): per user, the FIRST view, the first
+    * click at-or-after it, the first purchase at-or-after that; per
+    * step the surviving-user count, conversion from the previous step,
+    * and mean step latency in hours — the product-analytics staple that
+    * q60/q202's generic pattern matching doesn't directly give. Each
+    * step is one user-keyed aggregation + one equi-join (shuffle on
+    * user_id, map-side-combined mins); the 3-row summary uses a lag
+    * window, no driver collect. Integer-µs latency arithmetic for
+    * engine parity.
+    */
+  def q238Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("__us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("__us")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("__us") >= col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("__us")).as("t2"), max(col("t1")).as("t1"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("t2")), Seq("user_id"))
+      .filter(col("__us") >= col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("__us")).as("t3"), max(col("t2")).as("t2"))
+    val nullLat = lit(null).cast("double")
+    val tagged = v.select(lit(1).as("step_no"), lit("view").as("step"),
+        col("user_id"), nullLat.as("__lat_h"))
+      .unionByName(c.select(lit(2).as("step_no"), lit("click").as("step"),
+        col("user_id"),
+        ((col("t2") - col("t1")) / 3.6e9).as("__lat_h")))
+      .unionByName(p.select(lit(3).as("step_no"), lit("purchase").as("step"),
+        col("user_id"),
+        ((col("t3") - col("t2")) / 3.6e9).as("__lat_h")))
+    tagged.groupBy(col("step_no"), col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("__lat_h")), 2).as("avg_hours_from_prev"))
+      .withColumn("conv_from_prev", round(try_divide(col("n_users"),
+        lag(col("n_users"), 1).over(Window.orderBy(col("step_no")))), 4))
+      .select(col("step_no"), col("step"), col("n_users"),
+        col("conv_from_prev"), col("avg_hours_from_prev"))
+      .orderBy(col("step_no"))
+  }
+
+  /** q239_sorted_neighborhood — sorted-neighborhood (SNM) blocking for
+    * dedup: sort documents by a content key (their 3 smallest distinct
+    * tokens), slide a window of w = 4 over the sorted order, verify
+    * exact Jaccard (≥ 0.5) only within the window — the classic
+    * alternative to LSH banding (Hernández & Stolfo SIGMOD'95) when a
+    * domain sort key clusters duplicates. The sort is PER BLOCK (first
+    * sorted token), so the window is `partitionBy(block)` — no global
+    * single-partition sort; block-boundary pairs are the method's known
+    * blind spot, mitigated in production by multi-key passes. Pair
+    * generation is an equi-join on (block, rank+offset): w−1 bounded
+    * probes per doc, never a block² product.
+    */
+  def q239SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokenSet(col("text")).as("__toks"))
+      .withColumn("__sorted", sort_array(col("__toks")))
+      .withColumn("__key", array_join(slice(col("__sorted"), 1, 3), " "))
+      .withColumn("__block", element_at(col("__sorted"), 1))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__block"))
+          .orderBy(col("__key"), col("doc_id"))))
+      .localCheckpoint() // both sides of the neighbor probe
+    val probe = docs.select(col("__block"), col("doc_id").as("__ida"),
+        col("__toks").as("__ta"),
+        explode(array((1 until w).map(j => col("__rn") + j): _*)).as("__rn"))
+    probe.join(docs.select(col("__block"), col("__rn"),
+        col("doc_id").as("__idb"), col("__toks").as("__tb")),
+        Seq("__block", "__rn"))
+      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("double"))
+      .withColumn("jaccard", col("__i") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")))
+      .filter(col("jaccard") >= 0.5)
+      .select(least(col("__ida"), col("__idb")).as("doc_a"),
+        greatest(col("__ida"), col("__idb")).as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q240_token_kl_drift — textual distribution drift between two
+    * cohorts (even/odd doc ids) per language: add-1-smoothed token
+    * distributions over the joint vocabulary, KL(A‖B), KL(B‖A) and the
+    * symmetric Jensen–Shannon divergence — the language-modeling
+    * counterpart of q112/q138's NUMERIC drift tests, and the standard
+    * "did my corpus shift" readout before retraining. One tokenize
+    * pass → one (lang, token) aggregation → one lang-level fold; the
+    * per-lang totals broadcast back. All map-side-combined.
+    */
+  def q240TokenKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("__isA"),
+        explode(TextOps.tokens(col("text"))).as("__t"))
+    val ct = tok.groupBy(col("lang"), col("__t"))
+      .agg(count(when(col("__isA"), 1)).cast("double").as("__ca"),
+        count(when(!col("__isA"), 1)).cast("double").as("__cb"))
+    val tot = ct.groupBy(col("lang"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+        count(lit(1)).cast("double").as("__v"))
+    val pa = (col("__ca") + 1) / (col("__na") + col("__v"))
+    val pb = (col("__cb") + 1) / (col("__nb") + col("__v"))
+    val pm = (pa + pb) / 2
+    ct.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("__na"), col("__nb"), col("__v"),
+        (pa * log(pa / pb)).as("__klab"),
+        (pb * log(pb / pa)).as("__klba"),
+        (pa * log(pa / pm) / 2 + pb * log(pb / pm) / 2).as("__js"))
+      .groupBy(col("lang"))
+      .agg(max(col("__na")).cast("long").as("n_tokens_a"),
+        max(col("__nb")).cast("long").as("n_tokens_b"),
+        max(col("__v")).cast("long").as("vocab"),
+        round(sum(col("__klab")), 4).as("kl_ab"),
+        round(sum(col("__klba")), 4).as("kl_ba"),
+        round(sum(col("__js")), 4).as("jsd"))
+      .orderBy(col("lang"))
+  }
+
+  /** q241_poisson_bootstrap — deterministic Poisson-bootstrap
+    * confidence intervals for the per-priority mean order value: each
+    * row contributes Poisson(1) copies to each of B = 32 replicates
+    * (the resampling scheme that works on unbounded data — no global n
+    * needed, one pass, map-side combinable; Chamandy et al., Google
+    * 2012), with the uniform md5-derived from (replicate, orderkey) so
+    * every draw replays in ANY engine (q235's trick, λ = 1). The CI is
+    * the 2.5/97.5 percentile of replicate means. Shuffle carries
+    * |priorities| × B partial sums — B multiplies map-side work, not
+    * exchange width.
+    */
+  def q241PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val B = 32
+    // cap per BalanceOps' Chernoff sizing at λ=1: ceil(1+10·√1+10)=21
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice").cast("double").as("__v"))
+    val reps = o.withColumn("__b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("__u", (TextOps.hash32(
+        concat(col("__b").cast("string"), lit(":"),
+          col("o_orderkey").cast("string")), seed = "bs:") + 0.5) /
+        lit(4294967296.0))
+      .withColumn("__w",
+        call_function("poisson_draw", col("__u"), lit(1.0), lit(21)))
+    val repMeans = reps.groupBy(col("o_orderpriority"), col("__b"))
+      .agg(try_divide(sum(col("__w") * col("__v")), sum(col("__w")))
+        .as("__m"))
+    val ci = repMeans.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_reps"),
+        round(expr("percentile(__m, 0.025)"), 2).as("ci_lo"),
+        round(expr("percentile(__m, 0.975)"), 2).as("ci_hi"))
+    val point = o.groupBy(col("o_orderpriority"))
+      .agg(round(avg(col("__v")), 2).as("mean_price"))
+    point.join(ci, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("mean_price"), col("n_reps"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q242_ohlc_bars — time-bucket downsampling to OHLC bars: per
+    * (event_type, day) the first/last value by event time (open/close,
+    * via `min_by`/`max_by` on a (µs, event_id) struct — total order, so
+    * same-timestamp ties break identically in both engines) plus
+    * high/low/count — the canonical telemetry/financial downsampling
+    * operator. ONE map-side-combined aggregation over the raw stream;
+    * min_by/max_by keep a single (key, value) pair per group per
+    * partition, so the shuffle carries |buckets| rows, never a sort.
+    */
+  def q242OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val ord = struct(unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min_by(col("value"), ord), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), ord), 2).as("close"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q243_sprt — Wald's sequential probability ratio test as a daily
+    * monitoring query: is the purchase share of view+purchase traffic
+    * p₁ = 0.55 (H₁) or p₀ = 0.45 (H₀)? Each day contributes
+    * x·ln(p₁/p₀) + (n−x)·ln((1−p₁)/(1−p₀)) to a running
+    * log-likelihood ratio; the verdict crosses ±ln((1−β)/α) at
+    * α = β = 0.05 — the sequential A/B readout that stops experiments
+    * early instead of waiting for a fixed horizon (q205/q207 are the
+    * fixed-horizon tests). Raw events collapse to |days| rows in one
+    * aggregation; the cumulative window runs on that bounded frame.
+    */
+  def q243Sprt(s: SparkSession, dir: String): DataFrame = {
+    val bound = math.log(19.0) // ln((1-0.05)/0.05)
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("x"))
+    daily
+      .withColumn("__llr",
+        col("x") * log(lit(0.55 / 0.45)) +
+          (col("n") - col("x")) * log(lit(0.45 / 0.55)))
+      .withColumn("cum_llr", round(sum(col("__llr")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .withColumn("verdict",
+        when(col("cum_llr") >= bound, "accept_h1")
+          .when(col("cum_llr") <= -bound, "accept_h0")
+          .otherwise("continue"))
+      .select(col("day"), col("n"), col("x"), col("cum_llr"),
+        col("verdict"))
+      .orderBy(col("day"))
+  }
+
+  /** q244_assoc_rules — exact association rules (support / confidence /
+    * lift) from order baskets: part pairs co-occurring in ≥ 2 orders,
+    * both rule directions — the interpretable step AFTER q151's
+    * FPGrowth finds frequent itemsets (FPGrowth gives supports; rules
+    * need the antecedent joins this query does exactly). Pair
+    * generation is a self equi-join ON THE BASKET KEY, so the fan-out
+    * is Σ basket² (baskets are bounded — TPC-H ~4 parts/order), never
+    * corpus²; item counts broadcast back; the lone 1-row crossJoin is
+    * the basket-count scalar.
+    */
+  def q244AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nb = b.agg(count_distinct(col("l_orderkey")).cast("double")
+      .as("__n"))
+    val ic = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("__ci"))
+    val p = b.select(col("l_orderkey"), col("l_partkey").as("ia"))
+      .join(b.select(col("l_orderkey"), col("l_partkey").as("ib")),
+        Seq("l_orderkey"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= 2)
+    val directed = p.select(col("ia").as("antecedent"),
+        col("ib").as("consequent"), col("__np"))
+      .unionByName(p.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("__np")))
+    directed
+      .join(broadcast(ic.select(col("l_partkey").as("antecedent"),
+        col("__ci").as("__ca"))), Seq("antecedent"))
+      .join(broadcast(ic.select(col("l_partkey").as("consequent"),
+        col("__ci").as("__cb"))), Seq("consequent"))
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"),
+        col("__np").as("n_both"),
+        round(col("__np").cast("double") / col("__n"), 6).as("support"),
+        round(col("__np").cast("double") / col("__ca"), 4)
+          .as("confidence"),
+        round(col("__np").cast("double") * col("__n") /
+          (col("__ca") * col("__cb")), 4).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q242_ohlc_bars" -> (q242OhlcBars _),
+    "q243_sprt" -> (q243Sprt _),
+    "q244_assoc_rules" -> (q244AssocRules _),
+    "q236_quantile_sketch" -> (q236QuantileSketch _),
+    "q237_rrf_fusion" -> (q237RrfFusion _),
+    "q238_funnel" -> (q238Funnel _),
+    "q239_sorted_neighborhood" -> (q239SortedNeighborhood _),
+    "q240_token_kl_drift" -> (q240TokenKlDrift _),
+    "q241_poisson_bootstrap" -> (q241PoissonBootstrap _),
+  )
+
+  import ExtensionQueries.toksSql
+
+  val oracle: Map[String, String] = Map(
+    "q242_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, (ts::TIMESTAMP)::DATE AS day,
+        |    value, epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),
+        |r AS (SELECT event_type, day, value,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, day, count(*)::BIGINT AS n_events,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q243_sprt" ->
+      """WITH d AS (SELECT (ts::TIMESTAMP)::DATE AS day,
+        |    count(*)::BIGINT AS n,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT
+        |      AS x
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |c AS (SELECT day, n, x,
+        |    round(sum(x * ln(0.55 / 0.45) + (n - x) * ln(0.45 / 0.55))
+        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4)
+        |      AS cum_llr
+        |  FROM d)
+        |SELECT day, n, x, cum_llr,
+        |  CASE WHEN cum_llr >= ln(19.0) THEN 'accept_h1'
+        |       WHEN cum_llr <= -ln(19.0) THEN 'accept_h0'
+        |       ELSE 'continue' END AS verdict
+        |FROM c ORDER BY day""".stripMargin,
+    "q244_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM b),
+        |ic AS (SELECT l_partkey, count(*)::BIGINT AS ci FROM b
+        |  GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS ia, c.l_partkey AS ib,
+        |    count(*)::BIGINT AS np
+        |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+        |    AND a.l_partkey < c.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT ia AS antecedent, ib AS consequent, np FROM p
+        |  UNION ALL SELECT ib, ia, np FROM p)
+        |SELECT d.antecedent, d.consequent, d.np AS n_both,
+        |  round(d.np / nb.n, 6) AS support,
+        |  round(d.np / ca.ci, 4) AS confidence,
+        |  round(d.np * nb.n / (ca.ci * cb.ci), 4) AS lift
+        |FROM d
+        |JOIN ic ca ON ca.l_partkey = d.antecedent
+        |JOIN ic cb ON cb.l_partkey = d.consequent, nb
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "q239_sorted_neighborhood" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    list_sort(list_distinct($toksSql)) AS st,
+        |    list_distinct($toksSql) AS toks
+        |  FROM documents),
+        |k AS (SELECT doc_id, toks,
+        |    array_to_string(list_slice(st, 1, 3), ' ') AS key,
+        |    st[1] AS block FROM t),
+        |r AS (SELECT doc_id, toks, block,
+        |    row_number() OVER (PARTITION BY block ORDER BY key, doc_id)
+        |      AS rn FROM k),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    a.toks AS ta, b.toks AS tb
+        |  FROM r a JOIN r b
+        |    ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3),
+        |j AS (SELECT ida, idb,
+        |    len(list_intersect(ta, tb))::DOUBLE AS i,
+        |    len(ta) AS na, len(tb) AS nb FROM p)
+        |SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+        |  round(i / (na + nb - i), 4) AS jaccard
+        |FROM j WHERE i / (na + nb - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q240_token_kl_drift" ->
+      s"""WITH tok AS (SELECT lang, doc_id % 2 = 0 AS isa,
+        |    unnest($toksSql) AS t FROM documents),
+        |ct AS (SELECT lang, t,
+        |    count(CASE WHEN isa THEN 1 END)::DOUBLE AS ca,
+        |    count(CASE WHEN NOT isa THEN 1 END)::DOUBLE AS cb
+        |  FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb,
+        |    count(*)::DOUBLE AS v FROM ct GROUP BY 1),
+        |p AS (SELECT ct.lang, tot.na, tot.nb, tot.v,
+        |    (ca + 1) / (na + v) AS pa, (cb + 1) / (nb + v) AS pb
+        |  FROM ct JOIN tot USING (lang))
+        |SELECT lang, max(na)::BIGINT AS n_tokens_a,
+        |  max(nb)::BIGINT AS n_tokens_b, max(v)::BIGINT AS vocab,
+        |  round(sum(pa * ln(pa / pb)), 4) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)), 4) AS kl_ba,
+        |  round(sum(pa * ln(pa / ((pa + pb) / 2)) / 2 +
+        |            pb * ln(pb / ((pa + pb) / 2)) / 2), 4) AS jsd
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    "q241_poisson_bootstrap" ->
+      """WITH RECURSIVE o AS (SELECT o_orderkey, o_orderpriority,
+        |    o_totalprice::DOUBLE AS v FROM orders),
+        |walk AS (
+        |  SELECT 0 AS k, exp(-1.0) AS term, exp(-1.0) AS cum
+        |  UNION ALL SELECT k + 1, term * 1.0 / (k + 1),
+        |    cum + term * 1.0 / (k + 1)
+        |  FROM walk WHERE k + 1 <= 20),
+        |reps AS (SELECT o.o_orderkey, o.o_orderpriority, o.v, b.b,
+        |    (('0x' || substr(md5('bs:' || b.b::VARCHAR || ':' ||
+        |      o.o_orderkey::VARCHAR), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM o, (SELECT unnest(range(0, 32)) AS b) b),
+        |w AS (SELECT o_orderpriority, b, v,
+        |    (SELECT count(*) FROM walk wk WHERE reps.u > wk.cum) AS wgt
+        |  FROM reps),
+        |m AS (SELECT o_orderpriority, b, sum(wgt * v) / sum(wgt) AS m
+        |  FROM w GROUP BY 1, 2),
+        |ci AS (SELECT o_orderpriority, count(*)::BIGINT AS n_reps,
+        |    round(quantile_cont(m, 0.025), 2) AS ci_lo,
+        |    round(quantile_cont(m, 0.975), 2) AS ci_hi
+        |  FROM m GROUP BY 1),
+        |pt AS (SELECT o_orderpriority, round(avg(v), 2) AS mean_price
+        |  FROM o GROUP BY 1)
+        |SELECT pt.o_orderpriority, mean_price, n_reps, ci_lo, ci_hi
+        |FROM pt JOIN ci USING (o_orderpriority) ORDER BY 1""".stripMargin,
+    "q236_quantile_sketch" ->
+      """SELECT 'p25' AS quantile,
+        |  round(quantile_cont(l_extendedprice::DOUBLE, 0.25), 2) AS exact_v,
+        |  true AS approx_ok FROM lineitem
+        |UNION ALL SELECT 'p50',
+        |  round(quantile_cont(l_extendedprice::DOUBLE, 0.50), 2), true
+        |FROM lineitem
+        |UNION ALL SELECT 'p75',
+        |  round(quantile_cont(l_extendedprice::DOUBLE, 0.75), 2), true
+        |FROM lineitem
+        |UNION ALL SELECT 'p95',
+        |  round(quantile_cont(l_extendedprice::DOUBLE, 0.95), 2), true
+        |FROM lineitem
+        |ORDER BY quantile""".stripMargin,
+    "q237_rrf_fusion" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token
+        |      FROM t),
+        |m AS (SELECT * FROM d WHERE token IN ('spark', 'sql', 'hash')),
+        |tf AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf
+        |       FROM m GROUP BY 1, 2, 3),
+        |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl
+        |      FROM t),
+        |fr AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+        |       FROM m GROUP BY token),
+        |sc AS (SELECT tf.doc_id,
+        |    ln((s.n_docs - fr.df + 0.5) / (fr.df + 0.5) + 1) * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sterm
+        |  FROM tf, fr, s WHERE tf.token = fr.token),
+        |bm0 AS (SELECT doc_id, round(sum(sterm), 4) AS score
+        |      FROM sc GROUP BY doc_id ORDER BY sum(sterm) DESC, doc_id
+        |      LIMIT 30),
+        |bm AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm25
+        |  FROM bm0),
+        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+        |cs0 AS (SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      qv.embedding::DOUBLE[]), 4) AS cos_sim,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      qv.embedding::DOUBLE[]) AS raw
+        |  FROM embeddings e, qv ORDER BY raw DESC, vec_id LIMIT 30),
+        |cs AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+        |  FROM cs0),
+        |f AS (SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+        |    bm.r_bm25, cs.r_vec,
+        |    round(coalesce(1.0 / (60 + bm.r_bm25), 0) +
+        |          coalesce(1.0 / (60 + cs.r_vec), 0), 6) AS rrf_score
+        |  FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id)
+        |SELECT doc_id, r_bm25::INT AS r_bm25, r_vec::INT AS r_vec,
+        |  rrf_score
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    "q238_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.us) AS t2, max(v.t1) AS t1
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.us >= v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.us) AS t3, max(c.t2) AS t2
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us >= c.t2 GROUP BY 1),
+        |u AS (
+        |  SELECT 1 AS step_no, 'view' AS step, user_id,
+        |    NULL::DOUBLE AS lat_h FROM v
+        |  UNION ALL SELECT 2, 'click', user_id, (t2 - t1) / 3.6e9 FROM c
+        |  UNION ALL SELECT 3, 'purchase', user_id, (t3 - t2) / 3.6e9 FROM p),
+        |a AS (SELECT step_no, step, count(*)::BIGINT AS n_users,
+        |    round(avg(lat_h), 2) AS avg_hours_from_prev
+        |  FROM u GROUP BY 1, 2)
+        |SELECT step_no, step, n_users,
+        |  round(n_users / lag(n_users) OVER (ORDER BY step_no), 4)
+        |    AS conv_from_prev,
+        |  avg_hours_from_prev
+        |FROM a ORDER BY step_no""".stripMargin,
+  )
+}

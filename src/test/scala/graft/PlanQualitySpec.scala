@@ -117,7 +117,14 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // distinct-user count)
     "q215_rfm_features", "q216_cooccur_lift",
     // q233 cross-joins the broadcast 1-row corpus-min-day anchor
-    "q233_backtest_folds")
+    "q233_backtest_folds",
+    // q236 cross-joins the broadcast 1-row sketch frame (+ the
+    // percentile-fence scalar inside exactPercentiles)
+    "q236_quantile_sketch",
+    // q237's BM25 side carries q117's broadcast 1-row df/N/avgdl scalar
+    "q237_rrf_fusion",
+    // q244 cross-joins the broadcast 1-row basket-count scalar
+    "q244_assoc_rules")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
