@@ -334,7 +334,174 @@ object AnalyticsQueries {
       .orderBy(col("antecedent"), col("consequent"))
   }
 
+  /** q245_rolling_regression — trailing-14-day OLS slope of each
+    * type's daily volume, one value PER DAY (the rolling form of
+    * q189's static per-group regression — "is this series accelerating
+    * right now", the monitoring shape): all five co-moment sums
+    * (n, Σx, Σy, Σxy, Σx²) accumulate over ONE event-time RANGE frame
+    * and the closed-form slope derives in the projection — no
+    * per-window refit, no pair fan-out. Raw events collapse to the
+    * |types|×|days| frame first; try_divide nulls the slope where the
+    * window holds a single day (zero variance).
+    */
+  def q245RollingRegression(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01"))
+        .cast("double"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rangeBetween(-13, 0)
+    daily
+      .withColumn("__n", count(lit(1)).over(w).cast("double"))
+      .withColumn("__sx", sum(col("x")).over(w))
+      .withColumn("__sy", sum(col("y")).over(w))
+      .withColumn("__sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("__sxx", sum(col("x") * col("x")).over(w))
+      .select(col("event_type"), col("day"), col("__n").cast("long")
+        .as("n_days"),
+        round(try_divide(col("__n") * col("__sxy") - col("__sx") * col("__sy"),
+          col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          .as("slope_14d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q246_event_paths — frequent 3-step behavioral paths: each user's
+    * event stream yields its consecutive event-type trigrams (two
+    * lead() windows over the user-time order), counted corpus-wide and
+    * top-20 returned — the journey-mining operator behind "what do
+    * users do before purchasing" (q122/q216 are the 2-step forms).
+    * Shuffle = one window partition on user + one map-side-combined
+    * count on the (≤|types|³)-bounded trigram domain.
+    */
+  def q246EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("__e1"))
+      .withColumn("__e2", lead(col("__e1"), 1).over(w))
+      .withColumn("__e3", lead(col("__e1"), 2).over(w))
+      .filter(col("__e3").isNotNull)
+      .groupBy(col("__e1"), col("__e2"), col("__e3"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(concat_ws(" > ", col("__e1"), col("__e2"), col("__e3"))
+        .as("path"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(20)
+  }
+
+  /** q247_fellegi_sunter — probabilistic record-linkage scoring
+    * (Fellegi–Sunter 1969, the foundation of every ER system): within
+    * nation blocks, each candidate customer pair scores
+    * Σ_field (agree ? ln(m/u) : ln((1−m)/(1−u))) over three field
+    * comparators (market segment; |balance δ| ≤ 100; same balance
+    * k-bucket) with fixed published m/u rates; pairs above weight 3.0
+    * are match candidates. Blocking bounds the pair fan-out to
+    * Σ block² (the q239/q184 discipline — scoring is only ever run on
+    * BLOCKED candidates); weights are pure projection arithmetic.
+    */
+  // Fellegi–Sunter agreement/disagreement log-weights, computed ONCE
+  // driver-side and shared verbatim with the oracle SQL (Double.toString
+  // round-trips, so both engines compare identical literals)
+  private def lnr(m: Double, u: Double) =
+    (math.log(m / u), math.log((1 - m) / (1 - u)))
+  private val (mktA, mktD) = lnr(0.9, 0.2)
+  private val (balA, balD) = lnr(0.85, 0.02)
+  private val (kbA, kbD) = lnr(0.8, 0.1)
+
+  def q247FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("__blk"),
+      col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal").cast("double").as("__bal"),
+      floor(col("c_acctbal") / 1000).as("__kb"))
+    val a = c.select(col("__blk"), col("c_custkey").as("id_a"),
+      col("c_mktsegment").as("__ma"), col("__bal").as("__ba"),
+      col("__kb").as("__ka"))
+    val b = c.select(col("__blk"), col("c_custkey").as("id_b"),
+      col("c_mktsegment").as("__mb"), col("__bal").as("__bb"),
+      col("__kb").as("__kbb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__w",
+        when(col("__ma") === col("__mb"), mktA).otherwise(mktD) +
+          when(abs(col("__ba") - col("__bb")) <= 100, balA).otherwise(balD) +
+          when(col("__ka") === col("__kbb"), kbA).otherwise(kbD))
+      .filter(col("__w") >= 3.0)
+      .withColumn("n_agree",
+        when(col("__ma") === col("__mb"), 1).otherwise(0) +
+          when(abs(col("__ba") - col("__bb")) <= 100, 1).otherwise(0) +
+          when(col("__ka") === col("__kbb"), 1).otherwise(0))
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        round(col("__w"), 4).as("weight"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q248_embedding_drift — per-dimension standardized mean difference
+    * between two corpus cohorts (even/odd vec ids): for each of the 64
+    * dims, cohort means and the pooled standard deviation give
+    * SMD = (μa − μb)/σ_pooled, |SMD| > 0.1 flags a drifted dimension —
+    * the embedding-space analogue of q112/q138's feature drift (an
+    * embedding distribution that moves silently poisons every
+    * downstream ANN/classifier). One posexplode + one dim-keyed
+    * aggregation from raw co-moments — dims are bounded, rows aren't.
+    */
+  def q248EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 2 === 0).as("__isA"),
+        posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .select(col("dim"), col("__isA"), col("__v").cast("double").as("__v"))
+    e.groupBy(col("dim"))
+      .agg(count(when(col("__isA"), 1)).cast("double").as("__na"),
+        count(when(!col("__isA"), 1)).cast("double").as("__nb"),
+        sum(when(col("__isA"), col("__v"))).as("__sa"),
+        sum(when(!col("__isA"), col("__v"))).as("__sb"),
+        sum(when(col("__isA"), col("__v") * col("__v"))).as("__qa"),
+        sum(when(!col("__isA"), col("__v") * col("__v"))).as("__qb"))
+      .withColumn("__ma", col("__sa") / col("__na"))
+      .withColumn("__mb", col("__sb") / col("__nb"))
+      .withColumn("__va",
+        (col("__qa") - col("__sa") * col("__sa") / col("__na")) /
+          (col("__na") - 1))
+      .withColumn("__vb",
+        (col("__qb") - col("__sb") * col("__sb") / col("__nb")) /
+          (col("__nb") - 1))
+      .withColumn("smd", round(try_divide(col("__ma") - col("__mb"),
+        sqrt((col("__va") + col("__vb")) / 2)), 4))
+      .select(col("dim"), round(col("__ma"), 4).as("mean_a"),
+        round(col("__mb"), 4).as("mean_b"), col("smd"),
+        (abs(col("smd")) > 0.1).as("drifted"))
+      .orderBy(col("dim"))
+  }
+
+  /** q249_variant_json — semi-structured ingestion through Spark 4's
+    * VARIANT type: `parse_json` shreds the props JSON once into the
+    * binary variant encoding, `variant_get` extracts typed paths with
+    * no per-access re-parse — the modern replacement for q18's
+    * string-path get_json_object on hot semi-structured columns (one
+    * parse, many typed reads; open-format equivalent of the lakehouse
+    * engines' shredded JSON). Aggregates k-deciles so the output is
+    * bounded and the oracle replays with plain JSON extraction.
+    */
+  def q249VariantJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.parallelize(Tables.events(s, dir))
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("__k"),
+        col("value"))
+      .withColumn("k_decile", floor(col("__k") / 10))
+      .groupBy(col("event_type"), col("k_decile"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("__k")), 2).as("avg_k"))
+      .orderBy(col("event_type"), col("k_decile"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q245_rolling_regression" -> (q245RollingRegression _),
+    "q246_event_paths" -> (q246EventPaths _),
+    "q247_fellegi_sunter" -> (q247FellegiSunter _),
+    "q248_embedding_drift" -> (q248EmbeddingDrift _),
+    "q249_variant_json" -> (q249VariantJson _),
     "q242_ohlc_bars" -> (q242OhlcBars _),
     "q243_sprt" -> (q243Sprt _),
     "q244_assoc_rules" -> (q244AssocRules _),
@@ -349,6 +516,81 @@ object AnalyticsQueries {
   import ExtensionQueries.toksSql
 
   val oracle: Map[String, String] = Map(
+    "q245_rolling_regression" ->
+      """WITH d AS (SELECT event_type, (ts::TIMESTAMP)::DATE AS day,
+        |    count(*)::DOUBLE AS y FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, day, y,
+        |    date_diff('day', DATE '2024-01-01', day)::DOUBLE AS x
+        |  FROM d),
+        |w AS (SELECT event_type, day,
+        |    count(*) OVER win::DOUBLE AS n,
+        |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+        |    sum(x * y) OVER win AS sxy, sum(x * x) OVER win AS sxx
+        |  FROM x WINDOW win AS (PARTITION BY event_type ORDER BY x
+        |    RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n::BIGINT AS n_days,
+        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4)
+        |    AS slope_14d
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    "q246_event_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+        |    event_id, event_type AS e1 FROM events),
+        |l AS (SELECT user_id, e1,
+        |    lead(e1, 1) OVER win AS e2, lead(e1, 2) OVER win AS e3
+        |  FROM e WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |c AS (SELECT e1, e2, e3, count(*)::BIGINT AS n_occurrences
+        |  FROM l WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, n_occurrences
+        |FROM c ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin,
+    "q247_fellegi_sunter" ->
+      s"""WITH c AS (SELECT c_nationkey AS blk, c_custkey, c_mktsegment,
+        |    c_acctbal::DOUBLE AS bal, floor(c_acctbal / 1000) AS kb
+        |  FROM customer),
+        |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    (CASE WHEN a.c_mktsegment = b.c_mktsegment
+        |      THEN $mktA ELSE $mktD END) +
+        |    (CASE WHEN abs(a.bal - b.bal) <= 100
+        |      THEN $balA ELSE $balD END) +
+        |    (CASE WHEN a.kb = b.kb THEN $kbA ELSE $kbD END) AS w,
+        |    (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END) +
+        |    (CASE WHEN abs(a.bal - b.bal) <= 100 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.kb = b.kb THEN 1 ELSE 0 END) AS n_agree
+        |  FROM c a JOIN c b
+        |    ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, n_agree, round(w, 4) AS weight
+        |FROM p WHERE w >= 3.0 ORDER BY id_a, id_b""".stripMargin,
+    "q248_embedding_drift" ->
+      """WITH d AS (SELECT vec_id % 2 = 0 AS isa,
+        |    (generate_subscripts(embedding, 1) - 1)::INT AS dim,
+        |    unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |a AS (SELECT dim,
+        |    count(CASE WHEN isa THEN 1 END)::DOUBLE AS na,
+        |    count(CASE WHEN NOT isa THEN 1 END)::DOUBLE AS nb,
+        |    sum(CASE WHEN isa THEN v END) AS sa,
+        |    sum(CASE WHEN NOT isa THEN v END) AS sb,
+        |    sum(CASE WHEN isa THEN v * v END) AS qa,
+        |    sum(CASE WHEN NOT isa THEN v * v END) AS qb
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT dim, sa / na AS ma, sb / nb AS mb,
+        |    (qa - sa * sa / na) / (na - 1) AS va,
+        |    (qb - sb * sb / nb) / (nb - 1) AS vb
+        |  FROM a),
+        |s AS (SELECT dim, ma, mb,
+        |    round((ma - mb) / nullif(sqrt((va + vb) / 2), 0), 4) AS smd
+        |  FROM m)
+        |SELECT dim, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  smd, abs(smd) > 0.1 AS drifted
+        |FROM s ORDER BY dim""".stripMargin,
+    "q249_variant_json" ->
+      """WITH e AS (SELECT event_type,
+        |    json_extract(props::JSON, '$.k')::INT AS k, value
+        |  FROM events)
+        |SELECT event_type, floor(k / 10)::BIGINT AS k_decile,
+        |  count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS total_value,
+        |  round(avg(k), 2) AS avg_k
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q242_ohlc_bars" ->
       """WITH e AS (SELECT event_type, (ts::TIMESTAMP)::DATE AS day,
         |    value, epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),

@@ -1,0 +1,198 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-6 extension operators (X165–X173) —
+  * properties the DuckDB hash-compare can't express directly: bounds,
+  * monotonicity, subset relations, distribution-theory identities.
+  */
+class AnalyticsQueriesSpec extends SparkSpec {
+
+  test("q236: sketch lands inside its claimed tolerance on all quantiles") {
+    val rows = AnalyticsQueries.q236QuantileSketch(spark, sf0001).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getBoolean(2)), "a quantile flagged out of tolerance")
+    // percentiles are monotone in q
+    val byQ = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byQ("p25") <= byQ("p50") && byQ("p50") <= byQ("p75") &&
+      byQ("p75") <= byQ("p95"))
+  }
+
+  test("q237: RRF scores bounded by 2/61 and fused list dominated by " +
+    "dual-listed docs") {
+    val rows = AnalyticsQueries.q237RrfFusion(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val score = r.getDouble(3)
+      assert(score > 0 && score <= 2.0 / 61 + 1e-9, s"RRF score $score")
+      // doc in both lists ⇒ score of two reciprocal terms
+      if (!r.isNullAt(1) && !r.isNullAt(2))
+        assert(score >= 1.0 / (60 + 30) * 2 - 1e-9)
+    }
+    // descending by fused score
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q238: funnel counts are monotone non-increasing, conversions in [0,1]") {
+    val rows = AnalyticsQueries.q238Funnel(spark, sf0001).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("view", "click", "purchase"))
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"funnel widened: ${ns.toSeq}")
+    rows.drop(1).foreach { r =>
+      val conv = r.getDouble(3)
+      assert(conv >= 0 && conv <= 1)
+      assert(r.getDouble(4) >= 0) // latency non-negative
+    }
+  }
+
+  test("q239: SNM pairs are a subset of the exact threshold join") {
+    val snm = AnalyticsQueries.q239SortedNeighborhood(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ops.DedupOps.prefixJaccardJoin(
+        Tables.documents(spark, sf0001), "doc_id",
+        ops.TextOps.tokenSet(col("text")), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.nonEmpty, "SNM found nothing on the near-dup fixture")
+    assert(snm.subsetOf(exact),
+      s"SNM emitted pairs the exact join rejects: ${(snm -- exact).take(3)}")
+  }
+
+  test("q240: KL divergences non-negative, JSD symmetric and ≤ ln 2") {
+    val rows = AnalyticsQueries.q240TokenKlDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (klAb, klBa, jsd) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(klAb >= -1e-9 && klBa >= -1e-9, s"negative KL: $klAb / $klBa")
+      assert(jsd >= -1e-9 && jsd <= math.log(2) + 1e-9, s"JSD $jsd")
+      // JSD is bounded by both one-directional KLs' average
+      assert(jsd <= (klAb + klBa) / 2 + 1e-6)
+    }
+  }
+
+  test("q241: bootstrap CI brackets the point mean and is reproducible") {
+    val a = AnalyticsQueries.q241PoissonBootstrap(spark, sf0001).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      assert(r.getLong(2) == 32)
+      assert(lo <= hi)
+      assert(mean >= lo && mean <= hi,
+        s"point mean $mean outside CI [$lo, $hi]")
+    }
+    // content-keyed uniforms ⇒ bit-identical on a second run
+    val b = AnalyticsQueries.q241PoissonBootstrap(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("q242: OHLC bars satisfy low ≤ open/close ≤ high") {
+    val rows = AnalyticsQueries.q242OhlcBars(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))
+      assert(l <= h)
+      assert(o >= l - 1e-9 && o <= h + 1e-9, s"open $o outside [$l, $h]")
+      assert(c >= l - 1e-9 && c <= h + 1e-9, s"close $c outside [$l, $h]")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("q243: SPRT verdict matches its own bounds; cum LLR is a cumsum") {
+    val rows = AnalyticsQueries.q243Sprt(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val bound = math.log(19.0)
+    rows.foreach { r =>
+      val (llr, verdict) = (r.getDouble(3), r.getString(4))
+      val expected = if (llr >= bound) "accept_h1"
+        else if (llr <= -bound) "accept_h0" else "continue"
+      assert(verdict == expected, s"verdict $verdict at llr $llr")
+    }
+  }
+
+  test("q245: rolling window never exceeds 14 days; slope null only on " +
+    "degenerate windows") {
+    val rows = AnalyticsQueries.q245RollingRegression(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      assert(n >= 1 && n <= 14, s"window of $n days")
+      if (r.isNullAt(3))
+        assert(n == 1, s"null slope on a $n-day window (variance > 0)")
+    }
+  }
+
+  test("q246: paths are well-formed trigrams, counts sorted desc and " +
+    "sum to the corpus trigram count") {
+    val rows = AnalyticsQueries.q246EventPaths(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getString(0).split(" > ").length == 3))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // 5 event types → ≤125 distinct trigrams; with 20 returned the
+    // fixture's total must dominate the tail — just bound it
+    val total = Tables.events(spark, sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(greatest(col("n") - 2, lit(0L)))).head().getLong(0)
+    assert(ns.sum <= total)
+  }
+
+  test("q247: FS weights respect the threshold and the field algebra") {
+    val rows = AnalyticsQueries.q247FellegiSunter(spark, sf0001).collect()
+    assert(rows.nonEmpty, "no match candidates on the fixture")
+    val maxW = math.log(0.9 / 0.2) + math.log(0.85 / 0.02) +
+      math.log(0.8 / 0.1)
+    rows.foreach { r =>
+      val (nAgree, w) = (r.getInt(2), r.getDouble(3))
+      assert(w >= 3.0 - 1e-9, s"below threshold: $w")
+      assert(w <= maxW + 1e-6, s"above max weight: $w")
+      assert(nAgree >= 1 && nAgree <= 3)
+      // the threshold is unreachable without the balance-δ agreement
+      assert(nAgree >= 2)
+    }
+  }
+
+  test("q248: one row per dim, drifted flag consistent with smd") {
+    val rows = AnalyticsQueries.q248EmbeddingDrift(spark, sf0001).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 64))
+    rows.foreach { r =>
+      val smd = r.getDouble(3)
+      assert(!smd.isNaN && !smd.isInfinite)
+      assert(r.getBoolean(4) == (math.abs(smd) > 0.1))
+    }
+  }
+
+  test("q249: variant extraction partitions the event stream exactly") {
+    val rows = AnalyticsQueries.q249VariantJson(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.events(spark, sf0001).count(),
+      "variant path dropped or duplicated rows")
+    rows.foreach { r =>
+      val dec = r.getLong(1)
+      assert(dec >= 0 && dec <= 9, s"k decile $dec out of range")
+    }
+  }
+
+  test("q244: rules have confidence in (0,1], symmetric pair counts, " +
+    "and lift consistent across directions") {
+    val rows = AnalyticsQueries.q244AssocRules(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    byPair.foreach { case ((a, b), (n, sup, conf, lift)) =>
+      assert(n >= 2)
+      assert(conf > 0 && conf <= 1.0)
+      assert(sup > 0 && sup <= 1.0)
+      assert(lift > 0)
+      // the mirrored rule exists with the same n_both and lift
+      val (n2, _, _, lift2) = byPair((b, a))
+      assert(n2 == n)
+      assert(math.abs(lift2 - lift) <= 1e-3,
+        s"lift asymmetry: $lift vs $lift2")
+    }
+  }
+}
