@@ -45,22 +45,57 @@ object ExtensionQueries {
     * bounded replay must equal the batch aggregation — the hash match
     * against q17's batch oracle IS the streaming/batch parity proof.
     */
+  /** Bounded file stream over the SOURCE events.parquet: schema from
+    * the footer, ts normalized post-read (`Tables.eventsNormalize` —
+    * the nanosAsLong escape hatch applies to the streaming parquet
+    * reader too), the single file exposed through a symlink DIRECTORY
+    * because the file stream source lists directories. Zero data
+    * copied — the r5 harnesses each REWROTE the events table before
+    * streaming it, roughly doubling every streaming query's timed body.
+    */
+  private def eventsFileStream(s: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    import java.nio.file.{Files, LinkOption, Paths}
+    val srcDir = Paths.get(s"target/tmp/${tag}_src_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link,
+        Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val path = srcDir.toString
+    Tables.eventsNormalize(
+      s.readStream.schema(s.read.parquet(path).schema).parquet(path))
+  }
+
+  /** Pin the state fan-out of a bounded streaming replay: stateful
+    * operators allocate one state store PER SHUFFLE PARTITION (per side
+    * for joins) per micro-batch, and the store init/commit overhead —
+    * not the data — dominates these bounded replays at local[32]'s 32
+    * default partitions (q194 measured ~9 s → ~3 s at 8). Streaming
+    * state partitioning is fixed AT QUERY START, so the conf is set
+    * only around plan compilation + start and restored after; at
+    * production state volumes the right number is larger, sized to
+    * state-per-executor memory, not core count.
+    */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def q142StreamHourly(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val path = "target/tmp/q142_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    // materialize micros-ts events once: readStream needs a plain
-    // parquet schema (the raw table's TIMESTAMP(NANOS) escape hatch is
-    // a batch-reader flag)
-    Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(path)
     val sink = "q142_sink"
     scala.util.Try(s.catalog.dropTempView(sink))
-    val q = graft.streaming.StreamingOps.hourlyAggStream(
-        s.readStream.schema(s.read.parquet(path).schema).parquet(path))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow()).start()
+    val src = eventsFileStream(s, dir, "q142")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val q = withStreamShuffle(s, 8) {
+      graft.streaming.StreamingOps.hourlyAggStream(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(sink).orderBy(col("hour"), col("event_type"))
   }
@@ -83,19 +118,19 @@ object ExtensionQueries {
     */
   def q218StreamRollup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val path = "target/tmp/q218_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    Tables.events(s, dir)
-      .select(col("ts"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(path)
     val sink = "q218_sink"
     scala.util.Try(s.catalog.dropTempView(sink))
-    val q = s.readStream.schema(s.read.parquet(path).schema).parquet(path)
-      .groupBy(col("event_type"), window(col("ts"), "1 day").as("__w"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"),
-        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow()).start()
+    val src = eventsFileStream(s, dir, "q218")
+      .select(col("ts"), col("event_type"), col("value"))
+    val q = withStreamShuffle(s, 8) {
+      src
+        .groupBy(col("event_type"), window(col("ts"), "1 day").as("__w"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     val daily = s.table(sink)
       .select(col("event_type"),
@@ -128,21 +163,20 @@ object ExtensionQueries {
     */
   def q174StreamSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val path = "target/tmp/q174_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(path)
     val sink = "q174_sink"
     scala.util.Try(s.catalog.dropTempView(sink))
     import s.implicits._
-    val stream = s.readStream.schema(s.read.parquet(path).schema)
-      .parquet(path).as[graft.streaming.StreamingOps.Event]
-    val q = graft.streaming.StreamingOps.sessionizeStream(stream, 30)
-      .toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow()).start()
+    val stream = eventsFileStream(s, dir, "q174")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.StreamingOps.Event]
+    val q = withStreamShuffle(s, 8) {
+      graft.streaming.StreamingOps.sessionizeStream(stream, 30)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(sink)
       .groupBy(col("user_id"))
@@ -567,18 +601,17 @@ object ExtensionQueries {
     */
   def q168StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val path = "target/tmp/q168_events_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .write.mode("overwrite").parquet(path)
     val sink = "q168_sink"
     scala.util.Try(s.catalog.dropTempView(sink))
-    val q = graft.streaming.StreamingOps.dedupStream(
-        s.readStream.schema(s.read.parquet(path).schema).parquet(path),
-        Seq("user_id", "event_type"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow()).start()
+    val src = eventsFileStream(s, dir, "q168")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val q = withStreamShuffle(s, 8) {
+      graft.streaming.StreamingOps.dedupStream(src,
+          Seq("user_id", "event_type"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(sink)
       .groupBy(col("event_type"))
@@ -604,30 +637,19 @@ object ExtensionQueries {
     */
   def q194StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    // the file stream source requires a DIRECTORY; the source table is
-    // a single parquet FILE — bridge with a symlink (zero data copied,
-    // unlike the r5 harness's coalesce(1) rewrite of the whole table)
-    import java.nio.file.{Files, LinkOption, Paths}
-    val srcDir = Paths.get(
-      "target/tmp/q194_src_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    Files.createDirectories(srcDir)
-    val link = srcDir.resolve("events.parquet")
-    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
-      Files.createSymbolicLink(link,
-        Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    val path = srcDir.toString
     val sink = "q194_sink"
     scala.util.Try(s.catalog.dropTempView(sink))
-    val src = Tables.eventsNormalize(
-        s.readStream.schema(s.read.parquet(path).schema).parquet(path))
+    val src = eventsFileStream(s, dir, "q194")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val views = src.filter(col("event_type") === "view").drop("event_type")
     val buys = src.filter(col("event_type") === "purchase").drop("event_type")
-    val q = graft.streaming.StreamingOps
-      .intervalJoinStream(views, buys, "user_id", withinSeconds = 3600L)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(s, 8) {
+      graft.streaming.StreamingOps
+        .intervalJoinStream(views, buys, "user_id", withinSeconds = 3600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(sink)
       .groupBy(col("user_id"))
