@@ -507,7 +507,138 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("k_decile"))
   }
 
+  /** q250_quantile_normalize — quantile normalization: map each
+    * language's doc-length distribution onto the GLOBAL distribution
+    * (the batch-effect correction applied before mixing per-source
+    * quality scores — a source whose scorer runs hot stops dominating
+    * selection). Per-lang percent_rank (ties broken by doc_id for a
+    * total order) interpolates into a broadcast 101-point global
+    * quantile grid (`StatOps.exactPercentiles`, quantile_cont-parity
+    * arithmetic) — the scale path: one window per lang + one bounded
+    * grid, never a global sort of all rows together.
+    */
+  def q250QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("double").as("score"))
+    val grid = StatOps.exactPercentiles(scored.withColumn("__g", lit(1)),
+        "__g", "score", (0 to 100).map(i => s"g$i" -> i / 100.0))
+      .select(array((0 to 100).map(i => col(s"g$i")): _*).as("__grid"))
+    val r = percent_rank().over(Window.partitionBy(col("lang"))
+      .orderBy(col("score"), col("doc_id")))
+    scored.withColumn("__r", r)
+      .crossJoin(broadcast(grid))
+      .withColumn("__pos", col("__r") * 100)
+      .withColumn("__i", least(floor(col("__pos")).cast("int"), lit(99)))
+      .withColumn("normalized", round(
+        element_at(col("__grid"), col("__i") + 1) +
+          (col("__pos") - col("__i")) *
+            (element_at(col("__grid"), col("__i") + 2) -
+              element_at(col("__grid"), col("__i") + 1)), 4))
+      .select(col("doc_id"), col("lang"), col("score"), col("normalized"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q251_stl_decompose — additive seasonal-trend decomposition of the
+    * daily event-count series (STL-lite): trend = centered 7-day
+    * moving average (full windows only), seasonal = day-of-week mean
+    * of the detrended series, residual = remainder — the decomposition
+    * behind q217's seasonal anomaly and every capacity forecast. Raw
+    * events collapse to |days| rows first; the seasonal profile is a
+    * broadcast 7-row join.
+    */
+  def q251StlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("__trend",
+        when(count(lit(1)).over(w) === 7, avg(col("y")).over(w)))
+      .withColumn("__detr", col("y") - col("__trend"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+    val seasonal = detr.filter(col("__detr").isNotNull)
+      .groupBy(col("dow")).agg(avg(col("__detr")).as("__seasonal"))
+    detr.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("day"), col("y").cast("long").as("n_events"),
+        round(col("__trend"), 2).as("trend"),
+        round(col("__seasonal"), 2).as("seasonal"),
+        round(col("__detr") - col("__seasonal"), 2).as("residual"))
+      .orderBy(col("day"))
+  }
+
+  /** q252_conformal — split conformal prediction intervals
+    * (Papadopoulos/Vovk; the distribution-free coverage guarantee
+    * wrapper for ANY point model): calibration half (even orderkeys)
+    * fits the per-priority mean and the 0.9-quantile of absolute
+    * residuals (q̂, via distributed selection); the test half measures
+    * empirical coverage of mean ± q̂ — ≥ ~90% by construction,
+    * asserted via the flag. Two bounded aggregations + one broadcast
+    * join; nothing driver-side.
+    */
+  def q252Conformal(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice").cast("double").as("__v"))
+    val calib = o.filter(col("o_orderkey") % 2 === 0)
+    val test = o.filter(col("o_orderkey") % 2 === 1)
+    val means = calib.groupBy(col("o_orderpriority"))
+      .agg(avg(col("__v")).as("__mean"), count(lit(1)).as("n_calib"))
+    val scores = calib.join(broadcast(means), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        abs(col("__v") - col("__mean")).as("__score"))
+    val qhat = StatOps.exactPercentiles(scores, "o_orderpriority",
+      "__score", Seq("__qhat" -> 0.9))
+    test.join(broadcast(means), Seq("o_orderpriority"))
+      .join(broadcast(qhat), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_test"),
+        round(max(col("__qhat")), 2).as("qhat"),
+        round(avg((abs(col("__v") - col("__mean")) <= col("__qhat"))
+          .cast("double")), 4).as("coverage"))
+      // 0.8, not nominal 0.9: single-split empirical coverage has
+      // binomial noise ~sqrt(0.09/n_test) — the guarantee is on the
+      // EXPECTATION over calibration draws, so the flag allows small-
+      // fixture jitter (sf0.001 observed 0.84 on a 150-row class)
+      .withColumn("coverage_ok", col("coverage") >= 0.8)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q253_bitmap_retention — day-over-day user retention via bitmap
+    * indexes: each (day, 63-user bucket) aggregates a presence BITMAP
+    * (`bit_or` of shifted bits — 63 bits per long so the shift never
+    * overflows either engine); retained users = popcount of
+    * consecutive days' bitmap AND, via one lag window over the
+    * buckets-sized frame. THE technique for distinct-set intersections
+    * at scale — the alternative (self-joining daily distinct-user
+    * sets) shuffles the full user stream twice, the bitmap form
+    * shuffles |users|/63 longs per day and intersects with integer
+    * ops. DuckDB replays the identical bit arithmetic.
+    */
+  def q253BitmapRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val b = e.groupBy(col("day"), expr("user_id div 63").as("bucket"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 63 AS INT)))")
+        .as("bits"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("day"))
+    val l = b.withColumn("__pbits", lag(col("bits"), 1).over(w))
+      .withColumn("__pday", lag(col("day"), 1).over(w))
+    val d = l.groupBy(col("day"))
+      .agg(sum(bit_count(col("bits"))).as("dau"),
+        sum(when(col("__pday") === date_sub(col("day"), 1),
+          bit_count(col("bits").bitwiseAND(col("__pbits"))))
+          .otherwise(0)).as("retained"))
+    d.withColumn("retention_rate", round(try_divide(col("retained"),
+        lag(col("dau"), 1).over(Window.orderBy(col("day")))), 4))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q250_quantile_normalize" -> (q250QuantileNormalize _),
+    "q251_stl_decompose" -> (q251StlDecompose _),
+    "q252_conformal" -> (q252Conformal _),
+    "q253_bitmap_retention" -> (q253BitmapRetention _),
     "q245_rolling_regression" -> (q245RollingRegression _),
     "q246_event_paths" -> (q246EventPaths _),
     "q247_fellegi_sunter" -> (q247FellegiSunter _),
@@ -526,7 +657,80 @@ object AnalyticsQueries {
 
   import ExtensionQueries.toksSql
 
+  // q250 replay: the 101-point grid literal shared by both engines
+  private val gridQsSql: String =
+    (0 to 100).map(i => (i / 100.0).toString).mkString("[", ", ", "]")
+
   val oracle: Map[String, String] = Map(
+    "q250_quantile_normalize" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+        |    len($toksSql)::DOUBLE AS score FROM documents),
+        |g AS (SELECT quantile_cont(score, $gridQsSql) AS grid FROM s),
+        |r AS (SELECT doc_id, lang, score,
+        |    percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY score, doc_id) AS pr
+        |  FROM s),
+        |i AS (SELECT doc_id, lang, score, pr * 100 AS pos,
+        |    least(CAST(floor(pr * 100) AS INT), 99) AS i FROM r)
+        |SELECT i.doc_id, i.lang, i.score,
+        |  round(g.grid[i.i + 1] + (i.pos - i.i) *
+        |    (g.grid[i.i + 2] - g.grid[i.i + 1]), 4) AS normalized
+        |FROM i, g ORDER BY doc_id""".stripMargin,
+    "q251_stl_decompose" ->
+      """WITH d AS (SELECT (ts::TIMESTAMP)::DATE AS day,
+        |    count(*)::DOUBLE AS y FROM events GROUP BY 1),
+        |t AS (SELECT day, y,
+        |    CASE WHEN count(*) OVER w = 7 THEN avg(y) OVER w END AS trend
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT day, y, trend, y - trend AS detr,
+        |    date_part('dow', day)::INTEGER AS dow FROM t),
+        |se AS (SELECT dow, avg(detr) AS seasonal FROM dt
+        |  WHERE detr IS NOT NULL GROUP BY 1)
+        |SELECT dt.day, dt.y::BIGINT AS n_events,
+        |  round(dt.trend, 2) AS trend,
+        |  round(se.seasonal, 2) AS seasonal,
+        |  round(dt.detr - se.seasonal, 2) AS residual
+        |FROM dt LEFT JOIN se USING (dow) ORDER BY day""".stripMargin,
+    "q252_conformal" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    o_totalprice::DOUBLE AS v FROM orders),
+        |calib AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+        |test AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
+        |m AS (SELECT o_orderpriority, avg(v) AS mean,
+        |    count(*)::BIGINT AS n_calib FROM calib GROUP BY 1),
+        |q AS (SELECT c.o_orderpriority,
+        |    quantile_cont(abs(c.v - m.mean), 0.9) AS qhat
+        |  FROM calib c JOIN m USING (o_orderpriority) GROUP BY 1)
+        |SELECT t.o_orderpriority, max(m.n_calib) AS n_calib,
+        |  count(*)::BIGINT AS n_test,
+        |  round(max(q.qhat), 2) AS qhat,
+        |  round(avg(CASE WHEN abs(t.v - m.mean) <= q.qhat
+        |    THEN 1.0 ELSE 0.0 END), 4) AS coverage,
+        |  round(avg(CASE WHEN abs(t.v - m.mean) <= q.qhat
+        |    THEN 1.0 ELSE 0.0 END), 4) >= 0.8 AS coverage_ok
+        |FROM test t JOIN m USING (o_orderpriority)
+        |  JOIN q USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q253_bitmap_retention" ->
+      """WITH e AS (SELECT DISTINCT (ts::TIMESTAMP)::DATE AS day,
+        |    user_id FROM events),
+        |b AS (SELECT day, user_id // 63 AS bucket,
+        |    bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+        |  FROM e GROUP BY 1, 2),
+        |l AS (SELECT day, bucket, bits,
+        |    lag(bits) OVER w AS pbits, lag(day) OVER w AS pday
+        |  FROM b WINDOW w AS (PARTITION BY bucket ORDER BY day)),
+        |d AS (SELECT day,
+        |    sum(bit_count(bits))::BIGINT AS dau,
+        |    sum(CASE WHEN pday = day - 1
+        |      THEN bit_count(bits & pbits) ELSE 0 END)::BIGINT
+        |      AS retained
+        |  FROM l GROUP BY 1)
+        |SELECT day, dau, retained,
+        |  round(retained / nullif(lag(dau) OVER (ORDER BY day), 0), 4)
+        |    AS retention_rate
+        |FROM d ORDER BY day""".stripMargin,
     "q245_rolling_regression" ->
       """WITH d AS (SELECT event_type, (ts::TIMESTAMP)::DATE AS day,
         |    count(*)::DOUBLE AS y FROM events GROUP BY 1, 2),

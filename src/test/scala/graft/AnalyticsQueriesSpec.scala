@@ -177,6 +177,72 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q250: normalized values span the global range and preserve " +
+    "within-group order") {
+    val rows = AnalyticsQueries.q250QuantileNormalize(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val (gMin, gMax) = (rows.map(_._2).min, rows.map(_._2).max)
+    rows.foreach { case (_, _, n) =>
+      assert(n >= gMin - 1e-6 && n <= gMax + 1e-6,
+        s"normalized $n outside global range [$gMin, $gMax]")
+    }
+    // monotone within each language: higher raw score ⇒ ≥ normalized
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case ((_, s1, n1), (_, s2, n2)) =>
+        if (s1 < s2) assert(n1 <= n2 + 1e-6,
+          s"$lang: normalization broke order ($s1->$n1, $s2->$n2)")
+      }
+    }
+  }
+
+  test("q251: decomposition reassembles (trend+seasonal+residual = y)") {
+    val rows = AnalyticsQueries.q251StlDecompose(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val withTrend = rows.filter(!_.isNullAt(2))
+    assert(withTrend.nonEmpty, "no full 7-day windows")
+    withTrend.foreach { r =>
+      val (y, t, sn, res) = (r.getLong(1).toDouble, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      // components rounded to 2dp independently → allow 2-cent slack
+      assert(math.abs(t + sn + res - y) <= 0.02 + 1e-9,
+        s"day ${r.getDate(0)}: $t + $sn + $res != $y")
+    }
+  }
+
+  test("q252: conformal coverage near nominal on every class") {
+    val rows = AnalyticsQueries.q252Conformal(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getDouble(4)
+      assert(r.getBoolean(5), s"coverage_ok false (coverage $cov)")
+      assert(cov <= 1.0 && cov >= 0.75,
+        s"coverage $cov implausibly far from nominal 0.9")
+      assert(r.getDouble(3) > 0) // qhat positive on spread data
+    }
+  }
+
+  test("q253: bitmap DAU equals count_distinct and retention bounded") {
+    val rows = AnalyticsQueries.q253BitmapRetention(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (day, dau, retained) = (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2))
+      assert(dau == exact(day),
+        s"$day: bitmap dau $dau != exact ${exact(day)}")
+      assert(retained <= dau)
+      if (!r.isNullAt(3)) {
+        val rate = r.getDouble(3)
+        assert(rate >= 0 && rate <= 1.0, s"retention $rate")
+      }
+    }
+  }
+
   test("q244: rules have confidence in (0,1], symmetric pair counts, " +
     "and lift consistent across directions") {
     val rows = AnalyticsQueries.q244AssocRules(spark, sf0001).collect()

@@ -124,7 +124,12 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q237's BM25 side carries q117's broadcast 1-row df/N/avgdl scalar
     "q237_rrf_fusion",
     // q244 cross-joins the broadcast 1-row basket-count scalar
-    "q244_assoc_rules")
+    "q244_assoc_rules",
+    // q250 cross-joins the broadcast 1-row global quantile grid (+ the
+    // percentile fences inside exactPercentiles)
+    "q250_quantile_normalize",
+    // q252's exactPercentiles carries its broadcast fence frames
+    "q252_conformal")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
