@@ -634,7 +634,158 @@ object AnalyticsQueries {
       .orderBy(col("day"))
   }
 
+  /** q254_multi_touch — linear multi-touch attribution: each purchase's
+    * value splits EQUALLY across the user's view/click touches in the
+    * preceding 24 h (q179 is the last-touch form; linear credit is the
+    * other standard model and needs the full touch set, not an as-of
+    * probe). The touch join is USER-keyed equi (time bound as a
+    * filter), so fan-out is bounded by per-user activity; credit
+    * arithmetic is a projection; two map-side-combined aggregations
+    * produce the per-channel report.
+    */
+  def q254MultiTouch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      col("value"), unix_micros(col("ts")).as("__us"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("__pid"),
+        col("value").as("__pv"), col("__us").as("__pus"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("__us"))
+    val matched = purchases.join(touches, Seq("user_id"))
+      .filter(col("__us") <= col("__pus") &&
+        col("__us") >= col("__pus") - 24L * 3600 * 1000000)
+    val credit = matched
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__pid"))))
+      .withColumn("__credit", col("__pv") / col("__n"))
+    credit.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("__pid")).as("n_purchases_touched"),
+        round(sum(col("__credit")), 2).as("attributed_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q255_cohort_retention — the weekly cohort-retention triangle:
+    * users cohorted by their FIRST activity week (anchored at the
+    * corpus epoch 2024-01-01, the q223/q233 anchor convention), then
+    * for each (cohort, weeks-since) the distinct active users and the
+    * retention rate against the cohort's size — the table behind every
+    * growth dashboard. Two user-keyed aggregations; the offset-0
+    * cohort sizes broadcast back.
+    */
+  def q255CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+          .as("__week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("__week")).as("__cohort"))
+    val cells = weeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("__cohort").as("cohort_week"),
+        (col("__week") - col("__cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("__size"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("__size"), 4)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** q256_novelty_curve — dedup rate as the corpus grows: documents
+    * arrive in sequential ingest batches (simulated as doc_id % 10 —
+    * the fixture carries no ingest time), each batch's 32/24 token
+    * chunk hashes (q97's chunking) are marked novel iff their
+    * FIRST-seen batch is this one,
+    * and the per-batch novelty rate is the curve every crawl pipeline
+    * watches flatten (marginal new data per crawl). One chunk pass +
+    * min-batch per hash + one batch-level aggregation; no batch²
+    * comparison anywhere.
+    */
+  def q256NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val ch = CurationOps.chunkTokens(
+        Tables.parallelize(Tables.documents(s, dir)), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .select((col("doc_id") % 10).as("batch"), col("chunk_hash"))
+    val first = ch.groupBy(col("chunk_hash"))
+      .agg(min(col("batch")).as("__first"))
+    ch.join(first, Seq("chunk_hash"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__first") === col("batch"), 1)).as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_chunks"), 4))
+      .orderBy(col("batch"))
+  }
+
+  /** q257_neighbor_agg — 2-hop mean feature propagation over the
+    * order–part bipartite graph (the GNN mean-aggregator as a batch
+    * query): hop 1 gives every part the mean total price of orders
+    * containing it; hop 2 gives every order the mean of its parts'
+    * hop-1 features — the neighborhood-smoothed price signal used for
+    * embedding-free graph features. Two equi-joins + two
+    * map-side-combined aggregations; the part-feature frame is
+    * |parts|-bounded and broadcasts.
+    */
+  def q257NeighborAgg(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val ordVal = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double")
+        .as("__v"))
+    val partFeat = edges
+      .join(ordVal, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(avg(col("__v")).as("__pf"), count(lit(1)).as("__deg"))
+    edges.join(broadcast(partFeat), Seq("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("__pf")), 2).as("neighbor_feat"))
+      .join(ordVal, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey").as("o_orderkey"),
+        round(col("__v"), 2).as("o_totalprice"),
+        col("n_parts"), col("neighbor_feat"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q258_lsh_scurve — empirical vs analytic MinHash-LSH s-curve: the
+    * verified candidate pairs from the q95 machinery (8 hashes, band
+    * width 4 ⇒ b=2, r=4) bucketed by TRUE Jaccard, with per-bucket
+    * candidate counts, mean signature-estimate error, and the analytic
+    * collision probability 1−(1−J^r)^b at the bucket midpoint — how an
+    * LSH deployment picks (b, r) before committing a corpus-scale run
+    * (q95/q162 measure one operating point; this shows the curve).
+    */
+  def q258LshScurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.minhashAccuracy(
+      Tables.parallelize(Tables.documents(s, dir)), "doc_id",
+      TextOps.tokenSet(col("text")), nHashes = 8, rowsPerBand = 4)
+    // clamp: the J = 1.0 bucket's midpoint would overshoot to 1.05 and
+    // send the analytic formula out of [0, 1]
+    val jmid = least(floor(col("jaccard") * 10) / 10 + 0.05, lit(1.0))
+    pairs
+      .withColumn("j_bucket", round(floor(col("jaccard") * 10) / 10, 1))
+      .withColumn("__p",
+        lit(1.0) - pow(lit(1.0) - pow(jmid, 4), 2))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_candidates"),
+        round(avg(abs(col("est_jacc") - col("jaccard"))), 4)
+          .as("mean_abs_err"),
+        round(max(col("__p")), 4).as("analytic_p"))
+      .orderBy(col("j_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q254_multi_touch" -> (q254MultiTouch _),
+    "q255_cohort_retention" -> (q255CohortRetention _),
+    "q256_novelty_curve" -> (q256NoveltyCurve _),
+    "q257_neighbor_agg" -> (q257NeighborAgg _),
+    "q258_lsh_scurve" -> (q258LshScurve _),
     "q250_quantile_normalize" -> (q250QuantileNormalize _),
     "q251_stl_decompose" -> (q251StlDecompose _),
     "q252_conformal" -> (q252Conformal _),
@@ -662,6 +813,72 @@ object AnalyticsQueries {
     (0 to 100).map(i => (i / 100.0).toString).mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q254_multi_touch" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),
+        |p AS (SELECT user_id, event_id AS pid, value AS pv, us AS pus
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type, event_id, us FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |m AS (SELECT p.pid, p.pv, t.event_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.us <= p.pus AND t.us >= p.pus - 86400000000),
+        |c AS (SELECT pid, pv, event_type,
+        |    count(*) OVER (PARTITION BY pid) AS n FROM m)
+        |SELECT event_type, count(*)::BIGINT AS n_touches,
+        |  count(DISTINCT pid)::BIGINT AS n_purchases_touched,
+        |  round(sum(pv / n), 2) AS attributed_value
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q255_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      (ts::TIMESTAMP)::DATE) / 7) AS BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY 1),
+        |cells AS (SELECT c.cohort AS cohort_week,
+        |    w.week - c.cohort AS week_offset, count(*)::BIGINT AS n_active
+        |  FROM w JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, n_active AS size FROM cells
+        |  WHERE week_offset = 0)
+        |SELECT cells.cohort_week, week_offset, n_active,
+        |  round(n_active / sz.size, 4) AS retention
+        |FROM cells JOIN sz USING (cohort_week)
+        |ORDER BY 1, 2""".stripMargin,
+    "q256_novelty_curve" ->
+      s"""${CorpusQueries.chunksCte},
+        |cb AS (SELECT doc_id % 10 AS batch, chunk_hash FROM ch),
+        |f AS (SELECT chunk_hash, min(batch) AS first FROM cb
+        |  GROUP BY 1)
+        |SELECT cb.batch, count(*)::BIGINT AS n_chunks,
+        |  count(CASE WHEN f.first = cb.batch THEN 1 END)::BIGINT
+        |    AS n_novel,
+        |  round(count(CASE WHEN f.first = cb.batch THEN 1 END)
+        |    / count(*), 4) AS novelty_rate
+        |FROM cb JOIN f USING (chunk_hash)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q257_neighbor_agg" ->
+      """WITH edges AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |ov AS (SELECT o_orderkey, o_totalprice::DOUBLE AS v
+        |  FROM orders),
+        |pf AS (SELECT l_partkey, avg(v) AS pf
+        |  FROM edges JOIN ov ON l_orderkey = o_orderkey GROUP BY 1),
+        |of2 AS (SELECT l_orderkey, count(*)::BIGINT AS n_parts,
+        |    round(avg(pf), 2) AS neighbor_feat
+        |  FROM edges JOIN pf USING (l_partkey) GROUP BY 1)
+        |SELECT l_orderkey AS o_orderkey, round(v, 2) AS o_totalprice,
+        |  n_parts, neighbor_feat
+        |FROM of2 JOIN ov ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 100 = 0 ORDER BY 1""".stripMargin,
+    "q258_lsh_scurve" ->
+      s"""${PipelineQueries.candidateJaccardCte},
+        |bkt AS (SELECT round(floor(jac * 10) / 10, 1) AS j_bucket,
+        |    least(floor(jac * 10) / 10 + 0.05, 1.0) AS jmid, est, jac
+        |  FROM e)
+        |SELECT j_bucket, count(*)::BIGINT AS n_candidates,
+        |  round(avg(abs(est - jac)), 4) AS mean_abs_err,
+        |  round(max(1.0 - pow(1.0 - pow(jmid, 4), 2)), 4) AS analytic_p
+        |FROM bkt GROUP BY 1 ORDER BY 1""".stripMargin,
     "q250_quantile_normalize" ->
       s"""WITH s AS (SELECT doc_id, lang,
         |    len($toksSql)::DOUBLE AS score FROM documents),

@@ -428,7 +428,7 @@ object CorpusQueries {
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
 
   /** Shared chunk CTE (mirrors CurationOps.chunkTokens 32/24). */
-  private val chunksCte =
+  private[queries] val chunksCte =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
       |c AS (SELECT doc_id, toks,

@@ -503,7 +503,7 @@ object PipelineQueries {
   // q95/q162 shared replay: sigs → bands → candidate pairs → exact
   // Jaccard (+ signature-agreement estimate), mirroring
   // DedupOps.minhashAccuracy at nHashes=8, rowsPerBand=4
-  private val candidateJaccardCte: String =
+  private[queries] val candidateJaccardCte: String =
     s"""WITH t AS (SELECT doc_id, ${ExtensionQueries.tokSetSql} AS toks FROM documents),
        |sig AS (SELECT doc_id, toks, len(toks) AS n, ${ExtensionQueries.minhashColsSql} FROM t),
        |banded AS (

@@ -243,6 +243,71 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q254: linear attribution conserves touched purchase value") {
+    val rows = AnalyticsQueries.q254MultiTouch(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 2)
+    val credited = rows.map(_.getDouble(3)).sum
+    // credit per purchase sums to its value ⇒ total credit equals the
+    // value of purchases with ≥1 touch, which is ≤ all purchase value
+    val allPurchase = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).head().getDouble(0)
+    assert(credited <= allPurchase + 0.05,
+      s"credited $credited exceeds purchase value $allPurchase")
+    assert(credited > 0)
+  }
+
+  test("q255: cohort offset-0 retention is exactly 1.0 and rates bounded") {
+    val rows = AnalyticsQueries.q255CohortRetention(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, rate) = (r.getLong(1), r.getDouble(3))
+      if (off == 0) assert(rate == 1.0)
+      assert(rate > 0 && rate <= 1.0, s"retention $rate")
+    }
+  }
+
+  test("q256: the first ingest batch is 100% novel, later ones are not") {
+    val rows = AnalyticsQueries.q256NoveltyCurve(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val byBatch = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byBatch(0L) == 1.0, s"batch 0 novelty ${byBatch(0L)}")
+    rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    assert(byBatch.values.min < 1.0,
+      "no cross-batch duplicate chunks on the near-dup fixture?")
+  }
+
+  test("q257: neighborhood features are means of real order values") {
+    val rows = AnalyticsQueries.q257NeighborAgg(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val (mn, mx) = {
+      val r = Tables.orders(spark, sf0001)
+        .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1)
+      val f = r.getDouble(3)
+      assert(f >= mn - 0.01 && f <= mx + 0.01,
+        s"neighbor feature $f outside order-value range [$mn, $mx]")
+    }
+  }
+
+  test("q258: analytic s-curve is monotone in J and probabilities bounded") {
+    val rows = AnalyticsQueries.q258LshScurve(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val sorted = rows.sortBy(_.getDouble(0))
+    sorted.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p >= 0 && p <= 1, s"analytic p $p")
+      assert(r.getDouble(2) >= 0)
+      assert(r.getLong(1) > 0)
+    }
+    val ps = sorted.map(_.getDouble(3))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      "s-curve not monotone in the Jaccard bucket")
+  }
+
   test("q244: rules have confidence in (0,1], symmetric pair counts, " +
     "and lift consistent across directions") {
     val rows = AnalyticsQueries.q244AssocRules(spark, sf0001).collect()
