@@ -780,7 +780,123 @@ object AnalyticsQueries {
       .orderBy(col("j_bucket"))
   }
 
+  /** q259_spearman — per-language Spearman rank correlation between
+    * token count and character count: tie-averaged ranks (rank() +
+    * (ties−1)/2, the textbook fractional rank — identical arithmetic
+    * in both engines) feed the Pearson closed form from one co-moment
+    * aggregation. The monotone-association complement of q128's
+    * Pearson matrix — robust to the nonlinear length relationships
+    * Pearson understates. One window per rank + one agg.
+    */
+  def q259Spearman(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("lang"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("double").as("__a"),
+        col("n_chars").cast("double").as("__b"))
+    def fracRank(c: String): org.apache.spark.sql.Column =
+      rank().over(Window.partitionBy(col("lang")).orderBy(col(c))) +
+        (count(lit(1)).over(Window.partitionBy(col("lang"), col(c))) - 1) /
+          lit(2.0)
+    val ranked = d.withColumn("__ra", fracRank("__a"))
+      .withColumn("__rb", fracRank("__b"))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__ra")).as("__sa"), sum(col("__rb")).as("__sb"),
+        sum(col("__ra") * col("__rb")).as("__sab"),
+        sum(col("__ra") * col("__ra")).as("__saa"),
+        sum(col("__rb") * col("__rb")).as("__sbb"))
+      .select(col("lang"), col("__n").cast("long").as("n_docs"),
+        round(try_divide(
+          col("__n") * col("__sab") - col("__sa") * col("__sb"),
+          sqrt((col("__n") * col("__saa") - col("__sa") * col("__sa")) *
+            (col("__n") * col("__sbb") - col("__sb") * col("__sb")))), 4)
+          .as("spearman_rho"))
+      .orderBy(col("lang"))
+  }
+
+  /** q260_state_occupancy — state-occupancy distribution from the
+    * event stream: each event's type is the user's STATE until their
+    * next event (the sampled-state semantics of q230), so summing held
+    * microseconds per type gives the fraction of observed user-time
+    * spent in each state — the Markov holding-time profile behind
+    * "where do users actually spend time". One lead() window per user
+    * + one |types|-bounded aggregation; share denominators ride a
+    * window over that bounded frame.
+    */
+  def q260StateOccupancy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("__held",
+        lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__held").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__held")).as("__tot"))
+      .withColumn("held_hours", round(col("__tot") / 3.6e9, 2))
+      .withColumn("share", round(try_divide(col("__tot"),
+        sum(col("__tot")).over(Window.partitionBy())), 4))
+      .select(col("event_type"), col("n_intervals"), col("held_hours"),
+        col("share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q261_binary_source — the binaryFile data source as the multimodal
+    * ingestion front door (X5's missing source half): raw payload
+    * files land as (path, length, content) rows with NO decode on
+    * read, ids parse from filenames, and content integrity is proven
+    * by md5 — exactly how image/audio corpora enter a Spark pipeline
+    * before `mapInPandas` decoding. The fixture writes 20 documents'
+    * UTF-8 bytes as files first (setup, not the operator under test);
+    * the oracle recomputes byte lengths and digests from the source
+    * table.
+    */
+  def q261BinarySource(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val outDir = Paths.get(
+      "target/tmp/q261_bin_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(outDir)
+    Tables.documents(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        Files.write(outDir.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile").load(outDir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q262_text_source — plain-text source/sink round trip (the S5/X69
+    * family's third format): documents written as a line-per-doc text
+    * file, read back with `spark.read.text`, and summarized
+    * order-independently (line count, total characters, distinct line
+    * digests) so the multi-partition write's nondeterministic file
+    * order cannot leak into the check. The fixture's texts carry no
+    * newlines, so line framing is lossless — the operator a log/corpus
+    * pipeline uses before any structure is imposed.
+    */
+  def q262TextSource(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q262_text_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.documents(s, dir).select(col("text"))
+      .write.mode("overwrite").text(path)
+    s.read.text(path)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("total_chars"),
+        count_distinct(md5(col("value"))).as("n_distinct_lines"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q259_spearman" -> (q259Spearman _),
+    "q260_state_occupancy" -> (q260StateOccupancy _),
+    "q261_binary_source" -> (q261BinarySource _),
+    "q262_text_source" -> (q262TextSource _),
     "q254_multi_touch" -> (q254MultiTouch _),
     "q255_cohort_retention" -> (q255CohortRetention _),
     "q256_novelty_curve" -> (q256NoveltyCurve _),
@@ -813,6 +929,46 @@ object AnalyticsQueries {
     (0 to 100).map(i => (i / 100.0).toString).mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q259_spearman" ->
+      s"""WITH d AS (SELECT lang, doc_id, len($toksSql)::DOUBLE AS a,
+        |    n_chars::DOUBLE AS b FROM documents),
+        |r AS (SELECT lang,
+        |    rank() OVER (PARTITION BY lang ORDER BY a) +
+        |      (count(*) OVER (PARTITION BY lang, a) - 1) / 2.0 AS ra,
+        |    rank() OVER (PARTITION BY lang ORDER BY b) +
+        |      (count(*) OVER (PARTITION BY lang, b) - 1) / 2.0 AS rb
+        |  FROM d),
+        |g AS (SELECT lang, count(*)::DOUBLE AS n, sum(ra) AS sa,
+        |    sum(rb) AS sb, sum(ra * rb) AS sab, sum(ra * ra) AS saa,
+        |    sum(rb * rb) AS sbb FROM r GROUP BY 1)
+        |SELECT lang, n::BIGINT AS n_docs,
+        |  round((n * sab - sa * sb) /
+        |    nullif(sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 0),
+        |    4) AS spearman_rho
+        |FROM g ORDER BY lang""".stripMargin,
+    "q260_state_occupancy" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),
+        |l AS (SELECT user_id, event_type,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS held
+        |  FROM e),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n_intervals,
+        |    sum(held)::BIGINT AS tot
+        |  FROM l WHERE held IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_intervals,
+        |  round(tot / 3.6e9, 2) AS held_hours,
+        |  round(tot / nullif(sum(tot) OVER (), 0), 4) AS share
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q261_binary_source" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+    "q262_text_source" ->
+      """SELECT count(*)::BIGINT AS n_lines,
+        |  sum(len(text))::BIGINT AS total_chars,
+        |  count(DISTINCT md5(text))::BIGINT AS n_distinct_lines
+        |FROM documents""".stripMargin,
     "q254_multi_touch" ->
       """WITH e AS (SELECT user_id, event_type, value,
         |    epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),

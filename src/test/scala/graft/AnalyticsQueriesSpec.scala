@@ -308,6 +308,44 @@ class AnalyticsQueriesSpec extends SparkSpec {
       "s-curve not monotone in the Jaccard bucket")
   }
 
+  test("q259: Spearman rho bounded and strongly positive for " +
+    "token-vs-char length") {
+    val rows = AnalyticsQueries.q259Spearman(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+      assert(rho > 0.5,
+        s"${r.getString(0)}: token/char length rho $rho suspiciously low")
+    }
+  }
+
+  test("q260: state occupancy shares sum to 1") {
+    val rows = AnalyticsQueries.q260StateOccupancy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(3)).sum
+    assert(math.abs(total - 1.0) <= 0.001, s"shares sum to $total")
+    rows.foreach(r => assert(r.getDouble(2) >= 0))
+  }
+
+  test("q261: binaryFile content digests match the source table") {
+    val got = AnalyticsQueries.q261BinarySource(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 20)
+    val want = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+      .select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, "file bytes diverge from source text bytes")
+  }
+
+  test("q262: text round trip is lossless in count and characters") {
+    val r = AnalyticsQueries.q262TextSource(spark, sf0001).head()
+    val src = Tables.documents(spark, sf0001)
+      .agg(count(lit(1)), sum(length(col("text")))).head()
+    assert(r.getLong(0) == src.getLong(0))
+    assert(r.getLong(1) == src.getLong(1))
+  }
+
   test("q244: rules have confidence in (0,1], symmetric pair counts, " +
     "and lift consistent across directions") {
     val rows = AnalyticsQueries.q244AssocRules(spark, sf0001).collect()
