@@ -892,7 +892,98 @@ object AnalyticsQueries {
         count_distinct(md5(col("value"))).as("n_distinct_lines"))
   }
 
+  /** q263_star_schema — dimensional (star-schema) build: mint dense
+    * surrogate keys for the (priority × status) dimension by
+    * row-numbering the SORTED distinct combinations (deterministic,
+    * engine-portable — never monotonically_increasing_id, whose values
+    * depend on partition layout), rewrite the fact rows to surrogate
+    * FKs with one broadcast join, and prove the rewrite by aggregating
+    * the fact through the dimension — the ETL step every warehouse
+    * load runs. Dim side is distinct-bounded; the fact scan joins
+    * broadcast.
+    */
+  def q263StarSchema(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val dim = o.select(col("o_orderpriority"), col("o_orderstatus"))
+      .distinct()
+      .withColumn("dim_key", row_number().over(
+        Window.orderBy(col("o_orderpriority"), col("o_orderstatus"))))
+    val fact = o.join(broadcast(dim),
+      Seq("o_orderpriority", "o_orderstatus"))
+    fact.groupBy(col("dim_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .join(broadcast(dim), Seq("dim_key"))
+      .select(col("dim_key"), col("o_orderpriority"),
+        col("o_orderstatus"), col("n_orders"), col("total_price"))
+      .orderBy(col("dim_key"))
+  }
+
+  /** q264_ref_integrity — referential-integrity audit across the
+    * schema's FK edges (orders→customer, lineitem→orders,
+    * lineitem→part, customer→nation): orphan counts via LEFT ANTI
+    * joins — the data-quality gate q125's column-level contract
+    * doesn't cover (cross-TABLE consistency). Each edge is one
+    * anti-join with the (smaller) parent side broadcast where it fits;
+    * output is one row per relationship, so the report is
+    * schema-bounded at any scale.
+    */
+  def q264RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    // one pass per edge: left join + null-count folds the total AND
+    // the orphan count into a single aggregation (no driver count(),
+    // no second scan of the child)
+    def orphans(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey))
+          .distinct().withColumn("__hit", lit(1)), Seq(childKey), "left")
+        .agg(count(lit(1)).as("n_child_rows"),
+          count(when(col("__hit").isNull, 1)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_child_rows"),
+          col("n_orphans"), (col("n_orphans") === 0).as("intact"))
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    orphans("orders.custkey -> customer", o, "o_custkey",
+        Tables.customer(s, dir), "c_custkey")
+      .unionByName(orphans("lineitem.orderkey -> orders", li,
+        "l_orderkey", o, "o_orderkey"))
+      .unionByName(orphans("lineitem.partkey -> part", li,
+        "l_partkey", Tables.part(s, dir), "p_partkey"))
+      .unionByName(orphans("customer.nationkey -> nation",
+        Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"))
+      .orderBy(col("relationship"))
+  }
+
+  /** q265_bpe_pairs — the first iteration of byte-pair-encoding
+    * tokenizer training: frequencies of ADJACENT character pairs
+    * within words (after the space-prefix convention q46's
+    * pretokenizer uses), top-20 merge candidates — the statistic the
+    * BPE loop greedily merges on. Full training iterates this pass
+    * with a driver-side merge table (bounded by vocab size); the
+    * per-iteration cost shown here — one generator explode + one
+    * map-side-combined count on a ≤|alphabet|² domain — is the whole
+    * distributed story.
+    */
+  def q265BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.parallelize(Tables.documents(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("__w"))
+    words
+      .select(explode(expr(
+        "transform(sequence(1, length(__w) - 1), " +
+          "i -> struct(substring(__w, i, 1) AS a, " +
+          "substring(__w, i + 1, 1) AS b))")).as("__p"))
+      .groupBy(col("__p.a").as("left_sym"), col("__p.b").as("right_sym"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("left_sym"),
+        col("right_sym"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q263_star_schema" -> (q263StarSchema _),
+    "q264_ref_integrity" -> (q264RefIntegrity _),
+    "q265_bpe_pairs" -> (q265BpePairs _),
     "q259_spearman" -> (q259Spearman _),
     "q260_state_occupancy" -> (q260StateOccupancy _),
     "q261_binary_source" -> (q261BinarySource _),
@@ -929,6 +1020,61 @@ object AnalyticsQueries {
     (0 to 100).map(i => (i / 100.0).toString).mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q263_star_schema" ->
+      """WITH dim AS (SELECT o_orderpriority, o_orderstatus,
+        |    row_number() OVER (ORDER BY o_orderpriority, o_orderstatus)
+        |      AS dim_key
+        |  FROM (SELECT DISTINCT o_orderpriority, o_orderstatus
+        |        FROM orders)),
+        |f AS (SELECT d.dim_key, count(*)::BIGINT AS n_orders,
+        |    round(sum(o.o_totalprice), 2) AS total_price
+        |  FROM orders o JOIN dim d
+        |    USING (o_orderpriority, o_orderstatus)
+        |  GROUP BY 1)
+        |SELECT f.dim_key, d.o_orderpriority, d.o_orderstatus,
+        |  f.n_orders, f.total_price
+        |FROM f JOIN dim d USING (dim_key) ORDER BY dim_key""".stripMargin,
+    "q264_ref_integrity" ->
+      """WITH u AS (
+        |  SELECT 'orders.custkey -> customer' AS relationship,
+        |    count(*)::BIGINT AS n_child_rows,
+        |    count(CASE WHEN c.k IS NULL THEN 1 END)::BIGINT AS n_orphans
+        |  FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) c
+        |    ON o.o_custkey = c.k
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey -> orders',
+        |    count(*)::BIGINT,
+        |    count(CASE WHEN p.k IS NULL THEN 1 END)::BIGINT
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l.l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey -> part',
+        |    count(*)::BIGINT,
+        |    count(CASE WHEN p.k IS NULL THEN 1 END)::BIGINT
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l.l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'customer.nationkey -> nation',
+        |    count(*)::BIGINT,
+        |    count(CASE WHEN n.k IS NULL THEN 1 END)::BIGINT
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT n_nationkey AS k FROM nation) n
+        |    ON c.c_nationkey = n.k)
+        |SELECT relationship, n_child_rows, n_orphans,
+        |  n_orphans = 0 AS intact
+        |FROM u ORDER BY relationship""".stripMargin,
+    "q265_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> {'a': w[i], 'b': w[i + 1]})) AS pr FROM w)
+        |SELECT pr.a AS left_sym, pr.b AS right_sym,
+        |  count(*)::BIGINT AS n_occurrences
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_occurrences DESC, left_sym, right_sym
+        |LIMIT 20""".stripMargin,
     "q259_spearman" ->
       s"""WITH d AS (SELECT lang, doc_id, len($toksSql)::DOUBLE AS a,
         |    n_chars::DOUBLE AS b FROM documents),

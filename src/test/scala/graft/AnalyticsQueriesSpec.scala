@@ -346,6 +346,36 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(r.getLong(1) == src.getLong(1))
   }
 
+  test("q263: surrogate keys are dense 1..N and fact totals conserved") {
+    val rows = AnalyticsQueries.q263StarSchema(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length),
+      "dim keys not dense")
+    val factTotal = rows.map(_.getLong(3)).sum
+    assert(factTotal == Tables.orders(spark, sf0001).count(),
+      "fact rows lost or duplicated through the dimension")
+  }
+
+  test("q264: the TPC-H fixture is referentially intact") {
+    val rows = AnalyticsQueries.q264RefIntegrity(spark, sf0001).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0 && r.getBoolean(3),
+        s"${r.getString(0)}: ${r.getLong(2)} orphans")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("q265: pair counts bounded by total character transitions") {
+    val rows = AnalyticsQueries.q265BpePairs(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getString(0).length == 1 && r.getString(1).length == 1)
+    }
+  }
+
   test("q244: rules have confidence in (0,1], symmetric pair counts, " +
     "and lift consistent across directions") {
     val rows = AnalyticsQueries.q244AssocRules(spark, sf0001).collect()
