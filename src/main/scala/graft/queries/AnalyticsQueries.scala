@@ -980,7 +980,112 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** q266_wasserstein — 1-D earth-mover (Wasserstein-1) distance
+    * between two cohorts' order-value distributions per priority:
+    * EMD = ∫|ECDF_a − ECDF_b| dv, computed EXACTLY as
+    * Σ |cum_share_a − cum_share_b| · gap over the merged distinct-value
+    * grid — the integral companion of q115's KS (max deviation), and
+    * the drift metric that weights HOW FAR mass moved, not just that
+    * it moved. One distinct-value collapse + one ordered window over
+    * the (bounded) per-priority value grid.
+    */
+  def q266Wasserstein(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+      (col("o_orderkey") % 2 === 0).as("__isA"),
+      col("o_totalprice").cast("double").as("__v"))
+    val g = o.groupBy(col("o_orderpriority"), col("__v"))
+      .agg(count(when(col("__isA"), 1)).cast("double").as("__ca"),
+        count(when(!col("__isA"), 1)).cast("double").as("__cb"))
+    val tot = g.groupBy(col("o_orderpriority"))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("__v"))
+    g.join(broadcast(tot), Seq("o_orderpriority"))
+      .withColumn("__fa", sum(col("__ca")).over(w) / col("__na"))
+      .withColumn("__fb", sum(col("__cb")).over(w) / col("__nb"))
+      .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_grid_points"),
+        round(sum(abs(col("__fa") - col("__fb")) * col("__gap")), 2)
+          .as("emd"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q267_negative_sampling — deterministic contrastive negatives: for
+    * every anchor embedding, k = 5 hash-addressed candidates
+    * (md5(anchor, j) mod N — reproducible across engines, retries AND
+    * partitionings, like every sampler in this engine), kept only when
+    * their label differs from the anchor's — the negative-mining pass
+    * behind contrastive/triplet training. The candidate join is a
+    * plain EQUI-join on the addressed vec_id (k bounded rows per
+    * anchor, never anchors × corpus); misses (same-label draws) thin
+    * the per-anchor set and are reported, matching how hash-ring
+    * negative sampling behaves at scale.
+    */
+  def q267NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val anchors = emb.select(col("vec_id").as("anchor_id"),
+        col("label").as("__alabel"))
+      .crossJoin(broadcast(n))
+      .withColumn("__j", explode(sequence(lit(0), lit(4))))
+      .withColumn("vec_id", TextOps.hash32(
+        concat(col("anchor_id").cast("string"), lit(":"),
+          col("__j").cast("string")), seed = "neg:") % col("__n"))
+    anchors.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("label") =!= col("__alabel") &&
+        col("vec_id") =!= col("anchor_id"))
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_negatives"),
+        // order-insensitive set checksum so the exact draw set is
+        // verified without shipping arrays through the comparator
+        sum(col("vec_id")).as("neg_id_sum"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** q268_heaps_law — vocabulary-growth (Heaps'-law) fit V(n) ≈ K·n^β:
+    * each token's FIRST document (min doc_id — one hash agg, the only
+    * corpus-scale pass) gives the vocabulary size after every prefix
+    * of the doc-ordered corpus as a cumulative window over the
+    * |docs|-bounded frame; β and ln K come from the OLS closed form on
+    * (ln tokens_processed, ln V). The sublinearity companion of
+    * q130's Zipf fit — together they decide how much NEW vocabulary
+    * more crawl data will buy.
+    */
+  def q268HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+        .as("__t"))
+    val perDoc = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__ntok"))
+    val firstSeen = tok.groupBy(col("__t"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nnew"))
+    val w = Window.orderBy(col("doc_id"))
+    val curve = perDoc.join(firstSeen, Seq("doc_id"), "left")
+      .withColumn("__cumtok", sum(col("__ntok")).over(w))
+      .withColumn("__cumv",
+        sum(coalesce(col("__nnew"), lit(0L))).over(w))
+      .select(log(col("__cumtok").cast("double")).as("__x"),
+        log(col("__cumv").cast("double")).as("__y"))
+    curve.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n").cast("long").as("n_points"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          .as("beta"),
+        round((col("__sy") - ((col("__n") * col("__sxy") -
+          col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))) *
+          col("__sx")) / col("__n"), 4).as("ln_k"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q266_wasserstein" -> (q266Wasserstein _),
+    "q267_negative_sampling" -> (q267NegativeSampling _),
+    "q268_heaps_law" -> (q268HeapsLaw _),
     "q263_star_schema" -> (q263StarSchema _),
     "q264_ref_integrity" -> (q264RefIntegrity _),
     "q265_bpe_pairs" -> (q265BpePairs _),
@@ -1020,6 +1125,57 @@ object AnalyticsQueries {
     (0 to 100).map(i => (i / 100.0).toString).mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q266_wasserstein" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey % 2 = 0 AS isa,
+        |    o_totalprice::DOUBLE AS v FROM orders),
+        |g AS (SELECT o_orderpriority, v,
+        |    count(CASE WHEN isa THEN 1 END)::DOUBLE AS ca,
+        |    count(CASE WHEN NOT isa THEN 1 END)::DOUBLE AS cb
+        |  FROM o GROUP BY 1, 2),
+        |t AS (SELECT o_orderpriority, sum(ca) AS na, sum(cb) AS nb
+        |  FROM g GROUP BY 1),
+        |c AS (SELECT g.o_orderpriority,
+        |    sum(ca) OVER w / na AS fa, sum(cb) OVER w / nb AS fb,
+        |    lead(v) OVER w - v AS gap
+        |  FROM g JOIN t USING (o_orderpriority)
+        |  WINDOW w AS (PARTITION BY g.o_orderpriority ORDER BY v))
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_grid_points,
+        |  round(sum(abs(fa - fb) * gap), 2) AS emd
+        |FROM c WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q267_negative_sampling" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        |a AS (SELECT e.vec_id AS anchor_id, e.label AS alabel,
+        |    ('0x' || substr(md5('neg:' || e.vec_id::VARCHAR || ':' ||
+        |      j.j::VARCHAR), 1, 8))::BIGINT % n.n AS vec_id
+        |  FROM embeddings e, (SELECT unnest(range(0, 5)) AS j) j, n)
+        |SELECT a.anchor_id, count(*)::BIGINT AS n_negatives,
+        |  sum(a.vec_id)::BIGINT AS neg_id_sum
+        |FROM a JOIN embeddings c ON c.vec_id = a.vec_id
+        |WHERE c.label <> a.alabel AND a.vec_id <> a.anchor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q268_heaps_law" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t
+        |  FROM documents),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS ntok FROM tok
+        |  GROUP BY 1),
+        |fs AS (SELECT min(doc_id) AS doc_id FROM tok GROUP BY t),
+        |fn AS (SELECT doc_id, count(*)::BIGINT AS nnew FROM fs
+        |  GROUP BY 1),
+        |c AS (SELECT pd.doc_id,
+        |    sum(pd.ntok) OVER w AS cumtok,
+        |    sum(coalesce(fn.nnew, 0)) OVER w AS cumv
+        |  FROM pd LEFT JOIN fn USING (doc_id)
+        |  WINDOW w AS (ORDER BY pd.doc_id)),
+        |l AS (SELECT ln(cumtok::DOUBLE) AS x, ln(cumv::DOUBLE) AS y
+        |  FROM c),
+        |g AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM l)
+        |SELECT n::BIGINT AS n_points,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 4) AS ln_k
+        |FROM g""".stripMargin,
     "q263_star_schema" ->
       """WITH dim AS (SELECT o_orderpriority, o_orderstatus,
         |    row_number() OVER (ORDER BY o_orderpriority, o_orderstatus)

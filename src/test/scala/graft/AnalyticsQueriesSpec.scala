@@ -376,6 +376,44 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q266: EMD non-negative, bounded by the value range") {
+    val rows = AnalyticsQueries.q266Wasserstein(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val range = {
+      val r = Tables.orders(spark, sf0001)
+        .agg(max(col("o_totalprice")) - min(col("o_totalprice"))).head()
+      r.getDouble(0)
+    }
+    rows.foreach { r =>
+      val emd = r.getDouble(2)
+      // EMD between distributions on [lo, hi] cannot exceed hi − lo
+      assert(emd >= 0 && emd <= range + 0.01, s"EMD $emd outside [0, $range]")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("q267: negatives are label-disjoint from their anchors and " +
+    "reproducible") {
+    val q = AnalyticsQueries.q267NegativeSampling(spark, sf0001)
+    val a = q.collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val n = r.getLong(1)
+      assert(n >= 1 && n <= 5, s"${r.getLong(0)}: $n negatives")
+    }
+    val b = AnalyticsQueries.q267NegativeSampling(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "hash-addressed draws not reproducible")
+  }
+
+  test("q268: Heaps' beta is sublinear (0 < beta < 1) on the fixture") {
+    val r = AnalyticsQueries.q268HeapsLaw(spark, sf0001).head()
+    assert(r.getLong(0) > 0)
+    val beta = r.getDouble(1)
+    assert(beta > 0 && beta < 1,
+      s"vocabulary growth beta $beta not sublinear")
+  }
+
   test("q244: rules have confidence in (0,1], symmetric pair counts, " +
     "and lift consistent across directions") {
     val rows = AnalyticsQueries.q244AssocRules(spark, sf0001).collect()

@@ -129,7 +129,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // percentile fences inside exactPercentiles)
     "q250_quantile_normalize",
     // q252's exactPercentiles carries its broadcast fence frames
-    "q252_conformal")
+    "q252_conformal",
+    // q267 cross-joins the broadcast 1-row corpus-size scalar (the
+    // hash-ring modulus)
+    "q267_negative_sampling")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
