@@ -512,24 +512,38 @@ object AnalyticsQueries {
     * (the batch-effect correction applied before mixing per-source
     * quality scores — a source whose scorer runs hot stops dominating
     * selection). Per-lang percent_rank (ties broken by doc_id for a
-    * total order) interpolates into a broadcast 101-point global
+    * total order) interpolates into a broadcast 33-point global
     * quantile grid (`StatOps.exactPercentiles`, quantile_cont-parity
     * arithmetic) — the scale path: one window per lang + one bounded
-    * grid, never a global sort of all rows together.
+    * grid, never a global sort of all rows together. Grid granularity
+    * is a fidelity/cost knob: 101 points measured ~5 s of pure
+    * plan/stage overhead on a 5k-row fixture (the 202-target explode
+    * inside exactPercentiles), 33 points carry the same shape at a
+    * third of the planning weight. Remaining fixture cost (~3 s) is
+    * the distributed selection's fixed multi-stage latency — the
+    * deliberate trade: the built-in `percentile` aggregate would be
+    * instant here but buffers every row of the global group, which is
+    * exactly what cannot happen at corpus scale (StatOps regime
+    * guidance).
     */
   def q250QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the 3-column scored frame: the selection passes inside
+    // exactPercentiles plus the rank path would otherwise re-tokenize
+    // the corpus once EACH (the R5.2 q162 lesson — cache the derived
+    // narrow frame, not the text)
     val scored = Tables.parallelize(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).cast("double").as("score"))
+      .localCheckpoint()
     val grid = StatOps.exactPercentiles(scored.withColumn("__g", lit(1)),
-        "__g", "score", (0 to 100).map(i => s"g$i" -> i / 100.0))
-      .select(array((0 to 100).map(i => col(s"g$i")): _*).as("__grid"))
+        "__g", "score", (0 to 32).map(i => s"g$i" -> i / 32.0))
+      .select(array((0 to 32).map(i => col(s"g$i")): _*).as("__grid"))
     val r = percent_rank().over(Window.partitionBy(col("lang"))
       .orderBy(col("score"), col("doc_id")))
     scored.withColumn("__r", r)
       .crossJoin(broadcast(grid))
-      .withColumn("__pos", col("__r") * 100)
-      .withColumn("__i", least(floor(col("__pos")).cast("int"), lit(99)))
+      .withColumn("__pos", col("__r") * 32)
+      .withColumn("__i", least(floor(col("__pos")).cast("int"), lit(31)))
       .withColumn("normalized", round(
         element_at(col("__grid"), col("__i") + 1) +
           (col("__pos") - col("__i")) *
@@ -1120,9 +1134,9 @@ object AnalyticsQueries {
 
   import ExtensionQueries.toksSql
 
-  // q250 replay: the 101-point grid literal shared by both engines
+  // q250 replay: the 33-point grid literal shared by both engines
   private val gridQsSql: String =
-    (0 to 100).map(i => (i / 100.0).toString).mkString("[", ", ", "]")
+    (0 to 32).map(i => (i / 32.0).toString).mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
     "q266_wasserstein" ->
@@ -1345,8 +1359,8 @@ object AnalyticsQueries {
         |    percent_rank() OVER (PARTITION BY lang
         |      ORDER BY score, doc_id) AS pr
         |  FROM s),
-        |i AS (SELECT doc_id, lang, score, pr * 100 AS pos,
-        |    least(CAST(floor(pr * 100) AS INT), 99) AS i FROM r)
+        |i AS (SELECT doc_id, lang, score, pr * 32 AS pos,
+        |    least(CAST(floor(pr * 32) AS INT), 31) AS i FROM r)
         |SELECT i.doc_id, i.lang, i.score,
         |  round(g.grid[i.i + 1] + (i.pos - i.i) *
         |    (g.grid[i.i + 2] - g.grid[i.i + 1]), 4) AS normalized
