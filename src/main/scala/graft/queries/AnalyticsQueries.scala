@@ -1096,7 +1096,40 @@ object AnalyticsQueries {
           col("__sx")) / col("__n"), 4).as("ln_k"))
   }
 
+  /** q269_srp_sweep — SRP-LSH parameter sweep: candidate volume and
+    * threshold precision of the sign-bucket self-join at 2, 4 and 8
+    * hyperplanes — what q258's s-curve is to MinHash banding, this is
+    * to the embedding side: more bits ⇒ fewer, more precise candidates
+    * (the recall side is measured by q146/q45). Planes are
+    * md5-derived independently of the bit count, so the 2-bit buckets
+    * are prefixes of the 8-bit ones in BOTH engines; each sweep point
+    * is one bucket equi-self-join, never an all-pairs product.
+    */
+  def q269SrpSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    Seq(2, 4, 8).map { bits =>
+      val b = emb.withColumn("bucket",
+        VectorOps.srpBucket(col("embedding"), 64, bits))
+      val a = b.select(col("bucket"), col("vec_id").as("__ida"),
+        col("embedding").as("__ea"))
+      val c = b.select(col("bucket"), col("vec_id").as("__idb"),
+        col("embedding").as("__eb"))
+      a.join(c, Seq("bucket")).filter(col("__ida") < col("__idb"))
+        .select(VectorOps.cosineNative(col("__ea"), col("__eb"))
+          .as("__cos"))
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          count(when(col("__cos") >= 0.4, 1)).as("n_verified"))
+        .select(lit(bits).as("bits"), col("n_candidate_pairs"),
+          col("n_verified"))
+    }.reduce(_ unionByName _)
+      .withColumn("verified_share", round(try_divide(col("n_verified"),
+        col("n_candidate_pairs")), 4))
+      .orderBy(col("bits"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q269_srp_sweep" -> (q269SrpSweep _),
     "q266_wasserstein" -> (q266Wasserstein _),
     "q267_negative_sampling" -> (q267NegativeSampling _),
     "q268_heaps_law" -> (q268HeapsLaw _),
@@ -1138,7 +1171,35 @@ object AnalyticsQueries {
   private val gridQsSql: String =
     (0 to 32).map(i => (i / 32.0).toString).mkString("[", ", ", "]")
 
+  // q269 replay: per-bit-count SRP planes/buckets/summary CTEs (planes
+  // are bit-count-independent, matching SrpBucketExpr)
+  private def srpSweepCte(bits: Int): String =
+    s"""p$bits AS (SELECT j, list_transform(range(0, 64), i ->
+       |    (('0x' || substr(md5('plane' || j || ':' || i), 1, 8))::BIGINT)::DOUBLE / 2147483648 - 1) AS plane
+       |  FROM (SELECT unnest(range(0, $bits)) AS j)),
+       |b$bits AS (SELECT vec_id, embedding,
+       |    (SELECT sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+       |                THEN 1 << p.j ELSE 0 END)::BIGINT FROM p$bits p) AS bucket
+       |  FROM embeddings e),
+       |s$bits AS (SELECT $bits AS bits,
+       |    count(*)::BIGINT AS n_candidate_pairs,
+       |    count(CASE WHEN cos >= 0.4 THEN 1 END)::BIGINT AS n_verified
+       |  FROM (SELECT list_cosine_similarity(x.embedding::DOUBLE[],
+       |          y.embedding::DOUBLE[]) AS cos
+       |        FROM b$bits x JOIN b$bits y
+       |          ON x.bucket = y.bucket AND x.vec_id < y.vec_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q269_srp_sweep" ->
+      s"""WITH ${srpSweepCte(2)},
+        |${srpSweepCte(4)},
+        |${srpSweepCte(8)},
+        |u AS (SELECT * FROM s2 UNION ALL SELECT * FROM s4
+        |      UNION ALL SELECT * FROM s8)
+        |SELECT bits, n_candidate_pairs, n_verified,
+        |  round(n_verified / nullif(n_candidate_pairs, 0), 4)
+        |    AS verified_share
+        |FROM u ORDER BY bits""".stripMargin,
     "q266_wasserstein" ->
       """WITH o AS (SELECT o_orderpriority, o_orderkey % 2 = 0 AS isa,
         |    o_totalprice::DOUBLE AS v FROM orders),

@@ -414,6 +414,19 @@ class AnalyticsQueriesSpec extends SparkSpec {
       s"vocabulary growth beta $beta not sublinear")
   }
 
+  test("q269: candidate volume shrinks and precision grows with bits") {
+    val rows = AnalyticsQueries.q269SrpSweep(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4, 8))
+    val cands = rows.map(_.getLong(1))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b <= a },
+      s"more bits did not prune candidates: ${cands.toSeq}")
+    // verified pairs are a subset of candidates at every point
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val prec = rows.map(_.getDouble(3))
+    assert(prec.zip(prec.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"precision not monotone: ${prec.toSeq}")
+  }
+
   test("q244: rules have confidence in (0,1], symmetric pair counts, " +
     "and lift consistent across directions") {
     val rows = AnalyticsQueries.q244AssocRules(spark, sf0001).collect()
