@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.QualityQueries.queries ++
       graft.queries.GovernanceQueries.queries ++
       graft.queries.ModelQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.ExperimentQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.QualityQueries.oracle ++
       graft.queries.GovernanceQueries.oracle ++
       graft.queries.ModelQueries.oracle ++
-      graft.queries.AnalyticsQueries.oracle
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.ExperimentQueries.oracle
 }

@@ -1,0 +1,663 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 extension operators, experimentation / causal-inference
+  * family (SURVEY.md §2.13 X199+): CUPED variance reduction,
+  * difference-in-differences, weight-of-evidence encoding, propensity
+  * rank matching, heavy-tail index estimation, randomization testing.
+  * Each is the deterministic, shuffle-bounded form of the analysis an
+  * experimentation platform runs over event logs at warehouse scale.
+  */
+object ExperimentQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q270_cuped — CUPED variance reduction (Deng et al., WSDM'13): the
+    * experiment metric is each user's post-period mean event value, the
+    * covariate is the same user's PRE-period mean; θ = cov(x,y)/var(x)
+    * and the adjusted-metric variance follows the closed form
+    * var(y) − cov²/var(x), so the whole analysis is ONE aggregation
+    * over the per-user frame — no second pass over adjusted rows. The
+    * period split is the µs midpoint of the observed range (computed
+    * once, broadcast as a 1-row scalar). At 100 TB the only corpus
+    * pass is the per-user conditional aggregate; everything after runs
+    * on |users| rows.
+    */
+  def q270Cuped(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+        col("value"))
+    val mid = e.agg(
+      expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    val per = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(avg(when(col("__us") < col("__mid"), col("value"))).as("__x"),
+        avg(when(col("__us") >= col("__mid"), col("value"))).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    per.agg(count(lit(1)).as("n_users"),
+        covar_pop(col("__x"), col("__y")).as("__cxy"),
+        var_pop(col("__x")).as("__vx"),
+        var_pop(col("__y")).as("__vy"))
+      .select(col("n_users"),
+        round(try_divide(col("__cxy"), col("__vx")), 4).as("theta"),
+        round(col("__vy"), 4).as("var_raw"),
+        round(col("__vy") -
+          try_divide(col("__cxy") * col("__cxy"), col("__vx")), 4)
+          .as("var_cuped"),
+        round(try_divide(col("__cxy") * col("__cxy"),
+          col("__vx") * col("__vy")), 4).as("var_reduction"))
+  }
+
+  /** q271_did — difference-in-differences on per-user pre→post deltas:
+    * treatment is a deterministic hash split of users, the period split
+    * is the same µs midpoint as q270, and the estimator is the Welch
+    * contrast of per-user (post − pre) deltas between arms — the
+    * panel-DiD form whose SE needs only var_samp per arm, not a
+    * regression. One per-user conditional aggregate (the corpus pass),
+    * then a single-row contrast over |users| rows.
+    */
+  def q271Did(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+        col("value"))
+    val mid = e.agg(
+      expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    val per = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(avg(when(col("__us") < col("__mid"), col("value"))).as("__x"),
+        avg(when(col("__us") >= col("__mid"), col("value"))).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__t",
+        TextOps.hash32(col("user_id").cast("string"), seed = "did:")
+          % 2 === 1)
+      .withColumn("__d", col("__y") - col("__x"))
+    per.agg(
+        count(when(col("__t"), 1)).as("n_treat"),
+        count(when(!col("__t"), 1)).as("n_ctrl"),
+        avg(when(col("__t"), col("__x"))).as("__mtpre"),
+        avg(when(col("__t"), col("__y"))).as("__mtpost"),
+        avg(when(!col("__t"), col("__x"))).as("__mcpre"),
+        avg(when(!col("__t"), col("__y"))).as("__mcpost"),
+        avg(when(col("__t"), col("__d"))).as("__dt"),
+        avg(when(!col("__t"), col("__d"))).as("__dc"),
+        var_samp(when(col("__t"), col("__d"))).as("__vt"),
+        var_samp(when(!col("__t"), col("__d"))).as("__vc"))
+      .select(col("n_treat"), col("n_ctrl"),
+        round(col("__mtpre"), 4).as("m_treat_pre"),
+        round(col("__mtpost"), 4).as("m_treat_post"),
+        round(col("__mcpre"), 4).as("m_ctrl_pre"),
+        round(col("__mcpost"), 4).as("m_ctrl_post"),
+        round(col("__dt") - col("__dc"), 4).as("did"),
+        round(sqrt(try_divide(col("__vt"), col("n_treat")) +
+          try_divide(col("__vc"), col("n_ctrl"))), 4).as("se"),
+        (abs(col("__dt") - col("__dc")) >
+          lit(1.96) * sqrt(try_divide(col("__vt"), col("n_treat")) +
+            try_divide(col("__vc"), col("n_ctrl")))).as("significant"))
+  }
+
+  /** q272_woe_iv — weight-of-evidence encoding + information value of
+    * a categorical feature against a binary label (the credit-scoring
+    * standard; Siddiqi 2006): per order-priority category,
+    * WoE = ln(dist_good/dist_bad) with 0.5 Laplace smoothing per cell,
+    * IV = Σ (dist_good − dist_bad)·WoE. One groupBy over the corpus;
+    * the share/total arithmetic runs as unpartitioned windows over the
+    * |categories|-bounded frame. WoE is what replaces target encoding
+    * when the label is binary and monotone credit-risk-style scores
+    * are wanted; IV is the screen that ranks features before training.
+    */
+  def q272WoeIv(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_bad"))
+      .withColumn("n_good", col("n") - col("n_bad"))
+    val w = Window.partitionBy()
+    g.withColumn("__k", count(lit(1)).over(w).cast("double"))
+      .withColumn("__gt", sum(col("n_good")).over(w).cast("double"))
+      .withColumn("__bt", sum(col("n_bad")).over(w).cast("double"))
+      .withColumn("__dg", (col("n_good") + 0.5) /
+        (col("__gt") + lit(0.5) * col("__k")))
+      .withColumn("__db", (col("n_bad") + 0.5) /
+        (col("__bt") + lit(0.5) * col("__k")))
+      .withColumn("__woe", log(col("__dg") / col("__db")))
+      .withColumn("__ivc", (col("__dg") - col("__db")) * col("__woe"))
+      .select(col("o_orderpriority"), col("n"), col("n_bad"),
+        round(col("__woe"), 4).as("woe"),
+        round(col("__ivc"), 6).as("iv_contrib"),
+        round(sum(col("__ivc")).over(w), 6).as("iv_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q273_propensity_match — 1:1 rank matching within coarse strata
+    * (the distributed form of greedy propensity matching): users
+    * stratify by floor(log2(n_events)) — a deterministic bucket that
+    * needs NO global sort, unlike ntile — and within each stratum the
+    * treated and control arms are ranked by (total value, user id);
+    * equal ranks pair up via an equi-join. Covariate balance is
+    * reported as the standardized mean difference of total value
+    * before vs after matching. All windows are per-stratum; the only
+    * corpus-scale pass is the per-user aggregate.
+    */
+  def q273PropensityMatch(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__ne"), sum(col("value")).as("__tv"))
+      .withColumn("__t",
+        TextOps.hash32(col("user_id").cast("string"), seed = "psm:")
+          % 2 === 1)
+      .withColumn("stratum",
+        floor(log(col("__ne").cast("double")) / math.log(2.0))
+          .cast("long"))
+    val rw = Window.partitionBy(col("stratum"), col("__t"))
+      .orderBy(col("__tv"), col("user_id"))
+    val ranked = per.withColumn("__r", row_number().over(rw))
+    val t = ranked.filter(col("__t"))
+      .select(col("stratum"), col("__r"), col("__tv").as("__tvt"))
+    val c = ranked.filter(!col("__t"))
+      .select(col("stratum"), col("__r"), col("__tv").as("__tvc"))
+    val matched = t.join(c, Seq("stratum", "__r"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_matched"),
+        avg(col("__tvt")).as("__mt_m"), avg(col("__tvc")).as("__mc_m"),
+        var_samp(col("__tvt")).as("__vt_m"),
+        var_samp(col("__tvc")).as("__vc_m"))
+    val before = per.groupBy(col("stratum"))
+      .agg(count(when(col("__t"), 1)).as("n_treated"),
+        count(when(!col("__t"), 1)).as("n_control"),
+        avg(when(col("__t"), col("__tv"))).as("__mt"),
+        avg(when(!col("__t"), col("__tv"))).as("__mc"),
+        var_samp(when(col("__t"), col("__tv"))).as("__vt"),
+        var_samp(when(!col("__t"), col("__tv"))).as("__vc"))
+    before.join(matched, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_treated"), col("n_control"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(try_divide(col("__mt") - col("__mc"),
+          sqrt((col("__vt") + col("__vc")) / 2)), 4).as("smd_before"),
+        round(try_divide(col("__mt_m") - col("__mc_m"),
+          sqrt((col("__vt_m") + col("__vc_m")) / 2)), 4).as("smd_after"))
+      .orderBy(col("stratum"))
+  }
+
+  /** q274_hill_tail — Hill estimator of a popularity-distribution tail
+    * index (Hill 1975), the quantitative companion of q130's Zipf fit,
+    * on part demand (lineitem rows per part): for the top-k order
+    * statistics f₍₁₎ ≥ … ≥ f₍ₖ₎, γ̂ = (1/k)·Σ ln(f₍ᵢ₎/f₍ₖ₊₁₎) and
+    * α̂ = 1/γ̂, swept at k ∈ {25, 50, 100} to show estimator
+    * stability. The corpus pass is the per-part count aggregate;
+    * ranking runs over the |parts|-bounded frame and the sweep is one
+    * conditional aggregation over the top 101 ranks — never a per-k
+    * re-sort.
+    */
+  def q274HillTail(s: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(25, 50, 100)
+    val freq = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("__t"))
+      .agg(count(lit(1)).as("__f"))
+    val ranked = freq
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__f").desc, col("__t"))))
+      .filter(col("__r") <= ks.max + 1)
+      .select(col("__r"), col("__f").cast("double").as("__f"))
+    val aggs = ks.flatMap { k =>
+      Seq(sum(when(col("__r") <= k, log(col("__f")))).as(s"__s$k"),
+        max(when(col("__r") === k + 1, col("__f"))).as(s"__fk$k"))
+    }
+    val agg = ranked.agg(aggs.head, aggs.tail: _*)
+    agg.select(explode(array(ks.map { k =>
+        struct(lit(k).as("k"),
+          col(s"__fk$k").cast("long").as("f_next"),
+          round(col(s"__s$k") / k - log(col(s"__fk$k")), 4)
+            .as("gamma"),
+          round(try_divide(lit(1.0),
+            col(s"__s$k") / k - log(col(s"__fk$k"))), 4).as("alpha"))
+      }: _*)).as("r"))
+      .select(col("r.k"), col("r.f_next"), col("r.gamma"),
+        col("r.alpha"))
+      .orderBy(col("k"))
+  }
+
+  /** q275_randomization_test — two-sample randomization test on
+    * per-user mean event value: the observed arm split and R = 64
+    * re-labelings all come from double-hashed per-user draws
+    * (g_r = (h₁ + r·h₂) mod 2³² mod 2 — q241's replicate trick, so the
+    * whole null distribution costs TWO md5s per user and replays
+    * identically in any engine), p = (1 + #{|Δ_r| ≥ |Δ_obs|})/(R+1).
+    * The corpus pass is the per-user aggregate; the replicate
+    * fan-out multiplies the |users|-bounded frame only, and each
+    * replicate collapses map-side to one partial sum per arm.
+    */
+  def q275RandomizationTest(s: SparkSession, dir: String): DataFrame = {
+    val R = 64
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(avg(col("value")).as("__m"))
+      .withColumn("__h1",
+        TextOps.hash32(col("user_id").cast("string"), seed = "pta:"))
+      .withColumn("__h2",
+        TextOps.hash32(col("user_id").cast("string"), seed = "ptb:"))
+    val obs = per
+      .agg((avg(when(TextOps.hash32(col("user_id").cast("string"),
+          seed = "perm:") % 2 === 1, col("__m"))) -
+        avg(when(TextOps.hash32(col("user_id").cast("string"),
+          seed = "perm:") % 2 =!= 1, col("__m")))).as("__obs"))
+    val perm = per
+      .withColumn("__r", explode(sequence(lit(0), lit(R - 1))))
+      .withColumn("__g",
+        pmod(col("__h1") + col("__r") * col("__h2"),
+          lit(4294967296L)) % 2 === 1)
+      .groupBy(col("__r"))
+      .agg((avg(when(col("__g"), col("__m"))) -
+        avg(when(!col("__g"), col("__m")))).as("__d"))
+    perm.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_reps"),
+        count(when(abs(col("__d")) >= abs(col("__obs")), 1)).as("__ge"),
+        max(abs(col("__obs"))).as("__aobs"))
+      .select(round(col("__aobs"), 4).as("abs_obs_diff"),
+        col("n_reps"),
+        round((col("__ge") + 1) / (col("n_reps") + 1), 4).as("p_value"),
+        ((col("__ge") + 1) / (col("n_reps") + 1) <= 0.05).as("reject_05"))
+  }
+
+  /** q276_simpson — Simpson's-paradox screen: the pooled association
+    * between a treatment (discount ≥ 0.05) and an outcome (return
+    * rate) compared against the same association WITHIN each stratum
+    * (ship year). A stratum whose rate difference carries the opposite
+    * sign from the pooled difference is flagged — the aggregation-
+    * reversal audit run before any observational readout is trusted.
+    * One conditional aggregate per stratum (the corpus pass); pooled
+    * numbers derive from the SAME bounded per-stratum frame via
+    * unpartitioned windows, so the corpus is read once.
+    */
+  def q276Simpson(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .select(year(col("l_shipdate")).as("ship_year"),
+        (col("l_discount") >= 0.05).as("__t"),
+        (col("l_returnflag") === "R").as("__r"))
+      .groupBy(col("ship_year"))
+      .agg(count(when(col("__t"), 1)).as("__nt"),
+        count(when(col("__t") && col("__r"), 1)).as("__rt"),
+        count(when(!col("__t"), 1)).as("__nc"),
+        count(when(!col("__t") && col("__r"), 1)).as("__rc"))
+    val w = Window.partitionBy()
+    g.withColumn("__rate_t", try_divide(col("__rt"), col("__nt")))
+      .withColumn("__rate_c", try_divide(col("__rc"), col("__nc")))
+      .withColumn("__diff", col("__rate_t") - col("__rate_c"))
+      .withColumn("__pooled",
+        try_divide(sum(col("__rt")).over(w), sum(col("__nt")).over(w)) -
+          try_divide(sum(col("__rc")).over(w), sum(col("__nc")).over(w)))
+      .select(col("ship_year"),
+        (col("__nt") + col("__nc")).as("n"),
+        round(col("__rate_t"), 4).as("rate_treated"),
+        round(col("__rate_c"), 4).as("rate_control"),
+        round(col("__diff"), 4).as("stratum_diff"),
+        round(col("__pooled"), 4).as("pooled_diff"),
+        (signum(col("__diff")) =!= signum(col("__pooled")) &&
+          signum(col("__diff")) =!= 0).as("sign_reversal"))
+      .orderBy(col("ship_year"))
+  }
+
+  /** q277_bh_screen — multiple-testing screen with Benjamini–Hochberg
+    * FDR control: per event type, a Welch z between deterministic
+    * hash-split arms on event value; two-sided p from the
+    * Zelen–Severo 26.2.17 normal-CDF polynomial (pure arithmetic, so
+    * both engines evaluate the SAME approximation bit-for-bit — no
+    * erf built-in needed); BH-adjusted p via the reverse running
+    * minimum of p·m/rank over the |types|-bounded frame. This is the
+    * screen that makes per-segment metric sweeps honest — q205/q207
+    * test one hypothesis; this controls the family.
+    */
+  def q277BhScreen(s: SparkSession, dir: String): DataFrame = {
+    def phiUpper(z: org.apache.spark.sql.Column) = {
+      // Zelen & Severo 26.2.17: 1 − Φ(z) for z ≥ 0
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+      val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429)))))
+      exp(z * z * -0.5) / sqrt(lit(2.0) * math.Pi) * poly
+    }
+    val g = Tables.events(s, dir)
+      .withColumn("__a", TextOps.hash32(col("event_id").cast("string"),
+        seed = "bh:") % 2 === 1)
+      .groupBy(col("event_type"))
+      .agg(count(when(col("__a"), 1)).as("__na"),
+        count(when(!col("__a"), 1)).as("__nb"),
+        avg(when(col("__a"), col("value"))).as("__ma"),
+        avg(when(!col("__a"), col("value"))).as("__mb"),
+        var_samp(when(col("__a"), col("value"))).as("__va"),
+        var_samp(when(!col("__a"), col("value"))).as("__vb"))
+      .withColumn("__z", try_divide(col("__ma") - col("__mb"),
+        sqrt(col("__va") / col("__na") + col("__vb") / col("__nb"))))
+      .withColumn("__p", lit(2.0) * phiUpper(abs(col("__z"))))
+    val w = Window.partitionBy()
+    val rw = Window.orderBy(col("__p"), col("event_type"))
+    g.withColumn("__m", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(rw))
+      .withColumn("__pbh", least(lit(1.0),
+        min(col("__p") * col("__m") / col("__rk")).over(
+          rw.rowsBetween(0, Window.unboundedFollowing))))
+      .select(col("event_type"), round(col("__z"), 4).as("z"),
+        round(col("__p"), 6).as("p_value"),
+        round(col("__pbh"), 6).as("p_bh"),
+        (col("__pbh") <= 0.10).as("rejected_fdr10"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q278_compaction_plan — small-file compaction planning: per
+    * source partition, documents pack greedily in (deterministic)
+    * doc_id order into target-sized output files via the cumulative
+    * size BEFORE each row — bin = floor(cum_before / target) — the
+    * one-window form of first-fit packing that needs no driver loop
+    * (the q103 token-packing shape applied to file sizing). Reports
+    * per planned file its doc count, bytes and fill ratio — the plan a
+    * table-maintenance job executes to fix the many-small-files
+    * problem. Windows are per-source; nothing global.
+    */
+  def q278CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 1500L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("__before", coalesce(sum(col("n_chars")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("file_no",
+        floor(col("__before") / target).cast("long"))
+      .groupBy(col("source"), col("file_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes"),
+        round(sum(col("n_chars")) / lit(target.toDouble), 4)
+          .as("fill_ratio"))
+      .orderBy(col("source"), col("file_no"))
+  }
+
+  /** q279_jackknife_groups — leave-one-group-out influence audit: for
+    * each order priority, the global mean order value recomputed
+    * WITHOUT that group, from the per-group sums alone —
+    * (Σ − Σ_g)/(n − n_g) — so the whole jackknife costs one groupBy
+    * plus windows over the |groups|-bounded frame, never a per-group
+    * re-scan. Groups whose removal moves the global mean by > 0.5%
+    * are flagged influential — the robustness check that a headline
+    * metric isn't one segment's artifact.
+    */
+  def q279JackknifeGroups(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("o_totalprice")).as("__s"))
+    val w = Window.partitionBy()
+    g.withColumn("__tn", sum(col("__n")).over(w))
+      .withColumn("__ts", sum(col("__s")).over(w))
+      .withColumn("__gm", col("__ts") / col("__tn"))
+      .withColumn("__loo", (col("__ts") - col("__s")) /
+        (col("__tn") - col("__n")))
+      .select(col("o_orderpriority"), col("__n").as("n"),
+        round(col("__gm"), 4).as("global_mean"),
+        round(col("__loo"), 4).as("loo_mean"),
+        round(col("__loo") - col("__gm"), 4).as("influence"),
+        (abs(col("__loo") - col("__gm")) >
+          lit(0.005) * abs(col("__gm"))).as("influential"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q276_simpson" -> (q276Simpson _),
+    "q277_bh_screen" -> (q277BhScreen _),
+    "q278_compaction_plan" -> (q278CompactionPlan _),
+    "q279_jackknife_groups" -> (q279JackknifeGroups _),
+    "q270_cuped" -> (q270Cuped _),
+    "q271_did" -> (q271Did _),
+    "q272_woe_iv" -> (q272WoeIv _),
+    "q273_propensity_match" -> (q273PropensityMatch _),
+    "q274_hill_tail" -> (q274HillTail _),
+    "q275_randomization_test" -> (q275RandomizationTest _),
+  )
+
+  // shared hash32 replay: ('0x' || first 8 md5 hex chars)::BIGINT
+  private def h32(expr: String, seed: String): String =
+    s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
+
+  // per-user pre/post means against the µs midpoint (q270/q271 CTE)
+  private val prePostCte: String =
+    """e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value
+      |  FROM events),
+      |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM e),
+      |per AS (SELECT user_id,
+      |    avg(CASE WHEN us < (SELECT m FROM mid) THEN value END) AS x,
+      |    avg(CASE WHEN us >= (SELECT m FROM mid) THEN value END) AS y
+      |  FROM e GROUP BY 1
+      |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q276_simpson" ->
+      """WITH g AS (SELECT year(l_shipdate) AS ship_year,
+        |    count(CASE WHEN l_discount >= 0.05 THEN 1 END)::BIGINT
+        |      AS nt,
+        |    count(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+        |      THEN 1 END)::BIGINT AS rt,
+        |    count(CASE WHEN l_discount < 0.05 THEN 1 END)::BIGINT
+        |      AS nc,
+        |    count(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+        |      THEN 1 END)::BIGINT AS rc
+        |  FROM lineitem GROUP BY 1),
+        |x AS (SELECT ship_year, nt + nc AS n,
+        |    rt / nullif(nt, 0)::DOUBLE AS rate_t,
+        |    rc / nullif(nc, 0)::DOUBLE AS rate_c,
+        |    sum(rt) OVER () / nullif(sum(nt) OVER (), 0)::DOUBLE -
+        |      sum(rc) OVER () / nullif(sum(nc) OVER (), 0)::DOUBLE
+        |      AS pooled
+        |  FROM g)
+        |SELECT ship_year, n,
+        |  round(rate_t, 4) AS rate_treated,
+        |  round(rate_c, 4) AS rate_control,
+        |  round(rate_t - rate_c, 4) AS stratum_diff,
+        |  round(pooled, 4) AS pooled_diff,
+        |  sign(rate_t - rate_c) <> sign(pooled)
+        |    AND sign(rate_t - rate_c) <> 0 AS sign_reversal
+        |FROM x ORDER BY ship_year""".stripMargin,
+    "q277_bh_screen" ->
+      s"""WITH e AS (SELECT event_type, value,
+        |    ${h32("event_id::VARCHAR", "bh:")} % 2 = 1 AS a
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    count(CASE WHEN a THEN 1 END)::BIGINT AS na,
+        |    count(CASE WHEN NOT a THEN 1 END)::BIGINT AS nb,
+        |    avg(CASE WHEN a THEN value END) AS ma,
+        |    avg(CASE WHEN NOT a THEN value END) AS mb,
+        |    var_samp(CASE WHEN a THEN value END) AS va,
+        |    var_samp(CASE WHEN NOT a THEN value END) AS vb
+        |  FROM e GROUP BY 1),
+        |z AS (SELECT event_type,
+        |    (ma - mb) / nullif(sqrt(va / na + vb / nb), 0) AS z
+        |  FROM g),
+        |p AS (SELECT event_type, z,
+        |    2.0 * (exp(-z * z / 2) / sqrt(2.0 * pi()) *
+        |      ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 +
+        |       (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 +
+        |       (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 +
+        |       (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 +
+        |       (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))))
+        |      AS p
+        |  FROM z),
+        |r AS (SELECT event_type, z, p,
+        |    count(*) OVER () AS m,
+        |    row_number() OVER (ORDER BY p, event_type) AS rk
+        |  FROM p),
+        |bh AS (SELECT event_type, z, p,
+        |    least(1.0, min(p * m / rk) OVER (ORDER BY p, event_type
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |      AS pbh
+        |  FROM r)
+        |SELECT event_type, round(z, 4) AS z,
+        |  round(p, 6) AS p_value, round(pbh, 6) AS p_bh,
+        |  pbh <= 0.10 AS rejected_fdr10
+        |FROM bh ORDER BY event_type""".stripMargin,
+    "q278_compaction_plan" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS before
+        |  FROM documents)
+        |SELECT source, floor(before / 1500)::BIGINT AS file_no,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS bytes,
+        |  round(sum(n_chars) / 1500.0, 4) AS fill_ratio
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q279_jackknife_groups" ->
+      """WITH g AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |    sum(o_totalprice) AS s
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT o_orderpriority, n,
+        |    sum(s) OVER () / sum(n) OVER () AS gm,
+        |    (sum(s) OVER () - s) / (sum(n) OVER () - n) AS loo
+        |  FROM g)
+        |SELECT o_orderpriority, n, round(gm, 4) AS global_mean,
+        |  round(loo, 4) AS loo_mean,
+        |  round(loo - gm, 4) AS influence,
+        |  abs(loo - gm) > 0.005 * abs(gm) AS influential
+        |FROM x ORDER BY o_orderpriority""".stripMargin,
+    "q270_cuped" ->
+      s"""WITH $prePostCte,
+        |a AS (SELECT count(*)::BIGINT AS n_users,
+        |    covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy
+        |  FROM per)
+        |SELECT n_users, round(cxy / nullif(vx, 0), 4) AS theta,
+        |  round(vy, 4) AS var_raw,
+        |  round(vy - cxy * cxy / nullif(vx, 0), 4) AS var_cuped,
+        |  round(cxy * cxy / nullif(vx * vy, 0), 4) AS var_reduction
+        |FROM a""".stripMargin,
+    "q271_did" ->
+      s"""WITH $prePostCte,
+        |t AS (SELECT x, y, y - x AS d,
+        |    ${h32("user_id::VARCHAR", "did:")} % 2 = 1 AS tr
+        |  FROM per),
+        |a AS (SELECT
+        |    count(CASE WHEN tr THEN 1 END)::BIGINT AS n_treat,
+        |    count(CASE WHEN NOT tr THEN 1 END)::BIGINT AS n_ctrl,
+        |    avg(CASE WHEN tr THEN x END) AS mtpre,
+        |    avg(CASE WHEN tr THEN y END) AS mtpost,
+        |    avg(CASE WHEN NOT tr THEN x END) AS mcpre,
+        |    avg(CASE WHEN NOT tr THEN y END) AS mcpost,
+        |    avg(CASE WHEN tr THEN d END) AS dt,
+        |    avg(CASE WHEN NOT tr THEN d END) AS dc,
+        |    var_samp(CASE WHEN tr THEN d END) AS vt,
+        |    var_samp(CASE WHEN NOT tr THEN d END) AS vc
+        |  FROM t)
+        |SELECT n_treat, n_ctrl,
+        |  round(mtpre, 4) AS m_treat_pre,
+        |  round(mtpost, 4) AS m_treat_post,
+        |  round(mcpre, 4) AS m_ctrl_pre,
+        |  round(mcpost, 4) AS m_ctrl_post,
+        |  round(dt - dc, 4) AS did,
+        |  round(sqrt(vt / n_treat + vc / n_ctrl), 4) AS se,
+        |  abs(dt - dc) > 1.96 * sqrt(vt / n_treat + vc / n_ctrl)
+        |    AS significant
+        |FROM a""".stripMargin,
+    "q272_woe_iv" ->
+      """WITH g AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT
+        |      AS n_bad
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT o_orderpriority, n, n_bad, n - n_bad AS n_good,
+        |    count(*) OVER ()::DOUBLE AS k,
+        |    sum(n - n_bad) OVER ()::DOUBLE AS gt,
+        |    sum(n_bad) OVER ()::DOUBLE AS bt
+        |  FROM g),
+        |x AS (SELECT o_orderpriority, n, n_bad,
+        |    (n_good + 0.5) / (gt + 0.5 * k) AS dg,
+        |    (n_bad + 0.5) / (bt + 0.5 * k) AS db
+        |  FROM w),
+        |y AS (SELECT o_orderpriority, n, n_bad,
+        |    ln(dg / db) AS woe, (dg - db) * ln(dg / db) AS ivc
+        |  FROM x)
+        |SELECT o_orderpriority, n, n_bad, round(woe, 4) AS woe,
+        |  round(ivc, 6) AS iv_contrib,
+        |  round(sum(ivc) OVER (), 6) AS iv_total
+        |FROM y ORDER BY o_orderpriority""".stripMargin,
+    "q273_propensity_match" ->
+      s"""WITH per AS (SELECT user_id, count(*)::BIGINT AS ne,
+        |    sum(value) AS tv,
+        |    ${h32("user_id::VARCHAR", "psm:")} % 2 = 1 AS tr
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT *, floor(ln(ne::DOUBLE) / ln(2.0))::BIGINT
+        |    AS stratum FROM per),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY stratum, tr
+        |    ORDER BY tv, user_id) AS rn FROM st),
+        |m AS (SELECT t.stratum, count(*)::BIGINT AS n_matched,
+        |    avg(t.tv) AS mt_m, avg(c.tv) AS mc_m,
+        |    var_samp(t.tv) AS vt_m, var_samp(c.tv) AS vc_m
+        |  FROM r t JOIN r c ON t.stratum = c.stratum AND t.rn = c.rn
+        |    AND t.tr AND NOT c.tr
+        |  GROUP BY 1),
+        |b AS (SELECT stratum,
+        |    count(CASE WHEN tr THEN 1 END)::BIGINT AS n_treated,
+        |    count(CASE WHEN NOT tr THEN 1 END)::BIGINT AS n_control,
+        |    avg(CASE WHEN tr THEN tv END) AS mt,
+        |    avg(CASE WHEN NOT tr THEN tv END) AS mc,
+        |    var_samp(CASE WHEN tr THEN tv END) AS vt,
+        |    var_samp(CASE WHEN NOT tr THEN tv END) AS vc
+        |  FROM st GROUP BY 1)
+        |SELECT b.stratum, b.n_treated, b.n_control,
+        |  coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+        |  round((b.mt - b.mc) / nullif(sqrt((b.vt + b.vc) / 2), 0), 4)
+        |    AS smd_before,
+        |  round((m.mt_m - m.mc_m) /
+        |    nullif(sqrt((m.vt_m + m.vc_m) / 2), 0), 4) AS smd_after
+        |FROM b LEFT JOIN m ON b.stratum = m.stratum
+        |ORDER BY b.stratum""".stripMargin,
+    "q274_hill_tail" ->
+      """WITH f AS (SELECT l_partkey AS t, count(*)::BIGINT AS f
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT f::DOUBLE AS f, row_number() OVER
+        |    (ORDER BY f DESC, t) AS rn FROM f),
+        |top AS (SELECT * FROM r WHERE rn <= 101),
+        |a AS (SELECT
+        |    sum(CASE WHEN rn <= 25 THEN ln(f) END) AS s25,
+        |    max(CASE WHEN rn = 26 THEN f END) AS fk25,
+        |    sum(CASE WHEN rn <= 50 THEN ln(f) END) AS s50,
+        |    max(CASE WHEN rn = 51 THEN f END) AS fk50,
+        |    sum(CASE WHEN rn <= 100 THEN ln(f) END) AS s100,
+        |    max(CASE WHEN rn = 101 THEN f END) AS fk100
+        |  FROM top)
+        |SELECT k, f_next, gamma,
+        |  round(1.0 / nullif(g_raw, 0), 4) AS alpha
+        |FROM (
+        |  SELECT 25 AS k, fk25::BIGINT AS f_next,
+        |    round(s25 / 25 - ln(fk25), 4) AS gamma,
+        |    s25 / 25 - ln(fk25) AS g_raw FROM a
+        |  UNION ALL
+        |  SELECT 50, fk50::BIGINT,
+        |    round(s50 / 50 - ln(fk50), 4),
+        |    s50 / 50 - ln(fk50) FROM a
+        |  UNION ALL
+        |  SELECT 100, fk100::BIGINT,
+        |    round(s100 / 100 - ln(fk100), 4),
+        |    s100 / 100 - ln(fk100) FROM a)
+        |ORDER BY k""".stripMargin,
+    "q275_randomization_test" ->
+      s"""WITH per AS (SELECT user_id, avg(value) AS m,
+        |    ${h32("user_id::VARCHAR", "pta:")} AS h1,
+        |    ${h32("user_id::VARCHAR", "ptb:")} AS h2,
+        |    ${h32("user_id::VARCHAR", "perm:")} % 2 = 1 AS g0
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT avg(CASE WHEN g0 THEN m END) -
+        |    avg(CASE WHEN NOT g0 THEN m END) AS obs FROM per),
+        |reps AS (SELECT r.r,
+        |    avg(CASE WHEN (p.h1 + r.r * p.h2) % 4294967296 % 2 = 1
+        |        THEN p.m END) -
+        |    avg(CASE WHEN (p.h1 + r.r * p.h2) % 4294967296 % 2 <> 1
+        |        THEN p.m END) AS d
+        |  FROM per p, (SELECT unnest(range(0, 64)) AS r) r
+        |  GROUP BY 1)
+        |SELECT round(abs((SELECT obs FROM obs)), 4) AS abs_obs_diff,
+        |  count(*)::BIGINT AS n_reps,
+        |  round((count(CASE WHEN abs(d) >=
+        |      abs((SELECT obs FROM obs)) THEN 1 END) + 1) /
+        |    (count(*) + 1)::DOUBLE, 4) AS p_value,
+        |  (count(CASE WHEN abs(d) >= abs((SELECT obs FROM obs))
+        |      THEN 1 END) + 1) / (count(*) + 1)::DOUBLE <= 0.05
+        |    AS reject_05
+        |FROM reps""".stripMargin,
+  )
+}
