@@ -916,7 +916,7 @@ object AdvancedQueries {
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
   // mirrors TextOps.hash32 / DedupOps.withSimhash(_, 32, _)
-  private val simhash32Sql: String = (0 until 32).map { j =>
+  private[queries] val simhash32Sql: String = (0 until 32).map { j =>
     s"CASE WHEN list_sum(list_transform(toks, t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 

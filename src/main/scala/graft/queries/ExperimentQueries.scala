@@ -401,7 +401,196 @@ object ExperimentQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q280_label_prop — community detection by synchronous min-label
+    * propagation over the simhash near-dup graph (q172's edge source):
+    * 4 BSP rounds of label(v) ← min(label(v), min over neighbors),
+    * after which each node's label is the smallest doc_id within 4
+    * hops — deterministic, unlike classic random-order LPA, and the
+    * natural "which template family is this page from" readout beside
+    * q172's centrality. Each round is one join + one
+    * map-side-combined min on the checkpointed symmetric edge list;
+    * labels are plain longs so a round's shuffle carries |edges| rows
+    * of two longs, and 4 rounds bound the plan depth.
+    */
+  def q280LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32,
+        "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
+        maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // 4 rounds read this
+    var lab = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 4) {
+      val nb = lab.join(sym, lab("node") === sym("src"))
+        .select(col("dst").as("node"), col("lbl"))
+      lab = lab.unionByName(nb)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }
+    lab.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(25)
+  }
+
+  /** q281_cms_heavy — Count-Min sketch point-frequency estimation
+    * ([[graft.functions.CountMin]], d=4 × w=64 counters): ONE constant-
+    * memory algebraic aggregate over the stream, then each key's
+    * estimate is the min across rows of the counters it hashes to —
+    * probed with native expressions that address exactly the counters
+    * the Aggregator incremented (same md5 hash family). The oracle
+    * REPLAYS the sketch arithmetic from exact counts (bucket sums per
+    * row, then min), so the estimate itself hash-checks, not just the
+    * guarantee flags. Alongside q111's Misra–Gries (which finds WHICH
+    * items are heavy), CMS answers point queries for any item and
+    * unions across shards by addition.
+    */
+  def q281CmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 64
+    val ev = Tables.events(s, dir)
+    val sk = ev.agg(
+      graft.functions.CountMin.sketch(d, w)(col("event_type"))
+        .as("__cms"),
+      count(lit(1)).as("__n"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_n"))
+    val ests = (0 until d).map { j =>
+      element_at(col("__cms.counts"),
+        (lit(j * w) + pmod(TextOps.hash32(col("event_type"),
+          seed = s"cms$j:"), lit(w.toLong))).cast("int") + lit(1))
+    }
+    exact.crossJoin(broadcast(sk))
+      .withColumn("est_n", least(ests: _*))
+      .select(col("event_type"), col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).as("no_underestimate"),
+        (col("est_n") <= col("exact_n") +
+          ceil(lit(2.718281828459045 / w) * col("__n")))
+          .as("within_eps_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q282_ipw_ate — inverse-propensity-weighted treatment effect
+    * (Hájek-normalized): units are users, the synthetic assignment is
+    * deliberately CONFOUNDED with activity (treatment probability
+    * rises with the log2-activity stratum), propensities are estimated
+    * per stratum from the assignment frequencies, and the ATE is the
+    * Hájek contrast Σt·y/p̂ / Σt/p̂ − Σ(1−t)·y/(1−p̂) / Σ(1−t)/(1−p̂)
+    * next to the confounded naive difference. Strata without
+    * positivity (p̂ ∈ {0,1}) are excluded, as the estimator requires.
+    * One corpus pass (per-user aggregate); everything else is
+    * |users|-frame arithmetic with a broadcast |strata| join.
+    */
+  def q282IpwAte(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__ne"), avg(col("value")).as("__y"))
+      .withColumn("stratum", least(
+        floor(log(col("__ne").cast("double")) / math.log(2.0)), lit(6.0))
+        .cast("long"))
+      .withColumn("__t",
+        pmod(TextOps.hash32(col("user_id").cast("string"),
+          seed = "ipw:"), lit(100L)) < lit(20) + lit(10) * col("stratum"))
+    val ps = per.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("__ns"),
+        count(when(col("__t"), 1)).as("__nts"))
+      .withColumn("__p", try_divide(col("__nts"), col("__ns")))
+      .filter(col("__p") > 0 && col("__p") < 1)
+      .select(col("stratum"), col("__p"))
+    per.join(broadcast(ps), Seq("stratum"))
+      .agg(count(lit(1)).as("n_users"),
+        (avg(when(col("__t"), col("__y"))) -
+          avg(when(!col("__t"), col("__y")))).as("__naive"),
+        sum(when(col("__t"), col("__y") / col("__p"))).as("__syt"),
+        sum(when(col("__t"), lit(1.0) / col("__p"))).as("__swt"),
+        sum(when(!col("__t"), col("__y") / (lit(1.0) - col("__p"))))
+          .as("__syc"),
+        sum(when(!col("__t"), lit(1.0) / (lit(1.0) - col("__p"))))
+          .as("__swc"))
+      .select(col("n_users"),
+        round(col("__naive"), 4).as("naive_diff"),
+        round(try_divide(col("__syt"), col("__swt")) -
+          try_divide(col("__syc"), col("__swc")), 4).as("ipw_ate"))
+  }
+
+  /** q283_auto_histogram — histogram with DATA-DRIVEN bin width
+    * (Freedman–Diaconis: h = 2·IQR/n^⅓, rounded to whole units and
+    * floored at 1): the one-pass profile computes n/min/IQR, then
+    * binning is a pure projection against the broadcast 1-row stats
+    * frame — the auto-binned companion of q107's fixed-width
+    * histogram, i.e. what a profiler uses when it cannot know the
+    * scale of a column in advance. Exact interpolated percentiles
+    * match quantile_cont; the rounded width keeps the bin boundaries
+    * away from float knife-edges.
+    */
+  def q283AutoHistogram(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(s, dir)
+      .select(col("o_totalprice").cast("double").as("__v"))
+    val stats = v.agg(count(lit(1)).as("__n"), min(col("__v")).as("__lo"),
+        expr("percentile(__v, 0.25)").as("__q1"),
+        expr("percentile(__v, 0.75)").as("__q3"))
+      .withColumn("__h", greatest(
+        round(lit(2.0) * (col("__q3") - col("__q1")) /
+          pow(col("__n").cast("double"), lit(1.0 / 3.0)), 0),
+        lit(1.0)))
+    v.crossJoin(broadcast(stats))
+      .withColumn("bin",
+        floor((col("__v") - col("__lo")) / col("__h")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__lo") + col("bin") * col("__h")), 2)
+          .as("bin_lo"),
+        round(max(col("__h")), 2).as("bin_width"))
+      .orderBy(col("bin"))
+  }
+
+  /** q284_selfjoin_size — join-cardinality estimation audit (the
+    * optimizer-statistics problem): the self-join size on user_id is
+    * the second frequency moment F₂ = Σc², compared against the
+    * uniform-frequency estimate N²/d (what a naive optimizer assumes)
+    * and the heavy-hitter-corrected estimate (exact top-20 keys +
+    * uniform remainder — the histogram estimate planners actually
+    * keep). Reports each estimate's signed relative error. One
+    * groupBy (the corpus pass); top-20 via one k-bounded sort over
+    * the |users| frame.
+    */
+  def q284SelfjoinSize(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("__c"))
+    val top = c.orderBy(col("__c").desc, col("user_id")).limit(20)
+      .agg(sum(col("__c") * col("__c")).as("__hh_f2"),
+        sum(col("__c")).as("__hh_n"), count(lit(1)).as("__hh_k"))
+    c.agg(sum(col("__c") * col("__c")).as("__f2"),
+        sum(col("__c")).as("__n"), count(lit(1)).as("__d"))
+      .crossJoin(broadcast(top))
+      // remainder term only when non-top keys exist (at tiny SF the
+      // top-20 IS the whole key set; 0²/0 would be NaN)
+      .withColumn("__rem", when(col("__d") > col("__hh_k"),
+        (col("__n") - col("__hh_n")) * (col("__n") - col("__hh_n")) /
+          (col("__d") - col("__hh_k"))).otherwise(lit(0.0)))
+      .withColumn("__hh_est", col("__hh_f2") + col("__rem"))
+      .withColumn("__uni", col("__n") * col("__n") / col("__d"))
+      .select(col("__f2").as("exact_f2"),
+        round(col("__uni"), 2).as("uniform_est"),
+        round(col("__hh_est"), 2).as("hh_est"),
+        round(try_divide(col("__uni") - col("__f2"), col("__f2")), 4)
+          .as("uniform_rel_err"),
+        round(try_divide(col("__hh_est") - col("__f2"), col("__f2")), 4)
+          .as("hh_rel_err"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q280_label_prop" -> (q280LabelProp _),
+    "q281_cms_heavy" -> (q281CmsHeavy _),
+    "q282_ipw_ate" -> (q282IpwAte _),
+    "q283_auto_histogram" -> (q283AutoHistogram _),
+    "q284_selfjoin_size" -> (q284SelfjoinSize _),
     "q276_simpson" -> (q276Simpson _),
     "q277_bh_screen" -> (q277BhScreen _),
     "q278_compaction_plan" -> (q278CompactionPlan _),
@@ -413,6 +602,18 @@ object ExperimentQueries {
     "q274_hill_tail" -> (q274HillTail _),
     "q275_randomization_test" -> (q275RandomizationTest _),
   )
+
+  import ExtensionQueries.toksSql
+  import AdvancedQueries.simhash32Sql
+
+  // one min-label-propagation round: l{i} -> l{i+1} over sym
+  private def lpRound(i: Int): String =
+    s"""l${i + 1} AS (SELECT node, min(lbl) AS lbl FROM (
+       |    SELECT node, lbl FROM l$i
+       |    UNION ALL
+       |    SELECT sym.dst AS node, l$i.lbl
+       |    FROM l$i JOIN sym ON l$i.node = sym.src) GROUP BY node)"""
+      .stripMargin
 
   // shared hash32 replay: ('0x' || first 8 md5 hex chars)::BIGINT
   private def h32(expr: String, seed: String): String =
@@ -430,6 +631,103 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q280_label_prop" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+        |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |sym AS (SELECT ea AS src, eb AS dst FROM e
+        |        UNION ALL SELECT eb, ea FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+        |${lpRound(0)},
+        |${lpRound(1)},
+        |${lpRound(2)},
+        |${lpRound(3)}
+        |SELECT lbl AS community, count(*)::BIGINT AS n_members
+        |FROM l4 GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_members DESC, community LIMIT 25""".stripMargin,
+    "q281_cms_heavy" ->
+      """WITH ex AS (SELECT event_type, count(*)::BIGINT AS exact_n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM events),
+        |h AS (SELECT event_type, exact_n, j,
+        |    ('0x' || substr(md5('cms' || j || ':' || event_type), 1, 8))
+        |      ::BIGINT % 64 AS b
+        |  FROM ex, (SELECT unnest(range(0, 4)) AS j)),
+        |bk AS (SELECT j, b, sum(exact_n)::BIGINT AS bc
+        |  FROM h GROUP BY 1, 2),
+        |est AS (SELECT h.event_type, min(bk.bc)::BIGINT AS est_n
+        |  FROM h JOIN bk ON h.j = bk.j AND h.b = bk.b GROUP BY 1)
+        |SELECT ex.event_type, ex.exact_n, est.est_n,
+        |  est.est_n >= ex.exact_n AS no_underestimate,
+        |  est.est_n <= ex.exact_n + ceil(2.718281828459045 / 64 *
+        |    (SELECT n FROM tot)) AS within_eps_bound
+        |FROM ex JOIN est ON ex.event_type = est.event_type
+        |ORDER BY ex.event_type""".stripMargin,
+    "q282_ipw_ate" ->
+      s"""WITH per AS (SELECT user_id, count(*)::BIGINT AS ne,
+        |    avg(value) AS y
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT user_id, y,
+        |    least(floor(ln(ne::DOUBLE) / ln(2.0)), 6.0)::BIGINT
+        |      AS stratum,
+        |    ${h32("user_id::VARCHAR", "ipw:")} % 100 <
+        |      20 + 10 * least(floor(ln(ne::DOUBLE) / ln(2.0)), 6.0)
+        |        ::BIGINT AS t
+        |  FROM per),
+        |ps AS (SELECT stratum, count(*)::BIGINT AS ns,
+        |    count(CASE WHEN t THEN 1 END)::BIGINT AS nts
+        |  FROM st GROUP BY 1),
+        |pf AS (SELECT stratum, nts / ns::DOUBLE AS p FROM ps
+        |  WHERE nts > 0 AND nts < ns),
+        |j AS (SELECT st.t, st.y, pf.p
+        |  FROM st JOIN pf ON st.stratum = pf.stratum)
+        |SELECT count(*)::BIGINT AS n_users,
+        |  round(avg(CASE WHEN t THEN y END) -
+        |    avg(CASE WHEN NOT t THEN y END), 4) AS naive_diff,
+        |  round(sum(CASE WHEN t THEN y / p END) /
+        |      sum(CASE WHEN t THEN 1.0 / p END) -
+        |    sum(CASE WHEN NOT t THEN y / (1.0 - p) END) /
+        |      sum(CASE WHEN NOT t THEN 1.0 / (1.0 - p) END), 4)
+        |    AS ipw_ate
+        |FROM j""".stripMargin,
+    "q283_auto_histogram" ->
+      """WITH v AS (SELECT o_totalprice::DOUBLE AS v FROM orders),
+        |s AS (SELECT count(*)::BIGINT AS n, min(v) AS lo,
+        |    quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+        |  FROM v),
+        |h AS (SELECT n, lo,
+        |    greatest(round(2.0 * (q3 - q1) / pow(n::DOUBLE, 1.0 / 3.0),
+        |      0), 1.0) AS h
+        |  FROM s)
+        |SELECT floor((v.v - h.lo) / h.h)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n,
+        |  round(max(h.lo + floor((v.v - h.lo) / h.h) * h.h), 2)
+        |    AS bin_lo,
+        |  round(max(h.h), 2) AS bin_width
+        |FROM v, h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q284_selfjoin_size" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT coalesce(sum(c * c), 0)::BIGINT AS hh_f2,
+        |    coalesce(sum(c), 0)::BIGINT AS hh_n,
+        |    count(*)::BIGINT AS hh_k
+        |  FROM (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 20)),
+        |a AS (SELECT sum(c * c)::BIGINT AS f2, sum(c)::BIGINT AS n,
+        |    count(*)::BIGINT AS d
+        |  FROM c),
+        |x AS (SELECT a.f2, a.n * a.n / a.d::DOUBLE AS uni,
+        |    t.hh_f2 + CASE WHEN a.d > t.hh_k
+        |      THEN (a.n - t.hh_n) * (a.n - t.hh_n) /
+        |        (a.d - t.hh_k)::DOUBLE
+        |      ELSE 0.0 END AS hh_est
+        |  FROM a, t)
+        |SELECT f2 AS exact_f2, round(uni, 2) AS uniform_est,
+        |  round(hh_est, 2) AS hh_est,
+        |  round((uni - f2) / f2::DOUBLE, 4) AS uniform_rel_err,
+        |  round((hh_est - f2) / f2::DOUBLE, 4) AS hh_rel_err
+        |FROM x""".stripMargin,
     "q276_simpson" ->
       """WITH g AS (SELECT year(l_shipdate) AS ship_year,
         |    count(CASE WHEN l_discount >= 0.05 THEN 1 END)::BIGINT
