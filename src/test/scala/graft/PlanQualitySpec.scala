@@ -132,7 +132,17 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q252_conformal",
     // q267 cross-joins the broadcast 1-row corpus-size scalar (the
     // hash-ring modulus)
-    "q267_negative_sampling")
+    "q267_negative_sampling",
+    // q270/q271 cross-join the broadcast 1-row µs-midpoint scalar
+    "q270_cuped", "q271_did",
+    // q275 cross-joins the broadcast 1-row observed-diff scalar
+    "q275_randomization_test",
+    // q281 cross-joins the broadcast 1-row sketch frame
+    "q281_cms_heavy",
+    // q283 cross-joins the broadcast 1-row stats (n/lo/IQR) frame
+    "q283_auto_histogram",
+    // q284 cross-joins the broadcast 1-row top-20 summary frame
+    "q284_selfjoin_size")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
