@@ -585,7 +585,184 @@ object ExperimentQueries {
           .as("hh_rel_err"))
   }
 
+  /** q285_ams_f2 — AMS ("tug-of-war") sketch estimation of the second
+    * frequency moment (Alon–Matias–Szegedy '96), the sketch companion
+    * of q284's exact F₂: 32 ±1-hash estimators Yᵢ = (Σᵤ sᵢ(u)·c_u)²,
+    * combined median-of-means (4 groups × 8) for the
+    * constant-memory estimate of self-join size that streams and
+    * merges by addition. Signs are md5-derived, so the whole sketch
+    * replays in any engine; the reported relative error IS the
+    * operator's honest accuracy readout (q95's sketch-eval pattern).
+    * One corpus pass for counts; the estimator fan-out multiplies the
+    * |keys| frame by 32 and collapses map-side.
+    */
+  def q285AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("__c"))
+    val exact = c.agg(sum(col("__c") * col("__c")).as("__f2"))
+    val y = c
+      .withColumn("__i", explode(sequence(lit(0), lit(31))))
+      .withColumn("__s",
+        pmod(TextOps.hash32(concat(lit("ams"),
+          col("__i").cast("string"), lit(":"),
+          col("user_id").cast("string"))), lit(2L)) * 2 - 1)
+      .groupBy(col("__i"))
+      .agg(sum(col("__s") * col("__c")).as("__z"))
+      .select(col("__i"), (col("__z") * col("__z")).as("__y"))
+    val est = y.groupBy((col("__i") / 8).cast("int").as("__g"))
+      .agg(avg(col("__y")).as("__m"))
+      .agg(expr("percentile(__m, 0.5)").as("__ams"))
+    exact.crossJoin(broadcast(est))
+      .select(col("__f2").as("exact_f2"),
+        round(col("__ams"), 2).as("ams_est"),
+        round(try_divide(col("__ams") - col("__f2"), col("__f2")), 4)
+          .as("rel_err"),
+        (abs(try_divide(col("__ams") - col("__f2"), col("__f2"))) <=
+          1.0).as("within_2x"))
+  }
+
+  /** q286_kcore — k-core decomposition (k = 3) by synchronous peeling
+    * over the simhash near-dup graph: each round drops nodes of
+    * degree < k and the edges touching them; surviving counts per
+    * round show how fast the graph collapses to its dense core — the
+    * cohesion readout used to find template clusters that q172's
+    * centrality ranks and q280's labels group. Each round is one
+    * degree aggregate + two semi-joins on the (checkpointed) edge
+    * list; 3 rounds bound plan depth, counts are 1-row aggregates
+    * unioned at the end.
+    */
+  def q286Kcore(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32,
+        "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
+        maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    var edges = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val rounds = (1 to 3).map { r =>
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src").as("__keep"))
+        .localCheckpoint()
+      edges = edges
+        .join(keep, edges("src") === keep("__keep"), "left_semi")
+        .join(keep, edges("dst") === keep("__keep"), "left_semi")
+        .localCheckpoint()
+      edges.agg(
+        count_distinct(col("src")).as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .select(lit(r).as("peel_round"), col("n_nodes"), col("n_edges"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("peel_round"))
+  }
+
+  /** q287_forecast_eval — seasonal-naive forecast backtest: predict
+    * each (event type, day) count with the value 7 days earlier, next
+    * to the 1-day naive baseline; MAE/MAPE per type and the skill
+    * score 1 − MAE₇/MAE₁ say whether weekly seasonality helps — the
+    * honest evaluation step after q164 MEASURES seasonality and
+    * q251's STL removes it. Raw events collapse to |type×days| rows
+    * in one aggregation; lags run on that bounded per-type frame.
+    */
+  def q287ForecastEval(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__day"))
+    daily
+      .withColumn("__p7", lag(col("__n"), 7).over(w))
+      .withColumn("__p1", lag(col("__n"), 1).over(w))
+      .filter(col("__p7").isNotNull && col("__p1").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_eval"),
+        avg(abs(col("__n") - col("__p7"))).as("__mae7"),
+        avg(abs(col("__n") - col("__p1"))).as("__mae1"),
+        avg(try_divide(abs(col("__n") - col("__p7")), col("__n")))
+          .as("__mape7"))
+      .select(col("event_type"), col("n_days_eval"),
+        round(col("__mae7"), 4).as("mae_seasonal"),
+        round(col("__mae1"), 4).as("mae_naive"),
+        round(col("__mape7"), 4).as("mape_seasonal"),
+        round(lit(1.0) - try_divide(col("__mae7"), col("__mae1")), 4)
+          .as("skill_vs_naive"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q288_xml_source — XML source/sink round trip (built into Spark
+    * since 4.0 — the spark-xml integration), completing the format
+    * family: CSV (X69), ORC (X157), text (X191), binaryFile (X190),
+    * JSON (S1), VARIANT (X179). Write row-tagged XML, read it back
+    * with an explicit schema, and prove the trip lossless with an
+    * order-independent per-source digest (count, chars, hash32-sum of
+    * text — XML entity escaping must round-trip exactly for the
+    * checksum to survive). The oracle computes the digest from the
+    * parquet source: sink → source equality IS the correctness claim.
+    */
+  def q288XmlSource(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q288_xml_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    docs.write.mode("overwrite")
+      .option("rootTag", "docs").option("rowTag", "doc")
+      .format("xml").save(path)
+    s.read.schema(docs.schema)
+      .option("rowTag", "doc").format("xml").load(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextOps.hash32(col("text"))).as("text_checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** q289_stream_static_enrich — the stream-static enrichment join,
+    * the one streaming shape the manifest lacked (X71 aggregates,
+    * X97 dedups, X103 sessionizes, X123 joins stream×stream): a
+    * static per-user tier dimension (batch-computed, broadcast into
+    * every micro-batch — the dimension-table pattern) enriches the
+    * replayed event stream, which then aggregates per tier. The join
+    * is STATELESS — no watermark, no state store — so at production
+    * scale its cost is the broadcast, not state. Batch parity via the
+    * oracle computing the same tiers + rollup directly.
+    */
+  def q289StreamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val sink = "q289_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val dim = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("__ne"))
+      .select(col("user_id"),
+        least(floor(log(col("__ne").cast("double")) / math.log(2.0)),
+          lit(6.0)).cast("long").as("tier"))
+    val src = ExtensionQueries.eventsFileStream(s, dir, "q289")
+      .select(col("user_id"), col("value"))
+    val q = ExtensionQueries.withStreamShuffle(s, 8) {
+      src.join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value")).as("__sv"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("tier"), col("n_events"),
+        round(col("__sv"), 2).as("total_value"))
+      .orderBy(col("tier"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q285_ams_f2" -> (q285AmsF2 _),
+    "q286_kcore" -> (q286Kcore _),
+    "q287_forecast_eval" -> (q287ForecastEval _),
+    "q288_xml_source" -> (q288XmlSource _),
+    "q289_stream_static_enrich" -> (q289StreamStaticEnrich _),
     "q280_label_prop" -> (q280LabelProp _),
     "q281_cms_heavy" -> (q281CmsHeavy _),
     "q282_ipw_ate" -> (q282IpwAte _),
@@ -605,6 +782,20 @@ object ExperimentQueries {
 
   import ExtensionQueries.toksSql
   import AdvancedQueries.simhash32Sql
+
+  // one k-core peel round: edges e{i} (e0 = sym) -> k{i+1}/e{i+1}/r{i+1}
+  private def kcoreRound(i: Int): String = {
+    val prev = if (i == 0) "sym" else s"e$i"
+    s"""k${i + 1} AS (SELECT src FROM $prev GROUP BY src
+       |  HAVING count(*) >= 3),
+       |e${i + 1} AS (SELECT $prev.src, $prev.dst FROM $prev
+       |  WHERE src IN (SELECT src FROM k${i + 1})
+       |    AND dst IN (SELECT src FROM k${i + 1})),
+       |r${i + 1} AS (SELECT ${i + 1} AS peel_round,
+       |    count(DISTINCT src)::BIGINT AS n_nodes,
+       |    (count(*) // 2)::BIGINT AS n_edges FROM e${i + 1})"""
+      .stripMargin
+  }
 
   // one min-label-propagation round: l{i} -> l{i+1} over sym
   private def lpRound(i: Int): String =
@@ -631,6 +822,70 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q285_ams_f2" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |ex AS (SELECT sum(c * c)::BIGINT AS f2 FROM c),
+        |y AS (SELECT i.i,
+        |    sum(((('0x' || substr(md5('ams' || i.i || ':' || user_id),
+        |      1, 8))::BIGINT % 2) * 2 - 1) * c.c) AS z
+        |  FROM c, (SELECT unnest(range(0, 32)) AS i) i GROUP BY 1),
+        |g AS (SELECT (i // 8)::INT AS g, avg((z * z)::DOUBLE) AS m
+        |  FROM y GROUP BY 1),
+        |e AS (SELECT quantile_cont(m, 0.5) AS ams FROM g)
+        |SELECT ex.f2 AS exact_f2, round(e.ams, 2) AS ams_est,
+        |  round((e.ams - ex.f2) / ex.f2::DOUBLE, 4) AS rel_err,
+        |  abs((e.ams - ex.f2) / ex.f2::DOUBLE) <= 1.0 AS within_2x
+        |FROM ex, e""".stripMargin,
+    "q286_kcore" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+        |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |sym AS (SELECT ea AS src, eb AS dst FROM e
+        |        UNION ALL SELECT eb, ea FROM e),
+        |${kcoreRound(0)},
+        |${kcoreRound(1)},
+        |${kcoreRound(2)}
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |UNION ALL SELECT * FROM r3 ORDER BY peel_round""".stripMargin,
+    "q287_forecast_eval" ->
+      """WITH d AS (SELECT event_type, (ts::TIMESTAMP)::DATE AS day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, n,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS p7,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS p1
+        |  FROM d)
+        |SELECT event_type, count(*)::BIGINT AS n_days_eval,
+        |  round(avg(abs(n - p7)), 4) AS mae_seasonal,
+        |  round(avg(abs(n - p1)), 4) AS mae_naive,
+        |  round(avg(abs(n - p7) / n::DOUBLE), 4) AS mape_seasonal,
+        |  round(1.0 - avg(abs(n - p7)) /
+        |    nullif(avg(abs(n - p1)), 0), 4) AS skill_vs_naive
+        |FROM l WHERE p7 IS NOT NULL AND p1 IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q288_xml_source" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
+        |    AS text_checksum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q289_stream_static_enrich" ->
+      """WITH per AS (SELECT user_id, count(*)::BIGINT AS ne
+        |  FROM events GROUP BY 1),
+        |tier AS (SELECT user_id,
+        |    least(floor(ln(ne::DOUBLE) / ln(2.0)), 6.0)::BIGINT
+        |      AS tier
+        |  FROM per),
+        |j AS (SELECT t.tier, e.value FROM events e
+        |  JOIN tier t ON e.user_id = t.user_id)
+        |SELECT tier, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q280_label_prop" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),

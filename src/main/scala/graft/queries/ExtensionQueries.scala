@@ -53,7 +53,7 @@ object ExtensionQueries {
     * copied — the r5 harnesses each REWROTE the events table before
     * streaming it, roughly doubling every streaming query's timed body.
     */
-  private def eventsFileStream(s: SparkSession, dir: String,
+  private[queries] def eventsFileStream(s: SparkSession, dir: String,
       tag: String): DataFrame = {
     import java.nio.file.{Files, LinkOption, Paths}
     val srcDir = Paths.get(s"target/tmp/${tag}_src_" +
@@ -78,7 +78,7 @@ object ExtensionQueries {
     * production state volumes the right number is larger, sized to
     * state-per-executor memory, not core count.
     */
-  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[queries] def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
