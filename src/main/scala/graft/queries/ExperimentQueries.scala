@@ -757,7 +757,154 @@ object ExperimentQueries {
       .orderBy(col("tier"))
   }
 
+  /** q290_cohort_ltv — cumulative lifetime-value curve by weekly
+    * signup cohort: each user's cohort is the ISO week of their FIRST
+    * event, purchases accumulate per (cohort, age-in-weeks), and the
+    * curve is the running sum divided by cohort size — the
+    * value-based companion of q255's retention triangle (who is
+    * RETAINED vs what they're WORTH). Two corpus passes (first-seen,
+    * purchase rollup); the cumulative window runs per cohort over the
+    * |cohorts × ages| frame.
+    */
+  def q290CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("__cw"))
+    val sizes = cohort.groupBy(col("__cw"))
+      .agg(count(lit(1)).as("n_users"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .withColumn("__age", (datediff(
+        date_trunc("week", col("ts")).cast("date"), col("__cw")) / 7)
+        .cast("long"))
+      .groupBy(col("__cw"), col("__age"))
+      .agg(sum(col("value")).as("__v"))
+    val w = Window.partitionBy(col("__cw")).orderBy(col("__age"))
+    buys.join(broadcast(sizes), Seq("__cw"))
+      .withColumn("__cum", sum(col("__v")).over(w))
+      .select(col("__cw").as("cohort_week"),
+        col("__age").as("age_weeks"), col("n_users"),
+        round(col("__cum") / col("n_users"), 4).as("cum_value_per_user"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
+  /** q291_item_cf — item-item collaborative filtering from order
+    * baskets: cosine similarity co/√(cᵢ·cⱼ) over co-purchase counts
+    * (≥ 2 supports), top-3 recommendations per item — the
+    * neighborhood-method recommender beside q244's association RULES
+    * (rules rank by confidence/lift for insight; CF ranks by cosine
+    * for recommendation). Pairs come from the basket self-join on
+    * orderkey — order sizes bound the fan-out, never |items|² — and
+    * the top-k is a per-item window over the co-pair frame.
+    */
+  def q291ItemCf(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("__o"), col("l_partkey").as("__i"))
+      .distinct()
+    val ci = b.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val l = b.select(col("__o"), col("__i").as("__ia"))
+    val r = b.select(col("__o"), col("__i").as("__ib"))
+    val co = l.join(r, Seq("__o")).filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("__co"))
+      .filter(col("__co") >= 2)
+    val sym = co.select(col("__ia").as("item"), col("__ib").as("rec"),
+        col("__co"))
+      .unionByName(co.select(col("__ib").as("item"),
+        col("__ia").as("rec"), col("__co")))
+    val scored = sym
+      .join(ci.select(col("__i").as("item"), col("__ci").as("__cl")),
+        Seq("item"))
+      .join(ci.select(col("__i").as("rec"), col("__ci").as("__cr")),
+        Seq("rec"))
+      .withColumn("__cos", col("__co") /
+        sqrt(col("__cl") * col("__cr")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("__cos").desc, col("rec"))
+    scored.withColumn("rec_rank", row_number().over(w))
+      .filter(col("rec_rank") <= 3)
+      .select(col("item"), col("rec_rank"), col("rec"),
+        round(col("__cos"), 4).as("cosine"))
+      .orderBy(col("item"), col("rec_rank"))
+  }
+
+  /** q292_markov_eval — next-event prediction accuracy of a
+    * first-order Markov model, trained and evaluated point-in-time:
+    * transitions from the pre-midpoint half fit argmax(next | current)
+    * (lexicographic tiebreak so both engines pick the same mode), and
+    * the post-midpoint transitions score it — the honest sequential-
+    * model baseline over q122's transition matrix, with the split
+    * discipline of q233's backtests. Pairs never cross the split
+    * (lag partitions by user AND half). Everything after the
+    * per-user-ordered lag runs on |type×type| frames.
+    */
+  def q292MarkovEval(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("__us"), col("event_id"))
+    val mid = e.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    val half = e.crossJoin(broadcast(mid))
+      .withColumn("__test", col("__us") >= col("__mid"))
+    val w = Window.partitionBy(col("user_id"), col("__test"))
+      .orderBy(col("__us"), col("event_id"))
+    val pairs = half
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col("__test"), col("event_type").as("cur"),
+        col("__next"))
+    val model = pairs.filter(!col("__test"))
+      .groupBy(col("cur"), col("__next"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cur"))
+          .orderBy(col("__n").desc, col("__next"))))
+      .filter(col("__rk") === 1)
+      .select(col("cur"), col("__next").as("__pred"))
+    pairs.filter(col("__test"))
+      .join(broadcast(model), Seq("cur"))
+      .groupBy(col("cur"))
+      .agg(count(lit(1)).as("n_test"),
+        max(col("__pred")).as("predicted_next"),
+        round(try_divide(
+          count(when(col("__next") === col("__pred"), 1)),
+          count(lit(1))), 4).as("accuracy"))
+      .orderBy(col("cur"))
+  }
+
+  /** q293_churn_labels — leakage-safe churn label construction: an
+    * active (user, week) is labeled churned when the user's NEXT
+    * active week is more than 2 weeks later (or never), and the last
+    * 2 corpus weeks are excluded as right-censored — the point-in-time
+    * discipline that makes the label trainable (a label that peeks
+    * past the horizon, or ignores censoring, leaks). One corpus pass
+    * to the |user × week| frame; the lookahead is a per-user lead and
+    * the censoring cut uses the global max week from an unpartitioned
+    * window over the SAME bounded frame — no second scan.
+    */
+  def q293ChurnLabels(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("__wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__wk"))
+    uw.withColumn("__next", lead(col("__wk"), 1).over(w))
+      .withColumn("__maxwk", max(col("__wk")).over(Window.partitionBy()))
+      .filter(col("__wk") <= date_sub(col("__maxwk"), 14))
+      .withColumn("__churn",
+        col("__next").isNull || col("__next") > date_add(col("__wk"), 14))
+      .groupBy(col("__wk").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("__churn"), 1)).as("n_churned"),
+        round(try_divide(count(when(col("__churn"), 1)),
+          count(lit(1))), 4).as("churn_rate"))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q290_cohort_ltv" -> (q290CohortLtv _),
+    "q291_item_cf" -> (q291ItemCf _),
+    "q292_markov_eval" -> (q292MarkovEval _),
+    "q293_churn_labels" -> (q293ChurnLabels _),
     "q285_ams_f2" -> (q285AmsF2 _),
     "q286_kcore" -> (q286Kcore _),
     "q287_forecast_eval" -> (q287ForecastEval _),
@@ -822,6 +969,80 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q290_cohort_ltv" ->
+      """WITH cohort AS (SELECT user_id,
+        |    date_trunc('week', min(ts::TIMESTAMP))::DATE AS cw
+        |  FROM events GROUP BY 1),
+        |sizes AS (SELECT cw, count(*)::BIGINT AS n_users FROM cohort
+        |  GROUP BY 1),
+        |buys AS (SELECT c.cw,
+        |    (date_diff('day', c.cw,
+        |      date_trunc('week', e.ts::TIMESTAMP)::DATE) // 7)::BIGINT
+        |      AS age,
+        |    sum(e.value) AS v
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT b.cw, b.age, s.n_users,
+        |    sum(b.v) OVER (PARTITION BY b.cw ORDER BY b.age) AS cum
+        |  FROM buys b JOIN sizes s ON b.cw = s.cw)
+        |SELECT cw AS cohort_week, age AS age_weeks, n_users,
+        |  round(cum / n_users, 4) AS cum_value_per_user
+        |FROM cum ORDER BY 1, 2""".stripMargin,
+    "q291_item_cf" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |ci AS (SELECT i, count(*)::BIGINT AS ci FROM b GROUP BY 1),
+        |co AS (SELECT a.i AS ia, c.i AS ib, count(*)::BIGINT AS co
+        |  FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT ia AS item, ib AS rec, co FROM co
+        |        UNION ALL SELECT ib, ia, co FROM co),
+        |sc AS (SELECT s.item, s.rec,
+        |    s.co / sqrt((l.ci * r.ci)::DOUBLE) AS cos
+        |  FROM sym s JOIN ci l ON s.item = l.i
+        |    JOIN ci r ON s.rec = r.i),
+        |rk AS (SELECT item, rec, cos, row_number() OVER
+        |    (PARTITION BY item ORDER BY cos DESC, rec) AS rec_rank
+        |  FROM sc)
+        |SELECT item, rec_rank, rec, round(cos, 4) AS cosine
+        |FROM rk WHERE rec_rank <= 3 ORDER BY item, rec_rank"""
+        .stripMargin,
+    "q292_markov_eval" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM e),
+        |h AS (SELECT user_id, event_type, us, event_id,
+        |    us >= (SELECT m FROM mid) AS test FROM e),
+        |p AS (SELECT test, event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id, test
+        |      ORDER BY us, event_id) AS nxt
+        |  FROM h),
+        |pairs AS (SELECT * FROM p WHERE nxt IS NOT NULL),
+        |m AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM pairs
+        |  WHERE NOT test GROUP BY 1, 2),
+        |md AS (SELECT cur, nxt AS pred FROM (
+        |    SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+        |      ORDER BY n DESC, nxt) AS rk FROM m) WHERE rk = 1)
+        |SELECT p.cur, count(*)::BIGINT AS n_test,
+        |  max(md.pred) AS predicted_next,
+        |  round(count(CASE WHEN p.nxt = md.pred THEN 1 END) /
+        |    count(*)::DOUBLE, 4) AS accuracy
+        |FROM pairs p JOIN md ON p.cur = md.cur
+        |WHERE p.test GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q293_churn_labels" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', ts::TIMESTAMP)::DATE AS wk FROM events),
+        |x AS (SELECT user_id, wk,
+        |    lead(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS nxt,
+        |    max(wk) OVER () AS maxwk
+        |  FROM uw)
+        |SELECT wk AS week, count(*)::BIGINT AS n_active,
+        |  count(CASE WHEN nxt IS NULL OR nxt > wk + 14 THEN 1 END)
+        |    ::BIGINT AS n_churned,
+        |  round(count(CASE WHEN nxt IS NULL OR nxt > wk + 14
+        |      THEN 1 END) / count(*)::DOUBLE, 4) AS churn_rate
+        |FROM x WHERE wk <= maxwk - 14
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q285_ams_f2" ->
       """WITH c AS (SELECT user_id, count(*)::BIGINT AS c
         |  FROM events GROUP BY 1),

@@ -142,7 +142,11 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q283 cross-joins the broadcast 1-row stats (n/lo/IQR) frame
     "q283_auto_histogram",
     // q284 cross-joins the broadcast 1-row top-20 summary frame
-    "q284_selfjoin_size")
+    "q284_selfjoin_size",
+    // q285 cross-joins the broadcast 1-row AMS-estimate frame
+    "q285_ams_f2",
+    // q292 cross-joins the broadcast 1-row µs-midpoint scalar
+    "q292_markov_eval")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
