@@ -900,7 +900,174 @@ object ExperimentQueries {
       .orderBy(col("week"))
   }
 
+  /** q294_cvar — value-at-risk and expected shortfall per event type:
+    * VaR₉₅ is the exact interpolated 95th percentile of event value,
+    * CVaR₉₅ (expected shortfall) the mean of the tail at or beyond it
+    * — the coherent tail-risk metric that answers "how bad is bad"
+    * where VaR only answers "how often". Exact distributed percentile
+    * + one conditional re-aggregate against the broadcast per-type
+    * fence frame; both engines compute the identical interpolation so
+    * the tail membership is bit-identical.
+    */
+  def q294Cvar(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val fences = v.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.95)").as("__var95"))
+    v.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__var95")), 4).as("var95"),
+        count(when(col("value") >= col("__var95"), 1)).as("n_tail"),
+        round(avg(when(col("value") >= col("__var95"), col("value"))),
+          4).as("cvar95"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q295_srm_check — sample-ratio-mismatch guardrail: the
+    * experimentation-platform alarm that fires BEFORE any metric is
+    * read. Arms from the deterministic user hash, χ² against the
+    * designed 50/50 split, two-sided p via the same Zelen–Severo
+    * normal polynomial as q277 (z = √χ² for 1 dof), flagged at the
+    * standard p < 0.001 SRM threshold. One per-user distinct pass
+    * collapsing to a 1-row contrast.
+    */
+  def q295SrmCheck(s: SparkSession, dir: String): DataFrame = {
+    def phiUpper(z: org.apache.spark.sql.Column) = {
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+      val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429)))))
+      exp(z * z * -0.5) / sqrt(lit(2.0) * math.Pi) * poly
+    }
+    Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("__a",
+        TextOps.hash32(col("user_id").cast("string"), seed = "srm:")
+          % 2 === 1)
+      .agg(count(when(col("__a"), 1)).as("n_a"),
+        count(when(!col("__a"), 1)).as("n_b"))
+      .withColumn("__chi2",
+        (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) /
+          (col("n_a") + col("n_b")))
+      .withColumn("__p", lit(2.0) * phiUpper(sqrt(col("__chi2"))))
+      .select(col("n_a"), col("n_b"),
+        round(col("__chi2"), 4).as("chi2"),
+        round(col("__p"), 6).as("p_value"),
+        (col("__p") < 0.001).as("srm_detected"))
+  }
+
+  /** q296_capping_sensitivity — outlier-capping sensitivity of an A/B
+    * readout: the per-user metric is winsorized at no cap / p99 / p95
+    * (fences from the exact pooled percentiles), and the arm contrast
+    * + Welch SE is reported per cap — the robustness sweep that shows
+    * whether a "significant" experiment is one whale's doing. One
+    * corpus pass to per-user totals; the cap fan-out (×3) and the
+    * contrasts run on the |users| frame against a broadcast fence
+    * row.
+    */
+  def q296CappingSensitivity(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(sum(col("value")).as("__m"))
+      .withColumn("__t",
+        TextOps.hash32(col("user_id").cast("string"), seed = "cap:")
+          % 2 === 1)
+    val fences = per.agg(
+      expr("percentile(__m, 0.99)").as("__p99"),
+      expr("percentile(__m, 0.95)").as("__p95"))
+    per.crossJoin(broadcast(fences))
+      .select(col("__t"), explode(array(
+        struct(lit("1_none").as("cap"), col("__m").as("__v")),
+        struct(lit("2_p99").as("cap"),
+          least(col("__m"), col("__p99")).as("__v")),
+        struct(lit("3_p95").as("cap"),
+          least(col("__m"), col("__p95")).as("__v")))).as("__r"))
+      .select(col("__t"), col("__r.cap").as("cap"), col("__r.__v")
+        .as("__v"))
+      .groupBy(col("cap"))
+      .agg(count(when(col("__t"), 1)).as("__na"),
+        count(when(!col("__t"), 1)).as("__nb"),
+        avg(when(col("__t"), col("__v"))).as("__ma"),
+        avg(when(!col("__t"), col("__v"))).as("__mb"),
+        var_samp(when(col("__t"), col("__v"))).as("__va"),
+        var_samp(when(!col("__t"), col("__v"))).as("__vb"))
+      .select(col("cap"),
+        round(col("__ma") - col("__mb"), 4).as("diff"),
+        round(sqrt(col("__va") / col("__na") +
+          col("__vb") / col("__nb")), 4).as("se"),
+        (abs(col("__ma") - col("__mb")) >
+          lit(1.96) * sqrt(col("__va") / col("__na") +
+            col("__vb") / col("__nb"))).as("significant"))
+      .orderBy(col("cap"))
+  }
+
+  /** q297_anova — one-way ANOVA of event value across event types:
+    * F = (SSB/(k−1))/(SSW/(N−k)) with η² = SSB/SST effect size — the
+    * k-group generalization of q205's two-sample Welch t (is ANY type
+    * different?), run entirely from per-group (n, mean, var)
+    * aggregates + windows over the |types|-bounded frame. The
+    * between/within decomposition is the additive identity, so no
+    * second corpus pass.
+    */
+  def q297Anova(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"), avg(col("value")).as("__m"),
+        var_samp(col("value")).as("__v"))
+    val w = Window.partitionBy()
+    // NB: Spark resolves column names case-insensitively — a column
+    // named "__N" would silently REPLACE "__n" via withColumn
+    g.withColumn("__tot", sum(col("__n")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__gm",
+        sum(col("__n") * col("__m")).over(w) / col("__tot"))
+      .withColumn("__ssb", sum(col("__n") *
+        (col("__m") - col("__gm")) * (col("__m") - col("__gm")))
+        .over(w))
+      .withColumn("__ssw",
+        sum((col("__n") - 1) * col("__v")).over(w))
+      .agg(max(col("__k")).as("k_groups"),
+        max(col("__tot")).as("n_total"),
+        round((max(col("__ssb")) / (max(col("__k")) - 1)) /
+          (max(col("__ssw")) / (max(col("__tot")) - max(col("__k")))),
+          4).as("f_stat"),
+        round(max(col("__ssb")) /
+          (max(col("__ssb")) + max(col("__ssw"))), 6).as("eta_sq"))
+  }
+
+  /** q298_mde_power — minimum detectable effect at α = 0.05 /
+    * power 0.80 per event type, from the per-user metric's observed
+    * variance: MDE = (z₀.₉₇₅ + z₀.₈₀)·√(2σ²/n_arm) with the z
+    * constants as shared literals — the experiment-sizing readout a
+    * platform shows before launch ("this metric can detect ±x% at
+    * current traffic"). One corpus pass to (type, user) means; the
+    * sizing arithmetic runs on the |types| frame.
+    */
+  def q298MdePower(s: SparkSession, dir: String): DataFrame = {
+    val zq = 1.959963984540054 // Phi^-1(0.975)
+    val zp = 0.8416212335729143 // Phi^-1(0.80)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(avg(col("value")).as("__m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        avg(col("__m")).as("__mean"), var_samp(col("__m")).as("__var"))
+      .select(col("event_type"), col("n_users"),
+        round(col("__mean"), 4).as("metric_mean"),
+        round(col("__var"), 4).as("metric_var"),
+        round(lit(zq + zp) *
+          sqrt(lit(2.0) * col("__var") / (col("n_users") / 2.0)), 4)
+          .as("mde_abs"),
+        round(lit(zq + zp) *
+          sqrt(lit(2.0) * col("__var") / (col("n_users") / 2.0)) /
+          col("__mean"), 4).as("mde_rel"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q294_cvar" -> (q294Cvar _),
+    "q295_srm_check" -> (q295SrmCheck _),
+    "q296_capping_sensitivity" -> (q296CappingSensitivity _),
+    "q297_anova" -> (q297Anova _),
+    "q298_mde_power" -> (q298MdePower _),
     "q290_cohort_ltv" -> (q290CohortLtv _),
     "q291_item_cf" -> (q291ItemCf _),
     "q292_markov_eval" -> (q292MarkovEval _),
@@ -957,6 +1124,16 @@ object ExperimentQueries {
   private def h32(expr: String, seed: String): String =
     s"('0x' || substr(md5('$seed' || $expr), 1, 8))::BIGINT"
 
+  // Zelen–Severo 26.2.17 upper-tail normal CDF, z >= 0 (q277/q295)
+  private def phiUpperSql(z: String): String =
+    s"""(exp(-($z) * ($z) / 2) / sqrt(2.0 * pi()) *
+       |  ((1.0 / (1.0 + 0.2316419 * ($z))) * (0.319381530 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (-0.356563782 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (1.781477937 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (-1.821255978 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * 1.330274429))))))"""
+      .stripMargin
+
   // per-user pre/post means against the µs midpoint (q270/q271 CTE)
   private val prePostCte: String =
     """e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value
@@ -969,6 +1146,86 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q294_cvar" ->
+      """WITH f AS (SELECT event_type,
+        |    quantile_cont(value, 0.95) AS var95
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*)::BIGINT AS n,
+        |  round(max(f.var95), 4) AS var95,
+        |  count(CASE WHEN e.value >= f.var95 THEN 1 END)::BIGINT
+        |    AS n_tail,
+        |  round(avg(CASE WHEN e.value >= f.var95 THEN e.value END), 4)
+        |    AS cvar95
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q295_srm_check" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |    count(CASE WHEN ${h32("user_id::VARCHAR", "srm:")} % 2 = 1
+        |      THEN 1 END)::BIGINT AS n_a,
+        |    count(CASE WHEN ${h32("user_id::VARCHAR", "srm:")} % 2 <> 1
+        |      THEN 1 END)::BIGINT AS n_b
+        |  FROM u),
+        |c AS (SELECT n_a, n_b, (n_a - n_b) * (n_a - n_b) /
+        |    (n_a + n_b)::DOUBLE AS chi2 FROM a),
+        |q AS (SELECT n_a, n_b, chi2,
+        |    2.0 * ${phiUpperSql("sqrt(chi2)")} AS p
+        |  FROM c)
+        |SELECT n_a, n_b, round(chi2, 4) AS chi2,
+        |  round(p, 6) AS p_value, p < 0.001 AS srm_detected
+        |FROM q""".stripMargin,
+    "q296_capping_sensitivity" ->
+      s"""WITH per AS (SELECT user_id, sum(value) AS m,
+        |    ${h32("user_id::VARCHAR", "cap:")} % 2 = 1 AS t
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT quantile_cont(m, 0.99) AS p99,
+        |    quantile_cont(m, 0.95) AS p95 FROM per),
+        |x AS (
+        |  SELECT t, '1_none' AS cap, m AS v FROM per
+        |  UNION ALL
+        |  SELECT t, '2_p99', least(m, (SELECT p99 FROM f)) FROM per
+        |  UNION ALL
+        |  SELECT t, '3_p95', least(m, (SELECT p95 FROM f)) FROM per),
+        |g AS (SELECT cap,
+        |    count(CASE WHEN t THEN 1 END)::BIGINT AS na,
+        |    count(CASE WHEN NOT t THEN 1 END)::BIGINT AS nb,
+        |    avg(CASE WHEN t THEN v END) AS ma,
+        |    avg(CASE WHEN NOT t THEN v END) AS mb,
+        |    var_samp(CASE WHEN t THEN v END) AS va,
+        |    var_samp(CASE WHEN NOT t THEN v END) AS vb
+        |  FROM x GROUP BY 1)
+        |SELECT cap, round(ma - mb, 4) AS diff,
+        |  round(sqrt(va / na + vb / nb), 4) AS se,
+        |  abs(ma - mb) > 1.96 * sqrt(va / na + vb / nb) AS significant
+        |FROM g ORDER BY cap""".stripMargin,
+    "q297_anova" ->
+      """WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    avg(value) AS m, var_samp(value) AS v
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT sum(n)::BIGINT AS nt, count(*)::BIGINT AS k,
+        |    sum(n * m) / sum(n) AS gm FROM g),
+        |x AS (SELECT (SELECT k FROM w) AS k, (SELECT nt FROM w) AS nt,
+        |    sum(n * (m - (SELECT gm FROM w)) *
+        |      (m - (SELECT gm FROM w))) AS ssb,
+        |    sum((n - 1) * v) AS ssw
+        |  FROM g)
+        |SELECT k AS k_groups, nt AS n_total,
+        |  round((ssb / (k - 1)) / (ssw / (nt - k)), 4) AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM x""".stripMargin,
+    "q298_mde_power" ->
+      """WITH pu AS (SELECT event_type, user_id, avg(value) AS m
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n_users,
+        |    avg(m) AS mv, var_samp(m) AS vv
+        |  FROM pu GROUP BY 1)
+        |SELECT event_type, n_users, round(mv, 4) AS metric_mean,
+        |  round(vv, 4) AS metric_var,
+        |  round((1.959963984540054 + 0.8416212335729143) *
+        |    sqrt(2.0 * vv / (n_users / 2.0)), 4) AS mde_abs,
+        |  round((1.959963984540054 + 0.8416212335729143) *
+        |    sqrt(2.0 * vv / (n_users / 2.0)) / mv, 4) AS mde_rel
+        |FROM g ORDER BY event_type""".stripMargin,
     "q290_cohort_ltv" ->
       """WITH cohort AS (SELECT user_id,
         |    date_trunc('week', min(ts::TIMESTAMP))::DATE AS cw

@@ -146,7 +146,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q285 cross-joins the broadcast 1-row AMS-estimate frame
     "q285_ams_f2",
     // q292 cross-joins the broadcast 1-row µs-midpoint scalar
-    "q292_markov_eval")
+    "q292_markov_eval",
+    // q296 cross-joins the broadcast 1-row percentile-fence frame
+    "q296_capping_sensitivity")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
