@@ -1062,7 +1062,113 @@ object ExperimentQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q299_file_lineage — per-file lineage audit through the hidden
+    * `_metadata` struct: write a source-partitioned sink (hash
+    * repartition by the partition column first, so every partition
+    * directory is exactly ONE file — the layout a compacted table
+    * wants), read it back selecting `_metadata.file_path`, and report
+    * files/rows per partition. This is the debugging pass that
+    * answers "which file did this row come from" with zero extra
+    * bookkeeping — the metadata column is populated by the scan
+    * itself, free at any scale.
+    */
+  def q299FileLineage(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q299_part_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .repartition(col("source"))
+      .write.partitionBy("source").mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .select(col("source"), col("_metadata.file_path").as("__f"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("__f")).as("n_files"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("source"))
+  }
+
+  /** q300_observe_metrics — pipeline observability via
+    * `Dataset.observe`: named aggregate metrics piggyback on the SAME
+    * pass that materializes the data (here a noop sink stands in for
+    * any real write), collected driver-side by the Observation
+    * listener — how a production pipeline gets row counts and
+    * checksums WITHOUT a second scan. The returned frame is the
+    * observed metric row; the oracle recomputes the metrics directly,
+    * proving the piggyback lost nothing.
+    */
+  def q300ObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation(
+      "q300_" + java.util.UUID.randomUUID())
+    Tables.events(s, dir)
+      .observe(obs, count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n").asInstanceOf[Long],
+        BigDecimal(m("sv").asInstanceOf[Double])
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        m("mn").asInstanceOf[Double], m("mx").asInstanceOf[Double]))
+      .toDF("n_events", "total_value", "min_value", "max_value")
+  }
+
+  /** q301_info_gain_ranking — information-gain feature screen:
+    * IG(feature) = H(label) − Σᵥ p(v)·H(label|v) in bits, for three
+    * candidate categorical features against the late-order label,
+    * ranked — the entropy-based sibling of q198's χ²/MI pair screen
+    * and q272's WoE, i.e. the split criterion a decision tree uses,
+    * run standalone as a feature-selection pass. One groupBy per
+    * feature (same corpus scan shape), entropy arithmetic on the
+    * bounded per-feature frames; ln/ln 2 spelled identically in both
+    * engines (log2 builtins differ in the last ulp).
+    */
+  def q301InfoGainRanking(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("__f1"),
+        year(col("o_orderdate")).cast("string").as("__f2"),
+        (col("o_custkey") % 10).cast("string").as("__f3"),
+        (col("o_orderstatus") === "F").as("__y"))
+    val ln2 = math.log(2.0)
+    def ig(feat: String, name: String): DataFrame = {
+      val g = o.groupBy(col(feat).as("__v"))
+        .agg(count(lit(1)).as("__n"),
+          count(when(col("__y"), 1)).as("__n1"))
+      val w = Window.partitionBy()
+      g.withColumn("__tot", sum(col("__n")).over(w))
+        .withColumn("__tot1", sum(col("__n1")).over(w))
+        .withColumn("__p", col("__n") / col("__tot"))
+        .withColumn("__p1", col("__n1") / col("__n"))
+        .withColumn("__hv",
+          when(col("__p1") > 0 && col("__p1") < 1,
+            -(col("__p1") * log(col("__p1")) / ln2 +
+              (lit(1.0) - col("__p1")) *
+                log(lit(1.0) - col("__p1")) / ln2))
+            .otherwise(lit(0.0)))
+        .withColumn("__py", col("__tot1") / col("__tot"))
+        .withColumn("__hy",
+          when(col("__py") > 0 && col("__py") < 1,
+            -(col("__py") * log(col("__py")) / ln2 +
+              (lit(1.0) - col("__py")) *
+                log(lit(1.0) - col("__py")) / ln2))
+            .otherwise(lit(0.0)))
+        .agg((max(col("__hy")) -
+          sum(col("__p") * col("__hv"))).as("__ig"),
+          count(lit(1)).as("n_values"))
+        .select(lit(name).as("feature"), col("n_values"),
+          round(col("__ig"), 6).as("info_gain_bits"))
+    }
+    ig("__f1", "order_priority")
+      .unionByName(ig("__f2", "order_year"))
+      .unionByName(ig("__f3", "cust_mod10"))
+      .withColumn("ig_rank", row_number().over(
+        Window.orderBy(col("info_gain_bits").desc, col("feature"))))
+      .orderBy(col("ig_rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q299_file_lineage" -> (q299FileLineage _),
+    "q300_observe_metrics" -> (q300ObserveMetrics _),
+    "q301_info_gain_ranking" -> (q301InfoGainRanking _),
     "q294_cvar" -> (q294Cvar _),
     "q295_srm_check" -> (q295SrmCheck _),
     "q296_capping_sensitivity" -> (q296CappingSensitivity _),
@@ -1146,6 +1252,55 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q299_file_lineage" ->
+      """SELECT source, 1::BIGINT AS n_files,
+        |  count(*)::BIGINT AS n_rows
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q300_observe_metrics" ->
+      """SELECT count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events""".stripMargin,
+    "q301_info_gain_ranking" ->
+      s"""WITH o AS (SELECT o_orderpriority AS f1,
+        |    year(o_orderdate)::VARCHAR AS f2,
+        |    (o_custkey % 10)::VARCHAR AS f3,
+        |    o_orderstatus = 'F' AS y
+        |  FROM orders),
+        |${Seq(("g1", "f1", "order_priority"), ("g2", "f2", "order_year"),
+             ("g3", "f3", "cust_mod10")).map { case (cte, f, name) =>
+        s"""$cte AS (
+           |  SELECT '$name' AS feature, count(*)::BIGINT AS n_values,
+           |    round(max(hy) - sum(p * hv), 6) AS info_gain_bits
+           |  FROM (
+           |    SELECT n / tot::DOUBLE AS p,
+           |      CASE WHEN n1 / n::DOUBLE > 0 AND n1 / n::DOUBLE < 1
+           |        THEN -((n1 / n::DOUBLE) * ln(n1 / n::DOUBLE) /
+           |              ln(2.0) +
+           |            (1.0 - n1 / n::DOUBLE) *
+           |              ln(1.0 - n1 / n::DOUBLE) / ln(2.0))
+           |        ELSE 0.0 END AS hv,
+           |      CASE WHEN tot1 / tot::DOUBLE > 0
+           |          AND tot1 / tot::DOUBLE < 1
+           |        THEN -((tot1 / tot::DOUBLE) *
+           |              ln(tot1 / tot::DOUBLE) / ln(2.0) +
+           |            (1.0 - tot1 / tot::DOUBLE) *
+           |              ln(1.0 - tot1 / tot::DOUBLE) / ln(2.0))
+           |        ELSE 0.0 END AS hy
+           |    FROM (
+           |      SELECT count(*)::BIGINT AS n,
+           |        count(CASE WHEN y THEN 1 END)::BIGINT AS n1,
+           |        sum(count(*)) OVER ()::BIGINT AS tot,
+           |        sum(count(CASE WHEN y THEN 1 END)) OVER ()::BIGINT
+           |          AS tot1
+           |      FROM o GROUP BY $f)))""".stripMargin
+        }.mkString(",\n")}
+        |SELECT feature, n_values, info_gain_bits,
+        |  row_number() OVER (ORDER BY info_gain_bits DESC, feature)
+        |    AS ig_rank
+        |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |      UNION ALL SELECT * FROM g3)
+        |ORDER BY ig_rank""".stripMargin,
     "q294_cvar" ->
       """WITH f AS (SELECT event_type,
         |    quantile_cont(value, 0.95) AS var95
