@@ -1098,9 +1098,17 @@ object ExperimentQueries {
     */
   def q300ObserveMetrics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // observe() materializes the session's lazy ObservationManager;
+    // once non-null, ANY later task closure that transitively captures
+    // this session (e.g. an ML model whose trainingSummary holds it)
+    // dies with NotSerializableException(ObservationManager). Run the
+    // observed pass on a throwaway child session (shared context and
+    // conf, fresh session instance) so the caller's session stays
+    // serialization-clean.
+    val s2 = s.newSession()
     val obs = new org.apache.spark.sql.Observation(
       "q300_" + java.util.UUID.randomUUID())
-    Tables.events(s, dir)
+    Tables.events(s2, dir)
       .observe(obs, count(lit(1)).as("n"), sum(col("value")).as("sv"),
         min(col("value")).as("mn"), max(col("value")).as("mx"))
       .write.format("noop").mode("overwrite").save()
