@@ -1173,7 +1173,136 @@ object ExperimentQueries {
       .orderBy(col("ig_rank"))
   }
 
+  /** q302_quota_allocation — largest-remainder (Hamilton)
+    * apportionment: distribute an integer sampling budget across
+    * groups proportionally so the allocations are integers AND sum
+    * exactly to the budget — floor the exact shares, then award the
+    * leftover units to the largest fractional remainders
+    * (deterministic tiebreak). The sampling-quota planner behind
+    * stratified draws (q110/q214 consume quotas like these); naive
+    * independent rounding drifts from the budget, this never does.
+    * One groupBy + windows over the |groups| frame.
+    */
+  def q302QuotaAllocation(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val g = Tables.events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy()
+    val rw = Window.orderBy(
+      (col("__share") - col("__base")).desc, col("event_type"))
+    g.withColumn("__tot", sum(col("__n")).over(w))
+      .withColumn("__share", lit(budget) * col("__n") / col("__tot"))
+      .withColumn("__base", floor(col("__share")).cast("long"))
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(w))
+      .withColumn("__rk", row_number().over(rw))
+      .select(col("event_type"), col("__n").as("n"),
+        round(col("__share"), 4).as("exact_share"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q303_interval_union — total covered time under overlapping
+    * intervals (sweep-line union): each event opens a 30-minute
+    * interval; per user, islands form where an interval starts after
+    * every earlier one has closed (running max of ends, exclusive
+    * prior frame), and covered time is Σ(island end − island start) —
+    * the dual of q123's concurrency profile (how MUCH time is
+    * covered vs how MANY overlap). All windows per-user on event
+    * order; output is the |users| frame.
+    */
+  def q303IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__a"),
+        (unix_micros(col("ts")) + 30L * 60 * 1000000).as("__b"),
+        col("event_id"))
+    val ow = Window.partitionBy(col("user_id"))
+      .orderBy(col("__a"), col("event_id"))
+    val islands = iv
+      .withColumn("__maxb", max(col("__b")).over(
+        ow.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__maxb").isNull || col("__a") > col("__maxb"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        ow.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__isl"))
+      .agg(count(lit(1)).as("__niv"), min(col("__a")).as("__s"),
+        max(col("__b")).as("__e"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("__niv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        round(sum(col("__e") - col("__s")) / lit(60000000.0), 2)
+          .as("covered_min"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q304_ratio_delta_method — correct uncertainty for a RATIO metric
+    * (revenue per view — the shape most product metrics take): the
+    * estimator is the ratio of sums Σy/Σx over users, and its SE
+    * comes from the delta method, var(R) ≈ (σ²_y − 2R·σ_xy + R²σ²_x)
+    * / (n·μ²_x) — because users, not events, are the i.i.d. unit,
+    * and the naive per-event or mean-of-ratios SE is simply wrong
+    * (reported beside it for contrast). One per-user pass, one
+    * moment aggregate.
+    */
+  def q304RatioDeltaMethod(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "view", 1))
+        .cast("double").as("__x"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("__y"))
+      .filter(col("__x") > 0)
+    per.agg(count(lit(1)).as("n_users"),
+        avg(col("__x")).as("__mx"), avg(col("__y")).as("__my"),
+        var_samp(col("__x")).as("__vx"), var_samp(col("__y")).as("__vy"),
+        covar_samp(col("__x"), col("__y")).as("__cxy"))
+      .withColumn("__r", col("__my") / col("__mx"))
+      .withColumn("__se", sqrt(
+        (col("__vy") - lit(2.0) * col("__r") * col("__cxy") +
+          col("__r") * col("__r") * col("__vx")) /
+          (col("n_users") * col("__mx") * col("__mx"))))
+      .select(col("n_users"), round(col("__r"), 4).as("ratio"),
+        round(col("__se"), 4).as("se_delta"),
+        round(col("__r") - lit(1.96) * col("__se"), 4).as("ci_lo"),
+        round(col("__r") + lit(1.96) * col("__se"), 4).as("ci_hi"))
+  }
+
+  /** q305_median_impute — group-median imputation with provenance:
+    * values are deterministically masked (hash-addressed 10%), the
+    * per-type EXACT median of the surviving values fills the holes,
+    * and the op reports the fill count plus before/after means — the
+    * basic ML-prep imputation step, kept leakage-safe by computing
+    * fences only from observed rows. Exact distributed percentile +
+    * one conditional aggregate against the broadcast fence frame.
+    */
+  def q305MedianImpute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("__v", when(
+        pmod(TextOps.hash32(col("event_id").cast("string"),
+          seed = "na:"), lit(10L)) === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    val med = e.filter(col("__v").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    e.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__v").isNull, 1)).as("n_imputed"),
+        round(max(col("__med")), 2).as("median_used"),
+        round(avg(col("__v")), 4).as("mean_before"),
+        round(avg(coalesce(col("__v"), col("__med"))), 4)
+          .as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q302_quota_allocation" -> (q302QuotaAllocation _),
+    "q303_interval_union" -> (q303IntervalUnion _),
+    "q304_ratio_delta_method" -> (q304RatioDeltaMethod _),
+    "q305_median_impute" -> (q305MedianImpute _),
     "q299_file_lineage" -> (q299FileLineage _),
     "q300_observe_metrics" -> (q300ObserveMetrics _),
     "q301_info_gain_ranking" -> (q301InfoGainRanking _),
@@ -1260,6 +1389,81 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q302_quota_allocation" ->
+      """WITH g AS (SELECT event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT event_type, n,
+        |    1000 * n / sum(n) OVER ()::DOUBLE AS share FROM g),
+        |y AS (SELECT event_type, n, share,
+        |    floor(share)::BIGINT AS base,
+        |    1000 - sum(floor(share)::BIGINT) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY share - floor(share) DESC,
+        |      event_type) AS rk
+        |  FROM x)
+        |SELECT event_type, n, round(share, 4) AS exact_share,
+        |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+        |    AS alloc
+        |FROM y ORDER BY event_type""".stripMargin,
+    "q303_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(ts::TIMESTAMP) AS a,
+        |    epoch_us(ts::TIMESTAMP) + 30 * 60 * 1000000 AS b
+        |  FROM events),
+        |x AS (SELECT user_id, event_id, a, b,
+        |    max(b) OVER (PARTITION BY user_id ORDER BY a, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS maxb
+        |  FROM iv),
+        |y AS (SELECT user_id, event_id, a, b,
+        |    CASE WHEN maxb IS NULL OR a > maxb THEN 1 ELSE 0 END
+        |      AS newi
+        |  FROM x),
+        |z AS (SELECT user_id, a, b,
+        |    sum(newi) OVER (PARTITION BY user_id ORDER BY a, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM y),
+        |ig AS (SELECT user_id, isl, count(*)::BIGINT AS niv,
+        |    min(a) AS s, max(b) AS e
+        |  FROM z GROUP BY 1, 2)
+        |SELECT user_id, sum(niv)::BIGINT AS n_intervals,
+        |  count(*)::BIGINT AS n_islands,
+        |  round(sum(e - s) / 60000000.0, 2) AS covered_min
+        |FROM ig GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q304_ratio_delta_method" ->
+      """WITH per AS (SELECT user_id,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE
+        |      AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value
+        |        ELSE 0.0 END) AS y
+        |  FROM events GROUP BY 1 HAVING x > 0),
+        |a AS (SELECT count(*)::BIGINT AS n, avg(x) AS mx,
+        |    avg(y) AS my, var_samp(x) AS vx, var_samp(y) AS vy,
+        |    covar_samp(x, y) AS cxy
+        |  FROM per),
+        |r AS (SELECT n, my / mx AS r,
+        |    sqrt((vy - 2.0 * (my / mx) * cxy +
+        |      (my / mx) * (my / mx) * vx) / (n * mx * mx)) AS se
+        |  FROM a)
+        |SELECT n AS n_users, round(r, 4) AS ratio,
+        |  round(se, 4) AS se_delta,
+        |  round(r - 1.96 * se, 4) AS ci_lo,
+        |  round(r + 1.96 * se, 4) AS ci_hi
+        |FROM r""".stripMargin,
+    "q305_median_impute" ->
+      s"""WITH e AS (SELECT event_type, value,
+        |    CASE WHEN ${h32("event_id::VARCHAR", "na:")} % 10 = 0
+        |      THEN NULL ELSE value END AS v
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+        |  FROM e WHERE v IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type, count(*)::BIGINT AS n,
+        |  count(CASE WHEN e.v IS NULL THEN 1 END)::BIGINT
+        |    AS n_imputed,
+        |  round(max(med.med), 2) AS median_used,
+        |  round(avg(e.v), 4) AS mean_before,
+        |  round(avg(coalesce(e.v, med.med)), 4) AS mean_after
+        |FROM e JOIN med ON e.event_type = med.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q299_file_lineage" ->
       """SELECT source, 1::BIGINT AS n_files,
         |  count(*)::BIGINT AS n_rows
