@@ -1298,7 +1298,179 @@ object ExperimentQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q306_ndcg_eval — graded ranking evaluation of BM25 retrieval:
+    * relevance = how many query terms the document contains (0–3),
+    * DCG@10 with the standard (2^rel − 1)/log₂(rank+1) discount,
+    * IDCG from the corpus-ideal ordering, plus MRR at grade ≥ 2 —
+    * the NDCG/MRR readout that makes retrieval quality (q117/q237)
+    * measurable, the way q146 measures ANN recall. Ranks come from
+    * the ROUNDED scores with id tiebreak (engine-parity, q237's
+    * rule); the ideal top-10 is a k-bounded sort of the per-doc
+    * grade frame.
+    */
+  def q306NdcgEval(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "sql", "hash")
+    val ln2 = math.log(2.0)
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+    val grades = docs.select(col("doc_id"),
+      size(array_intersect(TextOps.tokenSet(col("text")),
+        array(terms.map(lit): _*))).cast("double").as("__rel"))
+    val ranked = RetrievalOps.bm25TopK(docs, "doc_id", "text", terms,
+        k = 10)
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .join(grades, Seq("doc_id"))
+    val dcg = ranked.agg(count(lit(1)).as("n_ranked"),
+      sum((pow(lit(2.0), col("__rel")) - 1) /
+        (log(col("__rk") + 1) / ln2)).as("__dcg"),
+      min(when(col("__rel") >= 2, col("__rk"))).as("__first"))
+    val ideal = grades
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rel").desc, col("doc_id"))))
+      .filter(col("__rk") <= 10)
+      .agg(sum((pow(lit(2.0), col("__rel")) - 1) /
+        (log(col("__rk") + 1) / ln2)).as("__idcg"))
+    dcg.crossJoin(broadcast(ideal))
+      .select(col("n_ranked"), round(col("__dcg"), 4).as("dcg_at_10"),
+        round(col("__idcg"), 4).as("idcg_at_10"),
+        round(col("__dcg") / col("__idcg"), 4).as("ndcg_at_10"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 4)
+          .as("mrr"))
+  }
+
+  /** q307_source_similarity — corpus-comparison matrix: Jensen–
+    * Shannon divergence between every pair of per-source token
+    * distributions, computed over the dense |sources|×|vocab| grid
+    * (zero-filled, so one-sided tokens contribute their p·ln2/2 term
+    * correctly) — which shards of a mixed corpus are interchangeable
+    * and which bring genuinely different text, the pairwise form of
+    * q240's two-cohort drift. The grid and the pair join are both
+    * bounded by |sources|²·|vocab|; the only corpus pass is the
+    * token count.
+    */
+  def q307SourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("source"), explode(TextOps.tokens(col("text")))
+        .as("__t"))
+    val counts = tok.groupBy(col("source"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("__c")).as("__n"))
+    val vocab = counts.select(col("__t")).distinct()
+    val grid = totals.crossJoin(broadcast(vocab))
+      .join(counts, Seq("source", "__t"), "left")
+      .select(col("source"), col("__t"),
+        (coalesce(col("__c"), lit(0L)) / col("__n")).as("__p"))
+    val a = grid.select(col("source").as("source_a"), col("__t"),
+      col("__p").as("__pa"))
+    val b = grid.select(col("source").as("source_b"), col("__t"),
+      col("__p").as("__pb"))
+    a.join(b, Seq("__t")).filter(col("source_a") < col("source_b"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2)
+      .withColumn("__kl",
+        when(col("__pa") > 0,
+          col("__pa") * log(col("__pa") / col("__m")) / 2)
+          .otherwise(lit(0.0)) +
+        when(col("__pb") > 0,
+          col("__pb") * log(col("__pb") / col("__m")) / 2)
+          .otherwise(lit(0.0)))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(sum(col("__kl")), 6).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q308_lloyd_step — one synchronous Lloyd (k-means) iteration as
+    * pure relational algebra: 8 deterministic seed centroids
+    * (vec_id < 8), cosine assignment via an 8-row broadcast join +
+    * per-point rank, new centroids by per-dimension mean
+    * (posexplode → groupBy — the map-side-combinable form), and the
+    * per-cluster readout is size, mean assignment similarity, and
+    * centroid L2 shift. What MLlib's KMeans iterates (q84's IVF
+    * uses it as a black box), spelled out once so the oracle can
+    * hash-check a training step exactly.
+    */
+  def q308LloydStep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("embedding").as("__c"))
+    val assigned = emb.crossJoin(broadcast(seeds))
+      .withColumn("__cos",
+        VectorOps.cosineNative(col("embedding"), col("__c")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cos").desc, col("cluster"))))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("cluster"), col("__cos"),
+        col("embedding"))
+    val stats = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        round(avg(col("__cos")), 4).as("avg_cos"))
+    val newDims = assigned
+      .select(col("cluster"), posexplode(col("embedding")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("col")).as("__m"))
+    val seedDims = seeds
+      .select(col("cluster"), posexplode(col("__c")))
+      .select(col("cluster"), col("pos"), col("col").as("__s"))
+    val shift = newDims.join(seedDims, Seq("cluster", "pos"))
+      .groupBy(col("cluster"))
+      .agg(round(sqrt(sum((col("__m") - col("__s")) *
+        (col("__m") - col("__s")))), 4).as("centroid_shift"))
+    stats.join(shift, Seq("cluster"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q309_bayes_ab — Bayesian A/B readout for a conversion rate:
+    * Beta(1+x, 1+n−x) posteriors per arm (uniform prior),
+    * P(A beats B) by the normal approximation of the posterior
+    * difference through the shared Zelen–Severo polynomial — the
+    * "probability B is better" number a Bayesian experimentation
+    * platform reports instead of q207's p-value, decided at the
+    * standard 95% threshold. One per-user pass, 1-row contrast.
+    */
+  def q309BayesAb(s: SparkSession, dir: String): DataFrame = {
+    def phiUpper(z: org.apache.spark.sql.Column) = {
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+      val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429)))))
+      exp(z * z * -0.5) / sqrt(lit(2.0) * math.Pi) * poly
+    }
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("__conv"))
+      .withColumn("__a",
+        TextOps.hash32(col("user_id").cast("string"), seed = "bab:")
+          % 2 === 1)
+    per.agg(count(when(col("__a"), 1)).as("n_a"),
+        sum(when(col("__a"), col("__conv"))).as("x_a"),
+        count(when(!col("__a"), 1)).as("n_b"),
+        sum(when(!col("__a"), col("__conv"))).as("x_b"))
+      .withColumn("__ma", (col("x_a") + 1) / (col("n_a") + 2.0))
+      .withColumn("__mb", (col("x_b") + 1) / (col("n_b") + 2.0))
+      .withColumn("__va", col("__ma") * (lit(1.0) - col("__ma")) /
+        (col("n_a") + 3.0))
+      .withColumn("__vb", col("__mb") * (lit(1.0) - col("__mb")) /
+        (col("n_b") + 3.0))
+      .withColumn("__z", (col("__ma") - col("__mb")) /
+        sqrt(col("__va") + col("__vb")))
+      .withColumn("__pab",
+        when(col("__z") >= 0, lit(1.0) - phiUpper(col("__z")))
+          .otherwise(phiUpper(-col("__z"))))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(col("__ma"), 4).as("post_mean_a"),
+        round(col("__mb"), 4).as("post_mean_b"),
+        round(col("__pab"), 4).as("prob_a_beats_b"),
+        (col("__pab") > 0.95 || col("__pab") < 0.05).as("decisive"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q306_ndcg_eval" -> (q306NdcgEval _),
+    "q307_source_similarity" -> (q307SourceSimilarity _),
+    "q308_lloyd_step" -> (q308LloydStep _),
+    "q309_bayes_ab" -> (q309BayesAb _),
     "q302_quota_allocation" -> (q302QuotaAllocation _),
     "q303_interval_union" -> (q303IntervalUnion _),
     "q304_ratio_delta_method" -> (q304RatioDeltaMethod _),
@@ -1389,6 +1561,125 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q306_ndcg_eval" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
+        |    unnest(toks) AS token FROM t),
+        |m AS (SELECT * FROM d WHERE token IN ('spark', 'sql', 'hash')),
+        |tf AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf
+        |  FROM m GROUP BY 1, 2, 3),
+        |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl
+        |  FROM t),
+        |fr AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+        |  FROM m GROUP BY token),
+        |sc AS (SELECT tf.doc_id,
+        |    ln((s.n_docs - fr.df + 0.5) / (fr.df + 0.5) + 1) * tf.tf *
+        |      (1.2 + 1) / (tf.tf + 1.2 *
+        |        (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sterm
+        |  FROM tf, fr, s WHERE tf.token = fr.token),
+        |r AS (SELECT doc_id, sum(sterm) AS raw FROM sc GROUP BY 1),
+        |top AS (SELECT doc_id, round(raw, 4) AS score FROM r
+        |  ORDER BY raw DESC, doc_id LIMIT 10),
+        |rk AS (SELECT doc_id, row_number() OVER
+        |    (ORDER BY score DESC, doc_id) AS rk FROM top),
+        |gr AS (SELECT doc_id, len(list_intersect(list_distinct(toks),
+        |    ['spark', 'sql', 'hash']))::DOUBLE AS rel FROM t),
+        |dcg AS (SELECT count(*)::BIGINT AS n_ranked,
+        |    sum((pow(2.0, gr.rel) - 1) / (ln(rk.rk + 1) / ln(2.0)))
+        |      AS dcg,
+        |    min(CASE WHEN gr.rel >= 2 THEN rk.rk END) AS frst
+        |  FROM rk JOIN gr ON rk.doc_id = gr.doc_id),
+        |ideal AS (SELECT
+        |    sum((pow(2.0, rel) - 1) / (ln(irk + 1) / ln(2.0)))
+        |      AS idcg
+        |  FROM (SELECT rel, row_number() OVER
+        |      (ORDER BY rel DESC, doc_id) AS irk FROM gr)
+        |  WHERE irk <= 10)
+        |SELECT n_ranked, round(dcg, 4) AS dcg_at_10,
+        |  round(idcg, 4) AS idcg_at_10,
+        |  round(dcg / idcg, 4) AS ndcg_at_10,
+        |  round(coalesce(1.0 / frst, 0.0), 4) AS mrr
+        |FROM dcg, ideal""".stripMargin,
+    "q307_source_similarity" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS t
+        |  FROM documents),
+        |c AS (SELECT source, t, count(*)::BIGINT AS c FROM tok
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+        |v AS (SELECT DISTINCT t FROM c),
+        |grid AS (SELECT tot.source, v.t,
+        |    coalesce(c.c, 0) / tot.n::DOUBLE AS p
+        |  FROM tot CROSS JOIN v
+        |  LEFT JOIN c ON c.source = tot.source AND c.t = v.t),
+        |j AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    (a.p + b.p) / 2 AS m, a.p AS pa, b.p AS pb
+        |  FROM grid a JOIN grid b ON a.t = b.t
+        |    AND a.source < b.source)
+        |SELECT source_a, source_b,
+        |  round(sum(
+        |    CASE WHEN pa > 0 THEN pa * ln(pa / m) / 2 ELSE 0.0 END +
+        |    CASE WHEN pb > 0 THEN pb * ln(pb / m) / 2 ELSE 0.0 END),
+        |    6) AS jsd
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q308_lloyd_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cluster, emb AS c FROM e
+        |  WHERE vec_id < 8),
+        |asg AS (SELECT e.vec_id, s.cluster, e.emb,
+        |    list_cosine_similarity(e.emb, s.c) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.emb, s.c) DESC,
+        |        s.cluster) AS rk
+        |  FROM e CROSS JOIN seeds s),
+        |a1 AS (SELECT * FROM asg WHERE rk = 1),
+        |st AS (SELECT cluster, count(*)::BIGINT AS n_points,
+        |    round(avg(cos), 4) AS avg_cos FROM a1 GROUP BY 1),
+        |nd AS (SELECT cluster,
+        |    (generate_subscripts(emb, 1) - 1)::INT AS pos,
+        |    unnest(emb) AS v FROM a1),
+        |nm AS (SELECT cluster, pos, avg(v) AS m FROM nd GROUP BY 1, 2),
+        |sd AS (SELECT cluster,
+        |    (generate_subscripts(c, 1) - 1)::INT AS pos,
+        |    unnest(c) AS sv FROM seeds),
+        |sh AS (SELECT nm.cluster,
+        |    round(sqrt(sum((nm.m - sd.sv) * (nm.m - sd.sv))), 4)
+        |      AS centroid_shift
+        |  FROM nm JOIN sd ON nm.cluster = sd.cluster
+        |    AND nm.pos = sd.pos
+        |  GROUP BY 1)
+        |SELECT st.cluster, st.n_points, st.avg_cos, sh.centroid_shift
+        |FROM st JOIN sh ON st.cluster = sh.cluster
+        |ORDER BY st.cluster""".stripMargin,
+    "q309_bayes_ab" ->
+      s"""WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS conv,
+        |    ${h32("user_id::VARCHAR", "bab:")} % 2 = 1 AS a
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT
+        |    count(CASE WHEN a THEN 1 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN a THEN conv END)::BIGINT AS x_a,
+        |    count(CASE WHEN NOT a THEN 1 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN NOT a THEN conv END)::BIGINT AS x_b
+        |  FROM per),
+        |p AS (SELECT n_a, x_a, n_b, x_b,
+        |    (x_a + 1) / (n_a + 2.0) AS ma,
+        |    (x_b + 1) / (n_b + 2.0) AS mb
+        |  FROM g),
+        |v AS (SELECT *, ma * (1.0 - ma) / (n_a + 3.0) AS va,
+        |    mb * (1.0 - mb) / (n_b + 3.0) AS vb
+        |  FROM p),
+        |z AS (SELECT *, (ma - mb) / sqrt(va + vb) AS z FROM v),
+        |q AS (SELECT *, CASE WHEN z >= 0
+        |    THEN 1.0 - ${phiUpperSql("z")}
+        |    ELSE ${phiUpperSql("-z")} END AS pab
+        |  FROM z)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  round(ma, 4) AS post_mean_a, round(mb, 4) AS post_mean_b,
+        |  round(pab, 4) AS prob_a_beats_b,
+        |  pab > 0.95 OR pab < 0.05 AS decisive
+        |FROM q""".stripMargin,
     "q302_quota_allocation" ->
       """WITH g AS (SELECT event_type, count(*)::BIGINT AS n
         |  FROM events GROUP BY 1),

@@ -148,7 +148,14 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q292 cross-joins the broadcast 1-row µs-midpoint scalar
     "q292_markov_eval",
     // q296 cross-joins the broadcast 1-row percentile-fence frame
-    "q296_capping_sensitivity")
+    "q296_capping_sensitivity",
+    // q306 cross-joins broadcast 1-row frames (BM25 stats, IDCG)
+    "q306_ndcg_eval",
+    // q307 cross-joins the broadcast |vocab|-bounded dimension frame
+    // to build the zero-filled source×token grid
+    "q307_source_similarity",
+    // q308 cross-joins the broadcast 8-row seed-centroid frame
+    "q308_lloyd_step")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
