@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.GovernanceQueries.queries ++
       graft.queries.ModelQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.ExperimentQueries.queries
+      graft.queries.ExperimentQueries.queries ++
+      graft.queries.StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.GovernanceQueries.oracle ++
       graft.queries.ModelQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
-      graft.queries.ExperimentQueries.oracle
+      graft.queries.ExperimentQueries.oracle ++
+      graft.queries.StatQueries.oracle
 }

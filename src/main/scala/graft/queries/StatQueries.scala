@@ -1,0 +1,318 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 extension operators, exact-statistics family (SURVEY.md
+  * §2.13 X239+): rank-based k-group testing, variance-homogeneity
+  * screening, path-dependent risk readouts, and optimal stratified
+  * allocation. Each runs as bounded-frame relational algebra — the raw
+  * corpus is consumed by ONE map-side-combinable aggregation, windows
+  * and contrasts run over |distinct values| or |groups| summary frames
+  * — so the plans hold at warehouse scale.
+  */
+object StatQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Zelen–Severo 26.2.17 upper-tail normal CDF (z >= 0), the same
+  // polynomial the DuckDB oracle replays (cf. ExperimentQueries q277/
+  // q295/q309 — duplicated locally by house style: each query module
+  // stays self-contained).
+  private def phiUpper(z: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+    exp(-z * z / 2) / sqrt(lit(2.0 * math.Pi)) *
+      (t * (lit(0.319381530) + t * (lit(-0.356563782) + t *
+        (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429))))))
+  }
+
+  private def phiUpperSql(z: String): String =
+    s"""(exp(-($z) * ($z) / 2) / sqrt(2.0 * pi()) *
+       |  ((1.0 / (1.0 + 0.2316419 * ($z))) * (0.319381530 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (-0.356563782 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (1.781477937 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (-1.821255978 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * 1.330274429))))))"""
+      .stripMargin
+
+  /** q310_kruskal_wallis — rank-based k-group location test (the
+    * nonparametric one-way ANOVA; Kruskal & Wallis 1952) of l_quantity
+    * across the three l_returnflag populations. Tied ranks are exact
+    * mid-ranks computed on the |distinct values| frame (the
+    * `rankAuc` trick, ModelEvalOps.scala:66): one count shuffle over
+    * the corpus keyed by (group, value), a cumulative window over the
+    * ~50-row distinct-quantity frame, and H with the tie correction
+    * C = 1 − Σ(t³−t)/(N³−N). The p-value is the Wilson–Hilferty cube-
+    * root normal approximation to the χ²(k−1) upper tail through the
+    * shared Zelen–Severo polynomial, so both engines evaluate the
+    * identical closed form. Every rank is an exact half-integer —
+    * partition-order-free, no tolerance needed before the 4-dp
+    * rounding.
+    */
+  def q310KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("double").as("v"))
+    val perGV = li.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("__c"))
+    val perV = perGV.groupBy(col("v")).agg(sum(col("__c")).as("__cv"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perV.withColumn("__rank",
+      sum(col("__cv")).over(w) - col("__cv") + (col("__cv") + 1) / 2.0)
+    val ties = ranked.agg(
+      sum(col("__cv")).as("__n"),
+      sum(col("__cv") * col("__cv") * col("__cv") - col("__cv"))
+        .as("__tie"))
+    val perG = perGV
+      .join(ranked.select(col("v"), col("__rank")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__rank")).as("__rs"))
+    val dfv = col("k") - 1
+    perG.agg(count(lit(1)).as("k"),
+        sum(try_divide(col("__rs") * col("__rs"), col("__ng")))
+          .as("__s"))
+      .crossJoin(broadcast(ties))
+      .withColumn("__h",
+        lit(12.0) / (col("__n") * (col("__n") + 1)) * col("__s") -
+          lit(3.0) * (col("__n") + 1))
+      .withColumn("__c",
+        lit(1.0) - try_divide(col("__tie"),
+          col("__n") * col("__n") * col("__n") - col("__n")))
+      .withColumn("__ha", try_divide(col("__h"), col("__c")))
+      .withColumn("__z",
+        (pow(try_divide(col("__ha"), dfv), 1.0 / 3) -
+          (lit(1.0) - lit(2.0) / (lit(9.0) * dfv))) /
+          sqrt(lit(2.0) / (lit(9.0) * dfv)))
+      .withColumn("__p",
+        when(col("__z") >= 0, phiUpper(col("__z")))
+          .otherwise(lit(1.0) - phiUpper(-col("__z"))))
+      .select(col("k"), col("__n").as("n"),
+        round(col("__h"), 4).as("h_stat"),
+        round(col("__ha"), 4).as("h_adj"),
+        dfv.as("df"),
+        round(col("__p"), 4).as("p_value"),
+        (col("__p") < 0.05).as("significant"))
+  }
+
+  /** q311_brown_forsythe — variance-homogeneity screen across the
+    * l_returnflag groups on l_extendedprice via the Brown–Forsythe
+    * (1974) statistic: one-way ANOVA F computed on absolute deviations
+    * from the per-group MEDIAN (the robust form of Levene's test — the
+    * mean-centered original is fooled by skew, which prices have).
+    * Within/between sums run off per-group (n, Σz, Σz²) in a single
+    * aggregation — no second corpus pass after the median join. The
+    * per-group exact median uses `percentile`, which materializes each
+    * group's values: fine for a BOUNDED group count on bounded-cardinality
+    * keys (3 flags here, same contract as q305's per-event-type
+    * median); the readout approximates the F upper tail by
+    * d1·F ~ χ²(d1) (exact as d2 → ∞; d2 = N−k is huge by
+    * construction) through Wilson–Hilferty + the shared polynomial.
+    */
+  def q311BrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("x"))
+    val med = li.groupBy(col("g"))
+      .agg(expr("percentile(x, 0.5)").as("__med"))
+    val z = li.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("x") - col("__med")).as("__z"))
+    val perG = z.groupBy(col("g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__z")).as("__sz"),
+        sum(col("__z") * col("__z")).as("__sz2"))
+    val d1 = col("k") - 1
+    val d2 = col("n") - col("k")
+    perG.agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sum(col("__sz")).as("__tz"),
+        sum(col("__sz2") -
+          try_divide(col("__sz") * col("__sz"), col("__ng")))
+          .as("__within"),
+        sum(try_divide(col("__sz") * col("__sz"), col("__ng")))
+          .as("__bsq"))
+      .withColumn("__between",
+        col("__bsq") - try_divide(col("__tz") * col("__tz"), col("n")))
+      .withColumn("__f",
+        try_divide(try_divide(col("__between"), d1),
+          try_divide(col("__within"), d2)))
+      .withColumn("__x2", col("__f") * d1)
+      .withColumn("__z",
+        (pow(try_divide(col("__x2"), d1), 1.0 / 3) -
+          (lit(1.0) - lit(2.0) / (lit(9.0) * d1))) /
+          sqrt(lit(2.0) / (lit(9.0) * d1)))
+      .withColumn("__p",
+        when(col("__z") >= 0, phiUpper(col("__z")))
+          .otherwise(lit(1.0) - phiUpper(-col("__z"))))
+      .select(col("k"), col("n"),
+        round(col("__f"), 4).as("f_stat"),
+        d1.as("df1"), d2.as("df2"),
+        round(col("__p"), 4).as("p_approx"),
+        (col("__p") < 0.05).as("heteroscedastic"))
+  }
+
+  /** q312_max_drawdown — per-user maximum drawdown of the cumulative
+    * event-value path: running sum ordered by (ts, event_id), running
+    * peak, drawdown = peak − cumulative, top-10 users by worst
+    * drawdown. The canonical path-dependent risk statistic (portfolio
+    * P&L, credit exposure, SLO error budgets) — NOT expressible as any
+    * per-row aggregate, exactly what analytic windows are for. Both
+    * window passes partition by user (parallel, bounded state per
+    * group); the deterministic (ts, event_id) order makes the
+    * sequential double accumulation identical in both engines, and the
+    * 4-dp rounding plus user_id tiebreak pins the top-10 selection.
+    */
+  def q312MaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("__cum", sum(col("value")).over(w))
+      .withColumn("__peak", max(col("__cum")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("__peak") - col("__cum")), 4).as("max_drawdown"),
+        round(max(col("__peak")), 4).as("peak_value"))
+      .orderBy(col("max_drawdown").desc, col("user_id"))
+      .limit(10)
+  }
+
+  /** q313_neyman_allocation — optimal (Neyman 1934) sample-size
+    * allocation of a 1000-unit budget across the o_orderpriority
+    * strata: n_h ∝ N_h·σ_h (stddev_samp of o_totalprice), integerized
+    * by the same largest-remainder rule as q302 so allocations sum
+    * EXACTLY to the budget. This is how a survey/labeling pipeline
+    * sizes per-stratum draws to minimize estimator variance at fixed
+    * cost — the principled upgrade over proportional allocation when
+    * strata variances differ. One corpus aggregation; shares and
+    * remainder ranks run as windows over the |strata| frame. Ideal
+    * shares are rounded to 6 dp BEFORE flooring so the engines' last-
+    * bit stddev differences can't flip a floor.
+    */
+  def q313NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val g = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("stratum"))
+      .agg(count(lit(1)).as("n_h"),
+        stddev_samp(col("o_totalprice")).as("__sd"))
+      .withColumn("__w", col("n_h") * col("__sd"))
+    val w = Window.partitionBy()
+    val rw = Window.orderBy(col("__rem").desc, col("stratum"))
+    g.withColumn("__ideal",
+        round(lit(budget) * try_divide(col("__w"),
+          sum(col("__w")).over(w)), 6))
+      .withColumn("__fl", floor(col("__ideal")).cast("long"))
+      .withColumn("__rem", round(col("__ideal") - col("__fl"), 6))
+      .withColumn("__short",
+        lit(budget) - sum(col("__fl")).over(w))
+      .withColumn("__rk", row_number().over(rw))
+      .select(col("stratum"), col("n_h"),
+        round(col("__sd"), 4).as("sd_h"),
+        round(col("__ideal"), 2).as("ideal"),
+        (col("__fl") +
+          when(col("__rk") <= col("__short"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("stratum"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q310_kruskal_wallis" -> (q310KruskalWallis _),
+    "q311_brown_forsythe" -> (q311BrownForsythe _),
+    "q312_max_drawdown" -> (q312MaxDrawdown _),
+    "q313_neyman_allocation" -> (q313NeymanAllocation _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q310_kruskal_wallis" ->
+      s"""WITH li AS (SELECT l_returnflag AS g,
+        |    l_quantity::DOUBLE AS v FROM lineitem),
+        |pgv AS (SELECT g, v, count(*)::BIGINT AS c FROM li
+        |  GROUP BY 1, 2),
+        |pv AS (SELECT v, sum(c)::BIGINT AS cv FROM pgv GROUP BY 1),
+        |rk AS (SELECT v, cv,
+        |    sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) - cv + (cv + 1) / 2.0 AS rank
+        |  FROM pv),
+        |t AS (SELECT sum(cv)::BIGINT AS n,
+        |    sum(cv * cv * cv - cv)::DOUBLE AS tie FROM rk),
+        |pg AS (SELECT g, sum(c)::BIGINT AS ng,
+        |    sum(c * rk.rank) AS rs
+        |  FROM pgv JOIN rk ON pgv.v = rk.v GROUP BY g),
+        |agg AS (SELECT count(*)::BIGINT AS k,
+        |    sum(rs * rs / ng) AS s FROM pg),
+        |h AS (SELECT k, n,
+        |    12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0) AS h,
+        |    1.0 - tie / (n::DOUBLE * n * n - n) AS c
+        |  FROM agg, t),
+        |ha AS (SELECT k, n, h, h / c AS ha, (k - 1)::BIGINT AS df
+        |  FROM h),
+        |z AS (SELECT *, (pow(ha / df, 1.0 / 3) -
+        |    (1.0 - 2.0 / (9.0 * df))) / sqrt(2.0 / (9.0 * df)) AS z
+        |  FROM ha),
+        |p AS (SELECT *, CASE WHEN z >= 0 THEN ${phiUpperSql("z")}
+        |    ELSE 1.0 - ${phiUpperSql("-z")} END AS p FROM z)
+        |SELECT k, n, round(h, 4) AS h_stat, round(ha, 4) AS h_adj,
+        |  df, round(p, 4) AS p_value, p < 0.05 AS significant
+        |FROM p""".stripMargin,
+    "q311_brown_forsythe" ->
+      s"""WITH li AS (SELECT l_returnflag AS g,
+        |    l_extendedprice::DOUBLE AS x FROM lineitem),
+        |med AS (SELECT g, quantile_cont(x, 0.5) AS med FROM li
+        |  GROUP BY 1),
+        |z AS (SELECT li.g, abs(li.x - med.med) AS z
+        |  FROM li JOIN med ON li.g = med.g),
+        |pg AS (SELECT g, count(*)::BIGINT AS ng, sum(z) AS sz,
+        |    sum(z * z) AS sz2 FROM z GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+        |    sum(sz) AS tz,
+        |    sum(sz2 - sz * sz / ng) AS within,
+        |    sum(sz * sz / ng) AS bsq FROM pg),
+        |f AS (SELECT k, n, (bsq - tz * tz / n) AS between_ss, within
+        |  FROM agg),
+        |fs AS (SELECT k, n,
+        |    (between_ss / (k - 1.0)) / (within / (n - k)) AS f,
+        |    (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2 FROM f),
+        |z2 AS (SELECT *, f * df1 AS x2,
+        |    (pow(f * df1 / df1, 1.0 / 3) -
+        |      (1.0 - 2.0 / (9.0 * df1))) / sqrt(2.0 / (9.0 * df1))
+        |      AS z FROM fs),
+        |p AS (SELECT *, CASE WHEN z >= 0 THEN ${phiUpperSql("z")}
+        |    ELSE 1.0 - ${phiUpperSql("-z")} END AS p FROM z2)
+        |SELECT k, n, round(f, 4) AS f_stat, df1, df2,
+        |  round(p, 4) AS p_approx, p < 0.05 AS heteroscedastic
+        |FROM p""".stripMargin,
+    "q312_max_drawdown" ->
+      """WITH cu AS (SELECT user_id, ts, event_id,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM events),
+        |c AS (SELECT user_id, cum,
+        |    max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM cu)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  round(max(peak - cum), 4) AS max_drawdown,
+        |  round(max(peak), 4) AS peak_value
+        |FROM c GROUP BY 1
+        |ORDER BY max_drawdown DESC, user_id LIMIT 10""".stripMargin,
+    "q313_neyman_allocation" ->
+      """WITH g AS (SELECT o_orderpriority AS stratum,
+        |    count(*)::BIGINT AS n_h,
+        |    stddev_samp(o_totalprice) AS sd FROM orders GROUP BY 1),
+        |sh AS (SELECT *, n_h * sd AS w FROM g),
+        |id AS (SELECT *,
+        |    round(1000 * w / sum(w) OVER (), 6) AS ideal FROM sh),
+        |fl AS (SELECT *, floor(ideal)::BIGINT AS f,
+        |    round(ideal - floor(ideal), 6) AS rem FROM id),
+        |rk AS (SELECT *, 1000 - sum(f) OVER () AS short,
+        |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+        |  FROM fl)
+        |SELECT stratum, n_h, round(sd, 4) AS sd_h,
+        |  round(ideal, 2) AS ideal,
+        |  (f + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT
+        |    AS alloc
+        |FROM rk ORDER BY stratum""".stripMargin,
+  )
+}
