@@ -398,7 +398,117 @@ object CorpusQueries {
       "vec_id", "x", "y", radius = 0.05)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q314_naive_bayes — a COMPLETE trained classifier whose predictions
+    * hash-match the oracle: multinomial Naive Bayes predicting each
+    * document's `lang` from its token counts. Training is pure counting
+    * (class-conditional token totals + Laplace smoothing + log priors),
+    * so unlike gradient/tree models the fit is exactly replayable in
+    * SQL — the one classical ML model where the full train→predict→
+    * confusion-matrix loop is oracle-checkable bit-for-bit. Split is
+    * a deterministic doc_id hash (80/20). The log-sum trick keeps the
+    * plan sparse: unmatched (class, token) pairs contribute
+    * log(0+1) = 0, so scoring is an INNER join of test term
+    * frequencies against the class-token count table — never the
+    * |classes|×|vocab| grid — plus a per-doc `− dl·log(tot_c + V)`
+    * normalizer from a 5-row broadcast class frame. Scores are rounded
+    * to 6 dp before the argmax so cross-engine last-bit sum
+    * differences can't flip a prediction.
+    */
+  def q314NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("text"),
+        (pmod(TextOps.hash32(col("doc_id").cast("string"), "nb:"),
+          lit(5)) === 0).as("__test"))
+    val tf = docs
+      .select(col("doc_id"), col("lang"), col("__test"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("lang"), col("__test"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val classTok = tf.filter(!col("__test"))
+      .groupBy(col("lang").as("__c"), col("token"))
+      .agg(sum(col("tf")).as("__cnt"))
+    val vocab = classTok.select(col("token")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("__v"))
+    val cls = docs.filter(!col("__test"))
+      .groupBy(col("lang").as("__c")).agg(count(lit(1)).as("__nd"))
+      .join(classTok.groupBy(col("__c")).agg(sum(col("__cnt")).as("__tot")),
+        Seq("__c"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("__ndt", sum(col("__nd")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("__c"), log(col("__nd") / col("__ndt")).as("__lp"),
+        log(col("__tot") + col("__v")).as("__lden"))
+    val testTf = tf.filter(col("__test"))
+    val matched = testTf.join(classTok, Seq("token"))
+      .groupBy(col("doc_id"), col("__c"))
+      .agg(sum(col("tf") * log(col("__cnt") + 1)).as("__msum"))
+    val dl = testTf.join(vocab, Seq("token"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("__dl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("__r").desc, col("__c"))
+    docs.filter(col("__test"))
+      .select(col("doc_id"), col("lang").as("true_lang"))
+      .join(dl, Seq("doc_id"), "left").na.fill(0L, Seq("__dl"))
+      .crossJoin(broadcast(cls))
+      .join(matched, Seq("doc_id", "__c"), "left")
+      .na.fill(0.0, Seq("__msum"))
+      .withColumn("__r", round(
+        col("__lp") - col("__dl") * col("__lden") + col("__msum"), 6))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .groupBy(col("true_lang"), col("__c").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  /** q315_ql_retrieval — query-likelihood retrieval with Dirichlet
+    * smoothing (Zhai & Lafferty 2001, µ=2000), the language-modeling
+    * alternative to X47's BM25: score(d) = Σ_q log((tf + µ·p(t|C)) /
+    * (dl + µ)) with collection probabilities p(t|C) from global term
+    * frequencies. Unlike BM25, unmatched query terms still contribute
+    * (the smoothed background mass), so every document gets a score:
+    * the plan is the per-doc length frame crossed with a 3-row
+    * broadcast query-term frame (cf/|C| precomputed), LEFT-joined to
+    * matched term frequencies — O(|docs|·|q|) rows, one corpus token
+    * pass, no all-pairs anything. Top-10 pinned by 6-dp rounding +
+    * doc_id tiebreak.
+    */
+  def q315QlRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val mu = 2000.0
+    val qterms = Seq("spark", "sql", "hash")
+    val tok = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+        .as("token"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("__dl"))
+    val coll = tok.agg(count(lit(1)).as("__csz"))
+    val cf = tok.filter(col("token").isInCollection(qterms))
+      .groupBy(col("token")).agg(count(lit(1)).as("__cf"))
+      .crossJoin(broadcast(coll))
+      .select(col("token"),
+        (col("__cf").cast("double") / col("__csz")).as("__p"))
+    val tfq = tok.filter(col("token").isInCollection(qterms))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    dl.crossJoin(broadcast(cf))
+      .join(tfq, Seq("doc_id", "token"), "left")
+      .na.fill(0L, Seq("__tf"))
+      .groupBy(col("doc_id"), col("__dl"))
+      .agg(sum(log((col("__tf") + lit(mu) * col("__p")) /
+        (col("__dl") + lit(mu)))).as("__score"))
+      .select(col("doc_id"), col("__dl").as("n_tokens"),
+        round(col("__score"), 4).as("ql_score"),
+        round(col("__score"), 6).as("__key"))
+      .orderBy(col("__key").desc, col("doc_id"))
+      .limit(10)
+      .drop("__key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q314_naive_bayes" -> (q314NaiveBayes _),
+    "q315_ql_retrieval" -> (q315QlRetrieval _),
     "q226_feature_hash" -> (q226FeatureHash _),
     "q232_label_noise" -> (q232LabelNoise _),
     "q213_grid_neighbors" -> (q213GridNeighbors _),
@@ -445,6 +555,67 @@ object CorpusQueries {
     .mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    "q314_naive_bayes" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks,
+        |    ('0x' || substr(md5('nb:' || doc_id::VARCHAR), 1, 8))
+        |      ::BIGINT % 5 = 0 AS test FROM documents),
+        |tfc AS (SELECT doc_id, lang, test, token,
+        |    count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, lang, test, unnest(toks) AS token
+        |    FROM d) GROUP BY 1, 2, 3, 4),
+        |ct AS (SELECT lang AS c, token, sum(tf)::BIGINT AS cnt
+        |  FROM tfc WHERE NOT test GROUP BY 1, 2),
+        |voc AS (SELECT DISTINCT token FROM ct),
+        |v AS (SELECT count(*)::BIGINT AS v FROM voc),
+        |pri AS (SELECT lang AS c, count(*)::BIGINT AS nd FROM d
+        |  WHERE NOT test GROUP BY 1),
+        |tot AS (SELECT c, sum(cnt)::BIGINT AS tot FROM ct GROUP BY 1),
+        |cls AS (SELECT pri.c,
+        |    ln(nd / (sum(nd) OVER ())::DOUBLE) AS lp,
+        |    ln(tot + v.v) AS lden
+        |  FROM pri JOIN tot ON pri.c = tot.c CROSS JOIN v),
+        |mt AS (SELECT tfc.doc_id, ct.c,
+        |    sum(tfc.tf * ln(ct.cnt + 1)) AS msum
+        |  FROM tfc JOIN ct ON tfc.token = ct.token
+        |  WHERE tfc.test GROUP BY 1, 2),
+        |dlv AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tfc
+        |  WHERE test AND token IN (SELECT token FROM voc)
+        |  GROUP BY 1),
+        |sc AS (SELECT b.doc_id, b.lang AS true_lang, cls.c,
+        |    round(cls.lp - coalesce(dlv.dl, 0) * cls.lden +
+        |      coalesce(mt.msum, 0.0), 6) AS r
+        |  FROM (SELECT doc_id, lang FROM d WHERE test) b
+        |  CROSS JOIN cls
+        |  LEFT JOIN dlv ON dlv.doc_id = b.doc_id
+        |  LEFT JOIN mt ON mt.doc_id = b.doc_id AND mt.c = cls.c),
+        |pred AS (SELECT doc_id, true_lang, c, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY r DESC, c) AS rk FROM sc)
+        |SELECT true_lang, c AS pred_lang, count(*)::BIGINT AS n
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin,
+    "q315_ql_retrieval" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok
+        |  GROUP BY 1),
+        |coll AS (SELECT count(*)::BIGINT AS csz FROM tok),
+        |cf AS (SELECT token,
+        |    count(*)::DOUBLE / (SELECT csz FROM coll) AS p
+        |  FROM tok WHERE token IN ('spark', 'sql', 'hash')
+        |  GROUP BY 1),
+        |tfq AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+        |  FROM tok WHERE token IN ('spark', 'sql', 'hash')
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT dl.doc_id, dl.dl,
+        |    sum(ln((coalesce(tfq.tf, 0) + 2000.0 * cf.p) /
+        |      (dl.dl + 2000.0))) AS score
+        |  FROM dl CROSS JOIN cf
+        |  LEFT JOIN tfq ON tfq.doc_id = dl.doc_id
+        |    AND tfq.token = cf.token
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, dl AS n_tokens, round(score, 4) AS ql_score
+        |FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 10"""
+        .stripMargin,
     "q232_label_noise" ->
       s"""${StructuralQueries.srpBucketCte},
         |p AS (

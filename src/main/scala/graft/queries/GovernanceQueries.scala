@@ -136,7 +136,44 @@ object GovernanceQueries {
           (col("c_acctbal") / lit(2000.0)).cast("int")),
       Seq("c_mktsegment", "c_nationkey"), "bal_bucket", k = 5, l = 3)
 
+  /** q316_dp_counts — seeded Laplace mechanism for differentially
+    * private count release (Dwork et al. 2006): per-event-type counts
+    * plus Laplace(Δ/ε) noise with sensitivity Δ=1 and ε=1, the noise
+    * drawn by inverse-CDF from a deterministic hash uniform
+    * u = (h32(key) mod 10⁶ + 0.5)/10⁶ — the seeded-randomness idiom
+    * every reproducible-DP pipeline uses (and the reason the oracle
+    * can hash-check a "random" mechanism: both engines replay the
+    * identical md5-derived draw). Output keeps the true count beside
+    * the noisy release because this is the AUDIT view (the published
+    * view would project the released column only); the `released`
+    * column is the clamped non-negative integer form real DP
+    * interfaces emit. One map-side-combined aggregation; the
+    * mechanism is pure projection arithmetic over the |types| frame.
+    */
+  def q316DpCounts(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("__u",
+        (pmod(graft.ops.TextOps.hash32(col("event_type"), "dp:"),
+          lit(1000000)) + 0.5) / 1000000.0)
+      .withColumn("__x", col("__u") - 0.5)
+      .withColumn("__noise",
+        -lit(1.0 / eps) * signum(col("__x")) *
+          log(lit(1.0) - lit(2.0) * abs(col("__x"))))
+      .select(col("event_type"), col("n_true"),
+        round(col("__noise"), 4).as("noise"),
+        round(col("n_true") + col("__noise"), 4).as("noisy_count"),
+        greatest(lit(0L),
+          round(col("n_true") + col("__noise"), 0).cast("long"))
+          .as("released"),
+        lit(eps).as("epsilon"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q316_dp_counts" -> (q316DpCounts _),
     "q229_k_anonymity" -> (q229KAnonymity _),
     "q157_redact" -> (q157Redact _),
     "q158_pseudonymize" -> (q158Pseudonymize _),
@@ -161,6 +198,20 @@ object GovernanceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q316_dp_counts" ->
+      s"""WITH g AS (SELECT event_type, count(*)::BIGINT AS n_true
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT *,
+        |    (${h32("event_type", "dp:")} % 1000000 + 0.5)
+        |      / 1000000.0 AS u FROM g),
+        |m AS (SELECT event_type, n_true,
+        |    -sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+        |  FROM n)
+        |SELECT event_type, n_true, round(noise, 4) AS noise,
+        |  round(n_true + noise, 4) AS noisy_count,
+        |  greatest(0, round(n_true + noise, 0)::BIGINT) AS released,
+        |  1.0 AS epsilon
+        |FROM m ORDER BY event_type""".stripMargin,
     "q229_k_anonymity" ->
       """WITH c AS (
         |  SELECT c_mktsegment, c_nationkey,
