@@ -779,7 +779,108 @@ object StructuralQueries {
       .select(col("lang"), explode(col("__tk.ks")).as("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
 
+  /** q317_recursive_bfs — WITH RECURSIVE breadth-first reachability
+    * (Spark 4's recursive CTE support, exercised as engine surface the
+    * way q79/q181 exercise subqueries): hop distance from the 'click'
+    * node over the directed event-type transition graph (nodes =
+    * event types, edges = consecutive types observed per user — the
+    * q122 transition edges, distinct pairs only). The ONE corpus pass
+    * is the lag-window transition extraction; the recursion then runs
+    * on the ≤ |types|² edge frame, depth-capped at 3 with min(hop)
+    * dedup outside (path enumeration on a cyclic graph must be
+    * bounded — for big graphs the fixed-iteration BSP form (q172
+    * PageRank, q280 label propagation) is the scale path; this is the
+    * SQL-surface form for small reachability closures: org charts,
+    * category trees, state machines).
+    */
+  def q317RecursiveBfs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull && col("__next") =!= col("event_type"))
+      .select(col("event_type").as("src"), col("__next").as("dst"))
+      .distinct()
+      .createOrReplaceTempView("edges_q317")
+    s.sql(
+      """WITH RECURSIVE hops(node, hop) AS (
+        |  SELECT 'click' AS node, 0 AS hop
+        |  UNION ALL
+        |  SELECT e.dst AS node, h.hop + 1
+        |  FROM hops h JOIN edges_q317 e ON e.src = h.node
+        |  WHERE h.hop < 3)
+        |SELECT node, min(hop) AS hop FROM hops
+        |GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  /** q318_lateral_topk — correlated LATERAL subquery with per-row
+    * ORDER BY + LIMIT: each region's top-3 customers by account
+    * balance. The SQL-standard spelling of "top-k per group" — Spark
+    * plans the correlated limit as a ranked window under the hood
+    * (same physical shape as q80's row_number filter), so the lateral
+    * form costs nothing extra while reading as the business question.
+    * Engine-surface exercise for DecorrelateLateralSubquery beside
+    * q79 (correlated scalar) and q181 (EXISTS).
+    */
+  def q318LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("region_q318")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_q318")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_q318")
+    s.sql(
+      """SELECT r.r_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+        |FROM region_q318 r, LATERAL (
+        |  SELECT c.c_name, c.c_acctbal
+        |  FROM customer_q318 c
+        |  JOIN nation_q318 n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3) t
+        |ORDER BY r.r_name, acctbal DESC, t.c_name""".stripMargin)
+  }
+
+  /** q319_sql_udf — a SQL scalar function (CREATE OR REPLACE TEMPORARY
+    * FUNCTION … RETURN, Spark 4 SQL UDFs) defining great-circle
+    * haversine distance, applied to hash-synthesized customer
+    * coordinates (lat ∈ ±60°, lon ∈ ±180°, md5-derived so both
+    * engines reconstruct identical positions) to rank the 10
+    * customers nearest the (0, 0) depot. SQL UDFs are declarative
+    * macros — Catalyst inlines the body into the plan (full codegen,
+    * pushdown-transparent), unlike black-box Scala UDFs; this is the
+    * engine-surface demonstration that user abstractions don't cost
+    * plan quality. Distance ordering is pinned by 4-dp rounding +
+    * custkey tiebreak against libm last-bit drift.
+    */
+  def q319SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION haversine_q319(
+        |    lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
+        |RETURNS DOUBLE
+        |RETURN 2 * 6371.0088 * asin(sqrt(
+        |  pow(sin(radians(lat2 - lat1) / 2), 2) +
+        |  cos(radians(lat1)) * cos(radians(lat2)) *
+        |    pow(sin(radians(lon2 - lon1) / 2), 2)))""".stripMargin)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        ((pmod(graft.ops.TextOps.hash32(col("c_custkey").cast("string"),
+          "lat:"), lit(1200000)) / 10000.0) - 60.0).as("lat"),
+        ((pmod(graft.ops.TextOps.hash32(col("c_custkey").cast("string"),
+          "lon:"), lit(3600000)) / 10000.0) - 180.0).as("lon"))
+      .createOrReplaceTempView("custgeo_q319")
+    s.sql(
+      """SELECT c_custkey, round(lat, 4) AS lat, round(lon, 4) AS lon,
+        |  round(__d, 2) AS dist_km
+        |FROM (SELECT c_custkey, lat, lon,
+        |    haversine_q319(lat, lon, 0.0, 0.0) AS __d
+        |  FROM custgeo_q319)
+        |ORDER BY round(__d, 4), c_custkey
+        |LIMIT 10""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q317_recursive_bfs" -> (q317RecursiveBfs _),
+    "q318_lateral_topk" -> (q318LateralTopk _),
+    "q319_sql_udf" -> (q319SqlUdf _),
     "q135_bucketed_join" -> (q135BucketedJoin _),
     "q140_csv_roundtrip" -> (q140CsvRoundtrip _),
     "q141_centroid_separation" -> (q141CentroidSeparation _),
@@ -829,6 +930,47 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q317_recursive_bfs" ->
+      """WITH RECURSIVE ev AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |edges AS (SELECT DISTINCT event_type AS src, nxt AS dst
+        |  FROM ev WHERE nxt IS NOT NULL AND nxt <> event_type),
+        |hops(node, hop) AS (
+        |  SELECT 'click' AS node, 0 AS hop
+        |  UNION ALL
+        |  SELECT e.dst AS node, h.hop + 1
+        |  FROM hops h JOIN edges e ON e.src = h.node
+        |  WHERE h.hop < 3)
+        |SELECT node, min(hop) AS hop FROM hops
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q318_lateral_topk" ->
+      """SELECT r.r_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+        |FROM region r, LATERAL (
+        |  SELECT c.c_name, c.c_acctbal
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3) t
+        |ORDER BY r.r_name, acctbal DESC, t.c_name""".stripMargin,
+    "q319_sql_udf" ->
+      """WITH g AS (SELECT c_custkey,
+        |    (('0x' || substr(md5('lat:' || c_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % 1200000) / 10000.0 - 60.0 AS lat,
+        |    (('0x' || substr(md5('lon:' || c_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % 3600000) / 10000.0 - 180.0 AS lon
+        |  FROM customer),
+        |d AS (SELECT c_custkey, lat, lon,
+        |    2 * 6371.0088 * asin(sqrt(
+        |      pow(sin(radians(0.0 - lat) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(0.0)) *
+        |        pow(sin(radians(0.0 - lon) / 2), 2))) AS dist
+        |  FROM g)
+        |SELECT c_custkey, round(lat, 4) AS lat, round(lon, 4) AS lon,
+        |  round(dist, 2) AS dist_km
+        |FROM d ORDER BY round(dist, 4), c_custkey LIMIT 10"""
+        .stripMargin,
     "q228_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total_price,
