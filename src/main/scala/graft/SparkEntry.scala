@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.ModelQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.ExperimentQueries.queries ++
-      graft.queries.StatQueries.queries
+      graft.queries.StatQueries.queries ++
+      graft.queries.SpatialQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.ModelQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.ExperimentQueries.oracle ++
-      graft.queries.StatQueries.oracle
+      graft.queries.StatQueries.oracle ++
+      graft.queries.SpatialQueries.oracle
 }
