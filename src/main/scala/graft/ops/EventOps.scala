@@ -456,7 +456,12 @@ object EventOps {
     * −∞); µs integer duration arithmetic keeps both engines on
     * identical doubles.
     */
-  def kaplanMeier(events: DataFrame, startType: String,
+  /** Per-user (start→target | censor-at-horizon) survival durations —
+    * the shared front half of every survival estimator here (KM q204,
+    * Nelson–Aalen, log-rank): first start per user, first target at or
+    * after it, horizon/corpus-end censoring, integer day durations.
+    * One corpus pass + a per-user aggregate. */
+  def survivalDurations(events: DataFrame, startType: String,
       eventType: String, horizonDays: Int): DataFrame = {
     val dayUs = 86400000000L
     val starts = events.filter(col("event_type") === startType)
@@ -465,18 +470,24 @@ object EventOps {
     val targets = events.filter(col("event_type") === eventType)
       .select(col("user_id"), unix_micros(col("ts")).as("__te"))
     val corpusEnd = events.agg(max(unix_micros(col("ts"))).as("__tmax"))
-    val durations = starts.join(targets, Seq("user_id"), "left")
+    starts.join(targets, Seq("user_id"), "left")
       .groupBy(col("user_id"))
       .agg(first(col("__t0")).as("__t0"),
         min(when(col("__te") >= col("__t0"), col("__te"))).as("__t1"))
       .crossJoin(broadcast(corpusEnd))
       .withColumn("__cutoff",
         least(col("__tmax"), col("__t0") + lit(horizonDays * dayUs)))
-      .select(
+      .select(col("user_id"),
         (col("__t1").isNotNull && col("__t1") <= col("__cutoff"))
           .as("__event"),
         floor((least(coalesce(col("__t1"), col("__cutoff")),
           col("__cutoff")) - col("__t0")) / lit(dayUs)).as("duration_day"))
+  }
+
+  def kaplanMeier(events: DataFrame, startType: String,
+      eventType: String, horizonDays: Int): DataFrame = {
+    val durations =
+      survivalDurations(events, startType, eventType, horizonDays)
     val perDay = durations.groupBy(col("duration_day"))
       .agg(count(when(col("__event"), 1)).as("n_events"),
         count(when(!col("__event"), 1)).as("n_censored"))
@@ -504,6 +515,107 @@ object EventOps {
             .otherwise(lit(0.0))).over(upTo)), 4)))
       .select(col("duration_day"), col("n_at_risk"), col("n_events"),
         col("n_censored"), col("survival"))
+  }
+
+  /** Nelson–Aalen cumulative hazard H(t) = Σ_{t_j ≤ t} d_j / n_j and
+    * the Fleming–Harrington survival estimate exp(−H) — the additive
+    * dual of Kaplan–Meier's product form, preferred for small risk
+    * sets and as the baseline-hazard input to Cox-style models. Same
+    * per-day frame and at-risk windows as [[kaplanMeier]]; the sums
+    * are exact integer ratios accumulated in day order in both
+    * engines.
+    */
+  def nelsonAalen(events: DataFrame, startType: String,
+      eventType: String, horizonDays: Int): DataFrame = {
+    val perDay =
+      survivalDurations(events, startType, eventType, horizonDays)
+        .groupBy(col("duration_day"))
+        .agg(count(when(col("__event"), 1)).as("n_events"),
+          count(when(!col("__event"), 1)).as("n_censored"))
+    val total = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("duration_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val upTo = Window.orderBy(col("duration_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(total) -
+          coalesce(sum(col("n_events") + col("n_censored")).over(before),
+            lit(0L)))
+      .withColumn("cum_hazard",
+        round(sum(col("n_events").cast("double") / col("n_at_risk"))
+          .over(upTo), 4))
+      .withColumn("fh_survival",
+        round(exp(-sum(col("n_events").cast("double") / col("n_at_risk"))
+          .over(upTo)), 4))
+      .select(col("duration_day"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("cum_hazard"), col("fh_survival"))
+  }
+
+  /** Two-arm log-rank test (Mantel 1966): does survival differ between
+    * user arms? Per event day j: observed arm-A events d_Aj vs
+    * hypergeometric expectation n_Aj·d_j/n_j and variance
+    * d_j(n_Aj/n_j)(1−n_Aj/n_j)(n_j−d_j)/(n_j−1); χ² = (O−E)²/V with
+    * df=1, whose upper tail is EXACTLY 2·Φ̄(√χ²) — no approximation
+    * beyond the shared normal polynomial. The corpus collapses to the
+    * per-(arm, day) count frame; at-risk counts come from the same
+    * cumulative windows as [[kaplanMeier]], partitioned per arm via
+    * conditional sums over the day frame.
+    */
+  def logRank(events: DataFrame, startType: String, eventType: String,
+      horizonDays: Int, armSeed: String): DataFrame = {
+    val dur =
+      survivalDurations(events, startType, eventType, horizonDays)
+        .withColumn("__arm",
+          pmod(TextOps.hash32(col("user_id").cast("string"), armSeed),
+            lit(2)))
+    val perDay = dur.groupBy(col("duration_day"))
+      .agg(
+        count(when(col("__event") && col("__arm") === 0, 1)).as("__da"),
+        count(when(col("__event") && col("__arm") === 1, 1)).as("__db"),
+        count(when(col("__arm") === 0, 1)).as("__ta"),
+        count(when(col("__arm") === 1, 1)).as("__tb"))
+    val total = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("duration_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val phiU = { (z: Column) =>
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+      exp(-z * z / 2) / sqrt(lit(2.0 * math.Pi)) *
+        (t * (lit(0.319381530) + t * (lit(-0.356563782) + t *
+          (lit(1.781477937) + t * (lit(-1.821255978) +
+            t * lit(1.330274429))))))
+    }
+    perDay
+      .withColumn("__na",
+        sum(col("__ta")).over(total) -
+          coalesce(sum(col("__ta")).over(before), lit(0L)))
+      .withColumn("__nb",
+        sum(col("__tb")).over(total) -
+          coalesce(sum(col("__tb")).over(before), lit(0L)))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .filter(col("__d") > 0)
+      .withColumn("__e",
+        col("__na") * col("__d") / col("__n").cast("double"))
+      .withColumn("__v", try_divide(
+        col("__d") * (col("__na") / col("__n").cast("double")) *
+          (lit(1.0) - col("__na") / col("__n").cast("double")) *
+          (col("__n") - col("__d")),
+        (col("__n") - 1).cast("double")))
+      .agg(sum(col("__da")).as("observed_a"),
+        sum(col("__db")).as("observed_b"),
+        sum(col("__e")).as("__ea"), sum(col("__v")).as("__va"))
+      .withColumn("__chi2", try_divide(
+        (col("observed_a") - col("__ea")) *
+          (col("observed_a") - col("__ea")), col("__va")))
+      .withColumn("__p", lit(2.0) * phiU(sqrt(col("__chi2"))))
+      .select(col("observed_a"), col("observed_b"),
+        round(col("__ea"), 4).as("expected_a"),
+        round(col("__chi2"), 4).as("chi2"),
+        round(col("__p"), 4).as("p_value"),
+        (col("__p") < 0.05).as("significant"))
   }
 
   /** CUSUM change-point detection over each event type's daily count

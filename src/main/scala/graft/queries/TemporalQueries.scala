@@ -295,6 +295,32 @@ object TemporalQueries {
       horizonDays = 3)
       .orderBy(col("duration_day"))
 
+  /** q322_log_rank — two-arm log-rank survival comparison
+    * (`EventOps.logRank`): does signup→purchase time-to-event differ
+    * between a deterministic hash split of users? The clinical-trial
+    * standard for censored A/B outcomes (retention, conversion-time
+    * experiments) where a means test on durations is wrong because
+    * censoring is informative. Corpus → per-(arm, day) counts; the
+    * hypergeometric E/V sums run over the ≤ horizon-day frame; χ²
+    * df=1 upper tail is exactly 2·Φ̄(√χ²) through the shared
+    * polynomial.
+    */
+  def q322LogRank(s: SparkSession, dir: String): DataFrame =
+    EventOps.logRank(Tables.events(s, dir), "signup", "purchase",
+      horizonDays = 3, armSeed = "lr:")
+
+  /** q323_nelson_aalen — Nelson–Aalen cumulative hazard and the
+    * Fleming–Harrington survival exp(−H) (`EventOps.nelsonAalen`) on
+    * the same signup→purchase cohort as q204: the additive dual of
+    * Kaplan–Meier, preferred at small risk sets and as the baseline
+    * hazard a Cox-style model consumes. Same one-pass day frame and
+    * at-risk windows as q204.
+    */
+  def q323NelsonAalen(s: SparkSession, dir: String): DataFrame =
+    EventOps.nelsonAalen(Tables.events(s, dir), "signup", "purchase",
+      horizonDays = 3)
+      .orderBy(col("duration_day"))
+
   /** q206_cusum — CUSUM change-point detection on each event type's
     * daily count series (`EventOps.cusumChangePoint`): the peak
     * |cumulative standardized deviation| marks the most likely
@@ -538,6 +564,8 @@ object TemporalQueries {
     "q211_rollup_merge" -> (q211RollupMerge _),
     "q209_ewma_daily" -> (q209EwmaDaily _),
     "q204_kaplan_meier" -> (q204KaplanMeier _),
+    "q322_log_rank" -> (q322LogRank _),
+    "q323_nelson_aalen" -> (q323NelsonAalen _),
     "q206_cusum" -> (q206Cusum _),
     "q197_mad_anomaly" -> (q197MadAnomaly _),
     "q188_time_range_frame" -> (q188TimeRangeFrame _),
@@ -555,6 +583,17 @@ object TemporalQueries {
   )
 
   private val dimTypesSql = dimTypes.map(t => s"'$t'").mkString(", ")
+
+  // Zelen–Severo 26.2.17 upper-tail normal CDF (z >= 0) — the shared
+  // engine-portable polynomial (cf. ExperimentQueries/StatQueries)
+  private def phiUpperSqlT(z: String): String =
+    s"""(exp(-($z) * ($z) / 2) / sqrt(2.0 * pi()) *
+       |  ((1.0 / (1.0 + 0.2316419 * ($z))) * (0.319381530 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (-0.356563782 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (1.781477937 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * (-1.821255978 +
+       |   (1.0 / (1.0 + 0.2316419 * ($z))) * 1.330274429))))))"""
+      .stripMargin
 
   val oracle: Map[String, String] = Map(
     "q233_backtest_folds" ->
@@ -704,6 +743,96 @@ object TemporalQueries {
         |  AND date_diff('day', h.day, d.day) < 28
         |GROUP BY d.event_type, d.day
         |ORDER BY d.event_type, d.day""".stripMargin,
+    "q322_log_rank" ->
+      s"""WITH starts AS (
+        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |tg AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS te
+        |       FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events),
+        |dur AS (
+        |  SELECT s.user_id, any_value(t0) AS t0,
+        |    min(CASE WHEN te >= t0 THEN te END) AS t1
+        |  FROM starts s LEFT JOIN tg USING (user_id) GROUP BY s.user_id),
+        |d AS (
+        |  SELECT user_id, (t1 IS NOT NULL AND
+        |      t1 <= least(tmax, t0 + 3*86400000000)) AS ev,
+        |    floor((least(coalesce(t1, least(tmax, t0 + 3*86400000000)),
+        |        least(tmax, t0 + 3*86400000000)) - t0)
+        |      / 86400000000)::BIGINT AS dd
+        |  FROM dur, h),
+        |a AS (SELECT *, ('0x' || substr(md5('lr:' || user_id::VARCHAR),
+        |    1, 8))::BIGINT % 2 AS arm FROM d),
+        |pd AS (SELECT dd,
+        |    count(CASE WHEN ev AND arm = 0 THEN 1 END)::BIGINT AS da,
+        |    count(CASE WHEN ev AND arm = 1 THEN 1 END)::BIGINT AS db,
+        |    count(CASE WHEN arm = 0 THEN 1 END)::BIGINT AS ta,
+        |    count(CASE WHEN arm = 1 THEN 1 END)::BIGINT AS tb
+        |  FROM a GROUP BY 1),
+        |k AS (SELECT *,
+        |    (sum(ta) OVER ())::BIGINT - coalesce(sum(ta) OVER (
+        |      ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0)::BIGINT AS na,
+        |    (sum(tb) OVER ())::BIGINT - coalesce(sum(tb) OVER (
+        |      ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0)::BIGINT AS nb
+        |  FROM pd),
+        |f AS (SELECT *, da + db AS d, na + nb AS n FROM k
+        |  WHERE da + db > 0),
+        |sm AS (SELECT sum(da)::BIGINT AS observed_a,
+        |    sum(db)::BIGINT AS observed_b,
+        |    sum(na * d / n::DOUBLE) AS ea,
+        |    sum(CASE WHEN n > 1 THEN d * (na / n::DOUBLE) *
+        |      (1.0 - na / n::DOUBLE) * (n - d) / (n - 1.0) END) AS va
+        |  FROM f),
+        |c AS (SELECT *,
+        |    (observed_a - ea) * (observed_a - ea) / va AS chi2
+        |  FROM sm),
+        |p AS (SELECT *, sqrt(chi2) AS z, 2.0 *
+        |    ${phiUpperSqlT("sqrt(chi2)")} AS p FROM c)
+        |SELECT observed_a, observed_b, round(ea, 4) AS expected_a,
+        |  round(chi2, 4) AS chi2, round(p, 4) AS p_value,
+        |  p < 0.05 AS significant
+        |FROM p""".stripMargin,
+    "q323_nelson_aalen" ->
+      """WITH starts AS (
+        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |tg AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS te
+        |       FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events),
+        |dur AS (
+        |  SELECT s.user_id, any_value(t0) AS t0,
+        |    min(CASE WHEN te >= t0 THEN te END) AS t1
+        |  FROM starts s LEFT JOIN tg USING (user_id) GROUP BY s.user_id),
+        |d AS (
+        |  SELECT (t1 IS NOT NULL AND
+        |      t1 <= least(tmax, t0 + 3*86400000000)) AS ev,
+        |    floor((least(coalesce(t1, least(tmax, t0 + 3*86400000000)),
+        |        least(tmax, t0 + 3*86400000000)) - t0)
+        |      / 86400000000)::BIGINT AS duration_day
+        |  FROM dur, h),
+        |pd AS (
+        |  SELECT duration_day,
+        |    count(CASE WHEN ev THEN 1 END) AS n_events,
+        |    count(CASE WHEN NOT ev THEN 1 END) AS n_censored
+        |  FROM d GROUP BY 1),
+        |k AS (
+        |  SELECT duration_day, n_events, n_censored,
+        |    (sum(n_events + n_censored) OVER ())::BIGINT
+        |      - coalesce(sum(n_events + n_censored) OVER (
+        |          ORDER BY duration_day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0)::BIGINT AS n_at_risk
+        |  FROM pd)
+        |SELECT duration_day, n_at_risk, n_events, n_censored,
+        |  round(sum(n_events::DOUBLE / n_at_risk) OVER (
+        |    ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4)
+        |    AS cum_hazard,
+        |  round(exp(-sum(n_events::DOUBLE / n_at_risk) OVER (
+        |    ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4)
+        |    AS fh_survival
+        |FROM k ORDER BY duration_day""".stripMargin,
     "q204_kaplan_meier" ->
       """WITH starts AS (
         |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0
