@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{CurationOps, DedupOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation manifest (SURVEY.md §2.13 X16-X19): the
@@ -40,6 +41,63 @@ object CurationQueries {
       Tables.parallelize(Tables.documents(s, dir)), "text", n = 3)
       .select(col("doc_id"), col("n_ngrams"), col("rep_frac"))
       .orderBy(col("doc_id"))
+
+  /** q324_repeated_substrings — cross-document repeated-substring
+    * detection, the k-gram relational form of suffix-array substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every positional word 8-gram is hashed
+    * (portable hash32 of the joined gram), grams occurring ≥ 2 times
+    * corpus-wide mark their start positions as repeated, and each
+    * doc's marked [pos, pos+8) intervals are merged by the sweep-line
+    * union (q303's running-max-of-ends islands) into maximal repeated
+    * SPANS with exact covered-token counts — what a span-level dedup
+    * pass would excise, where q86 only scores within-doc repetition
+    * and q98 drops whole chunks. All integer arithmetic (positions,
+    * gram hashes, span lengths) so the only rounding is the final
+    * coverage ratio. Plan: one corpus token pass fans out positional
+    * grams in the scan stage; the gram-frequency aggregation and the
+    * per-doc island windows are the two shuffles — O(total tokens),
+    * never pairwise.
+    */
+  def q324RepeatedSubstrings(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val t = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("__toks")) - k, lit(0))),
+          i => array_join(slice(col("__toks"), i + 1, lit(k)), " "))))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        TextOps.hash32(col("col")).as("__gh"))
+    val repeated = t.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__f"))
+      .filter(col("__f") >= 2)
+      .select(col("__gh"))
+    val marks = t.join(repeated, Seq("__gh"), "left_semi")
+      .withColumn("__end",
+        least(col("pos") + k, col("n_tokens")).cast("long"))
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marks
+      .withColumn("__pmax", max(col("__end")).over(before))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("pos") >= col("__pmax"), 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(upTo))
+      .groupBy(col("doc_id"), col("n_tokens"), col("__isl"))
+      .agg(count(lit(1)).as("__starts"),
+        (max(col("__end")) - min(col("pos"))).as("__covered"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("__starts")).as("n_rep_grams"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__covered")).as("covered_tokens"))
+      .withColumn("coverage",
+        round(col("covered_tokens") / col("n_tokens").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
 
   /** q87_token_budget — per-language token-budget curation
     * (`CurationOps.tokenBudgetSelect`): highest stopword-ratio
@@ -340,6 +398,7 @@ object CurationQueries {
     "q171_boilerplate" -> (q171Boilerplate _),
     "q178_line_dedup" -> (q178LineDedup _),
     "q186_mixture_weights" -> (q186MixtureWeights _),
+    "q324_repeated_substrings" -> (q324RepeatedSubstrings _),
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_repetition" -> (q86Repetition _),
     "q87_token_budget" -> (q87TokenBudget _),
@@ -353,6 +412,34 @@ object CurationQueries {
   import ExtensionQueries.{toksSql, tokSetSql, stopIn}
 
   val oracle: Map[String, String] = Map(
+    "q324_repeated_substrings" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |g AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(toks, i + 1, i + 8), ' ')), 1, 8))::BIGINT
+        |      AS gh
+        |  FROM t, unnest(range(0, greatest(len(toks) - 8, 0) + 1))
+        |    AS u(i)),
+        |rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.n_tokens, g.pos,
+        |    least(g.pos + 8, g.n_tokens)::BIGINT AS e
+        |  FROM g JOIN rep USING (gh)),
+        |w AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM m),
+        |isl AS (SELECT *, sum(CASE WHEN pmax IS NULL OR pos >= pmax
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM w),
+        |sp AS (SELECT doc_id, n_tokens, island,
+        |    count(*)::BIGINT AS starts,
+        |    (max(e) - min(pos))::BIGINT AS covered
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens, sum(starts)::BIGINT AS n_rep_grams,
+        |  count(*)::BIGINT AS n_spans,
+        |  sum(covered)::BIGINT AS covered_tokens,
+        |  round(sum(covered) / n_tokens::DOUBLE, 4) AS coverage
+        |FROM sp GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q169_decontaminated_release" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
         |c AS (SELECT * FROM t WHERE doc_id % 50 <> 0),
