@@ -658,6 +658,89 @@ object ExtensionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q325_stream_outer_join — watermarked stream-stream LEFT OUTER
+    * interval join (X15 family): every view is emitted, null-padded
+    * when no same-user purchase follows within the hour — the
+    * streaming form of conversion attribution where the NON-converting
+    * impressions matter (inner q194 only sees conversions). Outer
+    * emission is watermark-driven: a view's null row flushes only once
+    * the watermark proves its window closed, so the replay needs TWO
+    * micro-batches (maxFilesPerTrigger=1 over the source file plus a
+    * 1-row max-ts sentinel written beside the symlink) — batch 1 loads
+    * state and fixes the watermark, batch 2 evicts-and-emits. The
+    * comparison window is clamped to views whose join window
+    * PROVABLY closed under the final watermark (ts < max − delay −
+    * interval − margin), which is also why the batch oracle matches
+    * exactly. State on both sides stays bounded by the watermark
+    * horizon — the production property q194's spec proves multi-batch.
+    */
+  def q325StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sink = "q325_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    // two-file source dir: the events symlink (re-using q325's tag) +
+    // a single-row sentinel at the corpus max ts, written once
+    val srcDir = Paths.get("target/tmp/q325_src_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link,
+        Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val sentinel = srcDir.resolve("sentinel.parquet")
+    if (!Files.exists(sentinel)) {
+      val tmp = srcDir.resolve("__sentinel_build")
+      s.read.parquet(s"$dir/events.parquet")
+        .orderBy(col("ts").desc).limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, sentinel, StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    val src = Tables.eventsNormalize(
+      s.readStream.schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val views = src.filter(col("event_type") === "view").drop("event_type")
+    val buys = src.filter(col("event_type") === "purchase").drop("event_type")
+    val q = withStreamShuffle(s, 8) {
+      graft.streaming.StreamingOps
+        .intervalJoinStream(views, buys, "user_id", withinSeconds = 3600L,
+          joinType = "leftOuter")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    // the global watermark is min() across BOTH sides' stream
+    // watermarks, and each side's tracks only rows passing its type
+    // filter — so the provably-closed region anchors on
+    // min(max view ts, max purchase ts), not the corpus max
+    val cutoff = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(max(unix_micros(col("ts"))).as("__m"))
+      .agg((min(col("__m")) - lit(4300L * 1000000L)).as("__cut"))
+    s.table(sink)
+      .filter(col("user_id") >= 0)
+      .crossJoin(broadcast(cutoff))
+      .filter(unix_micros(col("l_ts")) < col("__cut"))
+      .withColumn("__bucket", pmod(col("user_id"), lit(8)))
+      .groupBy(col("__bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("r_event_id")).as("n_pairs"),
+        count(when(col("r_event_id").isNull, 1)).as("n_unconverted"),
+        countDistinct(when(col("r_event_id").isNotNull,
+          col("l_event_id"))).as("n_views_converted"))
+      .orderBy(col("bucket"))
+  }
+
   /** q47_rolling_hash — polynomial rolling hash over the token stream
     * (order-SENSITIVE document fingerprint, vs q23's order-insensitive
     * set fingerprint): h ← (31·h + hash32(token)) mod 1e9+7, one
@@ -678,6 +761,7 @@ object ExtensionQueries {
   // ---------------------------------------------------------------- manifest
 
   val queries: Map[String, Q] = Map(
+    "q325_stream_outer_join" -> (q325StreamOuterJoin _),
     "q17_hourly_window" -> (q17Hourly _),
     "q142_stream_hourly" -> (q142StreamHourly _),
     "q218_stream_rollup" -> (q218StreamRollup _),
@@ -778,6 +862,29 @@ object ExtensionQueries {
         |WHERE a.session_id < mx.last_s
         |   OR a.last_us + 1800000000 <= wm.watermark
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q325_stream_outer_join" ->
+      """WITH v AS (SELECT event_id, user_id,
+        |    epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events WHERE event_type = 'view'),
+        |b AS (SELECT event_id, user_id,
+        |    epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT min(m) - 4300000000::BIGINT AS cut FROM (
+        |  SELECT event_type, max(epoch_us(ts::TIMESTAMP)) AS m
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1)),
+        |j AS (SELECT v.user_id, v.event_id AS l_id, b.event_id AS r_id
+        |  FROM v LEFT JOIN b ON v.user_id = b.user_id
+        |    AND b.us >= v.us AND b.us <= v.us + 3600000000::BIGINT
+        |  WHERE v.us < (SELECT cut FROM mx))
+        |SELECT (user_id % 8)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(r_id)::BIGINT AS n_pairs,
+        |  count(CASE WHEN r_id IS NULL THEN 1 END)::BIGINT
+        |    AS n_unconverted,
+        |  count(DISTINCT CASE WHEN r_id IS NOT NULL THEN l_id END)
+        |    ::BIGINT AS n_views_converted
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q194_stream_interval_join" ->
       """WITH v AS (SELECT user_id, event_id,
         |    epoch_us(ts::TIMESTAMP) AS us

@@ -64,9 +64,20 @@ object StreamingOps {
     * stream-stream join would buffer both streams forever).
     * Output columns: key, left `ts`/cols prefixed l_, right prefixed r_.
     */
+  /** Watermarked stream-stream interval join. `joinType` "inner" emits
+    * matched pairs as they arrive; "leftOuter" additionally emits each
+    * unmatched left row null-padded ONCE the watermark passes its join
+    * window (l_ts + withinSeconds + delay) — the state store can then
+    * prove no future match exists and evict, which is exactly why
+    * outer stream joins REQUIRE the watermark + time-range condition:
+    * without the bound, "no match yet" is never "no match ever" and
+    * state grows without limit. Both sides' state stays
+    * O(events inside the watermark horizon) at any scale.
+    */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
                          withinSeconds: Long,
-                         watermarkDelay: String = "10 minutes"): DataFrame = {
+                         watermarkDelay: String = "10 minutes",
+                         joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermarkDelay)
       .select(col(key) +: left.columns.filterNot(_ == key)
         .map(c => col(c).as(s"l_$c")).toSeq: _*)
@@ -75,7 +86,8 @@ object StreamingOps {
         .map(c => col(c).as(s"r_$c")).toSeq: _*)
     l.join(r, col(key) === col("__rk") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"interval $withinSeconds seconds"))
+        col("r_ts") <= col("l_ts") + expr(s"interval $withinSeconds seconds"),
+        joinType)
       .drop("__rk")
   }
 
