@@ -189,7 +189,62 @@ object ModelQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q326_isotonic_calibration — EXACT isotonic regression (the PAV
+    * fit Spark ML's IsotonicRegression iterates) via the minimax
+    * closed form: iso(i) = max_{j≤i} min_{k≥i} weightedMean(y, j..k),
+    * which equals the pool-adjacent-violators solution exactly
+    * (Barlow et al. 1972) but is PURE relational algebra — no loops,
+    * no model object, hash-checkable. The corpus collapses to 20
+    * equal-width score bins (one aggregation); the j×k prefix-mean
+    * triangle (210 rows), suffix-min window and per-i max all run on
+    * the bin frame, so cost is O(bins²) regardless of data scale.
+    * Calibrating order F-status rate against o_totalprice; every
+    * intermediate is an integer-count ratio, so the fit is bit-exact
+    * across engines before the display rounding.
+    */
+  def q326IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val nb = 20
+    val o = Tables.orders(s, dir)
+      .select(col("o_totalprice").cast("double").as("x"),
+        (col("o_orderstatus") === "F").as("y"))
+    val mm = o.agg(min(col("x")).as("__mn"), max(col("x")).as("__mx"))
+    val bins = o.crossJoin(broadcast(mm))
+      .withColumn("b",
+        least(floor((col("x") - col("__mn")) /
+          (col("__mx") - col("__mn")) * nb), lit((nb - 1).toDouble))
+          .cast("int"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), count(when(col("y"), 1)).as("pos"),
+        round(avg(col("x")), 2).as("mean_score"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+    val c = bins
+      .withColumn("__cw", sum(col("n")).over(wOrd))
+      .withColumn("__cp", sum(col("pos")).over(wOrd))
+    val jSide = c.select(col("b").as("__j"),
+      (col("__cw") - col("n")).as("__wj"),
+      (col("__cp") - col("pos")).as("__pj"))
+    val kSide = c.select(col("b").as("__k"), col("__cw").as("__wk"),
+      col("__cp").as("__pk"))
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__j")).orderBy(col("__k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val iso = jSide.crossJoin(broadcast(kSide))
+      .filter(col("__k") >= col("__j"))
+      .withColumn("__avg", (col("__pk") - col("__pj")) /
+        (col("__wk") - col("__wj")).cast("double"))
+      .withColumn("__m", min(col("__avg")).over(wMin))
+      .groupBy(col("__k").as("b"))
+      .agg(max(col("__m")).as("__iso"))
+    bins.join(iso, Seq("b"))
+      .select(col("b"), col("n"), col("pos"),
+        round(col("pos") / col("n").cast("double"), 4).as("frac_pos"),
+        round(col("__iso"), 6).as("iso_calibrated"), col("mean_score"))
+      .orderBy(col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q326_isotonic_calibration" -> (q326IsotonicCalibration _),
     "q225_wilson_ci" -> (q225WilsonCi _),
     "q207_prop_ztest" -> (q207PropZtest _),
     "q208_cohen_kappa" -> (q208CohenKappa _),
@@ -201,6 +256,29 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q326_isotonic_calibration" ->
+      """WITH o AS (SELECT o_totalprice::DOUBLE AS x,
+        |    o_orderstatus = 'F' AS y FROM orders),
+        |mm AS (SELECT min(x) AS mn, max(x) AS mx FROM o),
+        |bins AS (SELECT
+        |    least(floor((x - mn) / (mx - mn) * 20), 19)::INT AS b,
+        |    count(*)::BIGINT AS n,
+        |    count(CASE WHEN y THEN 1 END)::BIGINT AS pos,
+        |    round(avg(x), 2) AS mean_score
+        |  FROM o, mm GROUP BY 1),
+        |c AS (SELECT *, sum(n) OVER (ORDER BY b) AS cw,
+        |    sum(pos) OVER (ORDER BY b) AS cp FROM bins),
+        |p AS (SELECT j.b AS j, k.b AS k,
+        |    (k.cp - (j.cp - j.pos)) /
+        |      (k.cw - (j.cw - j.n))::DOUBLE AS avgv
+        |  FROM c j JOIN c k ON k.b >= j.b),
+        |m AS (SELECT j, k, min(avgv) OVER (PARTITION BY j
+        |    ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS mv FROM p),
+        |iso AS (SELECT k AS b, max(mv) AS iso FROM m GROUP BY 1)
+        |SELECT bins.b, n, pos, round(pos / n::DOUBLE, 4) AS frac_pos,
+        |  round(iso.iso, 6) AS iso_calibrated, mean_score
+        |FROM bins JOIN iso USING (b) ORDER BY bins.b""".stripMargin,
     "q225_wilson_ci" ->
       """WITH a AS (
         |  SELECT o_orderpriority, count(*) AS n,
