@@ -162,6 +162,59 @@ object AnalyticsQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q329_blocking_eval — blocking-quality evaluation: reduction ratio
+    * and pairs completeness (the two standard record-linkage blocking
+    * metrics; Christen 2012) of q239's sorted-neighborhood candidates,
+    * measured against a PROVABLY-COMPLETE ground truth — the exact
+    * threshold-Jaccard self-join (q136's PPJoin machinery, complete by
+    * construction, threshold 0.7). What you run before trusting any
+    * blocking scheme at scale: RR says how much of the n²/2 space the
+    * blocker prunes, PC says how many true matches survive the
+    * pruning. The Spark plan stays scale-correct on BOTH sides
+    * (prefix-filtered truth + windowed SNM candidates, no cartesian);
+    * the DuckDB oracle deliberately recomputes truth all-pairs, so a
+    * hash match re-proves PPJoin completeness as a side effect.
+    */
+  def q329BlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokenSet(col("text")).as("__toks"))
+      .localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val truth = DedupOps
+      .prefixJaccardJoin(docs, "doc_id", col("__toks"), 0.7)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val keyed = docs
+      .withColumn("__sorted", sort_array(col("__toks")))
+      .withColumn("__key", array_join(slice(col("__sorted"), 1, 3), " "))
+      .withColumn("__block", element_at(col("__sorted"), 1))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__block"))
+          .orderBy(col("__key"), col("doc_id"))))
+      .localCheckpoint()
+    val cand = keyed
+      .select(col("__block"), col("doc_id").as("__ida"),
+        explode(array((1 until 4).map(j => col("__rn") + j): _*))
+          .as("__rn"))
+      .join(keyed.select(col("__block"), col("__rn"),
+        col("doc_id").as("__idb")), Seq("__block", "__rn"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"))
+      .distinct().localCheckpoint()
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nf = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    nDocs.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nf))
+      .select(col("n_docs"), col("n_cand"), col("n_truth"),
+        col("n_found"),
+        round(lit(1.0) - col("n_cand") /
+          (col("n_docs") * (col("n_docs") - 1) / lit(2.0)), 6)
+          .as("reduction_ratio"),
+        round(col("n_found") / col("n_truth").cast("double"), 4)
+          .as("pairs_completeness"))
+  }
+
   /** q240_token_kl_drift — textual distribution drift between two
     * cohorts (even/odd doc ids) per language: add-1-smoothed token
     * distributions over the joint vocabulary, KL(A‖B), KL(B‖A) and the
@@ -1161,6 +1214,7 @@ object AnalyticsQueries {
     "q237_rrf_fusion" -> (q237RrfFusion _),
     "q238_funnel" -> (q238Funnel _),
     "q239_sorted_neighborhood" -> (q239SortedNeighborhood _),
+    "q329_blocking_eval" -> (q329BlockingEval _),
     "q240_token_kl_drift" -> (q240TokenKlDrift _),
     "q241_poisson_bootstrap" -> (q241PoissonBootstrap _),
   )
@@ -1608,6 +1662,34 @@ object AnalyticsQueries {
         |JOIN ic ca ON ca.l_partkey = d.antecedent
         |JOIN ic cb ON cb.l_partkey = d.consequent, nb
         |ORDER BY antecedent, consequent""".stripMargin,
+    "q329_blocking_eval" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
+        |  FROM documents),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM t),
+        |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |    (len(a.toks) + len(b.toks)
+        |      - len(list_intersect(a.toks, b.toks))) >= 0.7),
+        |srt AS (SELECT doc_id, list_sort(toks) AS st FROM t),
+        |k AS (SELECT doc_id,
+        |    array_to_string(list_slice(st, 1, 3), ' ') AS key,
+        |    st[1] AS block FROM srt),
+        |r AS (SELECT doc_id, block, row_number() OVER
+        |    (PARTITION BY block ORDER BY key, doc_id) AS rn FROM k),
+        |cd AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM r a JOIN r b ON a.block = b.block
+        |    AND b.rn - a.rn BETWEEN 1 AND 3),
+        |nc AS (SELECT count(*)::BIGINT AS n_cand FROM cd),
+        |nt AS (SELECT count(*)::BIGINT AS n_truth FROM tr),
+        |nf AS (SELECT count(*)::BIGINT AS n_found
+        |  FROM tr JOIN cd USING (id_a, id_b))
+        |SELECT n_docs, n_cand, n_truth, n_found,
+        |  round(1.0 - n_cand / (n_docs * (n_docs - 1) / 2.0), 6)
+        |    AS reduction_ratio,
+        |  round(n_found / n_truth::DOUBLE, 4) AS pairs_completeness
+        |FROM nd, nc, nt, nf""".stripMargin,
     "q239_sorted_neighborhood" ->
       s"""WITH t AS (SELECT doc_id,
         |    list_sort(list_distinct($toksSql)) AS st,

@@ -506,7 +506,64 @@ object CorpusQueries {
       .drop("__key")
   }
 
+  /** q327_mmr_diversify — Maximal Marginal Relevance re-ranking
+    * (Carbonell & Goldstein 1998): greedily select 4 of the top-8 BM25
+    * candidates maximizing λ·rel − (1−λ)·max-sim-to-selected (λ=0.7,
+    * sim = token-set Jaccard) — the diversity step retrieval and
+    * training-data selection pipelines run so near-duplicate hits
+    * don't crowd the context window / batch. The greedy loop is 4
+    * UNROLLED rounds over an 8-row checkpointed candidate frame with
+    * its dense 8×8 Jaccard matrix — the corpus cost is the one BM25
+    * pass (X47's plan); selection cost is O(k²·rounds) on the driver
+    * plan, data-scale-free. Relevance enters pre-rounded (4 dp) and
+    * each round's argmax key is 6-dp rounded + doc_id tiebreak, so the
+    * greedy path is engine-exact.
+    */
+  def q327MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val lam = 0.7
+    val docs = Tables.parallelize(Tables.documents(s, dir))
+    val cands = graft.ops.RetrievalOps
+      .bm25TopK(docs, "doc_id", "text", Seq("spark", "sql", "hash"), 8)
+      .select(col("doc_id"), col("score"))
+      .localCheckpoint()
+    val sets = cands.join(docs.select(col("doc_id"),
+      TextOps.tokenSet(col("text")).as("__set")), Seq("doc_id"))
+    val sims = sets.select(col("doc_id").as("__a"), col("__set").as("__sa"))
+      .crossJoin(broadcast(
+        sets.select(col("doc_id").as("__b"), col("__set").as("__sb"))))
+      .filter(col("__a") =!= col("__b"))
+      .select(col("__a"), col("__b"),
+        (size(array_intersect(col("__sa"), col("__sb"))) /
+          size(array_union(col("__sa"), col("__sb"))).cast("double"))
+          .as("__jac"))
+      .localCheckpoint()
+    var result = cands
+      .orderBy(col("score").desc, col("doc_id")).limit(1)
+      .withColumn("rank", lit(1))
+      .withColumn("mmr", round(lit(lam) * col("score"), 6))
+    for (r <- 2 to 4) {
+      val selIds = result.select(col("doc_id").as("__sid"))
+      val next = cands
+        .join(selIds, cands("doc_id") === selIds("__sid"), "left_anti")
+        .join(sims, col("doc_id") === col("__a"))
+        .join(result.select(col("doc_id").as("__sel")),
+          col("__b") === col("__sel"))
+        .groupBy(col("doc_id"), col("score"))
+        .agg(max(col("__jac")).as("__ms"))
+        .withColumn("mmr",
+          round(lit(lam) * col("score") - lit(0.3) * col("__ms"), 6))
+        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+        .withColumn("rank", lit(r))
+        .select(col("doc_id"), col("score"), col("rank"), col("mmr"))
+      result = result.unionByName(next)
+    }
+    result.select(col("rank"), col("doc_id"), col("score"), col("mmr"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q327_mmr_diversify" -> (q327MmrDiversify _),
     "q314_naive_bayes" -> (q314NaiveBayes _),
     "q315_ql_retrieval" -> (q315QlRetrieval _),
     "q226_feature_hash" -> (q226FeatureHash _),
@@ -554,7 +611,55 @@ object CorpusQueries {
     .map { case (k, v) => s"WHEN '$k' THEN $v" }
     .mkString("CASE lang ", " ", " END")
 
+  // one greedy MMR selection round: sel{r-1} -> s{r}/sel{r}
+  private def mmrRound(r: Int): String =
+    s"""s$r AS (SELECT t.doc_id, t.score, $r AS rank,
+       |    round(0.7 * t.score - 0.3 * max(sims.jac), 6) AS mmr
+       |  FROM top t JOIN sims ON sims.sa = t.doc_id
+       |    AND sims.sb IN (SELECT doc_id FROM sel${r - 1})
+       |  WHERE t.doc_id NOT IN (SELECT doc_id FROM sel${r - 1})
+       |  GROUP BY t.doc_id, t.score
+       |  ORDER BY mmr DESC, t.doc_id LIMIT 1),
+       |sel$r AS (SELECT doc_id FROM sel${r - 1}
+       |  UNION ALL SELECT doc_id FROM s$r)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q327_mmr_diversify" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
+        |    unnest(toks) AS token FROM t),
+        |mtc AS (SELECT * FROM d
+        |  WHERE token IN ('spark', 'sql', 'hash')),
+        |tf AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf
+        |  FROM mtc GROUP BY 1, 2, 3),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |    avg(len(toks)) AS avgdl FROM t),
+        |fr AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+        |  FROM mtc GROUP BY token),
+        |sc AS (SELECT tf.doc_id,
+        |    ln((st.n_docs - fr.df + 0.5) / (fr.df + 0.5) + 1) * tf.tf *
+        |      (1.2 + 1) / (tf.tf + 1.2 *
+        |        (1 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS sterm
+        |  FROM tf, fr, st WHERE tf.token = fr.token),
+        |r AS (SELECT doc_id, sum(sterm) AS raw FROM sc GROUP BY 1),
+        |top AS (SELECT doc_id, round(raw, 4) AS score FROM r
+        |  ORDER BY raw DESC, doc_id LIMIT 8),
+        |sets AS (SELECT top.doc_id, list_distinct(t.toks) AS s
+        |  FROM top JOIN t ON top.doc_id = t.doc_id),
+        |sims AS (SELECT a.doc_id AS sa, b.doc_id AS sb,
+        |    len(list_intersect(a.s, b.s)) /
+        |      len(list_distinct(a.s || b.s))::DOUBLE AS jac
+        |  FROM sets a JOIN sets b ON a.doc_id <> b.doc_id),
+        |s1 AS (SELECT doc_id, score, 1 AS rank,
+        |    round(0.7 * score, 6) AS mmr
+        |  FROM top ORDER BY score DESC, doc_id LIMIT 1),
+        |sel1 AS (SELECT doc_id FROM s1),
+        |${(2 to 4).map(mmrRound).mkString(",\n")}
+        |SELECT rank, doc_id, score, mmr FROM s1
+        |UNION ALL SELECT rank, doc_id, score, mmr FROM s2
+        |UNION ALL SELECT rank, doc_id, score, mmr FROM s3
+        |UNION ALL SELECT rank, doc_id, score, mmr FROM s4
+        |ORDER BY rank""".stripMargin,
     "q314_naive_bayes" ->
       s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks,
         |    ('0x' || substr(md5('nb:' || doc_id::VARCHAR), 1, 8))

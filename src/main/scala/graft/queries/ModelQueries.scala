@@ -243,7 +243,47 @@ object ModelQueries {
       .orderBy(col("b"))
   }
 
+  /** q328_eb_shrinkage — empirical-Bayes beta-binomial shrinkage of
+    * per-customer order-failure rates (the "smoothed CTR" estimator):
+    * method-of-moments fits Beta(α, β) to the observed rate
+    * distribution (α+β = µ(1−µ)/σ² − 1), then every customer's rate
+    * is posterior-shrunk to (x+α)/(n+α+β) — small-sample customers
+    * pull hard toward the prior, high-volume ones barely move. The
+    * standard fix for ranking entities by rate when group sizes vary
+    * wildly (CTR, defect rates, seller scores). One corpus
+    * aggregation to the per-customer frame; µ/σ²/α/β ride back as a
+    * broadcast scalar. Output: the 10 largest |raw − shrunk| movers
+    * (6-dp key, custkey tiebreak).
+    */
+  def q328EbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("x"))
+      .withColumn("__raw", col("x") / col("n").cast("double"))
+    val mom = g.agg(avg(col("__raw")).as("__mu"),
+        var_samp(col("__raw")).as("__v"))
+      .select(col("__mu"),
+        greatest((col("__mu") * (lit(1.0) - col("__mu")))
+          / greatest(col("__v"), lit(1e-6)) - 1, lit(0.1)).as("__ab"))
+      .select(col("__mu"), (col("__mu") * col("__ab")).as("__alpha"),
+        ((lit(1.0) - col("__mu")) * col("__ab")).as("__beta"))
+    g.crossJoin(broadcast(mom))
+      .withColumn("__shrunk", (col("x") + col("__alpha")) /
+        (col("n") + col("__alpha") + col("__beta")))
+      .select(col("o_custkey"), col("n"), col("x"),
+        round(col("__raw"), 4).as("raw_rate"),
+        round(col("__shrunk"), 4).as("shrunk_rate"),
+        round(col("__alpha"), 4).as("alpha"),
+        round(col("__beta"), 4).as("beta"),
+        round(abs(col("__raw") - col("__shrunk")), 6).as("__mv"))
+      .orderBy(col("__mv").desc, col("o_custkey"))
+      .limit(10)
+      .drop("__mv")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q328_eb_shrinkage" -> (q328EbShrinkage _),
     "q326_isotonic_calibration" -> (q326IsotonicCalibration _),
     "q225_wilson_ci" -> (q225WilsonCi _),
     "q207_prop_ztest" -> (q207PropZtest _),
@@ -256,6 +296,28 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q328_eb_shrinkage" ->
+      """WITH g AS (SELECT o_custkey, count(*)::BIGINT AS n,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT *, x / n::DOUBLE AS raw FROM g),
+        |mom AS (SELECT avg(raw) AS mu,
+        |    greatest(var_samp(raw), 1e-6) AS v FROM r),
+        |ab AS (SELECT mu,
+        |    greatest(mu * (1.0 - mu) / v - 1, 0.1) AS s FROM mom),
+        |pr AS (SELECT mu, mu * s AS alpha, (1.0 - mu) * s AS beta
+        |  FROM ab),
+        |sh AS (SELECT r.o_custkey, r.n, r.x, r.raw,
+        |    (r.x + pr.alpha) / (r.n + pr.alpha + pr.beta) AS shrunk,
+        |    pr.alpha, pr.beta
+        |  FROM r, pr)
+        |SELECT o_custkey, n, x, round(raw, 4) AS raw_rate,
+        |  round(shrunk, 4) AS shrunk_rate, round(alpha, 4) AS alpha,
+        |  round(beta, 4) AS beta
+        |FROM sh
+        |ORDER BY round(abs(raw - shrunk), 6) DESC, o_custkey
+        |LIMIT 10""".stripMargin,
     "q326_isotonic_calibration" ->
       """WITH o AS (SELECT o_totalprice::DOUBLE AS x,
         |    o_orderstatus = 'F' AS y FROM orders),
