@@ -733,6 +733,162 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  private val attributionChannels = Seq("click", "error", "signup", "view")
+
+  /** Pre-first-purchase journey rows per user: every event up to and
+    * including the user's FIRST purchase (post-conversion behavior is
+    * not attribution input). Shared by q330/q331. */
+  private def journeys(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__prior",
+        count(when(col("event_type") === "purchase", 1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("__prior") === 0)
+      .drop("__prior")
+  }
+
+  /** q330_markov_attribution — Markov removal-effect attribution
+    * (Anderl et al. 2016): journeys become a first-order chain
+    * START → {channels} → CONV/END (truncated at first purchase,
+    * CONV/END absorbing), per-channel credit is the REMOVAL EFFECT —
+    * how much conversion probability drops when every transition into
+    * the channel is redirected to END — normalized to attribution
+    * shares. The principled alternative to positional heuristics
+    * (q179 last-touch, q254 even-split): a channel earns credit for
+    * being on paths that convert, not for merely being adjacent to
+    * purchases. Conversion probability is a FIXED-HORIZON (8-step)
+    * absorption sweep — deterministic, identical in both engines, and
+    * exact here because truncated journeys are ≤ horizon steps for
+    * the probability mass that matters (the residual is the same in
+    * numerator and denominator scenarios). Corpus cost: ONE windowed
+    * journey pass to the ≤ (|states|+1)² transition frame; the 5
+    * scenario sweeps (baseline + 4 removals) run 8 tiny join-agg
+    * rounds each on that frame — data-scale-free.
+    */
+  def q330MarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val j = journeys(s, dir)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+    val starts = j.filter(col("__rn") === 1)
+      .select(lit("START").as("from"), col("event_type").as("to"))
+    val steps = j.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("from"),
+        coalesce(col("__next"), lit("END")).as("to"))
+    val trans = starts.unionByName(steps)
+      .withColumn("to",
+        when(col("to") === "purchase", "CONV").otherwise(col("to")))
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("__c"))
+      .withColumn("p", col("__c") /
+        sum(col("__c")).over(Window.partitionBy(col("from")))
+          .cast("double"))
+      .select(col("from"), col("to"), col("p"))
+      .localCheckpoint()
+    val absorb = s.range(1).select(
+        explode(typedLit(Seq("CONV", "END"))).as("from"))
+      .withColumn("to", col("from")).withColumn("p", lit(1.0))
+    def pconv(removed: Option[String]): DataFrame = {
+      val pc = (removed match {
+        case Some(c) => trans.filter(col("from") =!= c)
+          .withColumn("to",
+            when(col("to") === c, "END").otherwise(col("to")))
+          .groupBy(col("from"), col("to")).agg(sum(col("p")).as("p"))
+        case None => trans
+      }).unionByName(absorb).localCheckpoint()
+      var v: DataFrame = s.range(1)
+        .select(lit("START").as("state"), lit(1.0).as("mass"))
+      for (_ <- 1 to 8)
+        v = v.join(pc, v("state") === pc("from"))
+          .groupBy(col("to").as("state"))
+          .agg(sum(col("mass") * col("p")).as("mass"))
+      v.agg(coalesce(sum(when(col("state") === "CONV", col("mass"))),
+          lit(0.0)).as("__pconv"))
+        .select(lit(removed.getOrElse("BASELINE")).as("channel"),
+          col("__pconv"))
+    }
+    val base = pconv(None)
+      .select(col("__pconv").as("__p0"))
+    attributionChannels.map(c => pconv(Some(c)))
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(base))
+      .withColumn("__re",
+        greatest(lit(1.0) - try_divide(col("__pconv"), col("__p0")),
+          lit(0.0)))
+      .withColumn("__tot",
+        sum(col("__re")).over(Window.partitionBy()))
+      .select(col("channel"),
+        round(col("__pconv"), 6).as("p_conv_removed"),
+        round(col("__p0"), 6).as("p_conv_base"),
+        round(col("__re"), 4).as("removal_effect"),
+        round(try_divide(col("__re"), col("__tot")), 4)
+          .as("attribution_share"))
+      .orderBy(col("channel"))
+  }
+
+  /** q331_shapley_attribution — Shapley-value channel attribution
+    * (the cooperative-game form; Zhao et al. 2018): each user's
+    * pre-conversion channel SET is a 4-bit mask, coalition value
+    * v(S) = conversion rate of users whose observed set ⊆ S, and each
+    * channel's credit is the exact Shapley sum
+    * φ_c = Σ_{S∌c} |S|!(3−|S|)!/4! · (v(S∪c) − v(S)) — fairness-
+    * axiomatic attribution where order doesn't matter, complementing
+    * q330's order-sensitive chain. EXACT here because 4 channels →
+    * 16 coalitions: the corpus collapses to ≤16 (mask, n, conv) rows
+    * in one aggregation, and the subset-sum + Shapley fold are 16×16
+    * cross products of that frame. Every quantity is an integer
+    * ratio with rational literal weights — bit-identical across
+    * engines.
+    */
+  def q331ShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val bit = attributionChannels.zipWithIndex.toMap
+    val j = journeys(s, dir)
+    val chCols = attributionChannels.map(c =>
+      max(when(col("event_type") === c, 1).otherwise(0))
+        .as(s"__h_$c"))
+    val users = j.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("__conv"), chCols: _*)
+      .withColumn("__mask",
+        attributionChannels.map(c =>
+          col(s"__h_$c") * (1 << bit(c))).reduce(_ + _))
+    val masks = users.groupBy(col("__mask").as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("__conv")).as("conv"))
+      .localCheckpoint()
+    val coalitions = s.range(16).select(col("id").cast("int").as("S"))
+    val v = coalitions.join(broadcast(masks),
+        (col("m").bitwiseAND(col("S"))) === col("m"), "left")
+      .groupBy(col("S"))
+      .agg(coalesce(sum(col("conv")) / sum(col("n")).cast("double"),
+        lit(0.0)).as("v"))
+      .localCheckpoint()
+    val bmask = attributionChannels.map(c => c -> (1 << bit(c))).toMap
+    // Shapley weight for the coalition S WITHOUT the channel:
+    // w(|S|) = |S|!(4-|S|-1)!/4!  ->  |S|=0,3: 1/4; |S|=1,2: 1/12
+    val wCol = when(expr("bit_count(S)").isin(0, 3), lit(0.25))
+      .otherwise(lit(1.0 / 12.0))
+    s.range(1)
+      .select(explode(typedLit(attributionChannels)).as("channel"))
+      .withColumn("__bm", element_at(typedLit(bmask), col("channel")))
+      .crossJoin(broadcast(v.select(col("S"), col("v").as("__vs"))))
+      .filter(col("S").bitwiseAND(col("__bm")) === 0)
+      .join(broadcast(v.select(col("S").as("__S2"),
+        col("v").as("__vsc"))),
+        col("S") + col("__bm") === col("__S2"))
+      .groupBy(col("channel"))
+      .agg(sum(wCol * (coalesce(col("__vsc"), lit(0.0)) -
+        coalesce(col("__vs"), lit(0.0)))).as("__phi"))
+      .withColumn("__tot",
+        sum(col("__phi")).over(Window.partitionBy()))
+      .select(col("channel"), round(col("__phi"), 6).as("shapley"),
+        round(try_divide(col("__phi"), col("__tot")), 4).as("share"))
+      .orderBy(col("channel"))
+  }
+
   /** q255_cohort_retention — the weekly cohort-retention triangle:
     * users cohorted by their FIRST activity week (anchored at the
     * corpus epoch 2024-01-01, the q223/q233 anchor convention), then
@@ -1215,6 +1371,8 @@ object AnalyticsQueries {
     "q238_funnel" -> (q238Funnel _),
     "q239_sorted_neighborhood" -> (q239SortedNeighborhood _),
     "q329_blocking_eval" -> (q329BlockingEval _),
+    "q330_markov_attribution" -> (q330MarkovAttribution _),
+    "q331_shapley_attribution" -> (q331ShapleyAttribution _),
     "q240_token_kl_drift" -> (q240TokenKlDrift _),
     "q241_poisson_bootstrap" -> (q241PoissonBootstrap _),
   )
@@ -1242,6 +1400,36 @@ object AnalyticsQueries {
        |          y.embedding::DOUBLE[]) AS cos
        |        FROM b$bits x JOIN b$bits y
        |          ON x.bucket = y.bucket AND x.vec_id < y.vec_id))""".stripMargin
+
+  // one Markov removal scenario (q330): redirect transitions into the
+  // removed channel to END, then 8 unrolled absorption sweeps.
+  // removed=None is the baseline chain.
+  private def markovScenarioSql(removed: Option[String]): String = {
+    val name = removed.getOrElse("base")
+    val px = removed match {
+      case Some(c) =>
+        s"""p_$name AS (SELECT f,
+           |    CASE WHEN t = '$c' THEN 'END' ELSE t END AS t,
+           |    sum(p) AS p FROM pp WHERE f <> '$c' GROUP BY 1, 2
+           |  UNION ALL SELECT 'CONV', 'CONV', 1.0
+           |  UNION ALL SELECT 'END', 'END', 1.0)""".stripMargin
+      case None =>
+        s"""p_$name AS (SELECT f, t, p FROM pp
+           |  UNION ALL SELECT 'CONV', 'CONV', 1.0
+           |  UNION ALL SELECT 'END', 'END', 1.0)""".stripMargin
+    }
+    val vs = (1 to 8).map(i =>
+      s"""v_${name}_$i AS (SELECT p_$name.t AS st,
+         |    sum(v.mass * p_$name.p) AS mass
+         |  FROM v_${name}_${i - 1} v
+         |  JOIN p_$name ON v.st = p_$name.f GROUP BY 1)""".stripMargin)
+      .mkString(",\n")
+    s"""$px,
+       |v_${name}_0 AS (SELECT 'START' AS st, 1.0 AS mass),
+       |$vs,
+       |pc_$name AS (SELECT coalesce(sum(CASE WHEN st = 'CONV'
+       |    THEN mass END), 0.0) AS pc FROM v_${name}_8)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q269_srp_sweep" ->
@@ -1662,6 +1850,81 @@ object AnalyticsQueries {
         |JOIN ic ca ON ca.l_partkey = d.antecedent
         |JOIN ic cb ON cb.l_partkey = d.consequent, nb
         |ORDER BY antecedent, consequent""".stripMargin,
+    "q330_markov_attribution" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior
+        |  FROM events),
+        |jj AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM e WHERE coalesce(prior, 0) = 0),
+        |tr0 AS (
+        |  SELECT 'START' AS f, event_type AS t FROM jj WHERE rn = 1
+        |  UNION ALL
+        |  SELECT event_type AS f, coalesce(nxt, 'END') AS t FROM jj
+        |  WHERE event_type <> 'purchase'),
+        |tr AS (SELECT f,
+        |    CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS t,
+        |    count(*)::DOUBLE AS c FROM tr0 GROUP BY 1, 2),
+        |pp AS (SELECT f, t, c / sum(c) OVER (PARTITION BY f) AS p
+        |  FROM tr),
+        |${(None +: attributionChannels.map(Option(_)))
+           .map(markovScenarioSql).mkString(",\n")},
+        |res AS (
+        |${attributionChannels.map(c =>
+            s"""  SELECT '$c' AS channel,
+               |    (SELECT pc FROM pc_$c) AS pc,
+               |    (SELECT pc FROM pc_base) AS p0""".stripMargin)
+           .mkString("\n  UNION ALL\n")}),
+        |re AS (SELECT channel, pc, p0,
+        |    greatest(1 - pc / p0, 0) AS re FROM res),
+        |tt AS (SELECT sum(re) AS tot FROM re)
+        |SELECT channel, round(pc, 6) AS p_conv_removed,
+        |  round(p0, 6) AS p_conv_base,
+        |  round(re, 4) AS removal_effect,
+        |  round(re / nullif(tot, 0), 4) AS attribution_share
+        |FROM re, tt ORDER BY channel""".stripMargin,
+    "q331_shapley_attribution" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior
+        |  FROM events),
+        |jj AS (SELECT user_id, event_type FROM e
+        |  WHERE coalesce(prior, 0) = 0),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
+        |    + max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 2
+        |    + max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+        |    + max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 8
+        |      AS mask
+        |  FROM jj GROUP BY 1),
+        |mk AS (SELECT mask AS m, count(*)::BIGINT AS n,
+        |    sum(conv)::BIGINT AS conv FROM u GROUP BY 1),
+        |co AS (SELECT i::INT AS S FROM unnest(range(0, 16)) AS t(i)),
+        |v AS (SELECT co.S,
+        |    coalesce(sum(mk.conv) / sum(mk.n)::DOUBLE, 0.0) AS v
+        |  FROM co LEFT JOIN mk ON (mk.m & co.S) = mk.m GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |    ('signup', 4), ('view', 8)) AS c(channel, bm)),
+        |phi AS (SELECT ch.channel,
+        |    sum((CASE WHEN bit_count(v1.S) IN (0, 3) THEN 0.25
+        |      ELSE 1.0 / 12.0 END) * (v2.v - v1.v)) AS phi
+        |  FROM ch JOIN v v1 ON (v1.S & ch.bm) = 0
+        |  JOIN v v2 ON v2.S = v1.S + ch.bm
+        |  GROUP BY 1),
+        |tt AS (SELECT sum(phi) AS tot FROM phi)
+        |SELECT channel, round(phi, 6) AS shapley,
+        |  round(phi / nullif(tot, 0), 4) AS share
+        |FROM phi, tt ORDER BY channel""".stripMargin,
     "q329_blocking_eval" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
         |  FROM documents),
