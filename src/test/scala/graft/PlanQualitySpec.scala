@@ -155,7 +155,35 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // to build the zero-filled source×token grid
     "q307_source_similarity",
     // q308 cross-joins the broadcast 8-row seed-centroid frame
-    "q308_lloyd_step")
+    "q308_lloyd_step",
+    // q310 cross-joins the broadcast 1-row tie-correction scalar
+    "q310_kruskal_wallis",
+    // q314 cross-joins the broadcast |classes|-row (5) model frame and
+    // the 1-row vocab-size scalar
+    "q314_naive_bayes",
+    // q315 cross-joins the broadcast 3-row query-term frame (+ the
+    // 1-row collection-size scalar inside it)
+    "q315_ql_retrieval",
+    // q322/q323 carry survivalDurations' broadcast 1-row corpus-end
+    // scalar (q204's shape)
+    "q322_log_rank", "q323_nelson_aalen",
+    // q325 cross-joins the broadcast 1-row min-watermark cutoff scalar
+    "q325_stream_outer_join",
+    // q326 cross-joins the broadcast 1-row min/max frame and the
+    // 20-row bin triangle side
+    "q326_isotonic_calibration",
+    // q327's pairwise Jaccard matrix is a broadcast self-cross of the
+    // 8-row candidate frame
+    "q327_mmr_diversify",
+    // q328 cross-joins the broadcast 1-row method-of-moments prior
+    "q328_eb_shrinkage",
+    // q329 cross-joins three broadcast 1-row metric scalars
+    "q329_blocking_eval",
+    // q330 cross-joins the broadcast 1-row baseline-conversion scalar
+    "q330_markov_attribution",
+    // q331's coalition lattice is a 16×≤16 broadcast bitmask theta
+    // join (v(S) subset-sum + the S→S∪{c} pairing)
+    "q331_shapley_attribution")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
