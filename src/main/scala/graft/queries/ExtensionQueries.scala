@@ -674,14 +674,18 @@ object ExtensionQueries {
     * exactly. State on both sides stays bounded by the watermark
     * horizon — the production property q194's spec proves multi-batch.
     */
-  def q325StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+  /** Two-micro-batch bounded replay source: the events symlink plus a
+    * single-row max-ts sentinel file (event_type 'sentinel',
+    * user_id −1 — filter it out downstream), read with
+    * maxFilesPerTrigger=1 so AvailableNow runs TWO batches. Batch 1
+    * loads data and fixes the watermark; batch 2 lets watermark-driven
+    * emission/eviction (outer-join nulls, state timeouts) actually
+    * fire before the query stops. Shared by q325/q334.
+    */
+  private[queries] def eventsTwoBatchStream(s: SparkSession, dir: String,
+      tag: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val sink = "q325_sink"
-    scala.util.Try(s.catalog.dropTempView(sink))
-    // two-file source dir: the events symlink (re-using q325's tag) +
-    // a single-row sentinel at the corpus max ts, written once
-    val srcDir = Paths.get("target/tmp/q325_src_" +
+    val srcDir = Paths.get(s"target/tmp/${tag}_src_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_"))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
@@ -703,9 +707,16 @@ object ExtensionQueries {
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
     }
-    val src = Tables.eventsNormalize(
+    Tables.eventsNormalize(
       s.readStream.schema(s.read.parquet(srcDir.toString).schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+  }
+
+  def q325StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val sink = "q325_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val src = eventsTwoBatchStream(s, dir, "q325")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val views = src.filter(col("event_type") === "view").drop("event_type")
     val buys = src.filter(col("event_type") === "purchase").drop("event_type")
@@ -741,6 +752,49 @@ object ExtensionQueries {
       .orderBy(col("bucket"))
   }
 
+  /** q334_foreach_batch_sink — the foreachBatch production sink
+    * pattern: per-micro-batch aggregates land as
+    * `batch=<batchId>/` parquet directories, `mode("overwrite")`
+    * keyed by the batchId making retries IDEMPOTENT (re-running a
+    * failed batch rewrites its own directory, never duplicates) —
+    * the standard exactly-once recipe for sinks without transactional
+    * streaming support. Two-batch replay (eventsTwoBatchStream) so
+    * the sink demonstrably receives multiple batches; the final
+    * read-back re-aggregates across batch directories and must equal
+    * the batch oracle because counts/sums are additive across any
+    * batch split.
+    */
+  def q334ForeachBatchSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    val out = "target/tmp/q334_fbsink_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val outPath = Paths.get(out)
+    if (Files.exists(outPath))
+      Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    val src = eventsTwoBatchStream(s, dir, "q334")
+      .filter(col("user_id") >= 0)
+      .select(col("event_type"), col("value"))
+    val q = withStreamShuffle(s, 8) {
+      src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            id: Long) =>
+          batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("val"))
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.read.option("basePath", out).parquet(out + "/batch=*")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("val")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q47_rolling_hash — polynomial rolling hash over the token stream
     * (order-SENSITIVE document fingerprint, vs q23's order-insensitive
     * set fingerprint): h ← (31·h + hash32(token)) mod 1e9+7, one
@@ -762,6 +816,7 @@ object ExtensionQueries {
 
   val queries: Map[String, Q] = Map(
     "q325_stream_outer_join" -> (q325StreamOuterJoin _),
+    "q334_foreach_batch_sink" -> (q334ForeachBatchSink _),
     "q17_hourly_window" -> (q17Hourly _),
     "q142_stream_hourly" -> (q142StreamHourly _),
     "q218_stream_rollup" -> (q218StreamRollup _),
@@ -862,6 +917,10 @@ object ExtensionQueries {
         |WHERE a.session_id < mx.last_s
         |   OR a.last_us + 1800000000 <= wm.watermark
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q334_foreach_batch_sink" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q325_stream_outer_join" ->
       """WITH v AS (SELECT event_id, user_id,
         |    epoch_us(ts::TIMESTAMP) AS us

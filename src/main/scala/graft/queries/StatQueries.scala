@@ -217,7 +217,62 @@ object StatQueries {
       .orderBy(col("stratum"))
   }
 
+  /** q335_dunn_posthoc — Dunn's (1964) pairwise post-hoc test with
+    * Bonferroni correction, the follow-up q310's omnibus H demands:
+    * WHICH l_returnflag groups differ in l_quantity? Per pair,
+    * z = (r̄_a − r̄_b) / √(V·(1/n_a + 1/n_b)) with the tie-corrected
+    * variance V = N(N+1)/12 − Σ(t³−t)/(12(N−1)), mean ranks from the
+    * same |distinct values| mid-rank frame as q310 (one corpus count
+    * shuffle, windows over ~50 rows), p = 2·Φ̄(|z|), p_adj = min(1,
+    * m·p) over the m = k(k−1)/2 comparisons. Exact half-integer
+    * ranks → engine-identical z before the display rounding.
+    */
+  def q335DunnPosthoc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("double").as("v"))
+    val perGV = li.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("__c"))
+    val perV = perGV.groupBy(col("v")).agg(sum(col("__c")).as("__cv"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perV.withColumn("__rank",
+      sum(col("__cv")).over(w) - col("__cv") + (col("__cv") + 1) / 2.0)
+    val glob = ranked.agg(sum(col("__cv")).as("__n"),
+      sum(col("__cv") * col("__cv") * col("__cv") - col("__cv"))
+        .as("__tie"))
+    val perG = perGV
+      .join(ranked.select(col("v"), col("__rank")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__rank")).as("__rs"))
+      .withColumn("__rbar", col("__rs") / col("__ng").cast("double"))
+    val k = 3.0 // pairs m = k(k-1)/2
+    val m = k * (k - 1) / 2
+    perG.select(col("g").as("group_a"), col("__ng").as("__na"),
+        col("__rbar").as("__ra"))
+      .crossJoin(broadcast(perG.select(col("g").as("group_b"),
+        col("__ng").as("__nb"), col("__rbar").as("__rb"))))
+      .filter(col("group_a") < col("group_b"))
+      .crossJoin(broadcast(glob))
+      .withColumn("__V",
+        col("__n") * (col("__n") + 1) / 12.0 -
+          try_divide(col("__tie"), (col("__n") - 1) * 12.0))
+      .withColumn("__z", try_divide(col("__ra") - col("__rb"),
+        sqrt(col("__V") * (lit(1.0) / col("__na") +
+          lit(1.0) / col("__nb")))))
+      .withColumn("__p", lit(2.0) * phiUpper(abs(col("__z"))))
+      .select(col("group_a"), col("group_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__z"), 4).as("z"),
+        round(col("__p"), 6).as("p_value"),
+        round(least(lit(1.0), lit(m) * col("__p")), 6).as("p_adj"),
+        (least(lit(1.0), lit(m) * col("__p")) < 0.05).as("significant"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q335_dunn_posthoc" -> (q335DunnPosthoc _),
     "q310_kruskal_wallis" -> (q310KruskalWallis _),
     "q311_brown_forsythe" -> (q311BrownForsythe _),
     "q312_max_drawdown" -> (q312MaxDrawdown _),
@@ -225,6 +280,35 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q335_dunn_posthoc" ->
+      s"""WITH li AS (SELECT l_returnflag AS g,
+        |    l_quantity::DOUBLE AS v FROM lineitem),
+        |pgv AS (SELECT g, v, count(*)::BIGINT AS c FROM li
+        |  GROUP BY 1, 2),
+        |pv AS (SELECT v, sum(c)::BIGINT AS cv FROM pgv GROUP BY 1),
+        |rk AS (SELECT v, cv,
+        |    sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) - cv + (cv + 1) / 2.0 AS rank
+        |  FROM pv),
+        |gl AS (SELECT sum(cv)::BIGINT AS n,
+        |    sum(cv * cv * cv - cv)::DOUBLE AS tie FROM rk),
+        |pg AS (SELECT g, sum(c)::BIGINT AS ng,
+        |    sum(c * rk.rank) / sum(c)::DOUBLE AS rbar
+        |  FROM pgv JOIN rk ON pgv.v = rk.v GROUP BY g),
+        |pr AS (SELECT a.g AS group_a, b.g AS group_b,
+        |    a.ng AS na, b.ng AS nb, a.rbar AS ra, b.rbar AS rb
+        |  FROM pg a JOIN pg b ON a.g < b.g),
+        |z AS (SELECT *,
+        |    (n * (n + 1) / 12.0 - tie / (12.0 * (n - 1))) AS V
+        |  FROM pr, gl),
+        |zz AS (SELECT *, (ra - rb) /
+        |    sqrt(V * (1.0 / na + 1.0 / nb)) AS z FROM z),
+        |p AS (SELECT *, 2.0 * ${phiUpperSql("abs(z)")} AS p FROM zz)
+        |SELECT group_a, group_b, na AS n_a, nb AS n_b,
+        |  round(z, 4) AS z, round(p, 6) AS p_value,
+        |  round(least(1.0, 3.0 * p), 6) AS p_adj,
+        |  least(1.0, 3.0 * p) < 0.05 AS significant
+        |FROM p ORDER BY group_a, group_b""".stripMargin,
     "q310_kruskal_wallis" ->
       s"""WITH li AS (SELECT l_returnflag AS g,
         |    l_quantity::DOUBLE AS v FROM lineitem),

@@ -877,7 +877,71 @@ object StructuralQueries {
         |LIMIT 10""".stripMargin)
   }
 
+  /** q332_dynamic_overwrite — INSERT OVERWRITE with DYNAMIC partition
+    * overwrite mode: the day-partitioned table is fully loaded, then
+    * ONE day is re-stated (its values doubled — the classic late-data
+    * correction) with `partitionOverwriteMode=dynamic`, which replaces
+    * ONLY the partitions present in the incoming frame. Under the
+    * default STATIC mode the same write would wipe every other day —
+    * the aggregate over the re-read table (patched day vs rest) is
+    * therefore a behavioral proof of the mode, not just a smoke test;
+    * the oracle replays the corrected semantics relationally. The
+    * bread-and-butter warehouse maintenance op beside q132 (static
+    * partition sink) and q201 (DPP reads).
+    */
+  def q332DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/tmp/q332_dynover_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val e = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("day"))
+    e.write.mode("overwrite").partitionBy("day").parquet(path)
+    val patch = e.filter(col("day") === "2024-01-15")
+      .withColumn("value", col("value") * 2)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.get(key, "STATIC")
+    s.conf.set(key, "dynamic")
+    try patch.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally s.conf.set(key, prev)
+    s.read.parquet(path)
+      .groupBy((col("day") === "2024-01-15").as("patched"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("patched"))
+  }
+
+  /** q333_reused_exchange — week-over-week comparison compiled with
+    * ONE shuffle: the daily aggregate joins a 7-day-shifted copy of
+    * ITSELF, and Catalyst's exchange reuse recognizes the two
+    * identical aggregate subtrees, planning the second side as a
+    * `ReusedExchange` over the first's shuffle output (asserted in
+    * PlanQualitySpec). The canonical self-comparative report shape —
+    * naive engines scan and shuffle the fact table twice; at 100 TB
+    * exchange reuse halves both. Oracle replays the self-join.
+    */
+  def q333ReusedExchange(s: SparkSession, dir: String): DataFrame = {
+    // both join sides must canonicalize to the SAME subtree for
+    // exchange reuse: state the null filters the join would infer
+    // (isnotnull(day), isnotnull(day+7)) in the shared base, so the
+    // optimizer's constraint pushdown adds nothing asymmetric
+    val base = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"))
+      .filter(col("day").isNotNull &&
+        date_add(col("day"), 7).isNotNull)
+    val daily = base.groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val prev = daily.select(date_add(col("day"), 7).as("day"),
+      col("n").as("n_prev"))
+    daily.join(prev, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("n"),
+        col("n_prev"),
+        round(col("n") / col("n_prev").cast("double"), 4).as("wow"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q332_dynamic_overwrite" -> (q332DynamicOverwrite _),
+    "q333_reused_exchange" -> (q333ReusedExchange _),
     "q317_recursive_bfs" -> (q317RecursiveBfs _),
     "q318_lateral_topk" -> (q318LateralTopk _),
     "q319_sql_udf" -> (q319SqlUdf _),
@@ -930,6 +994,19 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q332_dynamic_overwrite" ->
+      """SELECT (ts::DATE = DATE '2024-01-15') AS patched,
+        |  count(*)::BIGINT AS n,
+        |  round(sum(CASE WHEN ts::DATE = DATE '2024-01-15'
+        |    THEN value * 2 ELSE value END), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q333_reused_exchange" ->
+      """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT day + 7 AS day, n AS n_prev FROM d)
+        |SELECT d.day::VARCHAR AS day, d.n, p.n_prev,
+        |  round(d.n / p.n_prev::DOUBLE, 4) AS wow
+        |FROM d JOIN p USING (day) ORDER BY day""".stripMargin,
     "q317_recursive_bfs" ->
       """WITH RECURSIVE ev AS (SELECT event_type,
         |    lead(event_type) OVER (PARTITION BY user_id

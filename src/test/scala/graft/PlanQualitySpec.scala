@@ -49,6 +49,16 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q333 week-over-week self-join reuses the daily agg's exchange") {
+    // exchange reuse is an AQE runtime decision — execute, then
+    // inspect the FINAL adaptive plan for the reused stage
+    val df = SparkEntry.queries("q333_reused_exchange")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage"), plan)
+  }
+
   test("q1 agg does partial (map-side) aggregation before the shuffle") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf0001))
     // partial_ functions appear in the pre-shuffle HashAggregate
@@ -183,7 +193,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q330_markov_attribution",
     // q331's coalition lattice is a 16×≤16 broadcast bitmask theta
     // join (v(S) subset-sum + the S→S∪{c} pairing)
-    "q331_shapley_attribution")
+    "q331_shapley_attribution",
+    // q335's pair frame is a 3×3 broadcast theta self-join of the
+    // per-group rank summary (+ the 1-row tie/N scalar)
+    "q335_dunn_posthoc")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
