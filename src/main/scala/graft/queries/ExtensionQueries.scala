@@ -712,6 +712,122 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
   }
 
+  /** Out-of-order bounded replay in THREE single-file batches: the
+    * RECENT half of events, then a 1-row marker (max-ts sentinel,
+    * user_id −1 — filter it downstream), then the OLD half arriving
+    * very late. Three batches matter because Spark filters late rows
+    * with the PREVIOUS batch's watermark (what has provably been
+    * emitted), never the current one — with only two batches the
+    * "late" half would still be accepted (late-filter watermark is
+    * still 1970). Here: batch 1 loads the recent half (watermark 0),
+    * batch 2's marker advances nothing but lets eviction/emission run
+    * under W = max(recent) − delay, and batch 3's old rows then face
+    * late-filter = W and are ALL dropped — the deterministic fixture
+    * for watermark drop semantics (q336 windowed agg, q337 dedup
+    * TTL). The one-value driver collect is a harness constant (the
+    * split point), not operator state.
+    */
+  private[queries] def eventsLateReplayStream(s: SparkSession,
+      dir: String, tag: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val srcDir = Paths.get(s"target/tmp/${tag}_src_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = srcDir.resolve(s"__build_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, srcDir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    if (!Files.exists(srcDir.resolve("c_late.parquet"))) {
+      Files.createDirectories(srcDir)
+      val e = Tables.events(s, dir)
+      val mid = e.selectExpr(
+        "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+        .head.getLong(0)
+      val recent = e.filter(unix_micros(col("ts")) >= mid)
+      writeOne(recent, "a_recent.parquet")
+      writeOne(recent.orderBy(col("ts").desc).limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("sentinel")), "b_marker.parquet")
+      writeOne(e.filter(unix_micros(col("ts")) < mid), "c_late.parquet")
+    }
+    Tables.eventsNormalize(
+      s.readStream.schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+  }
+
+  /** q336_stream_late_drop — watermark late-data semantics made
+    * oracle-checkable: a tumbling-hour Append-mode aggregation over
+    * the out-of-order replay (recent half first, old half second).
+    * Batch 1 fixes the watermark at max(recent) − 10 min; batch 2's
+    * old rows are ALL later than that and are dropped at input, and
+    * Append mode emits exactly the windows whose end the final
+    * watermark passed. The result is therefore a pure function of the
+    * recent half and the watermark — the DuckDB oracle replays both
+    * rules relationally, proving the drop/finalization contract
+    * rather than assuming it. This is the semantics that bounds state
+    * at 100 TB/day: allowed lateness is explicit, and everything
+    * older is load-shed deterministically.
+    */
+  def q336StreamLateDrop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val sink = "q336_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val src = eventsLateReplayStream(s, dir, "q336")
+      .filter(col("event_id") >= 0)
+      .select(col("ts"), col("event_id"))
+    val q = withStreamShuffle(s, 8) {
+      src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(sink)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+        .as("window_start"), col("n_events"))
+      .orderBy(col("window_start"))
+  }
+
+  /** q337_dedup_ttl — `dropDuplicatesWithinWatermark`: streaming
+    * deduplication whose state carries a TTL (keys expire once the
+    * watermark passes their event time + delay) instead of q168's
+    * grow-forever exact-dedup state — the production form for
+    * at-least-once sources where duplicates arrive CLOSE together and
+    * unbounded key memory is unaffordable. Same out-of-order replay:
+    * the old half arrives beyond the watermark and is dropped, so
+    * emissions are exactly the distinct keys of the recent half —
+    * relationally replayable. State at scale: O(keys inside the
+    * watermark horizon), not O(all keys ever).
+    */
+  def q337DedupTtl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val sink = "q337_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val src = eventsLateReplayStream(s, dir, "q337")
+      .filter(col("user_id") >= 0)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val q = withStreamShuffle(s, 8) {
+      src.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_users"))
+      .orderBy(col("event_type"))
+  }
+
   def q325StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val sink = "q325_sink"
@@ -817,6 +933,8 @@ object ExtensionQueries {
   val queries: Map[String, Q] = Map(
     "q325_stream_outer_join" -> (q325StreamOuterJoin _),
     "q334_foreach_batch_sink" -> (q334ForeachBatchSink _),
+    "q336_stream_late_drop" -> (q336StreamLateDrop _),
+    "q337_dedup_ttl" -> (q337DedupTtl _),
     "q17_hourly_window" -> (q17Hourly _),
     "q142_stream_hourly" -> (q142StreamHourly _),
     "q218_stream_rollup" -> (q218StreamRollup _),
@@ -917,6 +1035,27 @@ object ExtensionQueries {
         |WHERE a.session_id < mx.last_s
         |   OR a.last_us + 1800000000 <= wm.watermark
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q336_stream_late_drop" ->
+      """WITH e AS (SELECT epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |a AS (SELECT us FROM e WHERE us >= (SELECT mid FROM m)),
+        |wm AS (SELECT max(us) - 600000000::BIGINT AS w FROM a),
+        |win AS (SELECT us - us % 3600000000::BIGINT AS ws,
+        |    us - us % 3600000000::BIGINT + 3600000000::BIGINT AS we
+        |  FROM a)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M')
+        |    AS window_start,
+        |  count(*)::BIGINT AS n_events
+        |FROM win WHERE we <= (SELECT w FROM wm)
+        |GROUP BY ws ORDER BY 1""".stripMargin,
+    "q337_dedup_ttl" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |a AS (SELECT DISTINCT user_id, event_type FROM e
+        |  WHERE us >= (SELECT mid FROM m))
+        |SELECT event_type, count(*)::BIGINT AS n_unique_users
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q334_foreach_batch_sink" ->
       """SELECT event_type, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total_value

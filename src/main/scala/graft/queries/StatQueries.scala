@@ -271,7 +271,97 @@ object StatQueries {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** q340_cronbach_alpha — Cronbach's α internal-consistency
+    * reliability (1951): treating each user's per-event-type activity
+    * counts as a k=5-item instrument, α = k/(k−1)·(1 − Σσ²ᵢ/σ²ₜ)
+    * measures whether the items move together (one latent "activity"
+    * trait) — the survey/psychometrics staple that also screens
+    * engineered feature groups for redundancy-vs-noise. One
+    * conditional-pivot aggregation to the per-user item frame
+    * (absent items count 0, as instrument scoring requires), then a
+    * single variance aggregation — two map-side-combined passes,
+    * scale-free. Variances are FP-order-sensitive across engines →
+    * 4-dp display rounding absorbs the last-bit drift.
+    */
+  def q340CronbachAlpha(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val k = types.size
+    val itemCols = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"__i_$t"))
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(itemCols.head, itemCols.tail: _*)
+      .withColumn("__total", types.map(t => col(s"__i_$t")).reduce(_ + _))
+    users.agg(
+        count(lit(1)).as("n_users"),
+        types.map(t => var_samp(col(s"__i_$t")))
+          .reduce(_ + _).as("__sv"),
+        var_samp(col("__total")).as("__vt"))
+      .select(lit(k).as("k"), col("n_users"),
+        round(col("__sv"), 4).as("sum_item_var"),
+        round(col("__vt"), 4).as("total_var"),
+        round(lit(k.toDouble / (k - 1)) *
+          (lit(1.0) - try_divide(col("__sv"), col("__vt"))), 4)
+          .as("alpha"))
+  }
+
+  /** q341_friedman — Friedman's rank test (1937) for k related
+    * treatments over b blocks: do the 5 event types differ in weekly
+    * volume, controlling for week-to-week level shifts? Blocks =
+    * anchored weeks (complete blocks only, as the test requires),
+    * treatments ranked WITHIN each block by mid-ranks (the per-block
+    * distinct-value cumulative trick — same exact-half-integer
+    * machinery as q310), χ²_F = 12/(bk(k+1))·ΣR²ⱼ − 3b(k+1) on
+    * k−1 df through the Wilson–Hilferty tail. The repeated-measures
+    * sibling of q310's independent-groups H — what you use when the
+    * same units are measured under every condition. Corpus →
+    * |weeks|×|types| in one aggregation; everything after is
+    * block-frame windows.
+    */
+  def q341Friedman(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val weekly = Tables.events(s, dir)
+      .groupBy(floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+        .as("__wk"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val complete = weekly.groupBy(col("__wk"))
+      .agg(count(lit(1)).as("__nt")).filter(col("__nt") === k)
+      .select(col("__wk"))
+    val blocks = weekly.join(complete, Seq("__wk"), "left_semi")
+    val perVal = blocks.groupBy(col("__wk"), col("__cnt"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__wk")).orderBy(col("__cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perVal.withColumn("__rank",
+      sum(col("__c")).over(w) - col("__c") + (col("__c") + 1) / 2.0)
+    val rj = blocks
+      .join(ranked.select(col("__wk"), col("__cnt"), col("__rank")),
+        Seq("__wk", "__cnt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("__rank")).as("__rj"), count(lit(1)).as("__b"))
+    val dfv = lit((k - 1).toDouble)
+    rj.agg(max(col("__b")).as("b"),
+        sum(col("__rj") * col("__rj")).as("__s"))
+      .withColumn("__chi2",
+        lit(12.0) / (col("b") * k * (k + 1)) * col("__s") -
+          lit(3.0) * col("b") * (k + 1))
+      .withColumn("__z",
+        (pow(try_divide(col("__chi2"), dfv), 1.0 / 3) -
+          (lit(1.0) - lit(2.0) / (lit(9.0) * dfv))) /
+          sqrt(lit(2.0) / (lit(9.0) * dfv)))
+      .withColumn("__p",
+        when(col("__z") >= 0, phiUpper(col("__z")))
+          .otherwise(lit(1.0) - phiUpper(-col("__z"))))
+      .select(col("b"), lit(k).as("k"),
+        round(col("__chi2"), 4).as("chi2_f"),
+        lit(k - 1).as("df"),
+        round(col("__p"), 4).as("p_value"),
+        (col("__p") < 0.05).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q340_cronbach_alpha" -> (q340CronbachAlpha _),
+    "q341_friedman" -> (q341Friedman _),
     "q335_dunn_posthoc" -> (q335DunnPosthoc _),
     "q310_kruskal_wallis" -> (q310KruskalWallis _),
     "q311_brown_forsythe" -> (q311BrownForsythe _),
@@ -280,6 +370,57 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q340_cronbach_alpha" ->
+      """WITH u AS (SELECT user_id,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      ::BIGINT AS i1,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END)
+        |      ::BIGINT AS i2,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      ::BIGINT AS i3,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      ::BIGINT AS i4,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      ::BIGINT AS i5
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_users,
+        |    var_samp(i1) + var_samp(i2) + var_samp(i3) +
+        |      var_samp(i4) + var_samp(i5) AS sv,
+        |    var_samp(i1 + i2 + i3 + i4 + i5) AS vt FROM u)
+        |SELECT 5 AS k, n_users, round(sv, 4) AS sum_item_var,
+        |  round(vt, 4) AS total_var,
+        |  round(5.0 / 4.0 * (1.0 - sv / vt), 4) AS alpha
+        |FROM a""".stripMargin,
+    "q341_friedman" ->
+      s"""WITH wk AS (SELECT
+        |    floor(date_diff('day', DATE '2024-01-01', ts::DATE) / 7.0)
+        |      ::BIGINT AS wk, event_type,
+        |    count(*)::DOUBLE AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cmp AS (SELECT wk FROM wk GROUP BY wk HAVING count(*) = 5),
+        |b AS (SELECT wk.* FROM wk JOIN cmp USING (wk)),
+        |pv AS (SELECT wk, cnt, count(*)::BIGINT AS c FROM b
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT wk, cnt,
+        |    sum(c) OVER (PARTITION BY wk ORDER BY cnt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - c + (c + 1) / 2.0 AS rank
+        |  FROM pv),
+        |rj AS (SELECT event_type, sum(rk.rank) AS rj,
+        |    count(*)::BIGINT AS nb
+        |  FROM b JOIN rk ON b.wk = rk.wk AND b.cnt = rk.cnt
+        |  GROUP BY 1),
+        |st AS (SELECT max(nb)::BIGINT AS b, sum(rj * rj) AS s
+        |  FROM rj),
+        |c2 AS (SELECT b,
+        |    12.0 / (b * 5 * 6) * s - 3.0 * b * 6 AS chi2 FROM st),
+        |z AS (SELECT b, chi2, (pow(chi2 / 4.0, 1.0 / 3) -
+        |    (1.0 - 2.0 / 36.0)) / sqrt(2.0 / 36.0) AS z FROM c2),
+        |p AS (SELECT *, CASE WHEN z >= 0 THEN ${phiUpperSql("z")}
+        |    ELSE 1.0 - ${phiUpperSql("-z")} END AS p FROM z)
+        |SELECT b, 5 AS k, round(chi2, 4) AS chi2_f, 4 AS df,
+        |  round(p, 4) AS p_value, p < 0.05 AS significant
+        |FROM p""".stripMargin,
     "q335_dunn_posthoc" ->
       s"""WITH li AS (SELECT l_returnflag AS g,
         |    l_quantity::DOUBLE AS v FROM lineitem),

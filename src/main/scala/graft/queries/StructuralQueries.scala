@@ -939,7 +939,81 @@ object StructuralQueries {
       .orderBy(col("day"))
   }
 
+  /** q338_runtime_bloom_join — row-level runtime filtering: Catalyst's
+    * InjectRuntimeFilter builds a Bloom filter over the SELECTIVE dim
+    * side's join keys at runtime and pushes `might_contain` onto the
+    * fact scan, so non-matching fact rows die before the shuffle — the
+    * row-granular sibling of q201's partition-granular DPP, and the
+    * optimization that makes selective fact⋈dim joins survive 100 TB
+    * when the dim is too big to broadcast. Injection requires
+    * shuffle-join geometry (creation side not broadcastable, probe
+    * scan above the size threshold) — true by definition at the target
+    * scale, forced here at fixture scale via the two confs; they are
+    * set only around plan compilation (optimizedPlan is materialized,
+    * then confs restored — the cached plan carries the filter).
+    * PlanQualitySpec asserts `might_contain`; the aggregate is
+    * oracle-checked.
+    */
+  def q338RuntimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(s.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_quantity"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val df = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          sum(col("l_quantity")).cast("double").as("total_qty"))
+        .orderBy(col("o_orderpriority"))
+      df.queryExecution.optimizedPlan // force injection under the confs
+      df
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** q339_join_hints — explicit join-strategy hints honored by the
+    * planner: the same star join spelled twice, once with
+    * `hint("shuffle_hash")` (ShuffledHashJoin — the right call when
+    * both sides are large but one side's PER-PARTITION hash table
+    * fits, avoiding SMJ's double sort) and once with `hint("merge")`
+    * (SortMergeJoin — the safe default for huge×huge). Hints are how
+    * an operator author pins the physical strategy when statistics
+    * mislead the optimizer at scale; PlanQualitySpec asserts BOTH
+    * operators appear. Results from the two spellings are unioned and
+    * must agree with the single-oracle replay (each side is tagged).
+    */
+  def q339JoinHints(s: SparkSession, dir: String): DataFrame = {
+    def agg(strategy: String): DataFrame = {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .hint(strategy)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .withColumn("strategy", lit(strategy))
+    }
+    agg("shuffle_hash").unionByName(agg("merge"))
+      .orderBy(col("strategy"), col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q338_runtime_bloom_join" -> (q338RuntimeBloomJoin _),
+    "q339_join_hints" -> (q339JoinHints _),
     "q332_dynamic_overwrite" -> (q332DynamicOverwrite _),
     "q333_reused_exchange" -> (q333ReusedExchange _),
     "q317_recursive_bfs" -> (q317RecursiveBfs _),
@@ -994,6 +1068,25 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q338_runtime_bloom_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |  round(sum(l_extendedprice), 2) AS revenue,
+        |  sum(l_quantity)::DOUBLE AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q339_join_hints" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+        |    round(sum(l_extendedprice), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, n_lines, revenue,
+        |  'shuffle_hash' AS strategy FROM base
+        |UNION ALL
+        |SELECT o_orderpriority, n_lines, revenue,
+        |  'merge' AS strategy FROM base
+        |ORDER BY strategy, o_orderpriority""".stripMargin,
     "q332_dynamic_overwrite" ->
       """SELECT (ts::DATE = DATE '2024-01-15') AS patched,
         |  count(*)::BIGINT AS n,

@@ -59,6 +59,19 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       plan.contains("ReusedQueryStage"), plan)
   }
 
+  test("q338 injects a runtime Bloom filter on the fact scan side") {
+    val plan =
+      planOf(SparkEntry.queries("q338_runtime_bloom_join")(spark, sf0001))
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("q339 join hints pin ShuffledHashJoin and SortMergeJoin") {
+    val plan =
+      planOf(SparkEntry.queries("q339_join_hints")(spark, sf0001))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q1 agg does partial (map-side) aggregation before the shuffle") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf0001))
     // partial_ functions appear in the pre-shuffle HashAggregate
