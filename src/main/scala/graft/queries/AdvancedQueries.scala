@@ -345,6 +345,44 @@ object AdvancedQueries {
       .orderBy(col("items"))
   }
 
+  /** q342_prefixspan — Spark ML's PrefixSpan made oracle-hash-checkable:
+    * frequent sequential patterns (length ≤ 3, minSupport 0.3) over
+    * each user's time-ordered event-type sequence. PrefixSpan projects
+    * databases recursively; but for single-item itemsets its OUTPUT is
+    * exactly "count of sequences containing the subsequence (gaps
+    * allowed)", and subsequence containment has a greedy closed form —
+    * first a, then first b AFTER it, then first c after that — that
+    * the DuckDB oracle replays with two position joins. So a real
+    * MLlib mining component's result hash-matches a relational replay
+    * (the q314 Naive-Bayes move, for sequence mining). Corpus cost:
+    * one sequence-collect per user; the model's projected databases
+    * are distributed by prefix, and the oracle side's join frames are
+    * |users|×|types|ᵏ bounded.
+    */
+  def q342Prefixspan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.fpm.PrefixSpan
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seqs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__rn"), col("event_type")))),
+        e => array(e.getField("event_type"))).as("sequence"))
+    val nFrame = seqs.agg(count(lit(1)).as("__n"))
+    new PrefixSpan().setMinSupport(0.3).setMaxPatternLength(3)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+      .crossJoin(broadcast(nFrame))
+      .select(
+        array_join(flatten(col("sequence")), ">").as("pattern"),
+        col("freq"),
+        round(col("freq") / col("__n").cast("double"), 4).as("support"))
+      .orderBy(col("pattern"))
+  }
+
   /** q152_triangles — triangle counting over the simhash near-dup graph
     * (q59's edges): the graph-analytics step past connected components
     * — triangle density separates genuine duplicate clusters from
@@ -903,6 +941,7 @@ object AdvancedQueries {
     "q221_skyline" -> (q221Skyline _),
     "q222_session_window" -> (q222SessionWindow _),
     "q151_frequent_itemsets" -> (q151FrequentItemsets _),
+    "q342_prefixspan" -> (q342Prefixspan _),
     "q152_triangles" -> (q152Triangles _),
     "q172_pagerank" -> (q172Pagerank _),
     "q180_typed_cogroup" -> (q180TypedCogroup _),
@@ -1153,6 +1192,34 @@ object AdvancedQueries {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q342_prefixspan" ->
+      """WITH ev AS (SELECT user_id, event_type AS t,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pos
+        |  FROM events),
+        |nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM ev),
+        |mc AS (SELECT ceil(0.3 * n)::BIGINT AS m, n FROM nu),
+        |l1 AS (SELECT user_id, t AS a, min(pos) AS fa FROM ev
+        |  GROUP BY 1, 2),
+        |l2 AS (SELECT l1.user_id, l1.a, ev.t AS b, min(ev.pos) AS fb
+        |  FROM l1 JOIN ev ON l1.user_id = ev.user_id
+        |    AND ev.pos > l1.fa
+        |  GROUP BY 1, 2, 3),
+        |l3 AS (SELECT DISTINCT l2.user_id, l2.a, l2.b, ev.t AS c
+        |  FROM l2 JOIN ev ON l2.user_id = ev.user_id
+        |    AND ev.pos > l2.fb),
+        |u AS (
+        |  SELECT a AS pattern, count(*)::BIGINT AS freq FROM l1
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT a || '>' || b, count(*)::BIGINT FROM l2 GROUP BY 1
+        |  UNION ALL
+        |  SELECT a || '>' || b || '>' || c, count(*)::BIGINT FROM l3
+        |  GROUP BY 1)
+        |SELECT pattern, freq,
+        |  round(freq / (SELECT n FROM mc)::DOUBLE, 4) AS support
+        |FROM u WHERE freq >= (SELECT m FROM mc)
+        |ORDER BY pattern""".stripMargin,
     "q151_frequent_itemsets" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, p_brand
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),

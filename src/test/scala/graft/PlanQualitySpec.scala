@@ -209,7 +209,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q331_shapley_attribution",
     // q335's pair frame is a 3×3 broadcast theta self-join of the
     // per-group rank summary (+ the 1-row tie/N scalar)
-    "q335_dunn_posthoc")
+    "q335_dunn_posthoc",
+    // q342 cross-joins the broadcast 1-row sequence-count scalar
+    "q342_prefixspan")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
