@@ -78,6 +78,14 @@ object GraftSparkExtensions {
       QuantizeInt8(children.head)
     })
 
+  val dotInt8: FnDef = (
+    FunctionIdentifier("dot_int8"),
+    new ExpressionInfo(classOf[DotInt8].getName, "dot_int8"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "dot_int8 takes (a, b)")
+      DotInt8(children.head, children(1))
+    })
+
   val wordShingles: FnDef = (
     FunctionIdentifier("word_shingles"),
     new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
@@ -121,7 +129,8 @@ object GraftSparkExtensions {
 
   val all: Seq[FnDef] =
     Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8,
-      wordShingles, rollingHash, vecNorm, poissonDraw, sortedIntersectCount)
+      dotInt8, wordShingles, rollingHash, vecNorm, poissonDraw,
+      sortedIntersectCount)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1011,7 +1011,47 @@ object StructuralQueries {
       .orderBy(col("strategy"), col("o_orderpriority"))
   }
 
+  /** q343_int8_rerank — the quantized ANN rerank stage: SRP sign
+    * buckets (q184's candidate generator) fan each of 10 query
+    * vectors out to its bucket-mates, and candidates are re-scored
+    * with the native `dot_int8` expression over `quantize_int8`
+    * vectors — integer multiply-adds on the 4×-smaller representation,
+    * EXACT accumulation (top-k is bit-identical on any engine or
+    * partition order, unlike fp32 sums near ties). The fp32 cosine is
+    * carried alongside as the rerank-quality readout. This is the
+    * standard serving split at scale: cheap int8 scan over the
+    * candidate sliver, full-precision only where the number is shown.
+    * Both new kernels run fused inside WholeStageCodegen
+    * (graft.functions.DotInt8 / QuantizeInt8).
+    */
+  def q343Int8Rerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket",
+        graft.ops.VectorOps.srpBucket(col("embedding"), 64, 4))
+      .withColumn("__q8", call_function("quantize_int8", col("embedding")))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("__q8").as("__qq"), col("embedding").as("__qe"))
+    val cands = emb.select(col("vec_id").as("cand_id"), col("bucket"),
+      col("__q8").as("__cq"), col("embedding").as("__ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_int8").desc, col("cand_id"))
+    cands.join(broadcast(qs), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("dot_int8",
+        call_function("dot_int8", col("__qq"), col("__cq")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 3)
+      .select(col("query_id"), col("__rk").as("rank"), col("cand_id"),
+        col("dot_int8"),
+        round(graft.ops.VectorOps.cosineNative(col("__qe"), col("__ce")),
+          4).as("cos_fp32"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q343_int8_rerank" -> (q343Int8Rerank _),
     "q338_runtime_bloom_join" -> (q338RuntimeBloomJoin _),
     "q339_join_hints" -> (q339JoinHints _),
     "q332_dynamic_overwrite" -> (q332DynamicOverwrite _),
@@ -1068,6 +1108,32 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q343_int8_rerank" ->
+      s"""$srpBucketCte,
+        |qz AS (SELECT vec_id, bucket, embedding,
+        |    CASE WHEN greatest(list_max(embedding),
+        |        -list_min(embedding)) = 0
+        |      THEN list_transform(embedding, x -> 0)
+        |      ELSE list_transform(embedding, x ->
+        |        floor(x / greatest(list_max(embedding),
+        |          -list_min(embedding))::DOUBLE * 127.0 + 0.5)::INT)
+        |    END AS q8
+        |  FROM b),
+        |q AS (SELECT vec_id AS query_id, bucket, q8 AS qq,
+        |    embedding AS qe
+        |  FROM qz WHERE vec_id < 10),
+        |c AS (SELECT qz.vec_id AS cand_id, q.query_id,
+        |    list_dot_product(q.qq::DOUBLE[], qz.q8::DOUBLE[])::BIGINT
+        |      AS dot_int8,
+        |    list_cosine_similarity(q.qe::DOUBLE[],
+        |      qz.embedding::DOUBLE[]) AS cos
+        |  FROM q JOIN qz ON q.bucket = qz.bucket
+        |    AND qz.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot_int8 DESC, cand_id) AS rk FROM c)
+        |SELECT query_id, rk AS rank, cand_id, dot_int8,
+        |  round(cos, 4) AS cos_fp32
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
     "q338_runtime_bloom_join" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
         |  round(sum(l_extendedprice), 2) AS revenue,
