@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.ModelEvalOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** In-engine model-evaluation analytics (SURVEY.md §2.13 X118-X120):
@@ -282,7 +282,56 @@ object ModelQueries {
       .drop("__mv")
   }
 
+  /** q344_gmm_em_step — one EM iteration of a 1-D two-component
+    * Gaussian mixture on o_totalprice, as pure relational algebra
+    * (q308's oracle-the-training-step move, for soft clustering):
+    * deterministic quartile-anchored init (µ at ¼/¾ of the range,
+    * common σ = range/4, equal weights), E-step responsibilities from
+    * the normal pdf ratio, M-step via the one-pass moment identities
+    * (Σr, Σrx, Σrx² → w', µ', σ'²) — so the whole iteration is ONE
+    * corpus aggregation after a broadcast min/max scalar. What
+    * MLlib's GaussianMixture iterates, spelled out once and
+    * hash-checked; 4-dp rounding absorbs cross-engine exp()/sum-order
+    * last bits.
+    */
+  def q344GmmEmStep(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_totalprice").cast("double").as("x"))
+    val mm = o.agg(min(col("x")).as("__mn"), max(col("x")).as("__mx"))
+    val base = o.crossJoin(broadcast(mm))
+      .withColumn("__mu1", col("__mn") + (col("__mx") - col("__mn")) / 4)
+      .withColumn("__mu2",
+        col("__mn") + (col("__mx") - col("__mn")) * 3 / 4)
+      .withColumn("__sd", (col("__mx") - col("__mn")) / 4)
+    def pdf(mu: Column, sd: Column, x: Column): Column =
+      exp(-(x - mu) * (x - mu) / (lit(2.0) * sd * sd)) /
+        (sd * math.sqrt(2 * math.Pi))
+    val e = base
+      .withColumn("__p1", pdf(col("__mu1"), col("__sd"), col("x")) * 0.5)
+      .withColumn("__p2", pdf(col("__mu2"), col("__sd"), col("x")) * 0.5)
+      .withColumn("__r2",
+        try_divide(col("__p2"), col("__p1") + col("__p2")))
+      .withColumn("__r1", lit(1.0) - col("__r2"))
+    e.agg(count(lit(1)).as("n"),
+        sum(col("__r1")).as("__s1"), sum(col("__r1") * col("x")).as("__sx1"),
+        sum(col("__r1") * col("x") * col("x")).as("__sxx1"),
+        sum(col("__r2")).as("__s2"), sum(col("__r2") * col("x")).as("__sx2"),
+        sum(col("__r2") * col("x") * col("x")).as("__sxx2"))
+      .select(col("n"),
+        round(col("__s1") / col("n"), 4).as("w1"),
+        round(col("__s2") / col("n"), 4).as("w2"),
+        round(col("__sx1") / col("__s1"), 2).as("mu1"),
+        round(col("__sx2") / col("__s2"), 2).as("mu2"),
+        round(sqrt(col("__sxx1") / col("__s1") -
+          (col("__sx1") / col("__s1")) * (col("__sx1") / col("__s1"))), 2)
+          .as("sd1"),
+        round(sqrt(col("__sxx2") / col("__s2") -
+          (col("__sx2") / col("__s2")) * (col("__sx2") / col("__s2"))), 2)
+          .as("sd2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q344_gmm_em_step" -> (q344GmmEmStep _),
     "q328_eb_shrinkage" -> (q328EbShrinkage _),
     "q326_isotonic_calibration" -> (q326IsotonicCalibration _),
     "q225_wilson_ci" -> (q225WilsonCi _),
@@ -296,6 +345,29 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q344_gmm_em_step" ->
+      """WITH o AS (SELECT o_totalprice::DOUBLE AS x FROM orders),
+        |mm AS (SELECT min(x) AS mn, max(x) AS mx FROM o),
+        |b AS (SELECT x, mn + (mx - mn) / 4 AS mu1,
+        |    mn + (mx - mn) * 3 / 4 AS mu2, (mx - mn) / 4 AS sd
+        |  FROM o, mm),
+        |e AS (SELECT x,
+        |    exp(-(x - mu1) * (x - mu1) / (2.0 * sd * sd)) /
+        |      (sd * sqrt(2 * pi())) * 0.5 AS p1,
+        |    exp(-(x - mu2) * (x - mu2) / (2.0 * sd * sd)) /
+        |      (sd * sqrt(2 * pi())) * 0.5 AS p2
+        |  FROM b),
+        |r AS (SELECT x, p2 / (p1 + p2) AS r2, 1.0 - p2 / (p1 + p2)
+        |    AS r1 FROM e),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |    sum(r1) AS s1, sum(r1 * x) AS sx1, sum(r1 * x * x) AS sxx1,
+        |    sum(r2) AS s2, sum(r2 * x) AS sx2, sum(r2 * x * x) AS sxx2
+        |  FROM r)
+        |SELECT n, round(s1 / n, 4) AS w1, round(s2 / n, 4) AS w2,
+        |  round(sx1 / s1, 2) AS mu1, round(sx2 / s2, 2) AS mu2,
+        |  round(sqrt(sxx1 / s1 - (sx1 / s1) * (sx1 / s1)), 2) AS sd1,
+        |  round(sqrt(sxx2 / s2 - (sx2 / s2) * (sx2 / s2)), 2) AS sd2
+        |FROM a""".stripMargin,
     "q328_eb_shrinkage" ->
       """WITH g AS (SELECT o_custkey, count(*)::BIGINT AS n,
         |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT

@@ -1050,7 +1050,80 @@ object StructuralQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q345_pipe_syntax — SQL pipe syntax (Spark 4's `|>` operator
+    * chaining, from the GoogleSQL proposal): the same logical plan as
+    * nested SELECTs, written as a linear dataflow — EXTEND computes a
+    * derived column, WHERE filters, AGGREGATE groups, ORDER BY sorts,
+    * each stage reading top-to-bottom the way the DataFrame API does.
+    * Engine-surface exercise: the parser desugars pipes into the
+    * ordinary operator tree, so optimization (pushdown through
+    * EXTEND, partial aggregation) is identical to the classic
+    * spelling the oracle uses.
+    */
+  def q345PipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q345")
+    s.sql(
+      """FROM orders_q345
+        ||> EXTEND round(o_totalprice / 100000, 0) AS price_band
+        ||> WHERE o_orderstatus = 'F'
+        ||> AGGREGATE count(*) AS n,
+        |     round(avg(o_totalprice), 2) AS avg_price
+        |   GROUP BY o_orderpriority, price_band
+        ||> ORDER BY o_orderpriority, price_band""".stripMargin)
+  }
+
+  /** q346_collated_group — collation-aware aggregation (Spark 4
+    * collations): market segments are re-cased per row by a hash coin
+    * flip, then grouped under UTF8_LCASE so 'BUILDING' and 'building'
+    * land in ONE group while `COLLATE UTF8_BINARY` inside the group
+    * still counts the distinct raw spellings. Collations push
+    * case/accent semantics into the ENGINE's comparators (group-by,
+    * joins, ORDER BY) instead of wrapping every column in lower() —
+    * at scale that keeps codegen'd hash-aggregation on the raw bytes'
+    * collation key rather than allocating a lowered copy per row.
+    * Display key is lower(max(seg)) — deterministic since lowercase
+    * sorts above uppercase in binary order.
+    */
+  def q346CollatedGroup(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        when(pmod(graft.ops.TextOps.hash32(
+          col("c_custkey").cast("string"), "case:"), lit(2)) === 0,
+          upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))).as("seg"))
+      .createOrReplaceTempView("custseg_q346")
+    s.sql(
+      """SELECT lower(max(seg)) AS segment, count(*) AS n,
+        |  count(DISTINCT seg COLLATE UTF8_BINARY) AS n_case_variants
+        |FROM custseg_q346
+        |GROUP BY seg COLLATE UTF8_LCASE
+        |ORDER BY segment""".stripMargin)
+  }
+
+  /** q347_param_sql — parameterized SQL (`spark.sql(text, args)`):
+    * named `:parameters` bound server-side as typed literals, the
+    * injection-safe alternative to string splicing — what every
+    * programmatic query layer should emit. The bound plan is
+    * identical to the literal spelling (constant folding, pushdown —
+    * the parameter IS a literal by the time the optimizer runs), so
+    * the oracle replays with the values inlined.
+    */
+  def q347ParamSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q347")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders_q347
+        |WHERE o_orderpriority = :prio OR o_totalprice > :minPrice
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("prio" -> "1-URGENT", "minPrice" -> 400000.0))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q345_pipe_syntax" -> (q345PipeSyntax _),
+    "q346_collated_group" -> (q346CollatedGroup _),
+    "q347_param_sql" -> (q347ParamSql _),
     "q343_int8_rerank" -> (q343Int8Rerank _),
     "q338_runtime_bloom_join" -> (q338RuntimeBloomJoin _),
     "q339_join_hints" -> (q339JoinHints _),
@@ -1108,6 +1181,29 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q345_pipe_syntax" ->
+      """SELECT o_orderpriority,
+        |  round(o_totalprice / 100000, 0) AS price_band,
+        |  count(*)::BIGINT AS n,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q346_collated_group" ->
+      """WITH s AS (SELECT CASE WHEN
+        |    ('0x' || substr(md5('case:' || c_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 = 0
+        |    THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END
+        |      AS seg
+        |  FROM customer)
+        |SELECT lower(max(seg)) AS segment, count(*)::BIGINT AS n,
+        |  count(DISTINCT seg)::BIGINT AS n_case_variants
+        |FROM s GROUP BY lower(seg) ORDER BY segment""".stripMargin,
+    "q347_param_sql" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' OR o_totalprice > 400000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q343_int8_rerank" ->
       s"""$srpBucketCte,
         |qz AS (SELECT vec_id, bucket, embedding,

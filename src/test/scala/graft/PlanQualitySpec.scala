@@ -211,7 +211,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // per-group rank summary (+ the 1-row tie/N scalar)
     "q335_dunn_posthoc",
     // q342 cross-joins the broadcast 1-row sequence-count scalar
-    "q342_prefixspan")
+    "q342_prefixspan",
+    // q344 cross-joins the broadcast 1-row min/max init scalar
+    "q344_gmm_em_step")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
