@@ -909,7 +909,49 @@ object AdvancedQueries {
     urgent.unionByName(big).distinct().orderBy(col("custkey"))
   }
 
+  /** q351_hits — HITS hubs-and-authorities (Kleinberg 1999) on the
+    * weighted user→event_type bipartite graph: authority(t) = Σ_u
+    * w(u,t)·hub(u), hub(u) = Σ_t w(u,t)·auth(t), L2-normalized each
+    * half-step, two full iterations unrolled. Every step is one
+    * broadcast-joined map-side-combinable sum over the aggregated edge
+    * frame (|users|×|types| ≤ corpus, built by ONE corpus pass) — the
+    * same BSP shape as q172's PageRank but on the bipartite adjacency,
+    * where mutual reinforcement separates "heavy users of everything"
+    * (hubs) from "types that heavy users concentrate on" (authorities)
+    * — plain degree (the iteration-0 column) can't. Norm scalars are
+    * broadcast 1-row frames; 6-dp rounding absorbs cross-engine
+    * sum-order last bits.
+    */
+  def q351Hits(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint() // read by both iterations' join sides
+    val a1raw = e.groupBy(col("event_type")).agg(sum(col("w")).as("__a"))
+    val a1n = a1raw.agg(sqrt(sum(col("__a") * col("__a"))).as("__na"))
+    val a1 = a1raw.crossJoin(broadcast(a1n))
+      .select(col("event_type"),
+        (col("__a") / col("__na")).as("a0"))
+    val h1raw = e.join(broadcast(a1), Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w") * col("a0")).as("__h"))
+    val h1n = h1raw.agg(sqrt(sum(col("__h") * col("__h"))).as("__nh"))
+    val h1 = h1raw.crossJoin(broadcast(h1n))
+      .select(col("user_id"), (col("__h") / col("__nh")).as("h1"))
+    val a2raw = e.join(h1, Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("w") * col("h1")).as("__a2"))
+    val a2n = a2raw.agg(sqrt(sum(col("__a2") * col("__a2"))).as("__na2"))
+    a2raw.crossJoin(broadcast(a2n))
+      .join(a1, Seq("event_type"))
+      .select(col("event_type"),
+        round(col("a0"), 6).as("authority_iter0"),
+        round(col("__a2") / col("__na2"), 6).as("authority"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q351_hits" -> (q351Hits _),
     "q72_having" -> (q72Having _),
     "q73_union_distinct" -> (q73UnionDistinct _),
     "q71_session_window" -> (q71SessionWindow _),
@@ -960,6 +1002,23 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q351_hits" ->
+      """WITH e AS (SELECT user_id, event_type, count(*)::DOUBLE AS w
+        |  FROM events GROUP BY 1, 2),
+        |a1r AS (SELECT event_type, sum(w) AS a FROM e GROUP BY 1),
+        |a1n AS (SELECT sqrt(sum(a * a)) AS na FROM a1r),
+        |a1 AS (SELECT event_type, a / na AS a0 FROM a1r, a1n),
+        |h1r AS (SELECT e.user_id, sum(e.w * a1.a0) AS h
+        |  FROM e JOIN a1 USING (event_type) GROUP BY 1),
+        |h1n AS (SELECT sqrt(sum(h * h)) AS nh FROM h1r),
+        |h1 AS (SELECT user_id, h / nh AS h1 FROM h1r, h1n),
+        |a2r AS (SELECT e.event_type, sum(e.w * h1.h1) AS a2
+        |  FROM e JOIN h1 USING (user_id) GROUP BY 1),
+        |a2n AS (SELECT sqrt(sum(a2 * a2)) AS na2 FROM a2r)
+        |SELECT event_type, round(a0, 6) AS authority_iter0,
+        |  round(a2 / na2, 6) AS authority
+        |FROM a2r JOIN a1 USING (event_type) CROSS JOIN a2n
+        |ORDER BY event_type""".stripMargin,
     "q221_skyline" ->
       """WITH p AS (
         |  SELECT DISTINCT l_extendedprice::DOUBLE AS x,

@@ -359,7 +359,50 @@ object StatQueries {
         (col("__p") < 0.05).as("significant"))
   }
 
+  /** q350_jarque_bera — moment-based normality screen (Jarque & Bera
+    * 1980) of `value` within each event_type: JB = n/6·(S² + (K−3)²/4)
+    * from the 2nd–4th CENTRAL moments. Two passes, both
+    * map-side-combinable: a per-group mean, broadcast back, then one
+    * Σd²/Σd³/Σd⁴ aggregation — the numerically stable form (raw-moment
+    * one-pass identities catastrophically cancel on large means, which
+    * `value` has). The p-value is the EXACT χ²(2) upper tail
+    * exp(−JB/2) — no polynomial approximation needed at df=2 — so both
+    * engines evaluate the identical closed form. The screen a feature
+    * pipeline runs before z-scoring or Gaussian-assuming tests (q205's
+    * t-test, q270's CUPED) to know when to reach for the rank-based
+    * family (q310/q335) instead.
+    */
+  def q350JarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("value").cast("double").as("x"))
+    val m = e.groupBy(col("event_type")).agg(avg(col("x")).as("__m"))
+    e.join(broadcast(m), Seq("event_type"))
+      .withColumn("__d", col("x") - col("__m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("__d") * col("__d")).as("__m2"),
+        avg(col("__d") * col("__d") * col("__d")).as("__m3"),
+        avg(col("__d") * col("__d") * col("__d") * col("__d"))
+          .as("__m4"))
+      .withColumn("__skew",
+        try_divide(col("__m3"), pow(col("__m2"), 1.5)))
+      .withColumn("__kurt",
+        try_divide(col("__m4"), col("__m2") * col("__m2")))
+      .withColumn("__jb",
+        col("n") / 6.0 * (col("__skew") * col("__skew") +
+          (col("__kurt") - 3.0) * (col("__kurt") - 3.0) / 4.0))
+      .withColumn("__p", exp(-col("__jb") / 2))
+      .select(col("event_type"), col("n"),
+        round(col("__skew"), 4).as("skewness"),
+        round(col("__kurt"), 4).as("kurtosis"),
+        round(col("__jb"), 4).as("jb_stat"),
+        round(col("__p"), 4).as("p_value"),
+        (col("__p") < 0.05).as("non_normal"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q350_jarque_bera" -> (q350JarqueBera _),
     "q340_cronbach_alpha" -> (q340CronbachAlpha _),
     "q341_friedman" -> (q341Friedman _),
     "q335_dunn_posthoc" -> (q335DunnPosthoc _),
@@ -370,6 +413,24 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q350_jarque_bera" ->
+      """WITH e AS (SELECT event_type, value::DOUBLE AS x FROM events),
+        |m AS (SELECT event_type, avg(x) AS m FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, e.x - m.m AS d
+        |  FROM e JOIN m USING (event_type)),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    avg(d * d) AS m2, avg(d * d * d) AS m3,
+        |    avg(d * d * d * d) AS m4
+        |  FROM d GROUP BY 1),
+        |st AS (SELECT event_type, n, m3 / pow(m2, 1.5) AS skew,
+        |    m4 / (m2 * m2) AS kurt FROM a),
+        |jb AS (SELECT *, n / 6.0 * (skew * skew +
+        |    (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb FROM st)
+        |SELECT event_type, n, round(skew, 4) AS skewness,
+        |  round(kurt, 4) AS kurtosis, round(jb, 4) AS jb_stat,
+        |  round(exp(-jb / 2), 4) AS p_value,
+        |  exp(-jb / 2) < 0.05 AS non_normal
+        |FROM jb ORDER BY event_type""".stripMargin,
     "q340_cronbach_alpha" ->
       """WITH u AS (SELECT user_id,
         |    count(CASE WHEN event_type = 'click' THEN 1 END)

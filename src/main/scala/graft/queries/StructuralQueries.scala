@@ -1120,7 +1120,54 @@ object StructuralQueries {
       Map("prio" -> "1-URGENT", "minPrice" -> 400000.0))
   }
 
+  /** q348_variant_type — the VARIANT data type (Spark 4's
+    * semi-structured column): `parse_json` shreds the props JSON into
+    * the binary variant encoding ONCE, then `variant_get` extracts
+    * typed paths and `schema_of_variant` reports the per-row inferred
+    * shape. Against q18's per-path `get_json_object` (which re-parses
+    * the string for every path), variant parses once and serves every
+    * downstream extraction from the binary form — the 100 TB answer
+    * for hot semi-structured columns with many consumers. The oracle
+    * replays the extraction through DuckDB's JSON type; the schema
+    * string is asserted literally (every row shreds to
+    * OBJECT<k: BIGINT>), pinning both the value semantics and the
+    * inference surface.
+    */
+  def q348VariantType(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_q348")
+    s.sql(
+      """WITH v AS (SELECT event_id, parse_json(props) AS v
+        |  FROM events_q348),
+        |e AS (SELECT event_id,
+        |    variant_get(v, '$.k', 'bigint') AS k,
+        |    schema_of_variant(v) AS sch FROM v)
+        |SELECT k DIV 10 AS k_band, count(*) AS n, sum(k) AS sum_k,
+        |  count(DISTINCT sch) AS n_schemas,
+        |  max(sch) AS variant_schema
+        |FROM e GROUP BY k DIV 10
+        |ORDER BY k_band""".stripMargin)
+  }
+
+  /** q349_group_by_all — GROUP BY ALL / ORDER BY ALL (Spark 4 SQL
+    * surface, from the DuckDB proposal): every non-aggregate output
+    * expression becomes a grouping key and the sort covers all output
+    * columns left-to-right — the boilerplate-free spelling that cannot
+    * drift out of sync with the SELECT list when columns are added.
+    * Resolves at analysis time to the identical plan as the explicit
+    * spelling the oracle uses.
+    */
+  def q349GroupByAll(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q349")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders_q349 GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q348_variant_type" -> (q348VariantType _),
+    "q349_group_by_all" -> (q349GroupByAll _),
     "q345_pipe_syntax" -> (q345PipeSyntax _),
     "q346_collated_group" -> (q346CollatedGroup _),
     "q347_param_sql" -> (q347ParamSql _),
@@ -1181,6 +1228,20 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q348_variant_type" ->
+      """WITH e AS (SELECT event_id,
+        |    (props::JSON ->> 'k')::BIGINT AS k,
+        |    'OBJECT<k: BIGINT>' AS sch FROM events)
+        |SELECT k // 10 AS k_band, count(*)::BIGINT AS n,
+        |  sum(k)::BIGINT AS sum_k,
+        |  count(DISTINCT sch)::BIGINT AS n_schemas,
+        |  max(sch) AS variant_schema
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q349_group_by_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q345_pipe_syntax" ->
       """SELECT o_orderpriority,
         |  round(o_totalprice / 100000, 0) AS price_band,

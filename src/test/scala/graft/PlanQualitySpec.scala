@@ -213,7 +213,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q342 cross-joins the broadcast 1-row sequence-count scalar
     "q342_prefixspan",
     // q344 cross-joins the broadcast 1-row min/max init scalar
-    "q344_gmm_em_step")
+    "q344_gmm_em_step",
+    // q351 cross-joins the broadcast 1-row L2-norm scalars between
+    // HITS half-steps
+    "q351_hits")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
