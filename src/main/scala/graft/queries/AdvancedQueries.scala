@@ -950,7 +950,49 @@ object AdvancedQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q352_adamic_adar — link prediction over the simhash near-dup
+    * graph (q152/q172's edge source) by Adamic–Adar common-neighbor
+    * scoring: for each non-adjacent pair (a,b), score = Σ_{w ∈
+    * N(a)∩N(b)} 1/ln(deg(w)) — common neighbors weighted down by how
+    * promiscuous they are, the classic "friend of both, and choosy
+    * about it" signal. One 2-hop self-join on the symmetric edge list
+    * (the same wedge shape q152's triangle count pays), degree joined
+    * on the wedge midpoint so it rides the existing w-partitioning,
+    * existing edges removed by anti-join. deg(w) ≥ 2 for every wedge
+    * midpoint (it touches both a and b), so 1/ln(deg) never divides by
+    * zero. Top-20 by rounded score with (a,b) tiebreak — total order,
+    * engine-portable.
+    */
+  def q352AdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
+        maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // read by wedge sides + anti-join
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val aw = sym.select(col("src").as("a"), col("dst").as("w"))
+    val wb = sym.select(col("src").as("w"), col("dst").as("b"))
+    val scored = aw.join(wb, Seq("w")).filter(col("a") < col("b"))
+      .join(deg.withColumnRenamed("src", "w"), Seq("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("deg"))).as("__score"))
+    scored.join(e.select(col("id_a").as("a"), col("id_b").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("common_neighbors"), round(col("__score"), 4).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q352_adamic_adar" -> (q352AdamicAdar _),
     "q351_hits" -> (q351Hits _),
     "q72_having" -> (q72Having _),
     "q73_union_distinct" -> (q73UnionDistinct _),
@@ -1002,6 +1044,28 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q352_adamic_adar" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |sym AS (SELECT ea AS src, eb AS dst FROM e
+         |        UNION ALL SELECT eb, ea FROM e),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym
+         |  GROUP BY src),
+         |wedge AS (SELECT aw.src AS a, wb.dst AS b, aw.dst AS w
+         |  FROM sym aw JOIN sym wb ON aw.dst = wb.src
+         |  WHERE aw.src < wb.dst),
+         |sc AS (SELECT a, b, count(*)::BIGINT AS common_neighbors,
+         |    sum(1.0 / ln(deg.deg)) AS score
+         |  FROM wedge JOIN deg ON wedge.w = deg.src GROUP BY a, b),
+         |nw AS (SELECT * FROM sc WHERE NOT EXISTS
+         |  (SELECT 1 FROM e WHERE e.ea = sc.a AND e.eb = sc.b))
+         |SELECT a AS doc_a, b AS doc_b, common_neighbors,
+         |  round(score, 4) AS aa_score
+         |FROM nw ORDER BY aa_score DESC, doc_a, doc_b
+         |LIMIT 20""".stripMargin,
     "q351_hits" ->
       """WITH e AS (SELECT user_id, event_type, count(*)::DOUBLE AS w
         |  FROM events GROUP BY 1, 2),

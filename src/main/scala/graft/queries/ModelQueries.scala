@@ -330,7 +330,97 @@ object ModelQueries {
           .as("sd2"))
   }
 
+  /** q353_logreg_newton — one Newton–Raphson (IRLS) step for logistic
+    * regression y ~ 1 + x from β = 0, in closed form (q344's
+    * oracle-the-training-step move for GLMs): at β = 0 every p = ½, so
+    * W = ¼I, gradient g = Σ xᵢ(yᵢ − ½), Hessian H = ¼·ΣxᵢxᵢT, and
+    * β₁ = H⁻¹g by the 2×2 Cramer solve — ONE corpus aggregation for
+    * the five moments, pure arithmetic on the 1-row frame, then a
+    * second pass scores the log-likelihood at β₁ against the null
+    * −n·ln 2 (the broadcast-scalar idiom). What MLlib's
+    * LogisticRegression iterates, spelled once and hash-checked;
+    * o_totalprice is pre-scaled /1e5 so the moment sums stay
+    * well-conditioned.
+    */
+  def q353LogregNewton(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      (col("o_totalprice").cast("double") / 100000.0).as("x"),
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+    val beta = o.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("x")).as("__sx"), sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") - 0.5).as("__g0"),
+        sum(col("x") * (col("y") - 0.5)).as("__g1"))
+      .withColumn("__det",
+        lit(0.0625) * (col("__n") * col("__sxx") -
+          col("__sx") * col("__sx")))
+      .select(col("__n"),
+        ((lit(0.25) * col("__sxx") * col("__g0") -
+          lit(0.25) * col("__sx") * col("__g1")) / col("__det"))
+          .as("__b0"),
+        ((lit(0.25) * col("__n") * col("__g1") -
+          lit(0.25) * col("__sx") * col("__g0")) / col("__det"))
+          .as("__b1"))
+    o.crossJoin(broadcast(beta))
+      .withColumn("__eta", col("__b0") + col("__b1") * col("x"))
+      .agg(count(lit(1)).as("n"), max(col("__b0")).as("__b0"),
+        max(col("__b1")).as("__b1"),
+        sum(col("y") * col("__eta") - log(lit(1.0) + exp(col("__eta"))))
+          .as("__ll1"))
+      .select(col("n"),
+        round(col("__b0"), 6).as("beta0"),
+        round(col("__b1"), 6).as("beta1"),
+        round(-col("n") * math.log(2.0), 4).as("ll_null"),
+        round(col("__ll1"), 4).as("ll_newton"),
+        (col("__ll1") > -col("n") * math.log(2.0)).as("improved"))
+  }
+
+  /** q354_als_step — one alternating-least-squares half-sweep for a
+    * rank-1 implicit-feedback factor model over the user×event_type
+    * rating frame r = interaction count (the training step inside
+    * MLlib's ALS, spelled as relational algebra): item factors
+    * initialized deterministically in [0.5, 1.5) by the md5-hash
+    * uniform (q241's house pattern, replayed bit-identically by the
+    * oracle), then the exact 1-D ridge solves u_f = Σrv/(λ+Σv²) per
+    * user and v' = Σru/(λ+Σu²) per item, λ = 0.1. Each solve is one
+    * broadcast-joined map-side-combinable aggregation — the rating
+    * frame is built by ONE corpus pass and checkpointed across the
+    * three reads. Per-item RMSE after the half-sweep is the
+    * convergence readout.
+    */
+  def q354AlsStep(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("r"))
+      .localCheckpoint() // read by both solves + the RMSE pass
+    val v0 = r.select(col("event_type")).distinct()
+      .withColumn("v0", lit(0.5) +
+        graft.ops.TextOps.hash32(col("event_type"), "als:")
+          .cast("double") / lit(4294967296.0))
+    val u1 = r.join(broadcast(v0), Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("r") * col("v0")) /
+        (lit(0.1) + sum(col("v0") * col("v0")))).as("u"))
+    val v1 = r.join(u1, Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("r") * col("u")) /
+          (lit(0.1) + sum(col("u") * col("u")))).as("v1"))
+    val rmse = r.join(u1, Seq("user_id"))
+      .join(broadcast(v1.select(col("event_type"), col("v1"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sqrt(avg(pow(col("r") - col("u") * col("v1"), 2)))
+        .as("__rmse"))
+    v0.join(v1, Seq("event_type")).join(rmse, Seq("event_type"))
+      .select(col("event_type"), round(col("v0"), 6).as("item_init"),
+        col("n_users"), round(col("v1"), 6).as("item_factor"),
+        round(col("__rmse"), 4).as("rmse"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q353_logreg_newton" -> (q353LogregNewton _),
+    "q354_als_step" -> (q354AlsStep _),
     "q344_gmm_em_step" -> (q344GmmEmStep _),
     "q328_eb_shrinkage" -> (q328EbShrinkage _),
     "q326_isotonic_calibration" -> (q326IsotonicCalibration _),
@@ -345,6 +435,50 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q353_logreg_newton" ->
+      """WITH o AS (SELECT o_totalprice::DOUBLE / 100000.0 AS x,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM orders),
+        |m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx,
+        |    sum(x * x) AS sxx, sum(y - 0.5) AS g0,
+        |    sum(x * (y - 0.5)) AS g1 FROM o),
+        |b AS (SELECT n,
+        |    (0.25 * sxx * g0 - 0.25 * sx * g1) /
+        |      (0.0625 * (n * sxx - sx * sx)) AS b0,
+        |    (0.25 * n * g1 - 0.25 * sx * g0) /
+        |      (0.0625 * (n * sxx - sx * sx)) AS b1 FROM m),
+        |l AS (SELECT count(*)::BIGINT AS n, max(b.b0) AS b0,
+        |    max(b.b1) AS b1,
+        |    sum(o.y * (b.b0 + b.b1 * o.x) -
+        |      ln(1.0 + exp(b.b0 + b.b1 * o.x))) AS ll1
+        |  FROM o CROSS JOIN b)
+        |SELECT n, round(b0, 6) AS beta0, round(b1, 6) AS beta1,
+        |  round(-n * ln(2.0), 4) AS ll_null,
+        |  round(ll1, 4) AS ll_newton,
+        |  ll1 > -n * ln(2.0) AS improved
+        |FROM l""".stripMargin,
+    "q354_als_step" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    count(*)::DOUBLE AS r FROM events GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT event_type,
+        |    0.5 + ('0x' || substr(md5('als:' || event_type), 1, 8))
+        |      ::BIGINT / 4294967296.0 AS v0
+        |  FROM r),
+        |u1 AS (SELECT r.user_id,
+        |    sum(r.r * v0.v0) / (0.1 + sum(v0.v0 * v0.v0)) AS u
+        |  FROM r JOIN v0 USING (event_type) GROUP BY 1),
+        |v1 AS (SELECT r.event_type, count(*)::BIGINT AS n_users,
+        |    sum(r.r * u1.u) / (0.1 + sum(u1.u * u1.u)) AS v1
+        |  FROM r JOIN u1 USING (user_id) GROUP BY 1),
+        |e AS (SELECT r.event_type,
+        |    sqrt(avg(pow(r.r - u1.u * v1.v1, 2))) AS rmse
+        |  FROM r JOIN u1 USING (user_id) JOIN v1 USING (event_type)
+        |  GROUP BY 1)
+        |SELECT event_type, round(v0.v0, 6) AS item_init,
+        |  v1.n_users, round(v1.v1, 6) AS item_factor,
+        |  round(e.rmse, 4) AS rmse
+        |FROM v0 JOIN v1 USING (event_type) JOIN e USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q344_gmm_em_step" ->
       """WITH o AS (SELECT o_totalprice::DOUBLE AS x FROM orders),
         |mm AS (SELECT min(x) AS mn, max(x) AS mx FROM o),

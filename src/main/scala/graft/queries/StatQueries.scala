@@ -401,7 +401,47 @@ object StatQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q355_cramer_von_mises — two-sample Cramér–von Mises distribution
+    * test between the click and purchase `value` populations, in the
+    * tie-aware ECDF form: T = nm/N² · Σ_x cnt(x)·(F_n(x) − G_m(x))²
+    * summed over the DISTINCT combined values (the integral against
+    * the pooled empirical measure — exactly right under ties, where
+    * the classic rank formula isn't defined). Against q115's KS (max
+    * gap), CvM integrates the WHOLE gap profile, so it sees broad
+    * low-amplitude shape differences KS misses. One count shuffle
+    * keyed by value, a cumulative window over the |distinct values|
+    * frame (q310's bounded-frame contract), inner products kept in
+    * exact Long arithmetic (m·F_n − n·G_m) until the final square.
+    * Asymptotic 5% critical value 0.461.
+    */
+  def q355CramerVonMises(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("g"), col("value").cast("double").as("v"))
+    val perV = e.groupBy(col("v")).agg(
+      count(when(col("g") === "click", 1)).as("__cn"),
+      count(when(col("g") === "purchase", 1)).as("__cm"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV
+      .withColumn("__Fn", sum(col("__cn")).over(w))
+      .withColumn("__Gm", sum(col("__cm")).over(w))
+    val tot = perV.agg(sum(col("__cn")).as("n"), sum(col("__cm")).as("m"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum((col("__cn") + col("__cm")).cast("double") *
+          pow((col("m") * col("__Fn") - col("n") * col("__Gm"))
+            .cast("double"), 2)).as("__sq"))
+      .withColumn("__t", col("__sq") /
+        (pow((col("n") + col("m")).cast("double"), 2) *
+          col("n") * col("m")))
+      .select(col("n"), col("m"),
+        round(col("__t"), 4).as("cvm_stat"),
+        (col("__t") > 0.461).as("rejected"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q355_cramer_von_mises" -> (q355CramerVonMises _),
     "q350_jarque_bera" -> (q350JarqueBera _),
     "q340_cronbach_alpha" -> (q340CronbachAlpha _),
     "q341_friedman" -> (q341Friedman _),
@@ -413,6 +453,28 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q355_cramer_von_mises" ->
+      """WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |pv AS (SELECT v,
+        |    count(CASE WHEN g = 'click' THEN 1 END)::BIGINT AS cn,
+        |    count(CASE WHEN g = 'purchase' THEN 1 END)::BIGINT AS cm
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, cn, cm,
+        |    sum(cn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fn,
+        |    sum(cm) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS gm
+        |  FROM pv),
+        |t AS (SELECT sum(cn)::BIGINT AS n, sum(cm)::BIGINT AS m
+        |  FROM pv),
+        |s AS (SELECT max(t.n) AS n, max(t.m) AS m,
+        |    sum((c.cn + c.cm)::DOUBLE *
+        |      pow((t.m * c.fn - t.n * c.gm)::DOUBLE, 2)) AS sq
+        |  FROM c CROSS JOIN t)
+        |SELECT n, m,
+        |  round(sq / (pow((n + m)::DOUBLE, 2) * n * m), 4)
+        |    AS cvm_stat,
+        |  sq / (pow((n + m)::DOUBLE, 2) * n * m) > 0.461 AS rejected
+        |FROM s""".stripMargin,
     "q350_jarque_bera" ->
       """WITH e AS (SELECT event_type, value::DOUBLE AS x FROM events),
         |m AS (SELECT event_type, avg(x) AS m FROM e GROUP BY 1),

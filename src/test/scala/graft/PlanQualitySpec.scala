@@ -216,7 +216,11 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q344_gmm_em_step",
     // q351 cross-joins the broadcast 1-row L2-norm scalars between
     // HITS half-steps
-    "q351_hits")
+    "q351_hits",
+    // q353 cross-joins the broadcast 1-row Newton-step beta frame
+    "q353_logreg_newton",
+    // q355 cross-joins the broadcast 1-row sample-size scalar
+    "q355_cramer_von_mises")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
