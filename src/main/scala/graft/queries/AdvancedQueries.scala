@@ -991,7 +991,101 @@ object AdvancedQueries {
       .limit(20)
   }
 
+  /** q356_clustering_coeff — per-node local clustering coefficient
+    * over the simhash near-dup graph (q152's edge source): the
+    * fraction of a node's neighbor pairs that are themselves
+    * connected, tri(w) / C(deg(w), 2) — the node-level refinement of
+    * q152's global triangle count that separates documents sitting in
+    * tight duplicate cliques (cc → 1) from chain/hub articulation
+    * points (cc → 0). Closed wedges are counted at their MIDPOINT:
+    * each triangle {x,y,z} has exactly one ordered wedge (a < b
+    * through w) per vertex, so one wedge join + one edge semi-join
+    * gives exact per-node triangle counts with no double counting —
+    * the same wedge shuffle q152 pays, grouped by midpoint instead of
+    * counted globally.
+    */
+  def q356ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
+        maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // wedge sides + closure + degree read this
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val aw = sym.select(col("src").as("a"), col("dst").as("w"))
+    val wb = sym.select(col("src").as("w"), col("dst").as("b"))
+    val tri = aw.join(wb, Seq("w")).filter(col("a") < col("b"))
+      .join(e.select(col("id_a").as("a"), col("id_b").as("b")),
+        Seq("a", "b"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("triangles"))
+    deg.filter(col("deg") >= 2)
+      .join(tri.withColumnRenamed("w", "src"), Seq("src"), "left")
+      .select(col("src").as("doc_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(coalesce(col("triangles"), lit(0L)).cast("double") /
+          (col("deg") * (col("deg") - 1) / 2), 4).as("cc"))
+      .orderBy(col("cc").desc, col("triangles").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** q357_assortativity — degree assortativity of the simhash near-dup
+    * graph: the Pearson correlation of endpoint degrees over the
+    * symmetric edge list (Newman 2002's r, computed on full degrees).
+    * r > 0 means duplicate hubs link to other hubs (template families
+    * cross-linking), r < 0 means hub-and-spoke boilerplate — the
+    * one-number structural signature that tells a dedup pipeline
+    * whether cluster resolution will face cliques or stars. One
+    * degree aggregation + one broadcast-joined moment pass over the
+    * edges; five moments, one output row, engine-exact via
+    * try_divide on the degenerate regular-graph case (zero degree
+    * variance).
+    */
+  def q357Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
+        maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // joined on both endpoints
+    val ends = sym
+      .join(deg.select(col("src"), col("deg").as("dj")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dk")),
+        Seq("dst"))
+    val m = ends.agg(count(lit(1)).cast("double").as("__m"),
+      sum(col("dj")).cast("double").as("__sj"),
+      sum(col("dk")).cast("double").as("__sk"),
+      sum(col("dj") * col("dk")).cast("double").as("__sjk"),
+      sum(col("dj") * col("dj")).cast("double").as("__sjj"),
+      sum(col("dk") * col("dk")).cast("double").as("__skk"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    nodes.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(m)
+      .select(col("n_nodes"), col("n_edges"),
+        round(try_divide(
+          col("__sjk") / col("__m") -
+            (col("__sj") / col("__m")) * (col("__sk") / col("__m")),
+          sqrt((col("__sjj") / col("__m") -
+              pow(col("__sj") / col("__m"), 2)) *
+            (col("__skk") / col("__m") -
+              pow(col("__sk") / col("__m"), 2)))), 4)
+          .as("assortativity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q356_clustering_coeff" -> (q356ClusteringCoeff _),
+    "q357_assortativity" -> (q357Assortativity _),
     "q352_adamic_adar" -> (q352AdamicAdar _),
     "q351_hits" -> (q351Hits _),
     "q72_having" -> (q72Having _),
@@ -1044,6 +1138,53 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q356_clustering_coeff" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |sym AS (SELECT ea AS src, eb AS dst FROM e
+         |        UNION ALL SELECT eb, ea FROM e),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym
+         |  GROUP BY src),
+         |tri AS (SELECT aw.dst AS w, count(*)::BIGINT AS triangles
+         |  FROM sym aw JOIN sym wb ON aw.dst = wb.src
+         |    AND aw.src < wb.dst
+         |  WHERE EXISTS (SELECT 1 FROM e
+         |    WHERE e.ea = aw.src AND e.eb = wb.dst)
+         |  GROUP BY 1)
+         |SELECT deg.src AS doc_id, deg.deg,
+         |  coalesce(tri.triangles, 0)::BIGINT AS triangles,
+         |  round(coalesce(tri.triangles, 0)::DOUBLE /
+         |    (deg.deg * (deg.deg - 1) / 2), 4) AS cc
+         |FROM deg LEFT JOIN tri ON deg.src = tri.w
+         |WHERE deg.deg >= 2
+         |ORDER BY cc DESC, triangles DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    "q357_assortativity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |sym AS (SELECT ea AS src, eb AS dst FROM e
+         |        UNION ALL SELECT eb, ea FROM e),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym
+         |  GROUP BY src),
+         |ends AS (SELECT a.deg AS dj, b.deg AS dk
+         |  FROM sym JOIN deg a ON sym.src = a.src
+         |           JOIN deg b ON sym.dst = b.src),
+         |m AS (SELECT count(*)::DOUBLE AS m, sum(dj)::DOUBLE AS sj,
+         |    sum(dk)::DOUBLE AS sk, sum(dj * dk)::DOUBLE AS sjk,
+         |    sum(dj * dj)::DOUBLE AS sjj, sum(dk * dk)::DOUBLE AS skk
+         |  FROM ends)
+         |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+         |  (SELECT count(*) FROM e)::BIGINT AS n_edges,
+         |  round((sjk / m - (sj / m) * (sk / m)) /
+         |    nullif(sqrt((sjj / m - pow(sj / m, 2)) *
+         |      (skk / m - pow(sk / m, 2))), 0), 4) AS assortativity
+         |FROM m""".stripMargin,
     "q352_adamic_adar" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),

@@ -440,7 +440,45 @@ object StatQueries {
         (col("__t") > 0.461).as("rejected"))
   }
 
+  /** q359_wasserstein — 1-Wasserstein (earth mover's) distance between
+    * the click and purchase `value` distributions, by the 1-D closed
+    * form W₁ = ∫|F−G|: Σ over sorted distinct pooled values of
+    * (next_v − v)·|F_n(v)/n − G_m(v)/m| — the actual transport cost in
+    * the metric's own units (how much value-mass must move, and how
+    * far), which rounds out the distribution-gap family: KS (q115)
+    * takes the max gap, CvM (q355) integrates the squared gap against
+    * the pooled measure, W₁ integrates the raw gap against Lebesgue.
+    * Same one count-shuffle + cumulative-window shape as q355; the
+    * inner gap m·F_n − n·G_m stays exact Long until the final scale by
+    * gap width / nm.
+    */
+  def q359Wasserstein(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("g"), col("value").cast("double").as("v"))
+    val perV = e.groupBy(col("v")).agg(
+      count(when(col("g") === "click", 1)).as("__cn"),
+      count(when(col("g") === "purchase", 1)).as("__cm"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lw = Window.orderBy(col("v"))
+    val cum = perV
+      .withColumn("__Fn", sum(col("__cn")).over(w))
+      .withColumn("__Gm", sum(col("__cm")).over(w))
+      .withColumn("__gap", lead(col("v"), 1).over(lw) - col("v"))
+      .filter(col("__gap").isNotNull)
+    val tot = perV.agg(sum(col("__cn")).as("n"), sum(col("__cm")).as("m"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(col("__gap") *
+          abs((col("m") * col("__Fn") - col("n") * col("__Gm"))
+            .cast("double"))).as("__s"))
+      .select(col("n"), col("m"),
+        round(col("__s") / (col("n") * col("m")), 4).as("w1_distance"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q359_wasserstein" -> (q359Wasserstein _),
     "q355_cramer_von_mises" -> (q355CramerVonMises _),
     "q350_jarque_bera" -> (q350JarqueBera _),
     "q340_cronbach_alpha" -> (q340CronbachAlpha _),
@@ -453,6 +491,25 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q359_wasserstein" ->
+      """WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |pv AS (SELECT v,
+        |    count(CASE WHEN g = 'click' THEN 1 END)::BIGINT AS cn,
+        |    count(CASE WHEN g = 'purchase' THEN 1 END)::BIGINT AS cm
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, cn, cm,
+        |    sum(cn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fn,
+        |    sum(cm) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS gm,
+        |    lead(v) OVER (ORDER BY v) - v AS gap
+        |  FROM pv),
+        |t AS (SELECT sum(cn)::BIGINT AS n, sum(cm)::BIGINT AS m
+        |  FROM pv),
+        |s AS (SELECT max(t.n) AS n, max(t.m) AS m,
+        |    sum(c.gap * abs((t.m * c.fn - t.n * c.gm)::DOUBLE)) AS sq
+        |  FROM c CROSS JOIN t WHERE c.gap IS NOT NULL)
+        |SELECT n, m, round(sq / (n * m), 4) AS w1_distance
+        |FROM s""".stripMargin,
     "q355_cramer_von_mises" ->
       """WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
         |  FROM events WHERE event_type IN ('click', 'purchase')),

@@ -321,6 +321,59 @@ object TemporalQueries {
       horizonDays = 3)
       .orderBy(col("duration_day"))
 
+  /** q358_cox_score — Cox proportional-hazards score test at β = 0
+    * (the efficient-score / Rao form, Breslow tie handling) for the
+    * signup→purchase cohort with the user's click count as the single
+    * covariate: U = Σ_days [Σx_deaths − d·S1/S0] and
+    * V = Σ_days d·(S2/S0 − (S1/S0)²), where S0/S1/S2 are the size and
+    * first two covariate moments of the RISK SET {duration ≥ t} —
+    * exactly the log-rank (q322) generalized from a binary arm to a
+    * continuous covariate, and the test a full Cox fit's first Newton
+    * iteration reduces to. Corpus → per-user durations (q204's one
+    * pass) → per-day moment frame; the risk-set sums are one
+    * reverse-cumulative window over the ≤ horizon-sized day frame, so
+    * everything after the user collapse is horizon-bounded arithmetic.
+    */
+  def q358CoxScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val dur = EventOps.survivalDurations(ev, "signup", "purchase",
+      horizonDays = 3)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("__x"))
+    val d = dur.join(clicks, Seq("user_id"), "left")
+      .withColumn("__x", coalesce(col("__x"), lit(0.0)))
+    val perDay = d.groupBy(col("duration_day"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        count(when(col("__event"), 1)).as("__d"),
+        sum(when(col("__event"), col("__x")).otherwise(lit(0.0)))
+          .as("__dx"))
+    // risk set at day t = everyone still uncensored then: one reverse
+    // cumulative over the horizon-sized day frame (bounded window)
+    val w = Window.orderBy(col("duration_day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val k = perDay
+      .withColumn("__S0", sum(col("__n")).over(w).cast("double"))
+      .withColumn("__S1", sum(col("__sx")).over(w))
+      .withColumn("__S2", sum(col("__sxx")).over(w))
+      .filter(col("__d") > 0)
+    val stats = k.agg(sum(col("__d")).as("n_deaths"),
+      sum(col("__dx") - col("__d") * col("__S1") / col("__S0"))
+        .as("__u"),
+      sum(col("__d") * (col("__S2") / col("__S0") -
+        pow(col("__S1") / col("__S0"), 2))).as("__v"))
+    d.agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_users"), col("n_deaths"),
+        round(col("__u"), 4).as("score_u"),
+        round(col("__v"), 4).as("score_var"),
+        round(try_divide(col("__u"), sqrt(col("__v"))), 4).as("z"),
+        (abs(try_divide(col("__u"), sqrt(col("__v")))) > 1.96)
+          .as("significant"))
+  }
+
   /** q206_cusum — CUSUM change-point detection on each event type's
     * daily count series (`EventOps.cusumChangePoint`): the peak
     * |cumulative standardized deviation| marks the most likely
@@ -566,6 +619,7 @@ object TemporalQueries {
     "q204_kaplan_meier" -> (q204KaplanMeier _),
     "q322_log_rank" -> (q322LogRank _),
     "q323_nelson_aalen" -> (q323NelsonAalen _),
+    "q358_cox_score" -> (q358CoxScore _),
     "q206_cusum" -> (q206Cusum _),
     "q197_mad_anomaly" -> (q197MadAnomaly _),
     "q188_time_range_frame" -> (q188TimeRangeFrame _),
@@ -743,6 +797,50 @@ object TemporalQueries {
         |  AND date_diff('day', h.day, d.day) < 28
         |GROUP BY d.event_type, d.day
         |ORDER BY d.event_type, d.day""".stripMargin,
+    "q358_cox_score" ->
+      """WITH starts AS (
+        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |tg AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS te
+        |       FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events),
+        |dur AS (
+        |  SELECT s.user_id, any_value(t0) AS t0,
+        |    min(CASE WHEN te >= t0 THEN te END) AS t1
+        |  FROM starts s LEFT JOIN tg USING (user_id) GROUP BY s.user_id),
+        |d0 AS (
+        |  SELECT user_id, (t1 IS NOT NULL AND
+        |      t1 <= least(tmax, t0 + 3*86400000000)) AS ev,
+        |    floor((least(coalesce(t1, least(tmax, t0 + 3*86400000000)),
+        |        least(tmax, t0 + 3*86400000000)) - t0)
+        |      / 86400000000)::BIGINT AS dd
+        |  FROM dur, h),
+        |cl AS (SELECT user_id, count(*)::DOUBLE AS x FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |d AS (SELECT d0.*, coalesce(cl.x, 0.0) AS x
+        |  FROM d0 LEFT JOIN cl USING (user_id)),
+        |pd AS (SELECT dd, count(*)::BIGINT AS n, sum(x) AS sx,
+        |    sum(x * x) AS sxx,
+        |    count(CASE WHEN ev THEN 1 END)::BIGINT AS dth,
+        |    sum(CASE WHEN ev THEN x ELSE 0.0 END) AS dx
+        |  FROM d GROUP BY 1),
+        |k AS (SELECT *,
+        |    (sum(n) OVER (ORDER BY dd ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING))::DOUBLE AS s0,
+        |    sum(sx) OVER (ORDER BY dd ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS s1,
+        |    sum(sxx) OVER (ORDER BY dd ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS s2
+        |  FROM pd),
+        |st AS (SELECT sum(dth)::BIGINT AS n_deaths,
+        |    sum(dx - dth * s1 / s0) AS u,
+        |    sum(dth * (s2 / s0 - pow(s1 / s0, 2))) AS v
+        |  FROM k WHERE dth > 0)
+        |SELECT (SELECT count(*) FROM d)::BIGINT AS n_users, n_deaths,
+        |  round(u, 4) AS score_u, round(v, 4) AS score_var,
+        |  round(u / nullif(sqrt(v), 0), 4) AS z,
+        |  abs(u / nullif(sqrt(v), 0)) > 1.96 AS significant
+        |FROM st""".stripMargin,
     "q322_log_rank" ->
       s"""WITH starts AS (
         |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0

@@ -220,7 +220,14 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q353 cross-joins the broadcast 1-row Newton-step beta frame
     "q353_logreg_newton",
     // q355 cross-joins the broadcast 1-row sample-size scalar
-    "q355_cramer_von_mises")
+    "q355_cramer_von_mises",
+    // q357 cross-joins three 1-row aggregates (q152's census shape)
+    "q357_assortativity",
+    // q358 carries survivalDurations' broadcast corpus-end scalar plus
+    // the broadcast 1-row score frame
+    "q358_cox_score",
+    // q359 cross-joins the broadcast 1-row sample-size scalar
+    "q359_wasserstein")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
