@@ -389,7 +389,55 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** q360_bpe_merge — one byte-pair-encoding merge step, the inner
+    * loop of tokenizer TRAINING (vs q46's already-trained BPE-ish
+    * token counting): collapse the corpus to a word-frequency table,
+    * count adjacent symbol pairs weighted by word frequency (the
+    * overlapping 2-grams of each word's character sequence), pick the
+    * argmax pair, apply the merge, and re-count. Because round-1
+    * symbols are single characters, applying the merge is exactly
+    * `replace(word, pair, sentinel)` — leftmost non-overlapping, the
+    * same greedy order real BPE uses, and bit-identical across
+    * engines. The corpus is touched ONCE (the word collapse);
+    * everything after runs on the |vocab|-sized frame, which is how a
+    * 100 TB tokenizer-training pass actually works (word counts fit,
+    * raw text doesn't). Output: top-10 pairs before and after the
+    * merge, the merged symbol rendered as `[xy]`.
+    */
+  def q360BpeMerge(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.parallelize(Tables.documents(s, dir))
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint() // round-1 count + merge application read this
+    def pairCounts(df: DataFrame): DataFrame = df
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("weighted_count"))
+    val r1 = pairCounts(words).localCheckpoint() // top-10 + argmax
+    val best = r1.orderBy(col("weighted_count").desc, col("pair"))
+      .limit(1).select(col("pair").as("__bp"))
+    val r2 = pairCounts(
+      words.crossJoin(broadcast(best))
+        .select(expr("replace(w, __bp, char(1))").as("w"), col("f")))
+      .crossJoin(broadcast(best))
+      .select(expr("replace(pair, char(1), '[' || __bp || ']')")
+        .as("pair"), col("weighted_count"))
+    val w = Window.partitionBy(col("round"))
+      .orderBy(col("weighted_count").desc, col("pair"))
+    r1.select(lit(1).as("round"), col("pair"), col("weighted_count"))
+      .unionByName(r2.select(lit(2).as("round"), col("pair"),
+        col("weighted_count")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("round"), col("rank"), col("pair"),
+        col("weighted_count"))
+      .orderBy(col("round"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q360_bpe_merge" -> (q360BpeMerge _),
     "q143_containment" -> (q143Containment _),
     "q148_quality_vector" -> (q148QualityVector _),
     "q155_sentences" -> (q155Sentences _),
@@ -412,6 +460,33 @@ object CurationQueries {
   import ExtensionQueries.{toksSql, tokSetSql, stopIn}
 
   val oracle: Map[String, String] = Map(
+    "q360_bpe_merge" ->
+      """WITH wr AS (SELECT unnest(string_split_regex(lower(text),
+        |    '\s+')) AS w FROM documents),
+        |wf AS (SELECT w, count(*)::BIGINT AS f FROM wr
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+        |  GROUP BY 1),
+        |p1 AS (SELECT substr(w, i::INT, 2) AS pair,
+        |    sum(f)::BIGINT AS weighted_count
+        |  FROM wf, unnest(range(1, len(w))) AS u(i) GROUP BY 1),
+        |best AS (SELECT pair FROM p1
+        |  ORDER BY weighted_count DESC, pair LIMIT 1),
+        |wm AS (SELECT replace(w, (SELECT pair FROM best), chr(1)) AS w,
+        |    f FROM wf),
+        |p2r AS (SELECT substr(w, i::INT, 2) AS pair,
+        |    sum(f)::BIGINT AS weighted_count
+        |  FROM wm, unnest(range(1, len(w))) AS u(i) GROUP BY 1),
+        |p2 AS (SELECT replace(pair, chr(1),
+        |    '[' || (SELECT pair FROM best) || ']') AS pair,
+        |    weighted_count FROM p2r),
+        |u AS (SELECT 1 AS round, pair, weighted_count FROM p1
+        |  UNION ALL SELECT 2, pair, weighted_count FROM p2),
+        |r AS (SELECT round, pair, weighted_count,
+        |    row_number() OVER (PARTITION BY round
+        |      ORDER BY weighted_count DESC, pair) AS rank
+        |  FROM u)
+        |SELECT round, rank, pair, weighted_count FROM r
+        |WHERE rank <= 10 ORDER BY round, rank""".stripMargin,
     "q324_repeated_substrings" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |g AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, i AS pos,

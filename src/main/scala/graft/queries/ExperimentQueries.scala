@@ -1466,7 +1466,42 @@ object ExperimentQueries {
         (col("__pab") > 0.95 || col("__pab") < 0.05).as("decisive"))
   }
 
+  /** q362_ucb1 — UCB1 bandit allocation (Auer et al. 2002) over the
+    * event types as arms: after the observed history (pulls = events,
+    * reward = `value` min-max normalized to [0,1] by broadcast corpus
+    * fences, as UCB1's regret bound requires), each arm's index is
+    * mean + √(2·ln N / n), and the next pull goes to the argmax — the
+    * explore/exploit allocator behind adaptive experiments and
+    * dynamic traffic splitting, as one aggregation + one broadcast
+    * scalar pass. The chosen flag is rank-based (6-dp key + arm
+    * tiebreak), never a float equality, so the decision is
+    * engine-exact.
+    */
+  def q362Ucb1(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val fences = e.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      count(lit(1)).cast("double").as("__N"))
+    val arms = e.crossJoin(broadcast(fences))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pulls"),
+        avg(try_divide(col("v") - col("__lo"),
+          col("__hi") - col("__lo"))).as("__mu"),
+        max(col("__N")).as("__N"))
+      .withColumn("__ucb", col("__mu") +
+        sqrt(lit(2.0) * log(col("__N")) / col("n_pulls")))
+    arms
+      .withColumn("chosen", row_number().over(
+        Window.orderBy(round(col("__ucb"), 6).desc, col("event_type")))
+        === 1)
+      .select(col("event_type"), col("n_pulls"),
+        round(col("__mu"), 4).as("mean_reward"),
+        round(col("__ucb"), 4).as("ucb_score"), col("chosen"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q362_ucb1" -> (q362Ucb1 _),
     "q306_ndcg_eval" -> (q306NdcgEval _),
     "q307_source_similarity" -> (q307SourceSimilarity _),
     "q308_lloyd_step" -> (q308LloydStep _),
@@ -1561,6 +1596,21 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q362_ucb1" ->
+      """WITH e AS (SELECT event_type, value::DOUBLE AS v FROM events),
+        |f AS (SELECT min(v) AS lo, max(v) AS hi,
+        |    count(*)::DOUBLE AS N FROM e),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_pulls,
+        |    avg((v - f.lo) / nullif(f.hi - f.lo, 0)) AS mu,
+        |    max(f.N) AS N
+        |  FROM e CROSS JOIN f GROUP BY 1),
+        |u AS (SELECT *, mu + sqrt(2.0 * ln(N) / n_pulls) AS ucb
+        |  FROM a),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY round(ucb, 6) DESC, event_type) AS rk FROM u)
+        |SELECT event_type, n_pulls, round(mu, 4) AS mean_reward,
+        |  round(ucb, 4) AS ucb_score, rk = 1 AS chosen
+        |FROM r ORDER BY event_type""".stripMargin,
     "q306_ndcg_eval" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl,

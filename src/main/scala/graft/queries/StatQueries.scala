@@ -477,7 +477,64 @@ object StatQueries {
         round(col("__s") / (col("n") * col("m")), 4).as("w1_distance"))
   }
 
+  /** q363_anderson_darling — two-sample Anderson–Darling statistic in
+    * the Scholz–Stephens (1987) tie-adjusted midrank form: A²ₐₖₙ =
+    * (N−1)/N · Σᵢ (1/nᵢ) Σⱼ (lⱼ/N)·(N·Mₐᵢⱼ − nᵢ·Bₐⱼ)² /
+    * (Bₐⱼ(N−Bₐⱼ) − N·lⱼ/4) over the distinct pooled values, with
+    * midrank cumulatives Mₐ = M − l_i/2, Bₐ = B − l/2 — the
+    * tail-weighted member of the gap family (KS q115 / CvM q355 / W₁
+    * q359): the denominator up-weights discrepancies in the
+    * distribution tails, where CvM's uniform pooled weighting is
+    * blind. Under H₀ the statistic's mean is k−1 = 1, so values ≫ 1
+    * indicate divergence. Same one count-shuffle + cumulative-window
+    * shape as q355; numerators are formed as 2×-scaled integer-valued
+    * doubles (exact below 2⁵³) before the one square, and degenerate
+    * den = 0 cells null out via try_divide in both engines.
+    */
+  def q363AndersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("g"), col("value").cast("double").as("v"))
+    val perV = e.groupBy(col("v")).agg(
+      count(when(col("g") === "click", 1)).as("__cn"),
+      count(when(col("g") === "purchase", 1)).as("__cm"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV
+      .withColumn("__l", col("__cn") + col("__cm"))
+      .withColumn("__Fn", sum(col("__cn")).over(w))
+      .withColumn("__Gm", sum(col("__cm")).over(w))
+      .withColumn("__B", sum(col("__cn") + col("__cm")).over(w))
+    val tot = perV.agg(sum(col("__cn")).cast("double").as("__n"),
+      sum(col("__cm")).cast("double").as("__m"))
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("__tt", col("__n") + col("__m"))
+      // 2×-scaled midrank numerators: 2(N·Ma − nᵢ·Ba), integer-valued
+      .withColumn("__u1", lit(2.0) * col("__tt") * col("__Fn") -
+        col("__tt") * col("__cn") - lit(2.0) * col("__n") * col("__B") +
+        col("__n") * col("__l"))
+      .withColumn("__u2", lit(2.0) * col("__tt") * col("__Gm") -
+        col("__tt") * col("__cm") - lit(2.0) * col("__m") * col("__B") +
+        col("__m") * col("__l"))
+      // 4×-scaled denominator: 4(Ba(N−Ba) − N·l/4)
+      .withColumn("__d4", (lit(2.0) * col("__B") - col("__l")) *
+        (lit(2.0) * col("__tt") - lit(2.0) * col("__B") + col("__l")) -
+        col("__tt") * col("__l"))
+    j.agg(max(col("__n")).cast("long").as("n"),
+        max(col("__m")).cast("long").as("m"),
+        sum(try_divide(col("__l") * col("__u1") * col("__u1"),
+          col("__d4"))).as("__s1"),
+        sum(try_divide(col("__l") * col("__u2") * col("__u2"),
+          col("__d4"))).as("__s2"),
+        max(col("__tt")).as("__tt"))
+      .select(col("n"), col("m"),
+        round((col("__tt") - 1) / col("__tt") *
+          (col("__s1") / (col("__tt") * col("n")) +
+            col("__s2") / (col("__tt") * col("m"))), 4).as("ad_stat"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q363_anderson_darling" -> (q363AndersonDarling _),
     "q359_wasserstein" -> (q359Wasserstein _),
     "q355_cramer_von_mises" -> (q355CramerVonMises _),
     "q350_jarque_bera" -> (q350JarqueBera _),
@@ -491,6 +548,37 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q363_anderson_darling" ->
+      """WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |pv AS (SELECT v,
+        |    count(CASE WHEN g = 'click' THEN 1 END)::BIGINT AS cn,
+        |    count(CASE WHEN g = 'purchase' THEN 1 END)::BIGINT AS cm
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, cn, cm, cn + cm AS l,
+        |    sum(cn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fn,
+        |    sum(cm) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS gm,
+        |    sum(cn + cm) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS b
+        |  FROM pv),
+        |t AS (SELECT sum(cn)::DOUBLE AS n, sum(cm)::DOUBLE AS m
+        |  FROM pv),
+        |j AS (SELECT c.*, t.n, t.m, t.n + t.m AS nn,
+        |    2.0 * (t.n + t.m) * c.fn - (t.n + t.m) * c.cn -
+        |      2.0 * t.n * c.b + t.n * c.l AS u1,
+        |    2.0 * (t.n + t.m) * c.gm - (t.n + t.m) * c.cm -
+        |      2.0 * t.m * c.b + t.m * c.l AS u2,
+        |    (2.0 * c.b - c.l) * (2.0 * (t.n + t.m) - 2.0 * c.b + c.l)
+        |      - (t.n + t.m) * c.l AS d4
+        |  FROM c CROSS JOIN t),
+        |s AS (SELECT max(n) AS n, max(m) AS m, max(nn) AS nn,
+        |    sum(l * u1 * u1 / nullif(d4, 0)) AS s1,
+        |    sum(l * u2 * u2 / nullif(d4, 0)) AS s2
+        |  FROM j)
+        |SELECT n::BIGINT AS n, m::BIGINT AS m,
+        |  round((nn - 1) / nn * (s1 / (nn * n) + s2 / (nn * m)), 4)
+        |    AS ad_stat
+        |FROM s""".stripMargin,
     "q359_wasserstein" ->
       """WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
         |  FROM events WHERE event_type IN ('click', 'purchase')),

@@ -227,7 +227,14 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the broadcast 1-row score frame
     "q358_cox_score",
     // q359 cross-joins the broadcast 1-row sample-size scalar
-    "q359_wasserstein")
+    "q359_wasserstein",
+    // q360 cross-joins the broadcast 1-row best-pair frame twice
+    "q360_bpe_merge",
+    // q361 carries q315's broadcast 3-row query-term frame (QL side)
+    "q361_rrf_fusion",
+    // q362/q363 cross-join broadcast 1-row corpus-fence/sample-size
+    // scalars
+    "q362_ucb1", "q363_anderson_darling")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
