@@ -1083,7 +1083,55 @@ object AdvancedQueries {
           .as("assortativity"))
   }
 
+  /** q366_kcore — 2-core decomposition of the simhash near-dup graph
+    * by iterative peeling: each round drops nodes with degree < 2 and
+    * the edges they carried, until the census stabilizes — the
+    * standard preprocessing that strips pendant chains off a dup graph
+    * so cluster resolution (q145) only pays for the dense cores, and
+    * the degeneracy signal behind "is this a clique family or a
+    * straggly chain". Three unrolled BSP rounds (each one degree
+    * aggregation + two semi-joins on the checkpointed edge frame —
+    * q172 PageRank's iteration shape), with a per-round census and a
+    * converged flag the oracle replays exactly: fixed-round peeling is
+    * deterministic, so engine parity doesn't depend on running to
+    * fixpoint.
+    */
+  def q366Kcore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    var e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
+        maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val census = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to 3) {
+      val deg = e.select(col("id_a").as("n")).unionByName(
+          e.select(col("id_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "id_a"), Seq("id_a"),
+          "left_semi")
+        .join(keep.withColumnRenamed("n", "id_b"), Seq("id_b"),
+          "left_semi")
+        .localCheckpoint() // next round's degree + this census read it
+      census += e.select(col("id_a").as("n")).unionByName(
+          e.select(col("id_b").as("n"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    val all = census.reduce(_ unionByName _).localCheckpoint()
+    val last2 = all.filter(col("round") >= 2)
+      .agg((count_distinct(col("n_nodes")) === 1 &&
+        count_distinct(col("n_edges")) === 1).as("converged"))
+    all.crossJoin(broadcast(last2)).orderBy(col("round"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q366_kcore" -> (q366Kcore _),
     "q356_clustering_coeff" -> (q356ClusteringCoeff _),
     "q357_assortativity" -> (q357Assortativity _),
     "q352_adamic_adar" -> (q352AdamicAdar _),
@@ -1137,7 +1185,35 @@ object AdvancedQueries {
     s"CASE WHEN list_sum(list_transform(toks, t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
+  // one k-core peel round for the q366 oracle: e{r-1} -> d{r}/k{r}/e{r}/c{r}
+  private def peelRound(r: Int): String =
+    s"""d$r AS (SELECT n, count(*)::BIGINT AS deg FROM (
+       |    SELECT ea AS n FROM e${r - 1}
+       |    UNION ALL SELECT eb FROM e${r - 1}) GROUP BY 1),
+       |k$r AS (SELECT n FROM d$r WHERE deg >= 2),
+       |e$r AS (SELECT * FROM e${r - 1}
+       |  WHERE ea IN (SELECT n FROM k$r)
+       |    AND eb IN (SELECT n FROM k$r)),
+       |c$r AS (SELECT $r AS round,
+       |  (SELECT count(DISTINCT n) FROM (SELECT ea AS n FROM e$r
+       |    UNION ALL SELECT eb FROM e$r))::BIGINT AS n_nodes,
+       |  (SELECT count(*) FROM e$r)::BIGINT AS n_edges)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q366_kcore" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |e0 AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |${(1 to 3).map(peelRound).mkString(",\n")},
+         |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+         |  UNION ALL SELECT * FROM c3),
+         |cv AS (SELECT (count(DISTINCT n_nodes) = 1 AND
+         |    count(DISTINCT n_edges) = 1) AS converged
+         |  FROM u WHERE round >= 2)
+         |SELECT u.round, u.n_nodes, u.n_edges, cv.converged
+         |FROM u CROSS JOIN cv ORDER BY u.round""".stripMargin,
     "q356_clustering_coeff" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),

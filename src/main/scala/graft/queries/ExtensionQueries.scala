@@ -761,6 +761,58 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
   }
 
+  /** q364_transform_with_state — Spark 4's arbitrary-stateful-v2
+    * streaming operator (`transformWithState`, SPARK-40434): per-user
+    * running (count, Σvalue) kept in a typed `ValueState` inside the
+    * RocksDB state store, re-emitted per touched key per micro-batch
+    * (`StreamingOps.RunningTotalsProcessor`). The three-file replay
+    * splits every user's history across micro-batches, so the final
+    * emission per user equals the batch aggregate ONLY if state
+    * genuinely persists across batches and store snapshots — which is
+    * exactly what the DuckDB oracle (a plain GROUP BY over the full
+    * corpus) certifies. TimeMode.None ⇒ no watermark, nothing
+    * dropped; the last emission is selected by the monotone
+    * event-count key. State at scale: one 16-byte record per user
+    * off-heap, the successor API to q174's flatMapGroupsWithState.
+    */
+  def q364TransformWithState(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import graft.streaming.StreamingOps
+    val sink = "q364_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val src = eventsLateReplayStream(s, dir, "q364")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("value").cast("double").as("value"))
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    implicit val uvEnc = org.apache.spark.sql.Encoders
+      .product[StreamingOps.UserValue]
+    implicit val utEnc = org.apache.spark.sql.Encoders
+      .product[StreamingOps.UserTotals]
+    val typed = src.as[StreamingOps.UserValue]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = withStreamShuffle(s, 8) {
+        typed.groupByKey(_.user_id)
+          .transformWithState(new StreamingOps.RunningTotalsProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      q.awaitTermination()
+    } finally s.conf.set(provKey, prevProv)
+    s.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_value"))).as("__f"))
+      .select(col("user_id"), col("__f.n_events").as("n_events"),
+        round(col("__f.total_value"), 2).as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** q336_stream_late_drop — watermark late-data semantics made
     * oracle-checkable: a tumbling-hour Append-mode aggregation over
     * the out-of-order replay (recent half first, old half second).
@@ -935,6 +987,7 @@ object ExtensionQueries {
     "q334_foreach_batch_sink" -> (q334ForeachBatchSink _),
     "q336_stream_late_drop" -> (q336StreamLateDrop _),
     "q337_dedup_ttl" -> (q337DedupTtl _),
+    "q364_transform_with_state" -> (q364TransformWithState _),
     "q17_hourly_window" -> (q17Hourly _),
     "q142_stream_hourly" -> (q142StreamHourly _),
     "q218_stream_rollup" -> (q218StreamRollup _),
@@ -1056,6 +1109,11 @@ object ExtensionQueries {
         |  WHERE us >= (SELECT mid FROM m))
         |SELECT event_type, count(*)::BIGINT AS n_unique_users
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q364_transform_with_state" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  round(sum(value::DOUBLE), 2) AS total_value
+        |FROM events GROUP BY 1
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
     "q334_foreach_batch_sink" ->
       """SELECT event_type, count(*)::BIGINT AS n_events,
         |  round(sum(value), 2) AS total_value

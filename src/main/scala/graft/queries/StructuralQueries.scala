@@ -1165,7 +1165,45 @@ object StructuralQueries {
         |FROM orders_q349 GROUP BY ALL ORDER BY ALL""".stripMargin)
   }
 
+  /** q365_struct_surgery — nested-struct field surgery with
+    * `Column.withField` / `dropFields` (SPARK-31317), the API for
+    * evolving deeply nested schemas WITHOUT exploding and rebuilding
+    * the whole struct (the pre-3.1 idiom that silently reorders
+    * fields and breaks writers): orders are packed into a two-level
+    * struct, a derived quarter field is grafted INTO the nested date
+    * struct by path (`d.q`), a scaled-price field is added at the top
+    * level, and the custkey field is dropped — then the query reads back
+    * only through the surgically-modified paths, so the oracle (a flat
+    * relational replay) certifies every graft/drop landed where
+    * addressed. All scan-stage projection: Catalyst rewrites
+    * withField/dropFields chains into a single UpdateFields
+    * expression, no shuffle until the final rollup.
+    */
+  def q365StructSurgery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("meta", struct(
+        col("o_orderpriority").as("prio"), col("o_custkey").as("cust"),
+        struct(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m")).as("d")))
+      .withColumn("meta", col("meta")
+        .withField("d.q", quarter(col("o_orderdate")))
+        .withField("pr_scaled",
+          col("o_totalprice").cast("double") / 1000.0)
+        .dropFields("cust"))
+    // field census read from the ACTUAL post-surgery schema: 3 proves
+    // the drop landed (prio, d, pr_scaled) and cust is gone
+    val nFields = o.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fields.length
+    o.groupBy(col("meta.d.y").as("year"), col("meta.d.q").as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("meta.pr_scaled")), 2).as("sum_price_k"),
+        count_distinct(col("meta.prio")).as("n_priorities"),
+        max(lit(nFields)).as("n_fields"))
+      .orderBy(col("year"), col("qtr"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q365_struct_surgery" -> (q365StructSurgery _),
     "q348_variant_type" -> (q348VariantType _),
     "q349_group_by_all" -> (q349GroupByAll _),
     "q345_pipe_syntax" -> (q345PipeSyntax _),
@@ -1228,6 +1266,14 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q365_struct_surgery" ->
+      """SELECT extract(year FROM o_orderdate::DATE)::INT AS year,
+        |  extract(quarter FROM o_orderdate::DATE)::INT AS qtr,
+        |  count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice::DOUBLE / 1000.0), 2) AS sum_price_k,
+        |  count(DISTINCT o_orderpriority)::BIGINT AS n_priorities,
+        |  3 AS n_fields
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q348_variant_type" ->
       """WITH e AS (SELECT event_id,
         |    (props::JSON ->> 'k')::BIGINT AS k,

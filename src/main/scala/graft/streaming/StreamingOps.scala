@@ -152,4 +152,37 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  case class UserValue(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4 `transformWithState` processor: per-user running
+    * (count, Σvalue) in a `ValueState`, re-emitted on every
+    * micro-batch that touches the key. The arbitrary-stateful-v2 API
+    * (SPARK-40434): typed state handles with optional TTL, timers, and
+    * a state store the engine snapshots/restores — the successor to
+    * `flatMapGroupsWithState` used by `sessionizeStream`. State is one
+    * 16-byte record per user key in RocksDB, so memory is O(users) off
+    * heap, not O(events).
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserValue, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserValue],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      var n = 0L
+      var t = 0.0
+      if (st.exists()) { val p = st.get(); n = p.n_events; t = p.total_value }
+      rows.foreach { r => n += 1; t += r.value }
+      val cur = UserTotals(key, n, t)
+      st.update(cur)
+      Iterator.single(cur)
+    }
+  }
 }

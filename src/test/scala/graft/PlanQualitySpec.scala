@@ -234,7 +234,10 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q361_rrf_fusion",
     // q362/q363 cross-join broadcast 1-row corpus-fence/sample-size
     // scalars
-    "q362_ucb1", "q363_anderson_darling")
+    "q362_ucb1", "q363_anderson_darling",
+    // q366 cross-joins per-round 1-row census frames + the broadcast
+    // converged flag
+    "q366_kcore")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
