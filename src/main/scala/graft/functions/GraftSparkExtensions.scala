@@ -127,10 +127,18 @@ object GraftSparkExtensions {
       SortedIntersectCount(children.head, children(1))
     })
 
+  val jaroWinkler: FnDef = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "jaro_winkler takes (a, b)")
+      JaroWinkler(children.head, children(1))
+    })
+
   val all: Seq[FnDef] =
     Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8,
       dotInt8, wordShingles, rollingHash, vecNorm, poissonDraw,
-      sortedIntersectCount)
+      sortedIntersectCount, jaroWinkler)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

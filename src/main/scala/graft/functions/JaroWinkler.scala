@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: Jaro–Winkler similarity ∈ [0, 1].
+  *
+  * Spark ships `levenshtein` but no Jaro–Winkler, which is the
+  * entity-resolution standard for SHORT name-like strings precisely
+  * because it rewards shared prefixes and discounts transpositions —
+  * the error classes names actually exhibit (cf. Winkler 1990, the
+  * string comparator in the Fellegi–Sunter linkage framework q247
+  * implements the decision side of).
+  *
+  * Definition (the classic one, matching DuckDB's
+  * `jaro_winkler_similarity` so the oracle can replay bit-close):
+  * match window ⌊max(|a|,|b|)/2⌋ − 1 (min 0); jaro = (m/|a| + m/|b| +
+  * (m − t)/m)/3 with t = half the out-of-order matches; Winkler boost
+  * jaro + ℓ·0.1·(1 − jaro) for the common prefix ℓ ≤ 4, applied only
+  * when jaro > 0.7; either side empty → 0.
+  *
+  * The hot loop runs as one static call per pair inside
+  * WholeStageCodegen (no per-row allocation beyond two bitsets), so a
+  * blocked fuzzy join can verify millions of candidate pairs in the
+  * scan stage.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(a, b) - Jaro-Winkler similarity of two strings in [0, 1].")
+case class JaroWinkler(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler requires two strings, got " +
+          s"${a.catalogString} and ${b.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerUtil.sim(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerUtil.sim($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaro_winkler"
+}
+
+object JaroWinklerUtil {
+  def sim(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars compared in order
+    var k = 0
+    var halfT = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = halfT / 2.0
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}

@@ -56,6 +56,36 @@ object PipelineQueries {
       split_part(col("p_name"), lit(" "), lit(2)), maxDist = 4)
       .orderBy(col("val_a"), col("val_b"))
 
+  /** q367_jaro_winkler — blocked fuzzy matching with the native
+    * `jaro_winkler` codegen expression (functions/JaroWinkler.scala):
+    * the prefix-weighted transposition-tolerant comparator entity
+    * resolution uses for short name-like strings, where q92's
+    * Levenshtein over-penalizes swaps and under-rewards shared stems.
+    * Same blocking discipline as q92 (distinct part names, head-noun
+    * block key — candidates are O(n·block density), never all-pairs);
+    * the verify loop is one static call per pair inside
+    * WholeStageCodegen. Threshold and output both work on the 4-dp
+    * ROUNDED similarity so the ≥ 0.9 cut is engine-exact against
+    * DuckDB's jaro_winkler_similarity (same classic definition:
+    * window ⌊max/2⌋−1, boost 0.1·ℓ≤4 above 0.7, empty → 0).
+    */
+  def q367JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftSparkExtensions.register(s)
+    val vals = Tables.part(s, dir)
+      .select(col("p_name"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("__blk"))
+      .distinct()
+    val right = vals.select(col("p_name").as("val_b"), col("__blk"))
+    vals.select(col("p_name").as("val_a"), col("__blk"))
+      .join(right, Seq("__blk"))
+      .filter(col("val_a") < col("val_b"))
+      .withColumn("jw_sim",
+        round(expr("jaro_winkler(val_a, val_b)"), 4))
+      .filter(col("jw_sim") >= 0.9)
+      .select(col("val_a"), col("val_b"), col("jw_sim"))
+      .orderBy(col("val_a"), col("val_b"))
+  }
+
   /** q93_quantize — symmetric int8 embedding quantization
     * (`VectorOps.quantizeInt8`, native `quantize_int8` codegen
     * expression): the 4× corpus shrink before ANN index serving. Pure
@@ -484,6 +514,7 @@ object PipelineQueries {
     "q90_gap_fill" -> (q90GapFill _),
     "q91_sliding_window" -> (q91SlidingWindow _),
     "q92_edit_distance" -> (q92EditDistance _),
+    "q367_jaro_winkler" -> (q367JaroWinkler _),
     "q93_quantize" -> (q93Quantize _),
     "q94_profile" -> (q94Profile _),
     "q95_sketch_accuracy" -> (q95SketchAccuracy _),
@@ -671,6 +702,16 @@ object PipelineQueries {
         |SELECT win_start, event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q367_jaro_winkler" ->
+      """WITH v AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2)
+        |    AS blk FROM part)
+        |SELECT a.p_name AS val_a, b.p_name AS val_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4)
+        |    AS jw_sim
+        |FROM v a JOIN v b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4)
+        |  >= 0.9
+        |ORDER BY val_a, val_b""".stripMargin,
     "q92_edit_distance" ->
       """WITH v AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk
         |           FROM part)

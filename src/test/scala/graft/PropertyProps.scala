@@ -130,6 +130,54 @@ object PropertyProps extends Properties("graft") {
       hof == expected && native == expected
     }
 
+  // Independent reference Jaro-Winkler (textbook formulation, written
+  // separately from JaroWinklerUtil's bitset loop) for cross-checking.
+  private def jwRef(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val w = math.max(0, math.max(a.length, b.length) / 2 - 1)
+    val used = Array.fill(b.length)(false)
+    val ma = a.zipWithIndex.flatMap { case (c, i) =>
+      val j = (math.max(0, i - w) to math.min(b.length - 1, i + w))
+        .find(j => !used(j) && b(j) == c)
+      j.foreach(used(_) = true)
+      j.map(j => (i, j))
+    }
+    if (ma.isEmpty) return 0.0
+    val m = ma.length.toDouble
+    val aChars = ma.map { case (i, _) => a(i) }
+    val bChars = ma.map(_._2).sorted.map(b(_))
+    val halfT = aChars.zip(bChars).count { case (x, y) => x != y }
+    val t = halfT / 2.0
+    val jaro = (m / a.length + m / b.length + (m - t) / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val l = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.length
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  private val shortStr: Gen[String] =
+    Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+
+  property("jaro_winkler matches an independent reference and is " +
+    "symmetric, bounded, 1 on self") =
+    forAll(shortStr, shortStr) { (a, b) =>
+      val s = graft.functions.JaroWinklerUtil.sim(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      val t = graft.functions.JaroWinklerUtil.sim(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      val self = graft.functions.JaroWinklerUtil.sim(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      math.abs(s - jwRef(a, b)) < 1e-12 &&
+        math.abs(s - t) < 1e-12 &&
+        s >= 0.0 && s <= 1.0 &&
+        (a.isEmpty || self == 1.0)
+    }
+
   property("native word_shingles matches the HOF formulation") =
     forAll(Gen.listOf(tokenGen), Gen.choose(1, 5)) { (toks, n) =>
       import org.apache.spark.sql.functions.array
