@@ -761,6 +761,53 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
   }
 
+  /** q369_statestore_read — the state store as a BATCH table: Spark
+    * 4's `statestore` data source (SPARK-45511) reads a streaming
+    * checkpoint's state back as rows — the debugging/auditing surface
+    * for production streams (inspect what the operator is actually
+    * holding, reconcile state against the source of truth, size state
+    * before a backfill). A streaming exact-dedup on (event_type,
+    * user_id) runs over the two-batch replay into a pinned checkpoint;
+    * the state keys are then read back batch-side and reconciled
+    * three ways per event type: state key count ≡ emitted row count ≡
+    * the oracle's COUNT(DISTINCT user_id) — state, sink, and truth all
+    * agree or the hash breaks. The checkpoint is recreated per run so
+    * state never leaks across verify invocations.
+    */
+  def q369StatestoreRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import java.nio.file.{Files, Paths}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val ckpt = s"target/tmp/q369_ckpt_$tag"
+    val ckptPath = Paths.get(ckpt)
+    if (Files.exists(ckptPath))
+      Files.walk(ckptPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    val sink = "q369_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val src = eventsTwoBatchStream(s, dir, "q369")
+      .filter(col("user_id") >= 0)
+      .select(col("event_type"), col("user_id"))
+    val q = withStreamShuffle(s, 8) {
+      src.dropDuplicates("event_type", "user_id")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val state = s.read.format("statestore").load(ckpt)
+      .groupBy(col("key.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_state_keys"))
+    val emitted = s.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_emitted"))
+    state.join(emitted, Seq("event_type"), "full_outer")
+      .select(col("event_type"), col("n_state_keys"), col("n_emitted"),
+        (col("n_state_keys") === col("n_emitted")).as("reconciled"))
+      .orderBy(col("event_type"))
+  }
+
   /** q364_transform_with_state — Spark 4's arbitrary-stateful-v2
     * streaming operator (`transformWithState`, SPARK-40434): per-user
     * running (count, Σvalue) kept in a typed `ValueState` inside the
@@ -988,6 +1035,7 @@ object ExtensionQueries {
     "q336_stream_late_drop" -> (q336StreamLateDrop _),
     "q337_dedup_ttl" -> (q337DedupTtl _),
     "q364_transform_with_state" -> (q364TransformWithState _),
+    "q369_statestore_read" -> (q369StatestoreRead _),
     "q17_hourly_window" -> (q17Hourly _),
     "q142_stream_hourly" -> (q142StreamHourly _),
     "q218_stream_rollup" -> (q218StreamRollup _),
@@ -1109,6 +1157,12 @@ object ExtensionQueries {
         |  WHERE us >= (SELECT mid FROM m))
         |SELECT event_type, count(*)::BIGINT AS n_unique_users
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q369_statestore_read" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id)::BIGINT AS n_state_keys,
+        |  count(DISTINCT user_id)::BIGINT AS n_emitted,
+        |  true AS reconciled
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q364_transform_with_state" ->
       """SELECT user_id, count(*)::BIGINT AS n_events,
         |  round(sum(value::DOUBLE), 2) AS total_value

@@ -1165,6 +1165,42 @@ object StructuralQueries {
         |FROM orders_q349 GROUP BY ALL ORDER BY ALL""".stripMargin)
   }
 
+  /** q368_xml_roundtrip — XML source/sink round trip through Spark 4's
+    * BUILT-IN xml format (SPARK-44751; previously the external
+    * spark-xml package), completing the source layer alongside
+    * parquet/CSV/ORC (q132/q140/q228): orders are written
+    * row-per-element, read back under an EXPLICIT schema (inference
+    * would rescan and is banned in pinned pipelines — Ingest.readXml),
+    * and rolled up; the oracle aggregates the original parquet, so any
+    * value mangled by XML serialization (escaping, numeric text,
+    * nulls) breaks the hash. Dates travel as ISO strings — the
+    * round-trip contract is at the TEXT layer, so the reader's cast
+    * back is part of what's certified.
+    */
+  def q368XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = "target/tmp/q368_xml_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.sources.Ingest.writeXml(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          col("o_orderpriority")),
+      path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType), StructField("day", StringType),
+      StructField("o_orderpriority", StringType)))
+    graft.sources.Ingest.readXml(s, path, schema)
+      .filter(col("o_totalprice") > 1000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        count_distinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** q365_struct_surgery — nested-struct field surgery with
     * `Column.withField` / `dropFields` (SPARK-31317), the API for
     * evolving deeply nested schemas WITHOUT exploding and rebuilding
@@ -1203,6 +1239,7 @@ object StructuralQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q368_xml_roundtrip" -> (q368XmlRoundtrip _),
     "q365_struct_surgery" -> (q365StructSurgery _),
     "q348_variant_type" -> (q348VariantType _),
     "q349_group_by_all" -> (q349GroupByAll _),
@@ -1266,6 +1303,14 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q368_xml_roundtrip" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice::DOUBLE), 2) AS total_price,
+        |  min(strftime(o_orderdate::DATE, '%Y-%m-%d')) AS first_day,
+        |  max(strftime(o_orderdate::DATE, '%Y-%m-%d')) AS last_day,
+        |  count(DISTINCT o_orderpriority)::BIGINT AS n_priorities
+        |FROM orders WHERE o_totalprice::DOUBLE > 1000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q365_struct_surgery" ->
       """SELECT extract(year FROM o_orderdate::DATE)::INT AS year,
         |  extract(quarter FROM o_orderdate::DATE)::INT AS qtr,

@@ -72,4 +72,19 @@ object Ingest {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** XML read/write — the Spark 4 BUILT-IN xml source (SPARK-44751,
+    * the spark-xml package folded into spark-sql): row-per-element
+    * under a configurable rowTag. Read takes an EXPLICIT schema —
+    * XML inference samples the data and is both a second scan and a
+    * nondeterminism source, neither acceptable in a pinned pipeline.
+    */
+  def readXml(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).option("rowTag", "row").format("xml")
+      .load(path)
+
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("rootTag", "rows")
+      .option("rowTag", "row").format("xml").save(path)
 }

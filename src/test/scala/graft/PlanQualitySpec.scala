@@ -237,7 +237,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q362_ucb1", "q363_anderson_darling",
     // q366 cross-joins per-round 1-row census frames + the broadcast
     // converged flag
-    "q366_kcore")
+    "q366_kcore",
+    // q371 cross-joins the broadcast 1-row qhat/split-count scalars
+    "q371_conformal")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
