@@ -244,7 +244,42 @@ object FunctionQueries {
       .orderBy(col("user_a"), col("user_b"))
   }
 
+  /** q374_map_functions — the MapType higher-order surface as a
+    * round trip: per-user event-type counts are packed into a real
+    * map column (`map_from_entries` over the SORTED entry list, so
+    * map order is canonical), pruned with `map_filter` (≥ 3 events),
+    * value-transformed with `transform_values` (log-count), sanity-
+    * gated with `map_contains_key`/`cardinality`, and then EXPLODED
+    * back to rows — so the map algebra's net effect is certified by a
+    * plain relational oracle (group → filter → ln), while the plan
+    * exercises build/filter/transform/explode of MapData end to end.
+    * Maps are the natural carrier for sparse per-entity feature
+    * bundles at scale (schema stays fixed as the key domain grows);
+    * this is the operator that proves the engine's map kernels agree
+    * with relational semantics. Users capped to id < 200 to bound the
+    * dump.
+    */
+  def q374MapFunctions(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .filter(col("user_id") < 200)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("event_type"), col("__c")))))
+        .as("__m"))
+      .withColumn("__f", map_filter(col("__m"), (_, v) => v >= 3))
+      .withColumn("__t", transform_values(col("__f"),
+        (_, v) => round(log(v.cast("double")), 4)))
+      .filter(size(col("__t")) > 0)
+      .select(col("user_id"), size(col("__m")).as("n_types"),
+        size(col("__t")).as("n_frequent"),
+        explode(col("__t")).as(Seq("event_type", "log_count")))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q374_map_functions" -> (q374MapFunctions _),
     "q185_optimized_intersect" -> (q185OptimizedIntersect _),
     "q32_window_analytics" -> (q32WindowAnalytics _),
     "q33_string_funcs" -> (q33StringFuncs _),
@@ -262,6 +297,18 @@ object FunctionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q374_map_functions" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    count(*)::BIGINT AS n FROM events
+        |  WHERE user_id < 200 GROUP BY 1, 2),
+        |u AS (SELECT user_id, count(*)::INT AS n_types,
+        |    count(CASE WHEN n >= 3 THEN 1 END)::INT AS n_frequent
+        |  FROM c GROUP BY 1)
+        |SELECT c.user_id, u.n_types, u.n_frequent, c.event_type,
+        |  round(ln(c.n::DOUBLE), 4) AS log_count
+        |FROM c JOIN u USING (user_id)
+        |WHERE c.n >= 3 AND u.n_frequent > 0
+        |ORDER BY c.user_id, c.event_type""".stripMargin,
     "q185_optimized_intersect" ->
       """WITH d AS (SELECT user_id,
         |    list_sort(list_distinct(

@@ -330,6 +330,109 @@ object ModelQueries {
           .as("sd2"))
   }
 
+  /** q375_brier_decomposition — Murphy (1973) decomposition of the
+    * Brier score for q227's sigmoid scorer on F-status: over K = 10
+    * score bins, B = REL − RES + UNC + WV, with reliability
+    * REL = Σnₖ(p̄ₖ−ōₖ)²/N (calibration gap, lower better), resolution
+    * RES = Σnₖ(ōₖ−ō)²/N (how much the bins separate outcomes, higher
+    * better), irreducible uncertainty UNC = ō(1−ō), and the
+    * within-bin forecast-variance remainder WV = Σₖ Σᵢ(pᵢ−p̄ₖ)²/N −
+    * 2·Σₖ Σᵢ(pᵢ−p̄ₖ)(oᵢ−ōₖ)/N that makes the identity EXACT for
+    * non-constant bins (emitted, and the oracle certifies
+    * B ≡ REL − RES + UNC + WV to the rounding). This is the readout
+    * that tells you WHERE a probability model loses: q227's ECE only
+    * sees REL. One aggregation to the 10-bin frame, scalar arithmetic
+    * after — the within-bin cross-moments ride the same pass.
+    */
+  def q375BrierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val pr = substring(col("o_orderpriority"), 1, 1).cast("int")
+    val score = lit(1.0) / (lit(1.0) +
+      exp(-(lit(0.00002) * col("o_totalprice") - lit(0.5) * pr - lit(1.0))))
+    val rows = Tables.orders(s, dir)
+      .select(score.as("p"),
+        (col("o_orderstatus") === "F").cast("int").cast("double").as("o"))
+      .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+    val binned = rows.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("p")).as("__sp"), sum(col("p") * col("p")).as("__spp"),
+        sum(col("o")).as("__so"), sum(col("o") * col("o")).as("__soo"),
+        sum(col("p") * col("o")).as("__spo"))
+    binned.agg(sum(col("__n")).as("__N"),
+        sum(col("__so")).as("__sumo"),
+        sum(col("__n") * pow(col("__sp") / col("__n") -
+          col("__so") / col("__n"), 2)).as("__rel"),
+        sum(col("__spp") - col("__sp") * col("__sp") / col("__n"))
+          .as("__wvp"),
+        sum(col("__spo") - col("__sp") * col("__so") / col("__n"))
+          .as("__wcov"),
+        sum(col("__spp") - lit(2.0) * col("__spo") + col("__soo")).as("__bsum"),
+        sum(col("__n") * pow(col("__so") / col("__n"), 2)).as("__sobar2"))
+      .withColumn("__obar", col("__sumo") / col("__N"))
+      .withColumn("__brier", col("__bsum") / col("__N"))
+      .withColumn("__rel", col("__rel") / col("__N"))
+      .withColumn("__res", col("__sobar2") / col("__N") -
+        col("__obar") * col("__obar"))
+      .withColumn("__unc", col("__obar") * (lit(1.0) - col("__obar")))
+      .withColumn("__wv", (col("__wvp") - lit(2.0) * col("__wcov")) / col("__N"))
+      .select(col("__N").cast("long").as("n"),
+        round(col("__brier"), 4).as("brier"),
+        round(col("__rel"), 4).as("reliability"),
+        round(col("__res"), 4).as("resolution"),
+        round(col("__unc"), 4).as("uncertainty"),
+        round(col("__wv"), 4).as("within_bin_term"),
+        (abs(col("__brier") - (col("__rel") - col("__res") +
+          col("__unc") + col("__wv"))) < 1e-9).as("identity_exact"))
+  }
+
+  /** q373_avg_precision — average precision (area under the
+    * precision–recall curve, the ranking metric that — unlike q190's
+    * ROC AUC — doesn't reward true negatives and so is the right
+    * readout under heavy class imbalance): AP = (1/P)·Σ_{positives}
+    * precision@rank(i) = (1/P)·Σ pos_rank(i)/rank(i) over the
+    * (score desc, id asc) total order. Global ranks are assembled
+    * WITHOUT a global window: per-distinct-score cumulative counts
+    * (the q190 rankAuc collapse) give the "strictly better" offsets,
+    * and a per-score-PARTITIONED window adds the in-tie local rank —
+    * every window is bounded by one tie group, so the plan is two
+    * bounded shuffles at any corpus size. The oracle replays the same
+    * total order with a plain row_number, proving the distributed
+    * rank assembly exact.
+    */
+  def q373AvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id").as("id"),
+        col("value").cast("double").as("v"),
+        (col("event_type") === "purchase").cast("int").as("pos"))
+    val perV = e.groupBy(col("v"))
+      .agg(count(lit(1)).as("__c"), sum(col("pos")).as("__cp"))
+    val offsets = perV
+      .withColumn("__before", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("v").desc).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__posBefore", coalesce(sum(col("__cp")).over(
+        Window.orderBy(col("v").desc).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"), col("__before"), col("__posBefore"))
+    val wtie = Window.partitionBy(col("v")).orderBy(col("id"))
+    val ranked = e.join(offsets, Seq("v"))
+      .withColumn("__rank", col("__before") +
+        row_number().over(wtie))
+      .withColumn("__posRank", col("__posBefore") + sum(col("pos"))
+        .over(wtie.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    ranked.filter(col("pos") === 1)
+      .agg(count(lit(1)).as("n_pos"),
+        avg(col("__posRank").cast("double") / col("__rank"))
+          .as("__ap"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n"))))
+      .select(col("n"), col("n_pos"),
+        round(col("__ap"), 4).as("avg_precision"),
+        round(col("n_pos").cast("double") / col("n"), 4)
+          .as("baseline_prevalence"))
+  }
+
   /** q353_logreg_newton — one Newton–Raphson (IRLS) step for logistic
     * regression y ~ 1 + x from β = 0, in closed form (q344's
     * oracle-the-training-step move for GLMs): at β = 0 every p = ½, so
@@ -419,6 +522,8 @@ object ModelQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q373_avg_precision" -> (q373AvgPrecision _),
+    "q375_brier_decomposition" -> (q375BrierDecomposition _),
     "q353_logreg_newton" -> (q353LogregNewton _),
     "q354_als_step" -> (q354AlsStep _),
     "q344_gmm_em_step" -> (q344GmmEmStep _),
@@ -435,6 +540,53 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q375_brier_decomposition" ->
+      """WITH r AS (
+        |  SELECT 1.0 / (1.0 + exp(-(0.00002 * o_totalprice
+        |      - 0.5 * substr(o_orderpriority, 1, 1)::INT - 1.0)))
+        |    AS p,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS o
+        |  FROM orders),
+        |b AS (SELECT least(floor(p * 10)::INT, 9) AS bin,
+        |    count(*)::DOUBLE AS n, sum(p) AS sp, sum(p * p) AS spp,
+        |    sum(o) AS so, sum(o * o) AS soo, sum(p * o) AS spo
+        |  FROM r GROUP BY 1),
+        |a AS (SELECT sum(n) AS nn, sum(so) AS sumo,
+        |    sum(n * pow(sp / n - so / n, 2)) AS rel,
+        |    sum(spp - sp * sp / n) AS wvp,
+        |    sum(spo - sp * so / n) AS wcov,
+        |    sum(spp - 2 * spo + soo) AS bsum,
+        |    sum(n * pow(so / n, 2)) AS sobar2
+        |  FROM b),
+        |f AS (SELECT nn, bsum / nn AS brier, rel / nn AS rel,
+        |    sobar2 / nn - (sumo / nn) * (sumo / nn) AS res,
+        |    (sumo / nn) * (1.0 - sumo / nn) AS unc,
+        |    (wvp - 2 * wcov) / nn AS wv
+        |  FROM a)
+        |SELECT nn::BIGINT AS n, round(brier, 4) AS brier,
+        |  round(rel, 4) AS reliability, round(res, 4) AS resolution,
+        |  round(unc, 4) AS uncertainty,
+        |  round(wv, 4) AS within_bin_term,
+        |  abs(brier - (rel - res + unc + wv)) < 1e-9
+        |    AS identity_exact
+        |FROM f""".stripMargin,
+    "q373_avg_precision" ->
+      """WITH e AS (SELECT event_id AS id, value::DOUBLE AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY v DESC, id) AS rk,
+        |    sum(pos) OVER (ORDER BY v DESC, id
+        |      ROWS UNBOUNDED PRECEDING) AS prk
+        |  FROM e),
+        |a AS (SELECT count(*)::BIGINT AS n_pos,
+        |    avg(prk::DOUBLE / rk) AS ap
+        |  FROM r WHERE pos = 1)
+        |SELECT (SELECT count(*) FROM e)::BIGINT AS n, n_pos,
+        |  round(ap, 4) AS avg_precision,
+        |  round(n_pos::DOUBLE / (SELECT count(*) FROM e), 4)
+        |    AS baseline_prevalence
+        |FROM a""".stripMargin,
     "q353_logreg_newton" ->
       """WITH o AS (SELECT o_totalprice::DOUBLE / 100000.0 AS x,
         |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y

@@ -321,6 +321,78 @@ object TemporalQueries {
       horizonDays = 3)
       .orderBy(col("duration_day"))
 
+  /** q372_holt_smoothing — Holt's linear (double-exponential)
+    * smoothing of each type's daily count series: level
+    * lₜ = αyₜ + (1−α)(lₜ₋₁+tₜ₋₁) and trend tₜ = β(lₜ−lₜ₋₁) +
+    * (1−β)tₜ₋₁ (α=0.5, β=0.3, init l₁=y₁, t₁=0), plus the h=3-day
+    * forecast l+3t — the EWMA (q209) upgraded with a trend state,
+    * which a one-pass window cannot express because the recursion is
+    * 2-dimensional. It runs instead as `aggregate` (fold) over the
+    * BOUNDED ordered daily array (sort_array of (day, y) structs —
+    * horizon-sized by construction, q310's bounded-frame contract),
+    * with the identical step replayed by a DuckDB RECURSIVE CTE over
+    * the indexed daily frame: same per-step expression tree, same
+    * IEEE doubles, hash-exact. (DuckDB's list_reduce was tried and
+    * rejected: with a struct accumulator its second field evaluates
+    * against a partially-updated acc — a genuine engine bug this
+    * oracle routes around.) Corpus cost is the one daily aggregation;
+    * the fold is |days| flops per type.
+    */
+  def q372HoltSmoothing(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, n))), " +
+          "x -> x.n)").as("__ys"))
+      .withColumn("__h", expr(
+        """aggregate(slice(__ys, 2, size(__ys) - 1),
+          |  named_struct('l', __ys[0], 't', cast(0.0 as double)),
+          |  (acc, y) -> named_struct(
+          |    'l', 0.5 * y + 0.5 * (acc.l + acc.t),
+          |    't', 0.3 * ((0.5 * y + 0.5 * (acc.l + acc.t)) - acc.l)
+          |         + 0.7 * acc.t))""".stripMargin))
+      .select(col("event_type"), col("n_days"),
+        round(col("__h.l"), 4).as("level"),
+        round(col("__h.t"), 4).as("trend"),
+        round(col("__h.l") + lit(3.0) * col("__h.t"), 4).as("forecast_3d"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q376_mase — scaled forecast-accuracy evaluation (Hyndman &
+    * Koehler 2006's MASE shape) on each type's daily count series:
+    * the lag-1 naive forecaster's MAE scaled by the weekly
+    * seasonal-naive (lag-7) MAE — the scale-free skill score that
+    * compares forecasters across series of wildly different volume
+    * (where raw MAE/RMSE can't), and the standard gate before
+    * promoting any fancier model (q372's Holt) into a forecasting
+    * pipeline: MASE < 1 ⇔ you beat the seasonal baseline. Two lag
+    * windows per type over the horizon-bounded daily frame + one
+    * aggregation; degenerate series (no lag-7 pairs, or a constant
+    * series with zero seasonal error) null out via try_divide in both
+    * engines.
+    */
+  def q376Mase(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("__l1", lag(col("n"), 1).over(w))
+      .withColumn("__l7", lag(col("n"), 7).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        avg(abs(col("n") - col("__l1"))).as("__mae1"),
+        avg(abs(col("n") - col("__l7"))).as("__mae7"))
+      .select(col("event_type"), col("n_days"),
+        round(col("__mae1"), 4).as("mae_naive1"),
+        round(col("__mae7"), 4).as("mae_seasonal7"),
+        round(try_divide(col("__mae1"), col("__mae7")), 4).as("mase"))
+      .orderBy(col("event_type"))
+  }
+
   /** q358_cox_score — Cox proportional-hazards score test at β = 0
     * (the efficient-score / Rao form, Breslow tie handling) for the
     * signup→purchase cohort with the user's click count as the single
@@ -620,6 +692,8 @@ object TemporalQueries {
     "q322_log_rank" -> (q322LogRank _),
     "q323_nelson_aalen" -> (q323NelsonAalen _),
     "q358_cox_score" -> (q358CoxScore _),
+    "q372_holt_smoothing" -> (q372HoltSmoothing _),
+    "q376_mase" -> (q376Mase _),
     "q206_cusum" -> (q206Cusum _),
     "q197_mad_anomaly" -> (q197MadAnomaly _),
     "q188_time_range_frame" -> (q188TimeRangeFrame _),
@@ -797,6 +871,49 @@ object TemporalQueries {
         |  AND date_diff('day', h.day, d.day) < 28
         |GROUP BY d.event_type, d.day
         |ORDER BY d.event_type, d.day""".stripMargin,
+    "q376_mase" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS l1,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS l7
+        |  FROM d),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_days,
+        |    avg(abs(n - l1)) AS mae1, avg(abs(n - l7)) AS mae7
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_days, round(mae1, 4) AS mae_naive1,
+        |  round(mae7, 4) AS mae_seasonal7,
+        |  round(mae1 / nullif(mae7, 0), 4) AS mase
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q372_holt_smoothing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS i
+        |  FROM d),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n_days
+        |  FROM x GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, 1::BIGINT AS i, n AS l, 0.0::DOUBLE AS t
+        |  FROM x WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, r.i + 1,
+        |    0.5 * x.n + 0.5 * (r.l + r.t),
+        |    0.3 * ((0.5 * x.n + 0.5 * (r.l + r.t)) - r.l)
+        |      + 0.7 * r.t
+        |  FROM r JOIN x ON x.event_type = r.event_type
+        |    AND x.i = r.i + 1)
+        |SELECT m.event_type, m.n_days, round(r.l, 4) AS level,
+        |  round(r.t, 4) AS trend,
+        |  round(r.l + 3 * r.t, 4) AS forecast_3d
+        |FROM r JOIN m ON r.event_type = m.event_type
+        |  AND r.i = m.n_days
+        |ORDER BY m.event_type""".stripMargin,
     "q358_cox_score" ->
       """WITH starts AS (
         |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0

@@ -239,7 +239,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // converged flag
     "q366_kcore",
     // q371 cross-joins the broadcast 1-row qhat/split-count scalars
-    "q371_conformal")
+    "q371_conformal",
+    // q373 cross-joins the broadcast 1-row sample-size scalar
+    "q373_avg_precision")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
