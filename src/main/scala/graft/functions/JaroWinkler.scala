@@ -58,9 +58,14 @@ case class JaroWinkler(left: Expression, right: Expression)
 }
 
 object JaroWinklerUtil {
+  /** Similarity over Unicode CODE POINTS (not UTF-16 code units): a
+    * non-BMP symbol — emoji, rare CJK — counts as one character for the
+    * match window, transposition scan, and prefix length, matching
+    * code-point-based engines (DuckDB's jaro_winkler_similarity).
+    */
   def sim(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -75,7 +80,7 @@ object JaroWinklerUtil {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatch(j) && a(i) == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -90,7 +95,7 @@ object JaroWinklerUtil {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        if (a(i) != b(k)) halfT += 1
         k += 1
       }
       i += 1
@@ -101,7 +106,7 @@ object JaroWinklerUtil {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(la, lb))
-    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < maxL && a(l) == b(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }

@@ -900,10 +900,15 @@ object StructuralQueries {
     val patch = e.filter(col("day") === "2024-01-15")
       .withColumn("value", col("value") * 2)
     val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.get(key, "STATIC")
+    // Try-snapshot like q338: a previously-UNSET conf must be restored
+    // by unset(), not pinned to the default's current spelling.
+    val prev = scala.util.Try(s.conf.get(key)).toOption
     s.conf.set(key, "dynamic")
     try patch.write.mode("overwrite").partitionBy("day").parquet(path)
-    finally s.conf.set(key, prev)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
     s.read.parquet(path)
       .groupBy((col("day") === "2024-01-15").as("patched"))
       .agg(count(lit(1)).as("n"),
