@@ -135,10 +135,18 @@ object GraftSparkExtensions {
       JaroWinkler(children.head, children(1))
     })
 
+  val imageMeta: FnDef = (
+    FunctionIdentifier("image_meta"),
+    new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "image_meta takes exactly 1 argument")
+      ImageMeta(children.head)
+    })
+
   val all: Seq[FnDef] =
     Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8,
       dotInt8, wordShingles, rollingHash, vecNorm, poissonDraw,
-      sortedIntersectCount, jaroWinkler)
+      sortedIntersectCount, jaroWinkler, imageMeta)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GeometricMean
-import graft.ops.{DedupOps, RangeJoinOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, RangeJoinOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -386,25 +386,18 @@ object AdvancedQueries {
   /** q152_triangles — triangle counting over the simhash near-dup graph
     * (q59's edges): the graph-analytics step past connected components
     * — triangle density separates genuine duplicate clusters from
-    * chains of borderline pairs. Orientation by id (a < b < c) counts
-    * each triangle exactly once via three edge-table joins — the
-    * standard distributed shape (at scale, orient low-degree → high-
-    * degree so hub nodes don't quadratically fan out their wedges).
+    * chains of borderline pairs. Counted via
+    * [[GraphOps.orientedTriangles]] DEGREE orientation (each edge
+    * directed from its lower-(degree, id) endpoint, wedges emitted
+    * only between oriented out-neighbors): the compact-forward bound
+    * keeps wedge fan-out at Σ outdeg(u)² ≤ O(m^1.5) even when the dup
+    * graph is hub-heavy, where id orientation pays Σ deg(w)² on the
+    * hubs. The count is orientation-invariant — the oracle's
+    * id-oriented three-way join replays it exactly.
     */
   def q152Triangles(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelize(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
-    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint()
-    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
-        maxHamming = 3, bands = 4)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint() // read by 3 join sides + 2 aggregates
-    val ab = e.select(col("id_a").as("a"), col("id_b").as("b"))
-    val bc = e.select(col("id_a").as("b"), col("id_b").as("c"))
-    val ac = e.select(col("id_a").as("a"), col("id_b").as("c"))
-    val tri = ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+    val e = GraphOps.simhashDocEdges(s, dir)
+    val tri = GraphOps.orientedTriangles(e)
       .agg(count(lit(1)).as("n_triangles"))
     val stats = e.agg(count(lit(1)).as("n_edges"))
     val nodes = e.select(col("id_a").as("n")).unionByName(
@@ -425,16 +418,7 @@ object AdvancedQueries {
     * literal (0.15, not 1−0.85) so both engines sum identical doubles.
     */
   def q172Pagerank(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelize(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
-    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint()
-    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
-        maxHamming = 3, bands = 4)
-      .select(col("id_a"), col("id_b"))
-    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val sym = GraphOps.symmetrize(GraphOps.simhashDocEdges(s, dir))
       .localCheckpoint() // 3 iterations + degree read this
     // deg feeds every round — checkpoint it (and sym above) once;
     // each rank frame is referenced exactly once per round, so the
@@ -443,14 +427,14 @@ object AdvancedQueries {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val nFrame = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
-    var ranks = deg.crossJoin(broadcast(nFrame))
+    val init = deg.crossJoin(broadcast(nFrame))
       .select(col("src").as("node"), col("deg"),
         (lit(1.0) / col("n_nodes")).as("p"))
-    for (_ <- 1 to 3) {
-      val contrib = ranks.join(sym, ranks("node") === sym("src"))
+    val ranks = GraphOps.unrolledRounds(init, 3) { (r, _) =>
+      val contrib = r.join(sym, r("node") === sym("src"))
         .select(col("dst").as("node"), (col("p") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("__in"))
-      ranks = deg.select(col("src").as("node"), col("deg"))
+      deg.select(col("src").as("node"), col("deg"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nFrame))
         .select(col("node"), col("deg"),
@@ -964,17 +948,12 @@ object AdvancedQueries {
     * engine-portable.
     */
   def q352AdamicAdar(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelize(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
-    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint()
-    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
-        maxHamming = 3, bands = 4)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint() // read by wedge sides + anti-join
-    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val e = GraphOps.simhashDocEdges(s, dir)
+    // NOTE on orientation: q152/q356's degree-oriented wedge bound does
+    // NOT apply here — AA's exact score sums over EVERY common
+    // neighbor, so the Σ C(deg(w), 2) wedge set IS the output workload;
+    // the only hub mitigations are approximations (neighbor top-k).
+    val sym = GraphOps.symmetrize(e)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val aw = sym.select(col("src").as("a"), col("dst").as("w"))
     val wb = sym.select(col("src").as("w"), col("dst").as("b"))
@@ -997,34 +976,22 @@ object AdvancedQueries {
     * connected, tri(w) / C(deg(w), 2) — the node-level refinement of
     * q152's global triangle count that separates documents sitting in
     * tight duplicate cliques (cc → 1) from chain/hub articulation
-    * points (cc → 0). Closed wedges are counted at their MIDPOINT:
-    * each triangle {x,y,z} has exactly one ordered wedge (a < b
-    * through w) per vertex, so one wedge join + one edge semi-join
-    * gives exact per-node triangle counts with no double counting —
-    * the same wedge shuffle q152 pays, grouped by midpoint instead of
-    * counted globally.
+    * points (cc → 0). Per-node triangle counts come from
+    * [[GraphOps.orientedTriangles]] (each triangle enumerated exactly
+    * once under the hub-safe degree orientation) with each triple
+    * credited to its three vertices — same numbers as the
+    * midpoint-wedge form, but the wedge shuffle is bounded by
+    * Σ outdeg² ≤ O(m^1.5) instead of Σ deg(w)² on hubs.
     */
   def q356ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelize(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
-    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint()
-    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
-        maxHamming = 3, bands = 4)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint() // wedge sides + closure + degree read this
-    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val e = GraphOps.simhashDocEdges(s, dir)
+    val sym = GraphOps.symmetrize(e)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val aw = sym.select(col("src").as("a"), col("dst").as("w"))
-    val wb = sym.select(col("src").as("w"), col("dst").as("b"))
-    val tri = aw.join(wb, Seq("w")).filter(col("a") < col("b"))
-      .join(e.select(col("id_a").as("a"), col("id_b").as("b")),
-        Seq("a", "b"), "left_semi")
-      .groupBy(col("w")).agg(count(lit(1)).as("triangles"))
+    val tri = GraphOps.orientedTriangles(e)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("triangles"))
     deg.filter(col("deg") >= 2)
-      .join(tri.withColumnRenamed("w", "src"), Seq("src"), "left")
+      .join(tri, Seq("src"), "left")
       .select(col("src").as("doc_id"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         round(coalesce(col("triangles"), lit(0L)).cast("double") /
@@ -1046,17 +1013,8 @@ object AdvancedQueries {
     * variance).
     */
   def q357Assortativity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelize(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
-    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint()
-    val e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
-        maxHamming = 3, bands = 4)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val e = GraphOps.simhashDocEdges(s, dir)
+    val sym = GraphOps.symmetrize(e)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint() // joined on both endpoints
     val ends = sym
@@ -1083,55 +1041,7 @@ object AdvancedQueries {
           .as("assortativity"))
   }
 
-  /** q366_kcore — 2-core decomposition of the simhash near-dup graph
-    * by iterative peeling: each round drops nodes with degree < 2 and
-    * the edges they carried, until the census stabilizes — the
-    * standard preprocessing that strips pendant chains off a dup graph
-    * so cluster resolution (q145) only pays for the dense cores, and
-    * the degeneracy signal behind "is this a clique family or a
-    * straggly chain". Three unrolled BSP rounds (each one degree
-    * aggregation + two semi-joins on the checkpointed edge frame —
-    * q172 PageRank's iteration shape), with a per-round census and a
-    * converged flag the oracle replays exactly: fixed-round peeling is
-    * deterministic, so engine parity doesn't depend on running to
-    * fixpoint.
-    */
-  def q366Kcore(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelize(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")))
-    val sh = DedupOps.withSimhash(docs, TextOps.tokens(col("text")), 32, "sh")
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint()
-    var e = DedupOps.simhashHammingPairs(sh, "doc_id", "sh",
-        maxHamming = 3, bands = 4)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    val census = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (r <- 1 to 3) {
-      val deg = e.select(col("id_a").as("n")).unionByName(
-          e.select(col("id_b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= 2).select(col("n"))
-      e = e.join(keep.withColumnRenamed("n", "id_a"), Seq("id_a"),
-          "left_semi")
-        .join(keep.withColumnRenamed("n", "id_b"), Seq("id_b"),
-          "left_semi")
-        .localCheckpoint() // next round's degree + this census read it
-      census += e.select(col("id_a").as("n")).unionByName(
-          e.select(col("id_b").as("n"))).distinct()
-        .agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
-    }
-    val all = census.reduce(_ unionByName _).localCheckpoint()
-    val last2 = all.filter(col("round") >= 2)
-      .agg((count_distinct(col("n_nodes")) === 1 &&
-        count_distinct(col("n_edges")) === 1).as("converged"))
-    all.crossJoin(broadcast(last2)).orderBy(col("round"))
-  }
-
   val queries: Map[String, Q] = Map(
-    "q366_kcore" -> (q366Kcore _),
     "q356_clustering_coeff" -> (q356ClusteringCoeff _),
     "q357_assortativity" -> (q357Assortativity _),
     "q352_adamic_adar" -> (q352AdamicAdar _),
@@ -1185,35 +1095,7 @@ object AdvancedQueries {
     s"CASE WHEN list_sum(list_transform(toks, t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
-  // one k-core peel round for the q366 oracle: e{r-1} -> d{r}/k{r}/e{r}/c{r}
-  private def peelRound(r: Int): String =
-    s"""d$r AS (SELECT n, count(*)::BIGINT AS deg FROM (
-       |    SELECT ea AS n FROM e${r - 1}
-       |    UNION ALL SELECT eb FROM e${r - 1}) GROUP BY 1),
-       |k$r AS (SELECT n FROM d$r WHERE deg >= 2),
-       |e$r AS (SELECT * FROM e${r - 1}
-       |  WHERE ea IN (SELECT n FROM k$r)
-       |    AND eb IN (SELECT n FROM k$r)),
-       |c$r AS (SELECT $r AS round,
-       |  (SELECT count(DISTINCT n) FROM (SELECT ea AS n FROM e$r
-       |    UNION ALL SELECT eb FROM e$r))::BIGINT AS n_nodes,
-       |  (SELECT count(*) FROM e$r)::BIGINT AS n_edges)""".stripMargin
-
   val oracle: Map[String, String] = Map(
-    "q366_kcore" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
-         |e0 AS (SELECT a.doc_id AS ea, b.doc_id AS eb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-         |${(1 to 3).map(peelRound).mkString(",\n")},
-         |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
-         |  UNION ALL SELECT * FROM c3),
-         |cv AS (SELECT (count(DISTINCT n_nodes) = 1 AND
-         |    count(DISTINCT n_edges) = 1) AS converged
-         |  FROM u WHERE round >= 2)
-         |SELECT u.round, u.n_nodes, u.n_edges, cv.converged
-         |FROM u CROSS JOIN cv ORDER BY u.round""".stripMargin,
     "q356_clustering_coeff" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),

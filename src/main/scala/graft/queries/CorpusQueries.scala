@@ -506,63 +506,6 @@ object CorpusQueries {
       .drop("__key")
   }
 
-  /** q361_rrf_fusion — reciprocal rank fusion (Cormack et al. 2009)
-    * of the two retrieval families already in the library: BM25
-    * (X47/q117, term-saturating lexical) and query-likelihood with
-    * Dirichlet smoothing (X244/q315, language-modeling) — RRF(d) =
-    * Σ_lists 1/(60 + rank_d), the score-free rank combiner that wins
-    * precisely because the two scorers' scales are incomparable. Each
-    * ranker keeps its own one-corpus-pass plan (matched-triples
-    * shuffle for BM25, |docs|×|q| frame for QL); ranks are assigned on
-    * the 20-row candidate frames (6-dp key + doc_id tiebreak, so the
-    * greedy path is engine-exact) and fused by one full-outer join of
-    * two 20-row frames — the fusion itself is data-scale-free.
-    */
-  def q361RrfFusion(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.TextOps
-    import org.apache.spark.sql.expressions.Window
-    val qterms = Seq("spark", "sql", "hash")
-    val mu = 2000.0
-    val docs = Tables.parallelize(Tables.documents(s, dir))
-    val bm = graft.ops.RetrievalOps
-      .bm25TopK(docs, "doc_id", "text", qterms, 20)
-      .withColumn("bm25_rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("bm25_rank"))
-    val tok = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text")))
-        .as("token"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("__dl"))
-    val coll = tok.agg(count(lit(1)).as("__csz"))
-    val cf = tok.filter(col("token").isInCollection(qterms))
-      .groupBy(col("token")).agg(count(lit(1)).as("__cf"))
-      .crossJoin(broadcast(coll))
-      .select(col("token"),
-        (col("__cf").cast("double") / col("__csz")).as("__p"))
-    val tfq = tok.filter(col("token").isInCollection(qterms))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("__tf"))
-    val ql = dl.crossJoin(broadcast(cf))
-      .join(tfq, Seq("doc_id", "token"), "left")
-      .na.fill(0L, Seq("__tf"))
-      .groupBy(col("doc_id"))
-      .agg(sum(log((col("__tf") + lit(mu) * col("__p")) /
-        (col("__dl") + lit(mu)))).as("__score"))
-      .withColumn("__key", round(col("__score"), 6))
-      .orderBy(col("__key").desc, col("doc_id")).limit(20)
-      .withColumn("ql_rank", row_number().over(
-        Window.orderBy(col("__key").desc, col("doc_id"))))
-      .select(col("doc_id"), col("ql_rank"))
-    bm.join(ql, Seq("doc_id"), "full_outer")
-      .withColumn("__rrf",
-        coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("ql_rank")), lit(0.0)))
-      .select(col("doc_id"), col("bm25_rank"), col("ql_rank"),
-        round(col("__rrf"), 6).as("rrf_score"))
-      .orderBy(col("rrf_score").desc, col("doc_id"))
-      .limit(10)
-  }
-
   /** q327_mmr_diversify — Maximal Marginal Relevance re-ranking
     * (Carbonell & Goldstein 1998): greedily select 4 of the top-8 BM25
     * candidates maximizing λ·rel − (1−λ)·max-sim-to-selected (λ=0.7,
@@ -623,7 +566,6 @@ object CorpusQueries {
     "q327_mmr_diversify" -> (q327MmrDiversify _),
     "q314_naive_bayes" -> (q314NaiveBayes _),
     "q315_ql_retrieval" -> (q315QlRetrieval _),
-    "q361_rrf_fusion" -> (q361RrfFusion _),
     "q226_feature_hash" -> (q226FeatureHash _),
     "q232_label_noise" -> (q232LabelNoise _),
     "q213_grid_neighbors" -> (q213GridNeighbors _),
@@ -756,55 +698,6 @@ object CorpusQueries {
         |SELECT true_lang, c AS pred_lang, count(*)::BIGINT AS n
         |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
         .stripMargin,
-    "q361_rrf_fusion" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
-        |    unnest(toks) AS token FROM t),
-        |mtc AS (SELECT * FROM d
-        |  WHERE token IN ('spark', 'sql', 'hash')),
-        |tf AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf
-        |  FROM mtc GROUP BY 1, 2, 3),
-        |st AS (SELECT count(*)::DOUBLE AS n_docs,
-        |    avg(len(toks)) AS avgdl FROM t),
-        |fr AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
-        |  FROM mtc GROUP BY token),
-        |sc AS (SELECT tf.doc_id,
-        |    ln((st.n_docs - fr.df + 0.5) / (fr.df + 0.5) + 1) * tf.tf *
-        |      (1.2 + 1) / (tf.tf + 1.2 *
-        |        (1 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS sterm
-        |  FROM tf, fr, st WHERE tf.token = fr.token),
-        |bmtop AS (SELECT doc_id, round(sum(sterm), 4) AS score
-        |  FROM sc GROUP BY doc_id
-        |  ORDER BY sum(sterm) DESC, doc_id LIMIT 20),
-        |bm AS (SELECT doc_id, row_number() OVER (
-        |    ORDER BY score DESC, doc_id) AS bm25_rank FROM bmtop),
-        |dl2 AS (SELECT doc_id, count(*)::BIGINT AS dl
-        |  FROM d GROUP BY 1),
-        |coll AS (SELECT count(*)::BIGINT AS csz FROM d),
-        |cf AS (SELECT token,
-        |    count(*)::DOUBLE / (SELECT csz FROM coll) AS p
-        |  FROM mtc GROUP BY 1),
-        |tfq AS (SELECT doc_id, token, count(*)::BIGINT AS tf
-        |  FROM mtc GROUP BY 1, 2),
-        |qsc AS (SELECT dl2.doc_id,
-        |    round(sum(ln((coalesce(tfq.tf, 0) + 2000.0 * cf.p) /
-        |      (dl2.dl + 2000.0))), 6) AS key
-        |  FROM dl2 CROSS JOIN cf
-        |  LEFT JOIN tfq ON tfq.doc_id = dl2.doc_id
-        |    AND tfq.token = cf.token
-        |  GROUP BY 1),
-        |qltop AS (SELECT doc_id, key FROM qsc
-        |  ORDER BY key DESC, doc_id LIMIT 20),
-        |ql AS (SELECT doc_id, row_number() OVER (
-        |    ORDER BY key DESC, doc_id) AS ql_rank FROM qltop),
-        |f AS (SELECT coalesce(bm.doc_id, ql.doc_id) AS doc_id,
-        |    bm.bm25_rank, ql.ql_rank,
-        |    round(coalesce(1.0 / (60 + bm.bm25_rank), 0.0) +
-        |      coalesce(1.0 / (60 + ql.ql_rank), 0.0), 6) AS rrf_score
-        |  FROM bm FULL OUTER JOIN ql ON bm.doc_id = ql.doc_id)
-        |SELECT doc_id, bm25_rank::INT AS bm25_rank,
-        |  ql_rank::INT AS ql_rank, rrf_score
-        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     "q315_ql_retrieval" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token
         |  FROM documents),

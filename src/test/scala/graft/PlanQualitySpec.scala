@@ -230,16 +230,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q359_wasserstein",
     // q360 cross-joins the broadcast 1-row best-pair frame twice
     "q360_bpe_merge",
-    // q361 carries q315's broadcast 3-row query-term frame (QL side)
-    "q361_rrf_fusion",
     // q362/q363 cross-join broadcast 1-row corpus-fence/sample-size
     // scalars
     "q362_ucb1", "q363_anderson_darling",
-    // q366 cross-joins per-round 1-row census frames + the broadcast
-    // converged flag
-    "q366_kcore",
-    // q371 cross-joins the broadcast 1-row qhat/split-count scalars
-    "q371_conformal",
     // q373 cross-joins the broadcast 1-row sample-size scalar
     "q373_avg_precision")
 
