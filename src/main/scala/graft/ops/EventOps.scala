@@ -641,8 +641,9 @@ object EventOps {
       .withColumn("__mean", avg(col("__cnt")).over(full))
       .withColumn("__sd", stddev_samp(col("__cnt")).over(full))
       .withColumn("__n_days", count(lit(1)).over(full))
-      .withColumn("__cusum",
-        sum((col("__cnt") - col("__mean")) / col("__sd")).over(cum))
+      .withColumn("__cusum", // try_divide: constant series has sd 0
+        sum(try_divide(col("__cnt") - col("__mean"), col("__sd")))
+          .over(cum))
       .withColumn("__rn", row_number().over(rk))
       .filter(col("__rn") === 1)
       .select(col("event_type"), col("day").as("change_day"),

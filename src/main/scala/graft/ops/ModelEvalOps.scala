@@ -39,15 +39,20 @@ object ModelEvalOps {
         sum(x * y).as("__sxy"),
         sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
       .select(col(groupCol), col("n"),
-        round((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+        // try_divide: a constant-x group has zero Sxx — null out, never
+        // throw (DivisionAuditSpec's degenerate corpus)
+        round(try_divide(
+          col("n") * col("__sxy") - col("__sx") * col("__sy"),
+          col("n") * col("__sxx") - col("__sx") * col("__sx")), 4)
           .as("slope"),
-        round((col("__sy") - (col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("n") * col("__sxx") - col("__sx") * col("__sx")) * col("__sx")) /
-          col("n"), 4).as("intercept"),
-        round(((col("n") * col("__sxy") - col("__sx") * col("__sy")) *
-          (col("n") * col("__sxy") - col("__sx") * col("__sy"))) /
-          ((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+        round((col("__sy") - try_divide(
+          col("n") * col("__sxy") - col("__sx") * col("__sy"),
+          col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+          col("__sx")) / col("n"), 4).as("intercept"),
+        round(try_divide(
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")) *
+            (col("n") * col("__sxy") - col("__sx") * col("__sy")),
+          (col("n") * col("__sxx") - col("__sx") * col("__sx")) *
             (col("n") * col("__syy") - col("__sy") * col("__sy"))), 4)
           .as("r2"))
   }
@@ -146,19 +151,27 @@ object ModelEvalOps {
         count(when(condB, 1)).as("n_b"),
         sum(when(condB, v)).as("__sb"),
         sum(when(condB, v * v)).as("__ssb"))
-    val va = (col("__ssa") - col("__sa") * col("__sa") / col("n_a")) /
-      (col("n_a") - 1)
-    val vb = (col("__ssb") - col("__sb") * col("__sb") / col("n_b")) /
-      (col("n_b") - 1)
-    val sea = va / col("n_a")
-    val seb = vb / col("n_b")
+    // try_divide throughout: an empty arm (n=0), a single observation
+    // (n−1=0), or two zero-variance arms (pooled SE 0) must null out,
+    // never throw (DivisionAuditSpec's degenerate corpus)
+    val va = try_divide(
+      col("__ssa") - try_divide(col("__sa") * col("__sa"), col("n_a")),
+      col("n_a") - 1)
+    val vb = try_divide(
+      col("__ssb") - try_divide(col("__sb") * col("__sb"), col("n_b")),
+      col("n_b") - 1)
+    val sea = try_divide(va, col("n_a"))
+    val seb = try_divide(vb, col("n_b"))
     agg.select(col(groupCol), col("n_a"), col("n_b"),
-      round(col("__sa") / col("n_a"), 2).as("mean_a"),
-      round(col("__sb") / col("n_b"), 2).as("mean_b"),
-      round((col("__sa") / col("n_a") - col("__sb") / col("n_b")) /
-        sqrt(sea + seb), 4).as("t_stat"),
-      round((sea + seb) * (sea + seb) /
-        (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 2)
+      round(try_divide(col("__sa"), col("n_a")), 2).as("mean_a"),
+      round(try_divide(col("__sb"), col("n_b")), 2).as("mean_b"),
+      round(try_divide(
+        try_divide(col("__sa"), col("n_a")) -
+          try_divide(col("__sb"), col("n_b")),
+        sqrt(sea + seb)), 4).as("t_stat"),
+      round(try_divide((sea + seb) * (sea + seb),
+        try_divide(sea * sea, col("n_a") - 1) +
+          try_divide(seb * seb, col("n_b") - 1)), 2)
         .as("welch_df"))
   }
 

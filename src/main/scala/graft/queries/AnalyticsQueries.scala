@@ -208,10 +208,13 @@ object AnalyticsQueries {
       .crossJoin(broadcast(nf))
       .select(col("n_docs"), col("n_cand"), col("n_truth"),
         col("n_found"),
-        round(lit(1.0) - col("n_cand") /
-          (col("n_docs") * (col("n_docs") - 1) / lit(2.0)), 6)
+        // try_divide: a 0/1-doc corpus has no possible pairs, an
+        // all-distinct corpus has no truth pairs (DivisionAuditSpec)
+        round(lit(1.0) - try_divide(col("n_cand"),
+          col("n_docs") * (col("n_docs") - 1) / lit(2.0)), 6)
           .as("reduction_ratio"),
-        round(col("n_found") / col("n_truth").cast("double"), 4)
+        round(try_divide(col("n_found"),
+          col("n_truth").cast("double")), 4)
           .as("pairs_completeness"))
   }
 
@@ -1345,12 +1348,15 @@ object AnalyticsQueries {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"))
       .select(col("__n").cast("long").as("n_points"),
-        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+        // try_divide: a 1-doc (or constant-length) corpus has zero
+        // log-token variance (DivisionAuditSpec)
+        round(try_divide(
+          col("__n") * col("__sxy") - col("__sx") * col("__sy"),
+          col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
           .as("beta"),
-        round((col("__sy") - ((col("__n") * col("__sxy") -
-          col("__sx") * col("__sy")) /
-          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))) *
+        round((col("__sy") - try_divide(
+          col("__n") * col("__sxy") - col("__sx") * col("__sy"),
+          col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
           col("__sx")) / col("__n"), 4).as("ln_k"))
   }
 

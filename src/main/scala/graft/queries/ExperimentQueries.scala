@@ -999,11 +999,14 @@ object ExperimentQueries {
         sum((col("__n") - 1) * col("__v")).over(w))
       .agg(max(col("__k")).as("k_groups"),
         max(col("__tot")).as("n_total"),
-        round((max(col("__ssb")) / (max(col("__k")) - 1)) /
-          (max(col("__ssw")) / (max(col("__tot")) - max(col("__k")))),
-          4).as("f_stat"),
-        round(max(col("__ssb")) /
-          (max(col("__ssb")) + max(col("__ssw"))), 6).as("eta_sq"))
+        // try_divide: one group (k−1=0) or zero within-variance (SSW 0
+        // on a constant metric) nulls out, never throws
+        round(try_divide(
+          try_divide(max(col("__ssb")), max(col("__k")) - 1),
+          try_divide(max(col("__ssw")),
+            max(col("__tot")) - max(col("__k")))), 4).as("f_stat"),
+        round(try_divide(max(col("__ssb")),
+          max(col("__ssb")) + max(col("__ssw"))), 6).as("eta_sq"))
   }
 
   /** q298_mde_power — minimum detectable effect at α = 0.05 /

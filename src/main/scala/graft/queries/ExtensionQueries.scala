@@ -892,6 +892,62 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  /** q378_timer_sessions — transformWithState with EVENT-TIME TIMERS
+    * (TimeMode.EventTime, the timer/eviction half of
+    * arbitrary-stateful-v2 that q364's TimeMode.None leaves out): a
+    * per-user session accumulates (count, Σvalue) in RocksDB
+    * `ValueState` and re-arms a timer at last-seen + 30 min on every
+    * input; `handleExpiredTimer` EMITS the session and CLEARS the
+    * state only once the watermark passes the timer — Append output is
+    * exactly the watermark-finalized sessions. The three-batch replay
+    * makes it deterministic: batch 1 (recent half) loads state and
+    * registers timers, batch 2's marker lets the watermark W =
+    * max(recent) − 10 min take effect so every timer < W fires and
+    * evicts, batch 3's old half is entirely late-dropped. The oracle
+    * replays the firing rule relationally in ms arithmetic (Spark
+    * timers are ms): user fires iff floor(max_us/1000) + gap <
+    * floor(corpus_max_us/1000) − delay. Timer-driven TTL eviction is
+    * the pattern that bounds per-key state at 100 TB/day.
+    */
+  def q378TimerSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import graft.streaming.StreamingOps
+    val sink = "q378_sink"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val src = eventsLateReplayStream(s, dir, "q378")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", "10 minutes")
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    implicit val inEnc = org.apache.spark.sql.Encoders
+      .product[StreamingOps.UserTsValue]
+    implicit val outEnc = org.apache.spark.sql.Encoders
+      .product[StreamingOps.SessionFinal]
+    val typed = src.as[StreamingOps.UserTsValue]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = withStreamShuffle(s, 8) {
+        typed.groupByKey(_.user_id)
+          .transformWithState(
+            new StreamingOps.SessionTimerProcessor(1800000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      q.awaitTermination()
+    } finally s.conf.set(provKey, prevProv)
+    s.table(sink)
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** q336_stream_late_drop — watermark late-data semantics made
     * oracle-checkable: a tumbling-hour Append-mode aggregation over
     * the out-of-order replay (recent half first, old half second).
@@ -1067,6 +1123,7 @@ object ExtensionQueries {
     "q336_stream_late_drop" -> (q336StreamLateDrop _),
     "q337_dedup_ttl" -> (q337DedupTtl _),
     "q364_transform_with_state" -> (q364TransformWithState _),
+    "q378_timer_sessions" -> (q378TimerSessions _),
     "q369_statestore_read" -> (q369StatestoreRead _),
     "q17_hourly_window" -> (q17Hourly _),
     "q142_stream_hourly" -> (q142StreamHourly _),
@@ -1195,6 +1252,18 @@ object ExtensionQueries {
         |  count(DISTINCT user_id)::BIGINT AS n_emitted,
         |  true AS reconciled
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q378_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+        |    value::DOUBLE AS v FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |rec AS (SELECT user_id, us, v FROM e, m WHERE us >= m.mid),
+        |w AS (SELECT max(us) // 1000 - 600000 AS wm FROM rec),
+        |u AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    sum(v) AS total_value, max(us) // 1000 AS mx
+        |  FROM rec GROUP BY 1)
+        |SELECT user_id, n_events, round(total_value, 2) AS total_value
+        |FROM u, w WHERE u.mx + 1800000 < w.wm
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
     "q364_transform_with_state" ->
       """SELECT user_id, count(*)::BIGINT AS n_events,
         |  round(sum(value::DOUBLE), 2) AS total_value

@@ -209,9 +209,11 @@ object ModelQueries {
         (col("o_orderstatus") === "F").as("y"))
     val mm = o.agg(min(col("x")).as("__mn"), max(col("x")).as("__mx"))
     val bins = o.crossJoin(broadcast(mm))
-      .withColumn("b",
-        least(floor((col("x") - col("__mn")) /
-          (col("__mx") - col("__mn")) * nb), lit((nb - 1).toDouble))
+      .withColumn("b", // try_divide: a constant score column has zero
+        // range — every row lands in bin 0 instead of throwing
+        least(floor(coalesce(try_divide(col("x") - col("__mn"),
+          col("__mx") - col("__mn")), lit(0.0)) * nb),
+          lit((nb - 1).toDouble))
           .cast("int"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("n"), count(when(col("y"), 1)).as("pos"),
@@ -303,9 +305,12 @@ object ModelQueries {
       .withColumn("__mu2",
         col("__mn") + (col("__mx") - col("__mn")) * 3 / 4)
       .withColumn("__sd", (col("__mx") - col("__mn")) / 4)
+    // try_divide: a constant column collapses the range, sd = 0 — the
+    // densities (and downstream moments) null out instead of throwing
     def pdf(mu: Column, sd: Column, x: Column): Column =
-      exp(-(x - mu) * (x - mu) / (lit(2.0) * sd * sd)) /
-        (sd * math.sqrt(2 * math.Pi))
+      try_divide(
+        exp(-try_divide((x - mu) * (x - mu), lit(2.0) * sd * sd)),
+        sd * math.sqrt(2 * math.Pi))
     val e = base
       .withColumn("__p1", pdf(col("__mu1"), col("__sd"), col("x")) * 0.5)
       .withColumn("__p2", pdf(col("__mu2"), col("__sd"), col("x")) * 0.5)
@@ -320,13 +325,15 @@ object ModelQueries {
       .select(col("n"),
         round(col("__s1") / col("n"), 4).as("w1"),
         round(col("__s2") / col("n"), 4).as("w2"),
-        round(col("__sx1") / col("__s1"), 2).as("mu1"),
-        round(col("__sx2") / col("__s2"), 2).as("mu2"),
-        round(sqrt(col("__sxx1") / col("__s1") -
-          (col("__sx1") / col("__s1")) * (col("__sx1") / col("__s1"))), 2)
+        round(try_divide(col("__sx1"), col("__s1")), 2).as("mu1"),
+        round(try_divide(col("__sx2"), col("__s2")), 2).as("mu2"),
+        round(sqrt(try_divide(col("__sxx1"), col("__s1")) -
+          try_divide(col("__sx1"), col("__s1")) *
+            try_divide(col("__sx1"), col("__s1"))), 2)
           .as("sd1"),
-        round(sqrt(col("__sxx2") / col("__s2") -
-          (col("__sx2") / col("__s2")) * (col("__sx2") / col("__s2"))), 2)
+        round(sqrt(try_divide(col("__sxx2"), col("__s2")) -
+          try_divide(col("__sx2"), col("__s2")) *
+            try_divide(col("__sx2"), col("__s2"))), 2)
           .as("sd2"))
   }
 

@@ -75,9 +75,19 @@ object QualityQueries {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+        // Pearson from moments with try_divide rather than the built-in
+        // corr(): under ANSI, Spark's Corr aggregate THROWS
+        // DIVIDE_BY_ZERO on a zero-variance group (DivisionAuditSpec's
+        // degenerate corpus); the moment form nulls out instead
+        round(try_divide(covar_samp(col("l_quantity"),
+            col("l_extendedprice")),
+          stddev_samp(col("l_quantity")) *
+            stddev_samp(col("l_extendedprice"))), 4)
           .as("corr_qty_price"),
-        round(corr(col("l_extendedprice"), col("l_discount")), 4)
+        round(try_divide(covar_samp(col("l_extendedprice"),
+            col("l_discount")),
+          stddev_samp(col("l_extendedprice")) *
+            stddev_samp(col("l_discount"))), 4)
           .as("corr_price_disc"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
           .as("covar_qty_price"),

@@ -274,7 +274,8 @@ object TemporalQueries {
         Seq("mad" -> 0.5))
       .select(col("mad"))
     dev.crossJoin(broadcast(mad))
-      .withColumn("robust_z", col("__dev") / (lit(1.4826) * col("mad")))
+      .withColumn("robust_z", // try_divide: constant series has MAD 0
+        try_divide(col("__dev"), lit(1.4826) * col("mad")))
       .filter(col("robust_z") > 3.0)
       .select(col("day"), round(col("__total"), 2).as("daily_total"),
         round(col("robust_z"), 4).as("robust_z"))

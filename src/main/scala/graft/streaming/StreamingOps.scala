@@ -185,4 +185,59 @@ object StreamingOps {
       Iterator.single(cur)
     }
   }
+
+  case class UserTsValue(user_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+  case class SessAcc(n_events: Long, total_value: Double,
+    max_ts_ms: Long, timer_ms: Long)
+  case class SessionFinal(user_id: Long, n_events: Long,
+    total_value: Double)
+
+  /** Spark 4 `transformWithState` with EVENT-TIME TIMERS (the timer
+    * half of the arbitrary-stateful-v2 surface that q364's
+    * TimeMode.None leaves out): per-user running (count, Σvalue, max
+    * event time) in a `ValueState`, a timer re-armed at max-seen + gap
+    * on every input (previous timer deleted first — the re-arm idiom),
+    * and the session EMITTED AND EVICTED only from
+    * `handleExpiredTimer`, i.e. only once the watermark proves the gap
+    * elapsed. Append output therefore contains exactly the sessions
+    * the watermark finalized — state for still-open sessions is never
+    * emitted, and eviction is what keeps per-key state from
+    * accumulating forever at 100 TB/day.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserTsValue, SessionFinal] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SessAcc] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessAcc]("sess",
+        org.apache.spark.sql.Encoders.product[SessAcc], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserTsValue],
+        tv: TimerValues): Iterator[SessionFinal] = {
+      var n = 0L
+      var t = 0.0
+      var mx = Long.MinValue
+      var prevTimer = -1L
+      if (st.exists()) {
+        val p = st.get()
+        n = p.n_events; t = p.total_value; mx = p.max_ts_ms
+        prevTimer = p.timer_ms
+      }
+      rows.foreach { r =>
+        n += 1; t += r.value; mx = math.max(mx, r.ts.getTime)
+      }
+      if (prevTimer >= 0) getHandle.deleteTimer(prevTimer)
+      val timer = mx + gapMs
+      getHandle.registerTimer(timer)
+      st.update(SessAcc(n, t, mx, timer))
+      Iterator.empty // emission is timer-driven only
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionFinal] = {
+      val p = st.get()
+      st.clear()
+      Iterator.single(SessionFinal(key, p.n_events, p.total_value))
+    }
+  }
 }
