@@ -1041,7 +1041,64 @@ object AdvancedQueries {
           .as("assortativity"))
   }
 
+
+  /** q387_kmv_intersect — KMV/theta-sketch set INTERSECTION estimation
+    * (Beyer et al. 2007; the Theta-sketch framework): each audience
+    * (view users, purchase users) keeps only its k = 128 smallest
+    * md5-uniform hash values; |A| ≈ (k−1)/θ_A with θ the k-th minimum,
+    * and the intersection comes from the UNION sketch — jaccard = (how
+    * many of the union sketch's k values lie in both sets)/k, |A∩B| ≈
+    * jaccard · |A∪B|. This is the capability q212's HLL family
+    * structurally lacks: HLL only unions — set algebra (overlap,
+    * jaccard) needs KMV/theta. Everything after the two distinct
+    * aggregations is k-bounded: the sketches are TakeOrdered heaps
+    * (no global sort), membership tests are semi-joins against the
+    * 128-row frames, and the oracle replays every rank and estimate
+    * exactly (md5 hashing is engine-portable).
+    */
+  def q387KmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val e = Tables.events(s, dir)
+    def users(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id")).distinct()
+      .withColumn("__u",
+        TextOps.hash32(col("user_id").cast("string"), "kmv:")
+          .cast("double") / lit(4294967296.0))
+    val a = users("view").localCheckpoint()
+    val b = users("purchase").localCheckpoint()
+    def sketch(df: DataFrame) =
+      df.orderBy(col("__u"), col("user_id")).limit(k).localCheckpoint()
+    val skA = sketch(a)
+    val skB = sketch(b)
+    val skU = sketch(a.unionByName(b).dropDuplicates("user_id"))
+    val estA = skA.agg((lit(k - 1) / max(col("__u"))).as("__ea"))
+    val estB = skB.agg((lit(k - 1) / max(col("__u"))).as("__eb"))
+    val uFlag = skU
+      .join(a.select(col("user_id"), lit(1).as("__ina")),
+        Seq("user_id"), "left")
+      .join(b.select(col("user_id"), lit(1).as("__inb")),
+        Seq("user_id"), "left")
+    val inter = uFlag.agg(
+      (lit(k - 1) / max(col("__u"))).as("__eu"),
+      (count(when(col("__ina") === 1 && col("__inb") === 1, 1))
+        .cast("double") / lit(k)).as("__j"))
+    val exact = a.join(b, Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("exact_intersect"))
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("exact_a"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("exact_b"))))
+    exact.crossJoin(broadcast(estA)).crossJoin(broadcast(estB))
+      .crossJoin(broadcast(inter))
+      .select(lit(k).as("k"), col("exact_a"), col("exact_b"),
+        col("exact_intersect"),
+        round(col("__ea"), 1).as("est_a"),
+        round(col("__eb"), 1).as("est_b"),
+        round(col("__j") * col("__eu"), 1).as("est_intersect"),
+        (abs(col("__j") * col("__eu") - col("exact_intersect")) <=
+          col("exact_intersect") * 0.35 + lit(5.0)).as("within_bound"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q387_kmv_intersect" -> (q387KmvIntersect _),
     "q356_clustering_coeff" -> (q356ClusteringCoeff _),
     "q357_assortativity" -> (q357Assortativity _),
     "q352_adamic_adar" -> (q352AdamicAdar _),
@@ -1096,6 +1153,40 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q387_kmv_intersect" ->
+      """WITH au AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'view'),
+        |bu AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |ah AS (SELECT user_id, ('0x' || substr(md5('kmv:' ||
+        |    user_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+        |  FROM au),
+        |bh AS (SELECT user_id, ('0x' || substr(md5('kmv:' ||
+        |    user_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+        |  FROM bu),
+        |uh AS (SELECT user_id, u FROM ah UNION SELECT user_id, u
+        |  FROM bh),
+        |ska AS (SELECT * FROM ah ORDER BY u, user_id LIMIT 128),
+        |skb AS (SELECT * FROM bh ORDER BY u, user_id LIMIT 128),
+        |sku AS (SELECT * FROM uh ORDER BY u, user_id LIMIT 128),
+        |ea AS (SELECT 127 / max(u) AS ea FROM ska),
+        |eb AS (SELECT 127 / max(u) AS eb FROM skb),
+        |iu AS (SELECT 127 / max(u) AS eu,
+        |    count(CASE WHEN user_id IN (SELECT user_id FROM au)
+        |      AND user_id IN (SELECT user_id FROM bu) THEN 1 END)
+        |      / 128.0 AS j
+        |  FROM sku),
+        |ex AS (SELECT
+        |    (SELECT count(*) FROM au WHERE user_id IN
+        |      (SELECT user_id FROM bu))::BIGINT AS exact_intersect,
+        |    (SELECT count(*) FROM au)::BIGINT AS exact_a,
+        |    (SELECT count(*) FROM bu)::BIGINT AS exact_b)
+        |SELECT 128 AS k, exact_a, exact_b, exact_intersect,
+        |  round(ea, 1) AS est_a, round(eb, 1) AS est_b,
+        |  round(j * eu, 1) AS est_intersect,
+        |  abs(j * eu - exact_intersect) <=
+        |    exact_intersect * 0.35 + 5.0 AS within_bound
+        |FROM ex, ea, eb, iu""".stripMargin,
     "q356_clustering_coeff" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),

@@ -436,7 +436,77 @@ object CurationQueries {
       .orderBy(col("round"), col("rank"))
   }
 
+
+  /** q384_readability — Flesch reading-ease scoring (Flesch 1948; the
+    * public-domain readability formula): FRE = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/word), with sentences
+    * counted as terminal-punctuation runs (min 1) and syllables by the
+    * classic vowel-group heuristic ([aeiouy]+ runs) — the cheap,
+    * codegen-friendly proxy every large-scale text-quality pipeline
+    * uses (a dictionary syllabifier can't run at 100 TB). Extends the
+    * X4/X77 quality family with the READABILITY axis: q148's fused
+    * vector measures noise, this measures audience level. Per-language
+    * rollup with the share of "easy" (FRE ≥ 60) docs; one scan-stage
+    * pass, all regex counting inside codegen.
+    */
+  def q384Readability(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("double").as("__w"),
+        greatest(size(expr(
+          "regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("double").as("__s"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("double").as("__y"))
+      .filter(col("__w") > 0)
+      .withColumn("__fre", lit(206.835)
+        - lit(1.015) * try_divide(col("__w"), col("__s"))
+        - lit(84.6) * try_divide(col("__y"), col("__w")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(try_divide(col("__w"), col("__s"))), 4)
+          .as("words_per_sentence"),
+        round(avg(try_divide(col("__y"), col("__w"))), 4)
+          .as("syllables_per_word"),
+        round(avg(col("__fre")), 4).as("avg_fre"),
+        round(avg((col("__fre") >= 60).cast("double")), 4)
+          .as("share_easy"))
+      .orderBy(col("lang"))
+
+  /** q385_vocab_richness — unseen-vocabulary estimation: per language,
+    * observed type count V, bias-corrected Chao1 richness estimate
+    * V + f₁(f₁−1)/(2(f₂+1)) from the singleton/doubleton counts
+    * (Chao 1984), and the Good–Turing unseen probability mass f₁/N —
+    * "how much vocabulary has this corpus NOT seen yet", the
+    * statistical answer to whether more data will keep growing the
+    * vocab (the asymptote q268's Heaps-law FIT extrapolates, estimated
+    * here nonparametrically from the frequency-of-frequencies). Two
+    * map-side-combined aggregations (token counts → count-of-counts);
+    * nothing unbounded.
+    */
+  def q385VocabRichness(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, dir))
+      .select(col("lang"),
+        explode(TextOps.tokens(col("text"))).as("__t"))
+      .groupBy(col("lang"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v_observed"),
+        sum(col("__c")).as("n_tokens"),
+        count(when(col("__c") === 1, 1)).as("f1"),
+        count(when(col("__c") === 2, 1)).as("f2"))
+      .select(col("lang"), col("v_observed"), col("n_tokens"),
+        col("f1"), col("f2"),
+        round(col("v_observed") +
+          col("f1") * (col("f1") - 1) /
+            (lit(2.0) * (col("f2") + 1)), 2).as("chao1_est"),
+        round(try_divide(col("f1").cast("double"), col("n_tokens")), 6)
+          .as("gt_unseen_mass"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, Q] = Map(
+    "q384_readability" -> (q384Readability _),
+    "q385_vocab_richness" -> (q385VocabRichness _),
     "q360_bpe_merge" -> (q360BpeMerge _),
     "q143_containment" -> (q143Containment _),
     "q148_quality_vector" -> (q148QualityVector _),
@@ -460,6 +530,40 @@ object CurationQueries {
   import ExtensionQueries.{toksSql, tokSetSql, stopIn}
 
   val oracle: Map[String, String] = Map(
+    "q384_readability" ->
+      s"""WITH d AS (SELECT lang,
+        |    len($toksSql)::DOUBLE AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      ::DOUBLE AS sen,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      ::DOUBLE AS syl
+        |  FROM documents),
+        |f AS (SELECT lang, w, sen, syl,
+        |    206.835 - 1.015 * (w / sen) - 84.6 * (syl / w) AS fre
+        |  FROM d WHERE w > 0)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  round(avg(w / sen), 4) AS words_per_sentence,
+        |  round(avg(syl / w), 4) AS syllables_per_word,
+        |  round(avg(fre), 4) AS avg_fre,
+        |  round(avg(CASE WHEN fre >= 60 THEN 1.0 ELSE 0.0 END), 4)
+        |    AS share_easy
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q385_vocab_richness" ->
+      s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*)::BIGINT AS c FROM t
+        |  GROUP BY 1, 2),
+        |a AS (SELECT lang, count(*)::BIGINT AS v_observed,
+        |    sum(c)::BIGINT AS n_tokens,
+        |    count(CASE WHEN c = 1 THEN 1 END)::BIGINT AS f1,
+        |    count(CASE WHEN c = 2 THEN 1 END)::BIGINT AS f2
+        |  FROM c GROUP BY 1)
+        |SELECT lang, v_observed, n_tokens, f1, f2,
+        |  round(v_observed + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 2)
+        |    AS chao1_est,
+        |  round(f1 / nullif(n_tokens, 0)::DOUBLE, 6)
+        |    AS gt_unseen_mass
+        |FROM a ORDER BY lang""".stripMargin,
     "q360_bpe_merge" ->
       """WITH wr AS (SELECT unnest(string_split_regex(lower(text),
         |    '\s+')) AS w FROM documents),

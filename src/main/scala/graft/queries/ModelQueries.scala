@@ -528,7 +528,48 @@ object ModelQueries {
       .orderBy(col("event_type"))
   }
 
+
+  /** q383_pinball_loss — quantile-forecast evaluation by pinball
+    * (quantile) loss: the corpus splits temporally at the 70% day mark
+    * (leakage-safe, q233's rule), the train split fits per-type P50/P90
+    * constant quantile predictors through the distributed-selection
+    * percentile (`StatOps.exactPercentiles`, percentile_cont parity),
+    * and the test split scores them with
+    * L_q(y, ŷ) = max(q·(y−ŷ), (q−1)·(y−ŷ)) plus the P90 empirical
+    * coverage. Pinball is THE proper scoring rule for quantile
+    * regression — MAE/MASE (q376) grade point forecasts, this grades
+    * the interval service levels a capacity planner actually ships.
+    * One train-side selection pass + one broadcast-joined test scan.
+    */
+  def q383PinballLoss(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("__day"),
+        col("value").cast("double").as("y"))
+    val cut = e.agg(min(col("__day")).as("__d0"),
+        max(col("__day")).as("__d1"))
+      .select(expr(
+        "date_add(__d0, CAST(datediff(__d1, __d0) * 0.7 AS INT))")
+        .as("__cut"))
+    val tagged = e.crossJoin(broadcast(cut))
+    val preds = graft.ops.StatOps.exactPercentiles(
+      tagged.filter(col("__day") < col("__cut"))
+        .select(col("event_type"), col("y")),
+      "event_type", "y", Seq("p50" -> 0.5, "p90" -> 0.9))
+    tagged.filter(col("__day") >= col("__cut"))
+      .join(broadcast(preds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        round(avg(greatest(lit(0.5) * (col("y") - col("p50")),
+          lit(-0.5) * (col("y") - col("p50")))), 4).as("pinball_p50"),
+        round(avg(greatest(lit(0.9) * (col("y") - col("p90")),
+          lit(-0.1) * (col("y") - col("p90")))), 4).as("pinball_p90"),
+        round(avg((col("y") <= col("p90")).cast("double")), 4)
+          .as("cov_p90"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q383_pinball_loss" -> (q383PinballLoss _),
     "q373_avg_precision" -> (q373AvgPrecision _),
     "q375_brier_decomposition" -> (q375BrierDecomposition _),
     "q353_logreg_newton" -> (q353LogregNewton _),
@@ -547,6 +588,23 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q383_pinball_loss" ->
+      """WITH e AS (SELECT event_type, ts::DATE AS day,
+        |    value::DOUBLE AS y FROM events),
+        |c AS (SELECT min(day) + CAST(floor((max(day) - min(day))
+        |    * 0.7) AS INTEGER) AS cut FROM e),
+        |p AS (SELECT event_type,
+        |    quantile_cont(y, 0.5) AS p50, quantile_cont(y, 0.9) AS p90
+        |  FROM e, c WHERE day < cut GROUP BY 1)
+        |SELECT e.event_type, count(*)::BIGINT AS n_test,
+        |  round(avg(greatest(0.5 * (y - p50), -0.5 * (y - p50))), 4)
+        |    AS pinball_p50,
+        |  round(avg(greatest(0.9 * (y - p90), -0.1 * (y - p90))), 4)
+        |    AS pinball_p90,
+        |  round(avg(CASE WHEN y <= p90 THEN 1.0 ELSE 0.0 END), 4)
+        |    AS cov_p90
+        |FROM e JOIN p USING (event_type), c WHERE day >= cut
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q375_brier_decomposition" ->
       """WITH r AS (
         |  SELECT 1.0 / (1.0 + exp(-(0.00002 * o_totalprice

@@ -533,7 +533,167 @@ object StatQueries {
             col("__s2") / (col("__tt") * col("m"))), 4).as("ad_stat"))
   }
 
+
+  /** q379_kendall_tau — Kendall's τ-b rank correlation between daily
+    * event volume and daily mean value per event type: τ-b =
+    * (n_c − n_d)/√((n₀−n_x)(n₀−n_y)) over all day PAIRS, with the
+    * tie-adjusted denominators the plain τ-a gets wrong on discrete
+    * counts. The rank-based complement to q259's Spearman (which ranks
+    * VALUES; Kendall counts concordant ORDERINGS and is the standard
+    * trend-test kernel — q224's Mann–Kendall S is its numerator).
+    * The corpus collapses to |type×day| rows in ONE aggregation; the
+    * O(days²) pair join runs on that bounded frame, never on raw
+    * events — at any corpus scale the pair count is days-bounded.
+    */
+  def q379KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).cast("double").as("__x"),
+        avg(col("value")).as("__y"))
+      .localCheckpoint() // both pair-join sides read this
+    val a = daily.select(col("event_type"), col("__day").as("__da"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = daily.select(col("event_type"), col("__day").as("__db"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    a.join(b, Seq("event_type")).filter(col("__da") < col("__db"))
+      .select(col("event_type"),
+        signum(col("__xb") - col("__xa")).as("__sx"),
+        signum(col("__yb") - col("__ya")).as("__sy"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("__sx") * col("__sy") > 0, 1)).as("concordant"),
+        count(when(col("__sx") * col("__sy") < 0, 1)).as("discordant"),
+        count(when(col("__sx") === 0, 1)).as("__tx"),
+        count(when(col("__sy") === 0, 1)).as("__ty"))
+      .select(col("event_type"), col("n_pairs"), col("concordant"),
+        col("discordant"),
+        round(try_divide(
+          (col("concordant") - col("discordant")).cast("double"),
+          sqrt((col("n_pairs") - col("__tx")).cast("double") *
+            (col("n_pairs") - col("__ty")))), 4).as("tau_b"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q380_wilcoxon — Wilcoxon signed-rank test of week-over-week
+    * change: per event type, paired differences d_t = count(t) −
+    * count(t−7 days), zero differences dropped, |d| tie-average-ranked,
+    * W⁺ = Σ ranks of positive d, and the tie-corrected normal
+    * approximation z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    * The PAIRED nonparametric test the Welch/Kruskal family lacks —
+    * the right tool when each day is its own control. Ranks run over
+    * the |distinct |d|| frame per type (integer cumulative counts →
+    * half-integer average ranks, engine-exact); the corpus is consumed
+    * by the one daily aggregation.
+    */
+  def q380Wilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__day"))
+    val paired = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__p7", lag(col("__n"), 7).over(w))
+      .filter(col("__p7").isNotNull)
+      .withColumn("__d", col("__n") - col("__p7"))
+      .filter(col("__d") =!= 0)
+    val g = paired
+      .groupBy(col("event_type"), abs(col("__d")).as("__ad"))
+      .agg(count(lit(1)).as("__cnt"),
+        count(when(col("__d") > 0, 1)).as("__pos"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("__ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("__avgrk",
+        sum(col("__cnt")).over(wc) - (col("__cnt") - 1) / lit(2.0))
+      .groupBy(col("event_type"))
+      .agg(sum(col("__cnt")).as("n_pairs"),
+        sum(col("__pos") * col("__avgrk")).as("w_plus"),
+        sum(col("__cnt") * (col("__cnt") * col("__cnt") - 1))
+          .as("__tie3"))
+      .withColumn("__n", col("n_pairs").cast("double"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("w_plus"), 1).as("w_plus"),
+        round(try_divide(
+          col("w_plus") - col("__n") * (col("__n") + 1) / 4,
+          sqrt(col("__n") * (col("__n") + 1) *
+            (lit(2) * col("__n") + 1) / 24
+            - col("__tie3") / lit(48.0))), 4).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q381_pacf — partial autocorrelation of each type's daily count
+    * series at lags 1–2 via the Durbin–Levinson closed form: φ₁₁ = r₁,
+    * φ₂₂ = (r₂ − r₁²)/(1 − r₁²), with the rₖ as lagged-pair sample
+    * correlations from explicit moments (try_divide — a constant
+    * series nulls out, DivisionAuditSpec). PACF is what q165's raw ACF
+    * cannot say: whether lag-2 memory is REAL or just propagated
+    * lag-1 — the AR-order diagnostic read before fitting any
+    * autoregression (q189/q245). Day-frame arithmetic only.
+    */
+  def q381Pacf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__day"))
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).cast("double").as("__v"))
+      .withColumn("__l1", lag(col("__v"), 1).over(w))
+      .withColumn("__l2", lag(col("__v"), 2).over(w))
+    def r(lagCol: String): Column = {
+      val m = count(when(col(lagCol).isNotNull, 1)).cast("double")
+      val sx = sum(when(col(lagCol).isNotNull, col("__v")))
+      val sy = sum(col(lagCol))
+      val sxy = sum(col("__v") * col(lagCol))
+      val sxx = sum(when(col(lagCol).isNotNull, col("__v") * col("__v")))
+      val syy = sum(col(lagCol) * col(lagCol))
+      try_divide(m * sxy - sx * sy,
+        sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)))
+    }
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), r("__l1").as("__r1"),
+        r("__l2").as("__r2"))
+      .select(col("event_type"), col("n_days"),
+        round(col("__r1"), 4).as("pacf1"),
+        round(try_divide(col("__r2") - col("__r1") * col("__r1"),
+          lit(1.0) - col("__r1") * col("__r1")), 4).as("pacf2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q382_ccf — lead–lag cross-correlation between the view and
+    * purchase daily series: r(k) = corr(view_t, purchase_{t+k}) for
+    * k ∈ [−3, 3] from explicit moments on the day-shifted join — does
+    * today's browsing predict purchases days out (positive-k peaks),
+    * or do purchases trail campaigns (negative k)? The two-series
+    * generalization of q165 (ACF) and q381 (PACF); the argmax lag is
+    * the transfer-function delay a forecaster feeds q245's rolling
+    * regression. Two bounded day frames, a 7-way lag explode on the
+    * smaller one, one moment aggregation per lag.
+    */
+  def q382Ccf(s: SparkSession, dir: String): DataFrame = {
+    def daily(t: String, out: String) = Tables.events(s, dir)
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).cast("double").as(out))
+    val x = daily("view", "__x")
+      .withColumn("lag", explode(array((-3 to 3).map(lit): _*)))
+      .withColumn("__jday", expr("date_add(__day, lag)"))
+    val y = daily("purchase", "__y").withColumnRenamed("__day", "__jday")
+    x.join(y, Seq("__jday"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select(col("lag"), col("n_days"),
+        round(try_divide(
+          col("n_days") * col("__sxy") - col("__sx") * col("__sy"),
+          sqrt((col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+            * (col("n_days") * col("__syy") - col("__sy") * col("__sy")))),
+          4).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q379_kendall_tau" -> (q379KendallTau _),
+    "q380_wilcoxon" -> (q380Wilcoxon _),
+    "q381_pacf" -> (q381Pacf _),
+    "q382_ccf" -> (q382Ccf _),
     "q363_anderson_darling" -> (q363AndersonDarling _),
     "q359_wasserstein" -> (q359Wasserstein _),
     "q355_cramer_von_mises" -> (q355CramerVonMises _),
@@ -548,6 +708,91 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q379_kendall_tau" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::DOUBLE AS x, avg(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+        |  FROM d a JOIN d b ON a.event_type = b.event_type
+        |    AND a.day < b.day)
+        |SELECT event_type, count(*)::BIGINT AS n_pairs,
+        |  count(CASE WHEN sx * sy > 0 THEN 1 END)::BIGINT
+        |    AS concordant,
+        |  count(CASE WHEN sx * sy < 0 THEN 1 END)::BIGINT
+        |    AS discordant,
+        |  round((count(CASE WHEN sx * sy > 0 THEN 1 END) -
+        |      count(CASE WHEN sx * sy < 0 THEN 1 END)) /
+        |    nullif(sqrt((count(*) -
+        |        count(CASE WHEN sx = 0 THEN 1 END))::DOUBLE *
+        |      (count(*) - count(CASE WHEN sy = 0 THEN 1 END))), 0), 4)
+        |    AS tau_b
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q380_wilcoxon" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(n, 7) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS p7 FROM d),
+        |df AS (SELECT event_type, n - p7 AS dd FROM l
+        |  WHERE p7 IS NOT NULL AND n - p7 <> 0),
+        |g AS (SELECT event_type, abs(dd) AS ad,
+        |    count(*)::BIGINT AS cnt,
+        |    count(CASE WHEN dd > 0 THEN 1 END)::BIGINT AS pos
+        |  FROM df GROUP BY 1, 2),
+        |rk AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type
+        |    ORDER BY ad ROWS UNBOUNDED PRECEDING) - (cnt - 1) / 2.0
+        |    AS avgrk FROM g),
+        |agg AS (SELECT event_type, sum(cnt)::BIGINT AS n_pairs,
+        |    sum(pos * avgrk) AS w_plus,
+        |    sum(cnt * (cnt * cnt - 1)) AS tie3
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n_pairs, round(w_plus, 1) AS w_plus,
+        |  round((w_plus - n_pairs * (n_pairs + 1.0) / 4) /
+        |    nullif(sqrt(n_pairs * (n_pairs + 1.0) *
+        |      (2 * n_pairs + 1) / 24 - tie3 / 48.0), 0), 4) AS z
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q381_pacf" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(v, 1) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS l1, lag(v, 2) OVER (
+        |    PARTITION BY event_type ORDER BY day) AS l2 FROM d),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_days,
+        |  (count(l1) * sum(CASE WHEN l1 IS NOT NULL THEN v * l1 END) -
+        |    sum(CASE WHEN l1 IS NOT NULL THEN v END) * sum(l1)) /
+        |  nullif(sqrt((count(l1) *
+        |      sum(CASE WHEN l1 IS NOT NULL THEN v * v END) -
+        |      sum(CASE WHEN l1 IS NOT NULL THEN v END) ^ 2) *
+        |    (count(l1) * sum(l1 * l1) - sum(l1) ^ 2)), 0) AS r1,
+        |  (count(l2) * sum(CASE WHEN l2 IS NOT NULL THEN v * l2 END) -
+        |    sum(CASE WHEN l2 IS NOT NULL THEN v END) * sum(l2)) /
+        |  nullif(sqrt((count(l2) *
+        |      sum(CASE WHEN l2 IS NOT NULL THEN v * v END) -
+        |      sum(CASE WHEN l2 IS NOT NULL THEN v END) ^ 2) *
+        |    (count(l2) * sum(l2 * l2) - sum(l2) ^ 2)), 0) AS r2
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_days, round(r1, 4) AS pacf1,
+        |  round((r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0), 4) AS pacf2
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q382_ccf" ->
+      """WITH x AS (SELECT ts::DATE AS day, count(*)::DOUBLE AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |y AS (SELECT ts::DATE AS day, count(*)::DOUBLE AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |k AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        |j AS (SELECT k.lag, x.x, y.y FROM x CROSS JOIN k
+        |  JOIN y ON y.day = x.day + k.lag::INTEGER),
+        |a AS (SELECT lag, count(*)::BIGINT AS n_days, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n_days,
+        |  round((n_days * sxy - sx * sy) /
+        |    nullif(sqrt((n_days * sxx - sx * sx) *
+        |      (n_days * syy - sy * sy)), 0), 4) AS ccf
+        |FROM a ORDER BY lag""".stripMargin,
     "q363_anderson_darling" ->
       """WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
         |  FROM events WHERE event_type IN ('click', 'purchase')),

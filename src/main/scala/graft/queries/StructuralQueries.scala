@@ -1243,7 +1243,79 @@ object StructuralQueries {
       .orderBy(col("year"), col("qtr"))
   }
 
+
+  /** q388_skew_join — AQE skew-join mitigation (X13's runtime
+    * counterpart): a deliberately Zipf-skewed key (60% of lineitem on
+    * one hot key) sort-merge-joined to its dimension with a MERGE hint
+    * (broadcast disabled would mask the skew path). At scale,
+    * AQE's OptimizeSkewedJoin detects the oversized partition at
+    * runtime and splits it across reducers — no salting rewrite
+    * needed (q64/q81 implement the MANUAL salting for engines/cases
+    * without AQE); PlanQualitySpec executes this query under
+    * tightened skew thresholds and asserts the SortMergeJoin carries
+    * skew=true. Result is mitigation-invariant, so the oracle replays
+    * the plain arithmetic.
+    */
+  def q388SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    // parallelize: a reducer partition splits along MAPPER boundaries,
+    // so the skew path needs a genuinely multi-task upstream (a real
+    // corpus has thousands; the single-file fixture has one row group)
+    val f = Tables.parallelize(Tables.lineitem(s, dir))
+      .select(when(col("l_orderkey") % 10 < 6, 0L)
+        .otherwise(col("l_orderkey") % 1000 + 1).as("k"),
+        col("l_quantity"), col("l_extendedprice"))
+    val d = s.range(0, 1001).select(col("id").as("k"),
+      (col("id") % 7).as("grp"))
+    f.hint("MERGE").join(d, Seq("k"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).cast("double").as("total_qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("grp"))
+  }
+
+
+  /** q389_sql_scripting — SQL scripting (SPARK-48338, the SQL/PSM
+    * surface GA'd in Spark 4): a BEGIN…END compound with DECLAREd
+    * session variables and a WHILE loop computes an ITERATIVE trimmed
+    * mean (3 rounds of "re-average everything ≤ 2× the previous mean"
+    * — the poor-man's robust location estimate), then the final
+    * statement reads the converged variable in a per-priority census.
+    * Control flow lives in the SQL layer itself — no driver-side Scala
+    * loop — which is what makes stored-procedure-style maintenance
+    * jobs portable to pure-SQL runners; the oracle replays the loop
+    * UNROLLED as three CTE stages. Each iteration is one scan-stage
+    * aggregate; the variable is a broadcast scalar.
+    */
+  def q389SqlScripting(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q389")
+    val key = "spark.sql.scripting.enabled"
+    val prev = scala.util.Try(s.conf.get(key)).toOption
+    s.conf.set(key, "true")
+    try s.sql(
+      """BEGIN
+        |  DECLARE mu DOUBLE DEFAULT 0;
+        |  DECLARE i INT DEFAULT 0;
+        |  SET mu = (SELECT avg(o_totalprice) FROM orders_q389);
+        |  WHILE i < 3 DO
+        |    SET mu = (SELECT avg(o_totalprice) FROM orders_q389
+        |              WHERE o_totalprice <= 2 * mu);
+        |    SET i = i + 1;
+        |  END WHILE;
+        |  SELECT o_orderpriority, count(*) AS n_below,
+        |    round(mu, 2) AS trimmed_mu
+        |  FROM orders_q389 WHERE o_totalprice <= mu
+        |  GROUP BY o_orderpriority ORDER BY o_orderpriority;
+        |END""".stripMargin)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "q389_sql_scripting" -> (q389SqlScripting _),
+    "q388_skew_join" -> (q388SkewJoin _),
     "q368_xml_roundtrip" -> (q368XmlRoundtrip _),
     "q365_struct_surgery" -> (q365StructSurgery _),
     "q348_variant_type" -> (q348VariantType _),
@@ -1308,6 +1380,27 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q389_sql_scripting" ->
+      """WITH m0 AS (SELECT avg(o_totalprice) AS mu FROM orders),
+        |m1 AS (SELECT avg(o_totalprice) AS mu FROM orders, m0
+        |  WHERE o_totalprice <= 2 * m0.mu),
+        |m2 AS (SELECT avg(o_totalprice) AS mu FROM orders, m1
+        |  WHERE o_totalprice <= 2 * m1.mu),
+        |m3 AS (SELECT avg(o_totalprice) AS mu FROM orders, m2
+        |  WHERE o_totalprice <= 2 * m2.mu)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_below,
+        |  round(m3.mu, 2) AS trimmed_mu
+        |FROM orders, m3 WHERE o_totalprice <= m3.mu
+        |GROUP BY o_orderpriority, m3.mu
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q388_skew_join" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+        |      ELSE l_orderkey % 1000 + 1 END AS k,
+        |    l_quantity, l_extendedprice FROM lineitem)
+        |SELECT (k % 7)::BIGINT AS grp, count(*)::BIGINT AS n_lines,
+        |  sum(l_quantity)::DOUBLE AS total_qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q368_xml_roundtrip" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n,
         |  round(sum(o_totalprice::DOUBLE), 2) AS total_price,

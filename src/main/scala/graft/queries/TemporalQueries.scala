@@ -679,7 +679,35 @@ object TemporalQueries {
     EventOps.ewmaDaily(Tables.events(s, dir), b = 0.7, windowDays = 28)
       .orderBy(col("event_type"), col("day"))
 
+
+  /** q386_interval_arith — ANSI day-time INTERVAL arithmetic as a
+    * first-class surface (SPARK-27790): timestamp SUBTRACTION yields a
+    * typed `INTERVAL DAY TO SECOND` (not a bare double), intervals
+    * order/aggregate natively (min/max), and CAST to BIGINT converts to
+    * total seconds — the ship-lag readout (l_shipdate − o_orderdate per
+    * priority) expressed in the type system the SQL standard intends,
+    * so unit errors (ms vs s vs days) are compile-time impossible. The
+    * oracle replays via DuckDB's interval epoch(). Join shuffles on the
+    * order key once; everything after is a bounded per-priority frame.
+    */
+  def q386IntervalArith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("l_shipdate") - col("o_orderdate")).as("__lag"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__lag")).cast("long").as("min_lag_s"),
+        max(col("__lag")).cast("long").as("max_lag_s"),
+        round(avg(col("__lag").cast("long")), 2).as("avg_lag_s"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, Q] = Map(
+    "q386_interval_arith" -> (q386IntervalArith _),
     "q223_theil_sen" -> (q223TheilSen _),
     "q224_mann_kendall" -> (q224MannKendall _),
     "q230_time_weighted_mean" -> (q230TimeWeightedMean _),
@@ -725,6 +753,16 @@ object TemporalQueries {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q386_interval_arith" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+        |    l.l_shipdate::TIMESTAMP - o.o_orderdate::TIMESTAMP AS lag
+        |  FROM orders o JOIN lineitem l
+        |    ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  floor(epoch(min(lag)))::BIGINT AS min_lag_s,
+        |  floor(epoch(max(lag)))::BIGINT AS max_lag_s,
+        |  round(avg(floor(epoch(lag))), 2) AS avg_lag_s
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q233_backtest_folds" ->
       """WITH d0 AS (SELECT min(ts::DATE) AS d0 FROM events),
         |t AS (

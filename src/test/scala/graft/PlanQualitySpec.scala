@@ -59,6 +59,36 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       plan.contains("ReusedQueryStage"), plan)
   }
 
+  test("q388 AQE splits the skewed partition (SortMergeJoin skew=true)") {
+    // skew handling is an AQE EXECUTION-time decision sized in bytes;
+    // tighten the thresholds to the spec corpus, execute, and read the
+    // final adaptive plan — the proof the hot key was split across
+    // reducers instead of serializing one reducer (100 TB: the default
+    // 256 MB threshold engages the same path)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // the split adds a (harmless) extra shuffle before the grp agg;
+      // without force, AQE's cost check vetoes it
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("q388_skew_join")(
+        spark, "/root/testdata/sf0.01")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q338 injects a runtime Bloom filter on the fact scan side") {
     val plan =
       planOf(SparkEntry.queries("q338_runtime_bloom_join")(spark, sf0001))
@@ -234,7 +264,12 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // scalars
     "q362_ucb1", "q363_anderson_darling",
     // q373 cross-joins the broadcast 1-row sample-size scalar
-    "q373_avg_precision")
+    "q373_avg_precision",
+    // q383 cross-joins the broadcast 1-row temporal-cutoff scalar
+    "q383_pinball_loss",
+    // q387 cross-joins the broadcast 1-row sketch-estimate/exact-count
+    // scalars (KMV frames are k=128-bounded)
+    "q387_kmv_intersect")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
