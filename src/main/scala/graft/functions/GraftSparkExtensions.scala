@@ -143,10 +143,27 @@ object GraftSparkExtensions {
       ImageMeta(children.head)
     })
 
+  val audioMeta: FnDef = (
+    FunctionIdentifier("audio_meta"),
+    new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "audio_meta takes exactly 1 argument")
+      AudioMeta(children.head)
+    })
+
+  val videoMeta: FnDef = (
+    FunctionIdentifier("video_meta"),
+    new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "video_meta takes exactly 1 argument")
+      VideoMeta(children.head)
+    })
+
   val all: Seq[FnDef] =
     Seq(cosineSim, minhashSigs, simhash, srpBucket, quantizeInt8,
       dotInt8, wordShingles, rollingHash, vecNorm, poissonDraw,
-      sortedIntersectCount, jaroWinkler, imageMeta)
+      sortedIntersectCount, jaroWinkler, imageMeta, audioMeta,
+      videoMeta)
 
   /** Register directly on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1097,7 +1097,52 @@ object AdvancedQueries {
           col("exact_intersect") * 0.35 + lit(5.0)).as("within_bound"))
   }
 
+
+  /** q394_personalized_pagerank — PERSONALIZED PageRank from a seed
+    * set (doc_id % 100 == 0): identical BSP scaffold to q172
+    * ([[GraphOps.unrolledRounds]] over the checkpointed symmetric
+    * simhash graph) but the teleport mass returns to the SEEDS, not
+    * uniformly — which turns global centrality into "similarity to
+    * THESE documents", the random-walk relevance measure behind
+    * related-item recommendation and seed-expansion labeling (find
+    * more docs like the flagged ones). Global PR (q172) answers "what
+    * is a hub"; PPR answers "a hub NEAR my seeds". Scores concentrate
+    * on the seeds' components; everything off-component is exactly 0
+    * and is filtered before the top-k.
+    */
+  def q394PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.simhashDocEdges(s, dir))
+      .localCheckpoint() // 3 iterations + degree read this
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val isSeed = (col("src") % 100 === 0)
+    val seedN = deg.filter(isSeed)
+      .agg(count(lit(1)).cast("double").as("n_seeds"))
+    val init = deg.crossJoin(broadcast(seedN))
+      .select(col("src").as("node"), col("deg"), col("n_seeds"),
+        when(isSeed, lit(1.0) / col("n_seeds")).otherwise(lit(0.0))
+          .as("p"))
+    val ranks = GraphOps.unrolledRounds(init, 3) { (r, _) =>
+      val contrib = r.join(sym, r("node") === sym("src"))
+        .select(col("dst").as("node"), (col("p") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("__in"))
+      deg.crossJoin(broadcast(seedN))
+        .select(col("src").as("node"), col("deg"), col("n_seeds"),
+          when(col("src") % 100 === 0, lit(0.15) / col("n_seeds"))
+            .otherwise(lit(0.0)).as("__tp"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("n_seeds"),
+          (col("__tp") + lit(0.85) * coalesce(col("__in"), lit(0.0)))
+            .as("p"))
+    }
+    ranks.filter(col("p") > 0)
+      .select(col("node").as("doc_id"), round(col("p"), 5).as("ppr"),
+        col("deg"), (col("node") % 100 === 0).as("is_seed"))
+      .orderBy(col("ppr").desc, col("doc_id")).limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q394_personalized_pagerank" -> (q394PersonalizedPagerank _),
     "q387_kmv_intersect" -> (q387KmvIntersect _),
     "q356_clustering_coeff" -> (q356ClusteringCoeff _),
     "q357_assortativity" -> (q357Assortativity _),
@@ -1153,6 +1198,51 @@ object AdvancedQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q394_personalized_pagerank" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+         |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |sym AS (SELECT ea AS src, eb AS dst FROM e
+         |        UNION ALL SELECT eb, ea FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |sn AS (SELECT count(*)::DOUBLE AS ns FROM deg
+         |  WHERE src % 100 = 0),
+         |p0 AS (SELECT src AS node, deg,
+         |    CASE WHEN src % 100 = 0 THEN 1.0 / (SELECT ns FROM sn)
+         |      ELSE 0.0 END AS p FROM deg),
+         |p1 AS (SELECT d.src AS node, d.deg,
+         |    (CASE WHEN d.src % 100 = 0
+         |      THEN 0.15 / (SELECT ns FROM sn) ELSE 0.0 END)
+         |    + 0.85 * coalesce(c.sin, 0.0) AS p
+         |  FROM deg d LEFT JOIN (
+         |    SELECT sym.dst AS node, sum(p0.p / p0.deg) AS sin
+         |    FROM p0 JOIN sym ON p0.node = sym.src
+         |    GROUP BY sym.dst) c
+         |  ON c.node = d.src),
+         |p2 AS (SELECT d.src AS node, d.deg,
+         |    (CASE WHEN d.src % 100 = 0
+         |      THEN 0.15 / (SELECT ns FROM sn) ELSE 0.0 END)
+         |    + 0.85 * coalesce(c.sin, 0.0) AS p
+         |  FROM deg d LEFT JOIN (
+         |    SELECT sym.dst AS node, sum(p1.p / p1.deg) AS sin
+         |    FROM p1 JOIN sym ON p1.node = sym.src
+         |    GROUP BY sym.dst) c
+         |  ON c.node = d.src),
+         |p3 AS (SELECT d.src AS node, d.deg,
+         |    (CASE WHEN d.src % 100 = 0
+         |      THEN 0.15 / (SELECT ns FROM sn) ELSE 0.0 END)
+         |    + 0.85 * coalesce(c.sin, 0.0) AS p
+         |  FROM deg d LEFT JOIN (
+         |    SELECT sym.dst AS node, sum(p2.p / p2.deg) AS sin
+         |    FROM p2 JOIN sym ON p2.node = sym.src
+         |    GROUP BY sym.dst) c
+         |  ON c.node = d.src),
+         |f AS (SELECT node, p, deg FROM p3 WHERE p > 0)
+         |SELECT node AS doc_id, round(p, 5) AS ppr, deg,
+         |  node % 100 = 0 AS is_seed
+         |FROM f ORDER BY ppr DESC, doc_id LIMIT 15""".stripMargin,
     "q387_kmv_intersect" ->
       """WITH au AS (SELECT DISTINCT user_id FROM events
         |  WHERE event_type = 'view'),

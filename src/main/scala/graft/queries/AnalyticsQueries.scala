@@ -1118,6 +1118,107 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q396_audio_decode — multimodal AUDIO header decode, completing
+    * q377's image half of the post-ingestion decode step: the native
+    * [[graft.functions.AudioMeta]] expression parses sample rate /
+    * channels / bit depth / sample count from WAV (RIFF chunk walk,
+    * little-endian) and FLAC (STREAMINFO, big-endian bit-packed)
+    * header bytes inside whole-stage codegen — no sample decode, no
+    * codec library, so a 100 TB audio-corpus duration audit runs at
+    * scan speed touching only each blob's first bytes. The fixture
+    * encodes 24 spec-valid headers (parameters a deterministic
+    * function of doc_id) through `AudioMetaUtil.encodeHeader` — an
+    * independent code path from the parser, cross-checked in
+    * AudioMetaSpec — and the oracle replays the parameter arithmetic
+    * per doc. duration_ms is integer millisecond floor
+    * (num_samples*1000 div sample_rate) so both engines agree exactly.
+    */
+  def q396AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.functions.AudioMetaUtil
+    val outDir = Paths.get(
+      "target/tmp/q396_aud_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(outDir)
+    Tables.documents(s, dir).filter(col("doc_id") < 24)
+      .select(col("doc_id")).collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        val fmt = if (id % 2 == 0) "wav" else "flac"
+        val sr = Seq(8000, 16000, 22050, 44100, 48000)((id % 5).toInt)
+        val ch = 1 + ((id / 2) % 2).toInt
+        val bits = if (id % 3 == 0) 24 else 16
+        val n = 1000L + id * 7919 % 100000
+        Files.write(outDir.resolve(f"aud_${id}%05d.bin"),
+          AudioMetaUtil.encodeHeader(fmt, sr, ch, bits, n))
+      }
+    graft.functions.GraftSparkExtensions.register(s)
+    s.read.format("binaryFile").load(outDir.toString)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        call_function("audio_meta", col("content")).as("__m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("__m.format").as("format"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.channels").as("channels"),
+        col("__m.bits_per_sample").as("bits_per_sample"),
+        col("__m.num_samples").as("num_samples"),
+        expr("__m.num_samples * 1000L div __m.sample_rate")
+          .as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q398_video_decode — multimodal VIDEO container decode, closing the
+    * image (q377) / audio (q396) / video triptych of X5's decode step:
+    * the native [[graft.functions.VideoMeta]] expression walks MP4 /
+    * ISO-BMFF box headers (`ftyp` brand, `moov`→`mvhd` timescale +
+    * duration with version-0/1 layouts, `trak` count) inside
+    * whole-stage codegen — no sample data, no codec — so a duration /
+    * track-count audit over 100 TB of faststart video touches only
+    * each blob's leading bytes. The fixture encodes 24 spec-valid
+    * ISO-BMFF headers (brand/timescale/duration/tracks a deterministic
+    * function of doc_id; every 7th file uses the 64-bit version-1
+    * `mvhd` layout) through `VideoMetaUtil.encodeHeader` — an
+    * independent code path from the parser, cross-checked in
+    * VideoMetaSpec — and the oracle replays the parameter arithmetic,
+    * including the layout-dependent byte length. duration_ms is
+    * integer floor (units*1000 div timescale) so both engines agree
+    * exactly.
+    */
+  def q398VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.functions.VideoMetaUtil
+    val outDir = Paths.get(
+      "target/tmp/q398_vid_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(outDir)
+    Tables.documents(s, dir).filter(col("doc_id") < 24)
+      .select(col("doc_id")).collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        val brand = Seq("isom", "mp42", "avc1")((id % 3).toInt)
+        val timescale = Seq(600, 1000, 90000, 44100)((id % 4).toInt)
+        val units = 1000L + id * 104729 % 1000000 +
+          (if (id % 7 == 0) 5000000000L else 0L)
+        val nTracks = 1 + (id % 3).toInt
+        Files.write(outDir.resolve(f"vid_${id}%05d.bin"),
+          VideoMetaUtil.encodeHeader(brand, timescale, units, nTracks))
+      }
+    graft.functions.GraftSparkExtensions.register(s)
+    s.read.format("binaryFile").load(outDir.toString)
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        call_function("video_meta", col("content")).as("__m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("__m.brand").as("brand"),
+        col("__m.timescale").as("timescale"),
+        col("__m.duration_ms").as("duration_ms"),
+        col("__m.n_tracks").as("n_tracks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q261_binary_source — the binaryFile data source as the multimodal
     * ingestion front door (X5's missing source half): raw payload
     * files land as (path, length, content) rows with NO decode on
@@ -1404,6 +1505,8 @@ object AnalyticsQueries {
     "q260_state_occupancy" -> (q260StateOccupancy _),
     "q261_binary_source" -> (q261BinarySource _),
     "q377_image_decode" -> (q377ImageDecode _),
+    "q396_audio_decode" -> (q396AudioDecode _),
+    "q398_video_decode" -> (q398VideoDecode _),
     "q262_text_source" -> (q262TextSource _),
     "q254_multi_touch" -> (q254MultiTouch _),
     "q255_cohort_retention" -> (q255CohortRetention _),
@@ -1643,6 +1746,37 @@ object AnalyticsQueries {
         |    ELSE 'gif' END AS format,
         |  (16 + (doc_id * 37) % 2000)::INT AS width,
         |  (16 + (doc_id * 53) % 1200)::INT AS height
+        |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin,
+    "q396_audio_decode" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 42 END)::BIGINT
+        |    AS n_bytes,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END
+        |    AS format,
+        |  ([8000, 16000, 22050, 44100, 48000][(doc_id % 5)::INT + 1]
+        |    )::INT AS sample_rate,
+        |  (1 + (doc_id // 2) % 2)::INT AS channels,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END)::INT
+        |    AS bits_per_sample,
+        |  (1000 + (doc_id * 7919) % 100000)::BIGINT AS num_samples,
+        |  ((1000 + (doc_id * 7919) % 100000) * 1000
+        |    // [8000, 16000, 22050, 44100, 48000][(doc_id % 5)::INT + 1]
+        |    )::BIGINT AS duration_ms
+        |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin,
+    "q398_video_decode" ->
+      """SELECT doc_id,
+        |  (28 + CASE WHEN doc_id % 7 = 0 THEN 120 ELSE 108 END
+        |    + 8 * (1 + doc_id % 3))::BIGINT AS n_bytes,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+        |    ELSE 'avc1' END AS brand,
+        |  ([600, 1000, 90000, 44100][(doc_id % 4)::INT + 1])::INT
+        |    AS timescale,
+        |  ((1000 + (doc_id * 104729) % 1000000
+        |    + CASE WHEN doc_id % 7 = 0 THEN 5000000000 ELSE 0 END)
+        |    * 1000
+        |    // [600, 1000, 90000, 44100][(doc_id % 4)::INT + 1]
+        |    )::BIGINT AS duration_ms,
+        |  (1 + doc_id % 3)::INT AS n_tracks
         |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin,
     "q261_binary_source" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -69,6 +69,51 @@ object CorpusQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q400_lof — Local Outlier Factor (Breunig et al. 2000) over the
+    * embedding corpus on cosine distance: from the exact k=5 kNN edge
+    * list (q100's `batchTopK` — ONE corpus pass, k-bounded state) the
+    * classic three-join chain derives k-distance, reachability
+    * distance reach(p,o) = max(kdist(o), d(p,o)), local reachability
+    * density lrd = k/Σreach, and LOF(p) = avg lrd(neighbor)/lrd(p) —
+    * the DENSITY-relative outlier score that q102's global norm
+    * fences cannot express (a point in a sparse region scores high
+    * even if its norm is typical). Scale shape: the scored set is the
+    * broadcast query batch (in production a bounded candidate subset,
+    * here the whole 500-vector fixture); every downstream join is on
+    * the O(n·k) edge list, never on pairs. Distances are the 4-dp
+    * rounded cosine distances shared with the oracle, so the chain
+    * replays to the digit; lrd guards the all-duplicate-neighbor
+    * degenerate case with a 1e-12 floor (documented, replayed).
+    */
+  def q400Lof(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val emb = Tables.embeddings(s, dir)
+    val knn = VectorOps.batchTopK(emb,
+        emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), k = k)
+      .select(col("query_id").as("p"), col("vec_id").as("o"),
+        (lit(1.0) - col("cos_sim")).as("d"))
+      .localCheckpoint() // read by kdist, reach, and lof passes
+    val kdist = knn.groupBy(col("o").as("vec_id"))
+      .agg(max(col("d")).as("kdist"))
+    val lrd = knn
+      .join(kdist.withColumnRenamed("vec_id", "o"), Seq("o"))
+      .groupBy(col("p"))
+      .agg((lit(k.toDouble) /
+        greatest(sum(greatest(col("kdist"), col("d"))), lit(1e-12)))
+        .as("lrd"))
+    knn.join(lrd.select(col("p").as("o"), col("lrd").as("__olrd")),
+        Seq("o"))
+      .groupBy(col("p")).agg(avg(col("__olrd")).as("__avg_olrd"))
+      .join(lrd, Seq("p"))
+      .join(kdist.withColumnRenamed("vec_id", "p"), Seq("p"))
+      .select(col("p").as("vec_id"),
+        round(col("__avg_olrd") / col("lrd"), 4).as("lof"),
+        round(col("lrd"), 4).as("lrd"),
+        round(col("kdist"), 4).as("kdist"))
+      .orderBy(col("lof").desc, col("vec_id")).limit(15)
+  }
+
   /** q101_vocab_encode — frequency-vocab build + id encoding
     * (`CurationOps.vocabEncode`): top-16 tokens by corpus count become
     * ids 0-15; docs encode to id sequences with -1 OOV and a per-doc
@@ -562,7 +607,101 @@ object CorpusQueries {
       .orderBy(col("rank"))
   }
 
+
+  /** q395_product_quantization — PQ (Jégou et al. 2011), the
+    * compression layer real vector stores put UNDER the coarse index:
+    * the 64-dim embedding splits into 4 subspaces × 16 dims, each with
+    * a 16-entry codebook (deterministic init = the first 16 vectors'
+    * subvectors, one seeded Lloyd step — q308's pattern — with empty
+    * codes falling back to init), so every vector compresses to 4
+    * bytes (256× smaller); queries scan CODES with an ADC lookup
+    * table (4×16 precomputed sub-distances, one broadcast frame) and
+    * the estimated-distance top-10 is scored against the exact
+    * top-10. Complements q93/q343 (int8 = scalar quantization, 4×)
+    * with the codebook form that makes 100 TB of vectors RAM-resident.
+    * Engine-parity discipline: subspace distances are left-fold sums
+    * of double-cast elements, argmins break ties on (6-dp distance,
+    * code), centroid means are 6-dp rounded before encoding — the
+    * oracle replays training, encoding, and ADC to the digit.
+    */
+  def q395ProductQuantization(s: SparkSession, dir: String): DataFrame = {
+    val nSub = 4
+    val subDim = 16
+    val k = 16
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .localCheckpoint() // read by init, assign, update, encode, exact
+    // (vec, sub) subvectors
+    val subs = emb.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${nSub - 1}), j ->
+         |  named_struct('sub', j,
+         |    'sv', slice(v, j * $subDim + 1, $subDim)))""".stripMargin))
+      .as("__s"))
+      .select(col("vec_id"), col("__s.sub").as("sub"),
+        col("__s.sv").as("sv"))
+      .localCheckpoint()
+    val init = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+    def assignTo(centroids: DataFrame): DataFrame =
+      subs.join(broadcast(centroids), Seq("sub"))
+        .withColumn("__d", round(expr(
+          """aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin),
+          6))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("__d"), col("code"))).as("__m"))
+        .select(col("vec_id"), col("sub"), col("__m.code").as("code"))
+    // one Lloyd step: assign to init, re-mean per (sub, code, dim)
+    val upd = assignTo(init)
+      .join(subs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("__c"))
+      .groupBy(col("sub"), col("code"))
+      .agg(expr("transform(sort_array(collect_list(" +
+        "struct(pos, __c))), x -> x.__c)").as("cv"))
+    // empty codes keep their init centroid
+    val books = init.select(col("sub"), col("code"),
+        col("cv").as("__icv"))
+      .join(upd, Seq("sub", "code"), "left")
+      .select(col("sub"), col("code"),
+        coalesce(col("cv"), col("__icv")).as("cv"))
+      .localCheckpoint()
+    val codes = assignTo(books).localCheckpoint()
+    // ADC lookup table for the query vector (vec_id 7)
+    val lut = subs.filter(col("vec_id") === 7)
+      .join(broadcast(books), Seq("sub"))
+      .select(col("sub"), col("code"), expr(
+        """aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),
+          |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+        .as("__qd"))
+    val est = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("__qd")).as("__est"))
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("v").as("__qv"))
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(
+        """aggregate(zip_with(v, __qv, (a, b) -> (a - b) * (a - b)),
+          |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+        .as("__ex"))
+    val exactTop = exact.filter(col("vec_id") =!= 7)
+      .orderBy(round(col("__ex"), 6), col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    est.filter(col("vec_id") =!= 7)
+      .join(exact, Seq("vec_id"))
+      .join(exactTop.withColumn("__hit", lit(true)), Seq("vec_id"),
+        "left")
+      .orderBy(round(col("__est"), 6), col("vec_id")).limit(10)
+      .select(col("vec_id"),
+        round(sqrt(col("__est")), 4).as("pq_dist"),
+        round(sqrt(col("__ex")), 4).as("exact_dist"),
+        coalesce(col("__hit"), lit(false)).as("in_exact_top10"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q395_product_quantization" -> (q395ProductQuantization _),
     "q327_mmr_diversify" -> (q327MmrDiversify _),
     "q314_naive_bayes" -> (q314NaiveBayes _),
     "q315_ql_retrieval" -> (q315QlRetrieval _),
@@ -584,6 +723,7 @@ object CorpusQueries {
     "q98_chunk_dedup" -> (q98ChunkDedup _),
     "q99_mixture_sample" -> (q99MixtureSample _),
     "q100_batch_topk" -> (q100BatchTopK _),
+    "q400_lof" -> (q400Lof _),
     "q101_vocab_encode" -> (q101VocabEncode _),
     "q102_norm_outliers" -> (q102NormOutliers _),
     "q103_pack_bins" -> (q103PackBins _),
@@ -624,6 +764,55 @@ object CorpusQueries {
        |  UNION ALL SELECT doc_id FROM s$r)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q395_product_quantization" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |subs AS (SELECT vec_id, j.j AS sub,
+        |    v[j.j * 16 + 1 : j.j * 16 + 16] AS sv
+        |  FROM v, (SELECT unnest(range(0, 4)) AS j) j),
+        |ini AS (SELECT sub, vec_id::INT AS code, sv AS cv
+        |  FROM subs WHERE vec_id < 16),
+        |a0r AS (SELECT s.vec_id, s.sub, c.code,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> (s.sv[i] - c.cv[i]) ^ 2)), 6) AS d
+        |  FROM subs s JOIN ini c ON s.sub = c.sub),
+        |a0 AS (SELECT vec_id, sub, code FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+        |  FROM a0r) WHERE rk = 1),
+        |upd AS (SELECT a0.sub, a0.code, i.i AS pos,
+        |    round(avg(s.sv[i.i]), 6) AS c
+        |  FROM a0 JOIN subs s USING (vec_id, sub),
+        |    (SELECT unnest(range(1, 17)) AS i) i
+        |  GROUP BY 1, 2, 3),
+        |updv AS (SELECT sub, code, list(c ORDER BY pos) AS cv
+        |  FROM upd GROUP BY 1, 2),
+        |books AS (SELECT i.sub, i.code, coalesce(u.cv, i.cv) AS cv
+        |  FROM ini i LEFT JOIN updv u USING (sub, code)),
+        |encr AS (SELECT s.vec_id, s.sub, c.code,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> (s.sv[i] - c.cv[i]) ^ 2)), 6) AS d
+        |  FROM subs s JOIN books c ON s.sub = c.sub),
+        |enc AS (SELECT vec_id, sub, code FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
+        |  FROM encr) WHERE rk = 1),
+        |lut AS (SELECT b.sub, b.code,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (q.sv[i] - b.cv[i]) ^ 2)) AS qd
+        |  FROM books b JOIN (SELECT sub, sv FROM subs
+        |    WHERE vec_id = 7) q ON q.sub = b.sub),
+        |est AS (SELECT e.vec_id, sum(l.qd) AS est
+        |  FROM enc e JOIN lut l USING (sub, code) GROUP BY 1),
+        |qv AS (SELECT v AS q FROM v WHERE vec_id = 7),
+        |ex AS (SELECT v.vec_id, list_sum(list_transform(range(1, 65),
+        |    i -> (v.v[i] - qv.q[i]) ^ 2)) AS ex FROM v, qv),
+        |ext AS (SELECT vec_id FROM ex WHERE vec_id <> 7
+        |  ORDER BY round(ex, 6), vec_id LIMIT 10)
+        |SELECT e.vec_id, round(sqrt(e.est), 4) AS pq_dist,
+        |  round(sqrt(x.ex), 4) AS exact_dist,
+        |  e.vec_id IN (SELECT vec_id FROM ext) AS in_exact_top10
+        |FROM est e JOIN ex x USING (vec_id) WHERE e.vec_id <> 7
+        |ORDER BY round(e.est, 6), e.vec_id LIMIT 10""".stripMargin,
     "q327_mmr_diversify" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
@@ -930,6 +1119,25 @@ object CorpusQueries {
         |SELECT lang, doc_id, n_tokens, cum_tokens, grp_budget
         |FROM c WHERE cum_tokens <= grp_budget
         |ORDER BY lang, doc_id""".stripMargin,
+    "q400_lof" ->
+      """WITH p AS (SELECT q.vec_id AS p, e.vec_id AS o,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      q.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |knn AS (SELECT p, o, 1.0 - round(cos, 4) AS d
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY p
+        |      ORDER BY cos DESC, o) AS rn FROM p)
+        |  WHERE rn <= 5),
+        |kd AS (SELECT o AS vec_id, max(d) AS kdist FROM knn GROUP BY 1),
+        |lrd AS (SELECT knn.p,
+        |    5.0 / greatest(sum(greatest(kd.kdist, knn.d)), 1e-12) AS lrd
+        |  FROM knn JOIN kd ON knn.o = kd.vec_id GROUP BY 1),
+        |lof AS (SELECT knn.p, avg(ol.lrd) AS avg_olrd
+        |  FROM knn JOIN lrd ol ON knn.o = ol.p GROUP BY 1)
+        |SELECT f.p AS vec_id, round(f.avg_olrd / l.lrd, 4) AS lof,
+        |  round(l.lrd, 4) AS lrd, round(k.kdist, 4) AS kdist
+        |FROM lof f JOIN lrd l ON f.p = l.p JOIN kd k ON f.p = k.vec_id
+        |ORDER BY lof DESC, vec_id LIMIT 15""".stripMargin,
     "q100_batch_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id % 100 = 0),

@@ -1476,7 +1476,82 @@ object ExperimentQueries {
       .orderBy(col("event_type"))
   }
 
+
+  /** q391_dbscan — DBSCAN density clustering (Ester et al. 1996) over
+    * the standardized 2-D per-user activity space (log event count ×
+    * log total value): a point is CORE with ≥ minPts ε-neighbors,
+    * clusters are connected components of the core-core ε-graph,
+    * non-core points with a core neighbor join as BORDER (min cluster
+    * id — deterministic), the rest is NOISE. The density complement of
+    * q308's k-means (which must be told k and assumes convexity).
+    * Scale shape: candidate pairs come from [[VectorOps.gridNeighborJoin]]
+    * (ε-cells, 9-cell probe — EXACT for 2-D Euclidean, never
+    * all-pairs), components from the checkpointed hash-to-min CC, and
+    * the census is cluster-bounded. Oracle replays pairs all-pairs and
+    * the CC by recursive CTE at verify scale.
+    */
+  def q391Dbscan(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.4
+    val minPts = 6
+    val feats = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(log(count(lit(1)).cast("double")).as("__lx"),
+        log(lit(1.0) + sum(abs(col("value")))).as("__ly"))
+    val st = feats.agg(avg(col("__lx")).as("__mx"),
+      stddev_samp(col("__lx")).as("__sx"),
+      avg(col("__ly")).as("__my"), stddev_samp(col("__ly")).as("__sy"))
+    val pts = feats.crossJoin(broadcast(st))
+      .select(col("user_id"),
+        try_divide(col("__lx") - col("__mx"), col("__sx")).as("x"),
+        try_divide(col("__ly") - col("__my"), col("__sy")).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint() // grid join probes + census read this
+    val pairs = VectorOps
+      .gridNeighborJoin(pts, "user_id", "x", "y", radius = eps)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // degree, core filter, border probe
+    val sym = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val core = sym.groupBy(col("id_a")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts)
+      .select(col("id_a").as("user_id"))
+      .localCheckpoint()
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("user_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(core.withColumnRenamed("user_id", "id_b"), Seq("id_b"),
+        "left_semi")
+    val cc = DedupOps.connectedComponents(core, "user_id", coreEdges,
+        "id_a", "id_b")
+      .select(col("node").as("user_id"), col("cluster_id"))
+      .localCheckpoint()
+    val border = sym
+      .join(core.withColumnRenamed("user_id", "id_a"), Seq("id_a"),
+        "left_anti") // non-core left side
+      .join(cc.select(col("user_id").as("id_b"), col("cluster_id")),
+        Seq("id_b")) // core neighbor's cluster
+      .groupBy(col("id_a")).agg(min(col("cluster_id")).as("cluster_id"))
+    val census = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_core"))
+      .join(border.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_border")), Seq("cluster_id"), "left")
+      .na.fill(0L, Seq("n_border"))
+    val nPts = pts.agg(count(lit(1)).as("__np"))
+    val assigned = census.agg(
+      coalesce(sum(col("n_core") + col("n_border")), lit(0L))
+        .as("__na"))
+    census
+      .withColumn("n_total", col("n_core") + col("n_border"))
+      .unionByName(nPts.crossJoin(broadcast(assigned))
+        .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+          lit(0L).as("n_border"),
+          (col("__np") - col("__na")).as("n_total")))
+      .orderBy(col("n_total").desc, col("cluster_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q391_dbscan" -> (q391Dbscan _),
     "q362_ucb1" -> (q362Ucb1 _),
     "q306_ndcg_eval" -> (q306NdcgEval _),
     "q307_source_similarity" -> (q307SourceSimilarity _),
@@ -1572,6 +1647,55 @@ object ExperimentQueries {
       |  HAVING x IS NOT NULL AND y IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q391_dbscan" ->
+      """WITH RECURSIVE f AS (SELECT user_id,
+        |    ln(count(*)::DOUBLE) AS lx,
+        |    ln(1.0 + sum(abs(value))) AS ly
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT avg(lx) AS mx, stddev_samp(lx) AS sx,
+        |    avg(ly) AS my, stddev_samp(ly) AS sy FROM f),
+        |p AS (SELECT user_id, (lx - mx) / nullif(sx, 0) AS x,
+        |    (ly - my) / nullif(sy, 0) AS y
+        |  FROM f, st
+        |  WHERE (lx - mx) / nullif(sx, 0) IS NOT NULL
+        |    AND (ly - my) / nullif(sy, 0) IS NOT NULL),
+        |pr AS (SELECT a.user_id AS ia, b.user_id AS ib
+        |  FROM p a JOIN p b ON a.user_id < b.user_id
+        |  WHERE sqrt((a.x - b.x) ^ 2 + (a.y - b.y) ^ 2) < 0.4),
+        |sym AS (SELECT ia, ib FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |core AS (SELECT ia AS id FROM sym GROUP BY 1
+        |  HAVING count(*) >= 6),
+        |ce AS (SELECT ia, ib FROM pr
+        |  WHERE ia IN (SELECT id FROM core)
+        |    AND ib IN (SELECT id FROM core)),
+        |reach(node, root) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT CASE WHEN r.node = e.ia THEN e.ib ELSE e.ia END,
+        |    r.root
+        |  FROM reach r JOIN ce e ON r.node = e.ia OR r.node = e.ib),
+        |cc AS (SELECT node AS id, min(root) AS cluster_id FROM reach
+        |  GROUP BY 1),
+        |bd AS (SELECT s.ia AS id, min(cc.cluster_id) AS cluster_id
+        |  FROM sym s JOIN cc ON cc.id = s.ib
+        |  WHERE s.ia NOT IN (SELECT id FROM core) GROUP BY 1),
+        |cen AS (SELECT cc.cluster_id,
+        |    count(*)::BIGINT AS n_core,
+        |    coalesce(max(b.nb), 0)::BIGINT AS n_border
+        |  FROM cc LEFT JOIN (SELECT cluster_id,
+        |      count(*)::BIGINT AS nb FROM bd GROUP BY 1) b
+        |    ON b.cluster_id = cc.cluster_id
+        |  GROUP BY 1, b.nb),
+        |tot AS (SELECT (SELECT count(*) FROM p) -
+        |    (SELECT coalesce(sum(n_core + n_border), 0) FROM cen)
+        |    AS n_noise)
+        |SELECT * FROM (
+        |  SELECT cluster_id, n_core, n_border,
+        |    n_core + n_border AS n_total FROM cen
+        |  UNION ALL
+        |  SELECT -1::BIGINT, 0::BIGINT, 0::BIGINT,
+        |    n_noise::BIGINT FROM tot)
+        |ORDER BY n_total DESC, cluster_id LIMIT 20""".stripMargin,
     "q362_ucb1" ->
       """WITH e AS (SELECT event_type, value::DOUBLE AS v FROM events),
         |f AS (SELECT min(v) AS lo, max(v) AS hi,

@@ -484,6 +484,132 @@ object ModelQueries {
         (col("__ll1") > -col("n") * math.log(2.0)).as("improved"))
   }
 
+  /** q397_ridge_gram — multi-feature ridge regression by Gram-matrix
+    * normal equations: β = (XᵀX + λI)⁻¹ Xᵀy for y ~ 1 + quantity +
+    * discount, solved in closed form by the 3×3 Cramer expansion over
+    * NINE moment sums collected in ONE map-side-combined corpus pass —
+    * the O(d²)-state aggregation that trains linear models on 100 TB
+    * without gradient iterations (what MLlib's "normal" solver does
+    * internally). A second broadcast-scalar pass scores train RMSE
+    * against the intercept-only baseline. y is pre-scaled /1e3 so the
+    * moment sums stay well-conditioned (q353's discipline); λ = 1.0
+    * on all coefficients (documented: the intercept is penalized too,
+    * keeping A symmetric ridge-shifted).
+    */
+  def q397RidgeGram(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("double").as("x1"),
+      col("l_discount").cast("double").as("x2"),
+      (col("l_extendedprice").cast("double") / 1000.0).as("y"))
+    val lam = 1.0
+    val m = li.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("x1")).as("__s1"), sum(col("x2")).as("__s2"),
+      sum(col("x1") * col("x1")).as("__s11"),
+      sum(col("x1") * col("x2")).as("__s12"),
+      sum(col("x2") * col("x2")).as("__s22"),
+      sum(col("y")).as("__sy"),
+      sum(col("x1") * col("y")).as("__s1y"),
+      sum(col("x2") * col("y")).as("__s2y"))
+    val beta = m
+      .withColumn("__a00", col("__n") + lit(lam))
+      .withColumn("__a11", col("__s11") + lit(lam))
+      .withColumn("__a22", col("__s22") + lit(lam))
+      .withColumn("__det",
+        col("__a00") * (col("__a11") * col("__a22") -
+          col("__s12") * col("__s12")) -
+        col("__s1") * (col("__s1") * col("__a22") -
+          col("__s12") * col("__s2")) +
+        col("__s2") * (col("__s1") * col("__s12") -
+          col("__a11") * col("__s2")))
+      .select(col("__n"), col("__sy"),
+        ((col("__sy") * (col("__a11") * col("__a22") -
+            col("__s12") * col("__s12")) -
+          col("__s1") * (col("__s1y") * col("__a22") -
+            col("__s12") * col("__s2y")) +
+          col("__s2") * (col("__s1y") * col("__s12") -
+            col("__a11") * col("__s2y"))) / col("__det")).as("__b0"),
+        ((col("__a00") * (col("__s1y") * col("__a22") -
+            col("__s12") * col("__s2y")) -
+          col("__sy") * (col("__s1") * col("__a22") -
+            col("__s12") * col("__s2")) +
+          col("__s2") * (col("__s1") * col("__s2y") -
+            col("__s1y") * col("__s2"))) / col("__det")).as("__b1"),
+        ((col("__a00") * (col("__a11") * col("__s2y") -
+            col("__s12") * col("__s1y")) -
+          col("__s1") * (col("__s1") * col("__s2y") -
+            col("__s1y") * col("__s2")) +
+          col("__sy") * (col("__s1") * col("__s12") -
+            col("__a11") * col("__s2"))) / col("__det")).as("__b2"))
+    li.crossJoin(broadcast(beta))
+      .withColumn("__e",
+        col("y") - col("__b0") - col("__b1") * col("x1") -
+          col("__b2") * col("x2"))
+      .withColumn("__e0", col("y") - col("__sy") / col("__n"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__b0")), 6).as("beta0"),
+        round(max(col("__b1")), 6).as("beta1"),
+        round(max(col("__b2")), 6).as("beta2"),
+        round(sqrt(avg(col("__e") * col("__e"))), 4).as("rmse"),
+        round(sqrt(avg(col("__e0") * col("__e0"))), 4).as("rmse_null"))
+  }
+
+  /** q399_davies_bouldin — Davies–Bouldin cluster-validity index over
+    * the embedding corpus, the internal-quality readout a pipeline
+    * runs AFTER a clustering step (q308's Lloyd / q344's GMM) to pick
+    * k: assign every vector to its nearest of k=4 deterministic seed
+    * centroids (vec_id 0–3), recompute the k mean centroids (6-dp
+    * rounded, q395's engine-parity discipline), then per cluster the
+    * scatter Sᵢ = avg‖x−cᵢ‖ and the worst separation ratio
+    * Rᵢ = maxⱼ≠ᵢ (Sᵢ+Sⱼ)/‖cᵢ−cⱼ‖; DB = avg Rᵢ (lower = tighter).
+    * Scale shape: one corpus pass to assign (k centroids broadcast),
+    * one to re-mean, one for scatters — every aggregate map-side
+    * combined; the k×k ratio lattice is a broadcast of two k-row
+    * frames (justified in the BNLJ allowlist).
+    */
+  def q399DaviesBouldin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .localCheckpoint() // read by assign, re-mean, and scatter passes
+    def sqd(a: String, b: String) = expr(
+      s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+         |  cast(0.0 as double), (acc, e) -> acc + e)""".stripMargin)
+    val init = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("code"), col("v").as("cv"))
+    val assigned = emb.crossJoin(broadcast(init))
+      .withColumn("__d", round(sqd("v", "cv"), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d"), col("code"))).as("__m"))
+      .select(col("vec_id"), col("__m.code").as("code"))
+      .join(emb, Seq("vec_id")) // recover v without shuffling arrays
+      .localCheckpoint()
+    val cents = assigned
+      .select(col("code"), posexplode(col("v")))
+      .groupBy(col("code"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("__c"))
+      .groupBy(col("code"))
+      .agg(expr("transform(sort_array(collect_list(" +
+        "struct(pos, __c))), x -> x.__c)").as("cv"))
+    val scatter = assigned.join(broadcast(cents), Seq("code"))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n"), avg(sqrt(sqd("v", "cv"))).as("__s"))
+    val si = scatter.join(cents, Seq("code"))
+    val rij = si.select(col("code"), col("n"), col("__s"), col("cv"))
+      .crossJoin(broadcast(si.select(col("code").as("__oc"),
+        col("__s").as("__os"), col("cv").as("__ocv"))))
+      .filter(col("code") =!= col("__oc"))
+      .withColumn("__r",
+        (col("__s") + col("__os")) / sqrt(sqd("cv", "__ocv")))
+      .groupBy(col("code"), col("n"), col("__s"))
+      .agg(max(col("__r")).as("__rmax"))
+    rij.crossJoin(broadcast(
+        rij.agg(avg(col("__rmax")).as("__db"))))
+      .select(col("code"), col("n"), round(col("__s"), 4).as("scatter"),
+        round(col("__rmax"), 4).as("r_max"),
+        round(col("__db"), 4).as("db_index"))
+      .orderBy(col("code"))
+  }
+
   /** q354_als_step — one alternating-least-squares half-sweep for a
     * rank-1 implicit-feedback factor model over the user×event_type
     * rating frame r = interaction count (the training step inside
@@ -573,6 +699,8 @@ object ModelQueries {
     "q373_avg_precision" -> (q373AvgPrecision _),
     "q375_brier_decomposition" -> (q375BrierDecomposition _),
     "q353_logreg_newton" -> (q353LogregNewton _),
+    "q397_ridge_gram" -> (q397RidgeGram _),
+    "q399_davies_bouldin" -> (q399DaviesBouldin _),
     "q354_als_step" -> (q354AlsStep _),
     "q344_gmm_em_step" -> (q344GmmEmStep _),
     "q328_eb_shrinkage" -> (q328EbShrinkage _),
@@ -588,6 +716,73 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q399_davies_bouldin" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |ini AS (SELECT vec_id::INT AS code, v AS cv FROM v
+        |  WHERE vec_id < 4),
+        |ar AS (SELECT v.vec_id, i.code,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      k -> (v.v[k] - i.cv[k]) ^ 2)), 6) AS d
+        |  FROM v, ini i),
+        |asg AS (SELECT vec_id, code FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY d, code) AS rk
+        |  FROM ar) WHERE rk = 1),
+        |cent AS (SELECT a.code, k.k AS pos, round(avg(v.v[k.k]), 6) AS c
+        |  FROM asg a JOIN v USING (vec_id),
+        |    (SELECT unnest(range(1, 65)) AS k) k
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT code, list(c ORDER BY pos) AS cv
+        |  FROM cent GROUP BY 1),
+        |sc AS (SELECT a.code, count(*)::BIGINT AS n,
+        |    avg(sqrt(list_sum(list_transform(range(1, 65),
+        |      k -> (v.v[k] - c.cv[k]) ^ 2)))) AS s
+        |  FROM asg a JOIN v USING (vec_id) JOIN cl c ON a.code = c.code
+        |  GROUP BY 1),
+        |r AS (SELECT i.code, i.n, i.s,
+        |    max((i.s + j.s) / sqrt(list_sum(list_transform(range(1, 65),
+        |      k -> (ci.cv[k] - cj.cv[k]) ^ 2)))) AS rmax
+        |  FROM sc i JOIN cl ci ON i.code = ci.code,
+        |    sc j JOIN cl cj ON j.code = cj.code
+        |  WHERE i.code <> j.code GROUP BY 1, 2, 3),
+        |db AS (SELECT avg(rmax) AS db FROM r)
+        |SELECT code, n, round(s, 4) AS scatter,
+        |  round(rmax, 4) AS r_max, round(db.db, 4) AS db_index
+        |FROM r, db ORDER BY code""".stripMargin,
+    "q397_ridge_gram" ->
+      """WITH d AS (SELECT l_quantity::DOUBLE AS x1,
+        |    l_discount::DOUBLE AS x2,
+        |    l_extendedprice::DOUBLE / 1000.0 AS y FROM lineitem),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2,
+        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+        |    sum(x2 * x2) AS s22, sum(y) AS sy,
+        |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y FROM d),
+        |a AS (SELECT *, n + 1.0 AS a00, s11 + 1.0 AS a11,
+        |    s22 + 1.0 AS a22 FROM m),
+        |det AS (SELECT *,
+        |    a00 * (a11 * a22 - s12 * s12)
+        |      - s1 * (s1 * a22 - s12 * s2)
+        |      + s2 * (s1 * s12 - a11 * s2) AS dt FROM a),
+        |b AS (SELECT n, sy,
+        |    (sy * (a11 * a22 - s12 * s12)
+        |      - s1 * (s1y * a22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - a11 * s2y)) / dt AS b0,
+        |    (a00 * (s1y * a22 - s12 * s2y)
+        |      - sy * (s1 * a22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2)) / dt AS b1,
+        |    (a00 * (a11 * s2y - s12 * s1y)
+        |      - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - a11 * s2)) / dt AS b2
+        |  FROM det)
+        |SELECT count(*)::BIGINT AS n,
+        |  round(max(b.b0), 6) AS beta0, round(max(b.b1), 6) AS beta1,
+        |  round(max(b.b2), 6) AS beta2,
+        |  round(sqrt(avg((y - b.b0 - b.b1 * x1 - b.b2 * x2) ^ 2)), 4)
+        |    AS rmse,
+        |  round(sqrt(avg((y - b.sy / b.n) ^ 2)), 4) AS rmse_null
+        |FROM d, b""".stripMargin,
     "q383_pinball_loss" ->
       """WITH e AS (SELECT event_type, ts::DATE AS day,
         |    value::DOUBLE AS y FROM events),

@@ -689,7 +689,50 @@ object StatQueries {
       .orderBy(col("lag"))
   }
 
+
+  /** q390_theil_decomp — Theil T inequality index with its exact
+    * between/within decomposition by order priority: T = Σxlnx/S −
+    * lnμ (population form), T = T_between + Σ s_g·T_g with s_g the
+    * group INCOME share — the property Gini (q195) famously lacks:
+    * Theil tells you whether concentration lives ACROSS segments or
+    * INSIDE them, which decides whether rebalancing the mix or
+    * flattening within segments moves the number. One pass collects
+    * (n, Σx, Σx·lnx) per group; every index derives from those three
+    * moments — global moments are the group sums, so the identity is
+    * exact by construction and the oracle replays it to the digit.
+    */
+  def q390TheilDecomp(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("__x"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__s"),
+        sum(col("__x") * log(col("__x"))).as("__sl"))
+    val tot = g.agg(sum(col("__n")).as("__tn"), sum(col("__s")).as("__ts"),
+      sum(col("__sl")).as("__tsl"))
+    val w = g.crossJoin(broadcast(tot))
+      .withColumn("__mu_g", col("__s") / col("__n"))
+      .withColumn("__mu", col("__ts") / col("__tn"))
+      .withColumn("__share", col("__s") / col("__ts"))
+      .withColumn("__tg", col("__sl") / col("__s") - log(col("__mu_g")))
+    val between = w.agg(
+      sum(col("__share") * log(col("__mu_g") / col("__mu")))
+        .as("__tb"),
+      sum(col("__share") * col("__tg")).as("__tw"),
+      max(col("__tsl") / col("__ts") - log(col("__mu"))).as("__tt"))
+    w.crossJoin(broadcast(between))
+      .select(col("o_orderpriority"), col("__n").cast("long").as("n"),
+        round(col("__share"), 4).as("income_share"),
+        round(col("__tg"), 6).as("theil_within_group"),
+        round(col("__tt"), 6).as("theil_total"),
+        round(col("__tb"), 6).as("theil_between"),
+        round(col("__tw"), 6).as("theil_within"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q390_theil_decomp" -> (q390TheilDecomp _),
     "q379_kendall_tau" -> (q379KendallTau _),
     "q380_wilcoxon" -> (q380Wilcoxon _),
     "q381_pacf" -> (q381Pacf _),
@@ -708,6 +751,27 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q390_theil_decomp" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |    count(*)::DOUBLE AS n, sum(o_totalprice) AS s,
+        |    sum(o_totalprice * ln(o_totalprice)) AS sl
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(sl) AS tsl
+        |  FROM g),
+        |w AS (SELECT g.*, t.tn, t.ts, t.tsl, g.s / g.n AS mu_g,
+        |    t.ts / t.tn AS mu, g.s / t.ts AS share,
+        |    g.sl / g.s - ln(g.s / g.n) AS tg
+        |  FROM g, t),
+        |b AS (SELECT sum(share * ln(mu_g / mu)) AS tb,
+        |    sum(share * tg) AS tw,
+        |    max(tsl / ts - ln(mu)) AS tt FROM w)
+        |SELECT o_orderpriority, n::BIGINT AS n,
+        |  round(share, 4) AS income_share,
+        |  round(tg, 6) AS theil_within_group,
+        |  round(tt, 6) AS theil_total,
+        |  round(tb, 6) AS theil_between,
+        |  round(tw, 6) AS theil_within
+        |FROM w, b ORDER BY o_orderpriority""".stripMargin,
     "q379_kendall_tau" ->
       """WITH d AS (SELECT event_type, ts::DATE AS day,
         |    count(*)::DOUBLE AS x, avg(value) AS y

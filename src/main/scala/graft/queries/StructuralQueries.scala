@@ -1313,7 +1313,41 @@ object StructuralQueries {
     }
   }
 
+
+  /** q392_sql_table_fn — SQL TABLE functions (SQL UDTF, SPARK-46246):
+    * a declarative, parameterized "view with arguments" created in
+    * pure SQL and invoked in FROM — including LATERAL-correlated
+    * invocation where the argument comes from the outer row, the
+    * pattern that replaces copy-pasted per-segment queries in a SQL
+    * warehouse. The body expresses top-n as a ranked window (a
+    * parameter cannot be a LIMIT operand — it must fold to a
+    * constant), and the correlated invocation decorrelates to one
+    * partitioned window over the fact, not a per-row re-scan.
+    * Complements q319 (scalar SQL UDF) and q318 (LATERAL subquery).
+    * Oracle replays with a per-priority window.
+    */
+  def q392SqlTableFn(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q392")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION top_orders_q392(
+        |    p STRING, n INT)
+        |  RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)
+        |  RETURN SELECT o_orderkey, o_totalprice FROM (
+        |    SELECT o_orderkey, o_totalprice, row_number() OVER (
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |    FROM orders_q392 WHERE o_orderpriority = p)
+        |  WHERE rk <= n""".stripMargin)
+    s.sql(
+      """SELECT pri, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT DISTINCT o_orderpriority AS pri
+        |      FROM orders_q392),
+        |  LATERAL top_orders_q392(pri, 3)
+        |ORDER BY pri, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q392_sql_table_fn" -> (q392SqlTableFn _),
     "q389_sql_scripting" -> (q389SqlScripting _),
     "q388_skew_join" -> (q388SkewJoin _),
     "q368_xml_roundtrip" -> (q368XmlRoundtrip _),
@@ -1380,6 +1414,15 @@ object StructuralQueries {
       |  FROM embeddings e)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q392_sql_table_fn" ->
+      """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey,
+        |    o_totalprice, row_number() OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT pri, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM r WHERE rk <= 3
+        |ORDER BY pri, o_totalprice DESC, o_orderkey""".stripMargin,
     "q389_sql_scripting" ->
       """WITH m0 AS (SELECT avg(o_totalprice) AS mu FROM orders),
         |m1 AS (SELECT avg(o_totalprice) AS mu FROM orders, m0

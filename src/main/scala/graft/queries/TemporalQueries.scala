@@ -706,7 +706,55 @@ object TemporalQueries {
         round(avg(col("__lag").cast("long")), 2).as("avg_lag_s"))
       .orderBy(col("o_orderpriority"))
 
+
+  /** q393_holt_winters — Holt–Winters ADDITIVE SEASONAL smoothing
+    * (period 7) of each type's daily counts: the third member of the
+    * exponential family — q209's EWMA tracks level, q372's Holt adds
+    * trend, this adds the weekly seasonal state s[0..6] that both of
+    * them alias into level/trend error: l_t = α(y_t − s_{t−7}) +
+    * (1−α)(l_{t−1}+b_{t−1}), b_t = β·Δl + (1−β)b_{t−1}, s_t =
+    * γ(y_t − l_t) + (1−γ)s_{t−7}; initialized from the first week
+    * (l₀ = its mean, s = deviations). The inherently sequential
+    * recursion folds over the BOUNDED ordered day array per type via
+    * `aggregate` (q372's pattern — per-series state, no corpus-wide
+    * sort), carrying the 7-slot seasonal ring in the accumulator
+    * struct; the oracle replays it with a recursive CTE. Series with
+    * under 8 days are excluded (no seasonal cycle to fit).
+    */
+  def q393HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, n))), " +
+          "x -> x.n)").as("__ys"))
+      .filter(col("n_days") >= 8)
+      .withColumn("__l0", expr(
+        "aggregate(slice(__ys, 1, 7), cast(0.0 as double), " +
+          "(a, x) -> a + x) / 7.0"))
+      .withColumn("__h", expr(
+        """aggregate(slice(__ys, 8, size(__ys) - 7),
+          |  named_struct('l', __l0, 'b', cast(0.0 as double),
+          |    's', transform(slice(__ys, 1, 7), y -> y - __l0)),
+          |  (acc, y) -> named_struct(
+          |    'l', 0.3 * (y - acc.s[0]) + 0.7 * (acc.l + acc.b),
+          |    'b', 0.2 * ((0.3 * (y - acc.s[0]) + 0.7 * (acc.l + acc.b))
+          |         - acc.l) + 0.8 * acc.b,
+          |    's', concat(slice(acc.s, 2, 6), array(
+          |      0.4 * (y - (0.3 * (y - acc.s[0]) + 0.7 * (acc.l + acc.b)))
+          |      + 0.6 * acc.s[0]))))""".stripMargin))
+      .select(col("event_type"), col("n_days"),
+        round(col("__h.l"), 4).as("level"),
+        round(col("__h.b"), 4).as("trend"),
+        round(col("__h.s")(0), 4).as("next_seasonal"),
+        round(col("__h.l") + col("__h.b") + col("__h.s")(0), 4)
+          .as("forecast_1d"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q393_holt_winters" -> (q393HoltWinters _),
     "q386_interval_arith" -> (q386IntervalArith _),
     "q223_theil_sen" -> (q223TheilSen _),
     "q224_mann_kendall" -> (q224MannKendall _),
@@ -753,6 +801,41 @@ object TemporalQueries {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q393_holt_winters" ->
+      """WITH RECURSIVE d0 AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS idx FROM d0),
+        |nd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM d
+        |  GROUP BY 1 HAVING count(*) >= 8),
+        |w1 AS (SELECT d.event_type,
+        |    list(d.n ORDER BY d.idx) AS ys
+        |  FROM d JOIN nd USING (event_type) WHERE d.idx <= 7
+        |  GROUP BY 1),
+        |ini AS (SELECT event_type,
+        |    list_sum(ys) / 7.0 AS l0,
+        |    list_transform(ys, y -> y - list_sum(ys) / 7.0) AS s0
+        |  FROM w1),
+        |hw(event_type, idx, l, b, sl) AS (
+        |  SELECT event_type, 7::BIGINT, l0, 0.0::DOUBLE, s0 FROM ini
+        |  UNION ALL
+        |  SELECT h.event_type, h.idx + 1,
+        |    0.3 * (d.n - h.sl[1]) + 0.7 * (h.l + h.b),
+        |    0.2 * ((0.3 * (d.n - h.sl[1]) + 0.7 * (h.l + h.b)) - h.l)
+        |      + 0.8 * h.b,
+        |    list_append(h.sl[2:7],
+        |      0.4 * (d.n - (0.3 * (d.n - h.sl[1]) + 0.7 * (h.l + h.b)))
+        |      + 0.6 * h.sl[1])
+        |  FROM hw h JOIN d ON d.event_type = h.event_type
+        |    AND d.idx = h.idx + 1),
+        |fin AS (SELECT hw.*, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY idx DESC) AS rk FROM hw)
+        |SELECT f.event_type, nd.n_days, round(f.l, 4) AS level,
+        |  round(f.b, 4) AS trend,
+        |  round(f.sl[1], 4) AS next_seasonal,
+        |  round(f.l + f.b + f.sl[1], 4) AS forecast_1d
+        |FROM fin f JOIN nd USING (event_type) WHERE f.rk = 1
+        |ORDER BY f.event_type""".stripMargin,
     "q386_interval_arith" ->
       """WITH j AS (SELECT o.o_orderpriority,
         |    l.l_shipdate::TIMESTAMP - o.o_orderdate::TIMESTAMP AS lag

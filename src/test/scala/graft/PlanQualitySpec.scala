@@ -269,7 +269,18 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q383_pinball_loss",
     // q387 cross-joins the broadcast 1-row sketch-estimate/exact-count
     // scalars (KMV frames are k=128-bounded)
-    "q387_kmv_intersect")
+    "q387_kmv_intersect",
+    // q390/q391/q394 cross-join broadcast 1-row scalars (global Theil
+    // moments / standardization stats + assigned-count / seed count)
+    "q390_theil_decomp", "q391_dbscan", "q394_personalized_pagerank",
+    // q395 cross-joins the broadcast 1-row query vector (ADC anchor)
+    "q395_product_quantization",
+    // q397 cross-joins the broadcast 1-row solved-coefficients frame
+    "q397_ridge_gram",
+    // q399 cross-joins the broadcast k=4 centroid / 1-row DB-index
+    // frames; q400 is q100's broadcast-query batch kNN over the
+    // bounded scored set
+    "q399_davies_bouldin", "q400_lof")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
