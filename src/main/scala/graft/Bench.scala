@@ -12,6 +12,19 @@ import org.apache.spark.sql.SparkSession
   *    unlike `count()`, which lets Catalyst prune projections and skip
   *    computing most columns, noop forces every output column through
   *    the whole plan (what a real sink would see).
+  *
+  * MEASUREMENT PROTOCOL (binding for any number that gates a
+  * decision; PERF_NOTES R6.4/R7.1 measured why):
+  *  1. idle machine — NO co-resident sbt/test/Spark JVM, and none
+  *     exited within the previous ~15 s (JVM shutdown still holds
+  *     pages and cores; measured inflation up to 2× on shared runs,
+  *     5.5× worst-case per query);
+  *  2. run the full bench TWICE, compare per query, record the MIN —
+  *     a 400-query run shares one JVM, so any single run carries GC
+  *     coupling noise that min-of-two removes;
+  *  3. regressions are claimed only against min-vs-min at equal query
+  *     count; a query whose code is unchanged cannot "regress" — if
+  *     its min moved >1.5×, the protocol was violated, re-measure.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{CurationOps, StatOps, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-3 corpus-construction manifest (SURVEY.md §2.13 X28-X34): the
@@ -700,7 +700,55 @@ object CorpusQueries {
         coalesce(col("__hit"), lit(false)).as("in_exact_top10"))
   }
 
+  /** q408_kcenter_coreset — greedy farthest-point (Gonzalez) k-center
+    * coreset over the embedding corpus, k=3: seed with the max-norm
+    * vector, then twice pick the point FARTHEST from its nearest
+    * chosen center; the final max-min distance is the coverage radius,
+    * a 2-approximation of the optimal k-center cost. This is the
+    * diversity-first corpus summarization primitive (pick exemplars
+    * covering the space, the opposite of q327's query-relative MMR)
+    * and the classic seeding for clustering/active-labeling at scale:
+    * each round is ONE map-side-combinable argmax over the corpus
+    * carrying the running min-distance — k passes total, O(n·k·d)
+    * flops, no pairwise join anywhere. Distances compare after
+    * round-6 (q399's convention) with vec_id as the total tie-break,
+    * so the argmax is partition-order-proof.
+    */
+  def q408KcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    def sqd(center: String): Column = expr(
+      s"aggregate(zip_with(embedding, $center, (x, y) -> " +
+        "(double(x) - double(y)) * (double(x) - double(y))), 0D, " +
+        "(acc, v) -> acc + v)")
+    def argmax(df: DataFrame, dCol: String, idOut: String,
+        embOut: String): DataFrame =
+      df.agg(max_by(struct(col("vec_id"), col("embedding")),
+          struct(round(col(dCol), 6), -col("vec_id"))).as("__c"))
+        .select(col("__c.vec_id").as(idOut),
+          col("__c.embedding").as(embOut))
+    val n2 = emb.withColumn("__d", expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> " +
+        "double(x) * double(y)), 0D, (acc, v) -> acc + v)"))
+    val c1 = argmax(n2, "__d", "center1_id", "__c1")
+    val d1 = emb.crossJoin(broadcast(c1))
+      .withColumn("__d", sqd("__c1"))
+    val c2 = argmax(d1, "__d", "center2_id", "__c2")
+    val d2 = d1.crossJoin(broadcast(c2))
+      .withColumn("__d", least(col("__d"), sqd("__c2")))
+    val c3 = argmax(d2, "__d", "center3_id", "__c3")
+    val d3 = d2.crossJoin(broadcast(c3))
+      .withColumn("__d", least(col("__d"), sqd("__c3")))
+    d3.agg(max(col("center1_id")).as("center1_id"),
+        max(col("center2_id")).as("center2_id"),
+        max(col("center3_id")).as("center3_id"),
+        round(sqrt(max(round(col("__d"), 6))), 4)
+          .as("coverage_radius"),
+        count(lit(1)).as("n_points"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q408_kcenter_coreset" -> (q408KcenterCoreset _),
     "q395_product_quantization" -> (q395ProductQuantization _),
     "q327_mmr_diversify" -> (q327MmrDiversify _),
     "q314_naive_bayes" -> (q314NaiveBayes _),
@@ -764,6 +812,39 @@ object CorpusQueries {
        |  UNION ALL SELECT doc_id FROM s$r)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q408_kcenter_coreset" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |n2 AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE)) AS d
+        |  FROM e),
+        |c1 AS (SELECT vec_id AS cid, embedding AS ce FROM n2
+        |  ORDER BY round(d, 6) DESC, vec_id LIMIT 1),
+        |d1 AS (SELECT e.vec_id, e.embedding,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (e.embedding[i]::DOUBLE - c1.ce[i]::DOUBLE) *
+        |      (e.embedding[i]::DOUBLE - c1.ce[i]::DOUBLE))) AS d
+        |  FROM e, c1),
+        |c2 AS (SELECT vec_id AS cid, embedding AS ce FROM d1
+        |  ORDER BY round(d, 6) DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d1.vec_id, d1.embedding, least(d1.d,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (d1.embedding[i]::DOUBLE - c2.ce[i]::DOUBLE) *
+        |      (d1.embedding[i]::DOUBLE - c2.ce[i]::DOUBLE)))) AS d
+        |  FROM d1, c2),
+        |c3 AS (SELECT vec_id AS cid, embedding AS ce FROM d2
+        |  ORDER BY round(d, 6) DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT least(d2.d,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (d2.embedding[i]::DOUBLE - c3.ce[i]::DOUBLE) *
+        |      (d2.embedding[i]::DOUBLE - c3.ce[i]::DOUBLE)))) AS d
+        |  FROM d2, c3)
+        |SELECT (SELECT cid FROM c1) AS center1_id,
+        |  (SELECT cid FROM c2) AS center2_id,
+        |  (SELECT cid FROM c3) AS center3_id,
+        |  round(sqrt(max(round(d, 6))), 4) AS coverage_radius,
+        |  count(*)::BIGINT AS n_points
+        |FROM d3""".stripMargin,
     "q395_product_quantization" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

@@ -430,6 +430,60 @@ object ExperimentQueries {
       .limit(25)
   }
 
+  /** q410_modularity — Newman modularity of q280's min-label
+    * communities on the simhash near-dup graph: Q = Σ_c [L_c/m −
+    * (d_c/2m)²] — how much MORE intra-community mass the partition
+    * captures than a degree-preserving random rewiring would. This is
+    * the missing quality gate on every community/cluster readout the
+    * graph family emits (q280 labels, q286 cores): labels alone say
+    * nothing about whether the partition is real; Q ≈ 0 means the
+    * "communities" are noise. Scale shape: within-edge counting is
+    * ONE join of the checkpointed edge list against the label frame
+    * on each endpoint (shuffle keyed by node, |E| rows); degrees and
+    * community sums are map-side-combinable aggs; the Q arithmetic
+    * runs on the |communities| frame.
+    */
+  def q410Modularity(s: SparkSession, dir: String): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.simhashDocEdges(s, dir))
+      .localCheckpoint() // degree agg + both endpoint joins read this
+    val init = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val lab = GraphOps.unrolledRounds(init, 4) { (l, _) =>
+      val nb = l.join(sym, l("node") === sym("src"))
+        .select(col("dst").as("node"), col("lbl"))
+      l.unionByName(nb)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }.localCheckpoint() // endpoint joins + degree join read this
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val m = sym.agg((count(lit(1)) / lit(2.0)).as("__m"))
+    val la = lab.select(col("node").as("__na"), col("lbl").as("__la"))
+    val lb = lab.select(col("node").as("__nb"), col("lbl").as("__lb"))
+    val wi = sym.join(la, col("src") === col("__na"))
+      .join(lb, col("dst") === col("__nb"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("community"))
+      .agg((count(lit(1)) / lit(2.0)).as("within_edges"))
+    val dc = lab.join(deg, lab("node") === deg("src"))
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("__deg")).cast("double").as("degree_sum"),
+        count(lit(1)).as("n_members"))
+    val q = dc.join(wi, Seq("community"), "left")
+      .na.fill(0.0, Seq("within_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("contribution",
+        try_divide(col("within_edges"), col("__m")) -
+          pow(try_divide(col("degree_sum"), lit(2.0) * col("__m")), 2))
+    val g = q.agg(sum(col("contribution")).as("__q"))
+    q.crossJoin(broadcast(g))
+      .select(col("community"), col("n_members"),
+        col("within_edges").cast("long").as("within_edges"),
+        col("degree_sum").cast("long").as("degree_sum"),
+        round(col("contribution"), 6).as("contribution"),
+        round(col("__q"), 6).as("modularity"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(10)
+  }
+
   /** q281_cms_heavy — Count-Min sketch point-frequency estimation
     * ([[graft.functions.CountMin]], d=4 × w=64 counters): ONE constant-
     * memory algebraic aggregate over the stream, then each key's
@@ -1579,6 +1633,7 @@ object ExperimentQueries {
     "q288_xml_source" -> (q288XmlSource _),
     "q289_stream_static_enrich" -> (q289StreamStaticEnrich _),
     "q280_label_prop" -> (q280LabelProp _),
+    "q410_modularity" -> (q410Modularity _),
     "q281_cms_heavy" -> (q281CmsHeavy _),
     "q282_ipw_ate" -> (q282IpwAte _),
     "q283_auto_histogram" -> (q283AutoHistogram _),
@@ -2188,6 +2243,45 @@ object ExperimentQueries {
         |SELECT lbl AS community, count(*)::BIGINT AS n_members
         |FROM l4 GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY n_members DESC, community LIMIT 25""".stripMargin,
+    "q410_modularity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |s AS (SELECT doc_id, ($simhash32Sql)::BIGINT AS sh FROM t),
+        |e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |sym AS (SELECT ea AS src, eb AS dst FROM e
+        |        UNION ALL SELECT eb, ea FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+        |${lpRound(0)},
+        |${lpRound(1)},
+        |${lpRound(2)},
+        |${lpRound(3)},
+        |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY 1),
+        |msz AS (SELECT count(*) / 2.0 AS m FROM sym),
+        |wi AS (SELECT la.lbl AS community, count(*) / 2.0
+        |      AS within_edges
+        |  FROM sym JOIN l4 la ON sym.src = la.node
+        |    JOIN l4 lb ON sym.dst = lb.node
+        |  WHERE la.lbl = lb.lbl GROUP BY 1),
+        |dc AS (SELECT la.lbl AS community,
+        |    sum(d.dg)::DOUBLE AS degree_sum,
+        |    count(*)::BIGINT AS n_members
+        |  FROM l4 la JOIN deg d ON la.node = d.src GROUP BY 1),
+        |q AS (SELECT dc.community, dc.n_members,
+        |    coalesce(wi.within_edges, 0) AS within_edges,
+        |    dc.degree_sum,
+        |    coalesce(wi.within_edges, 0) / m.m -
+        |      pow(dc.degree_sum / (2 * m.m), 2) AS contribution
+        |  FROM dc LEFT JOIN wi ON dc.community = wi.community,
+        |    msz m),
+        |g AS (SELECT sum(contribution) AS q_mod FROM q)
+        |SELECT q.community, q.n_members,
+        |  q.within_edges::BIGINT AS within_edges,
+        |  q.degree_sum::BIGINT AS degree_sum,
+        |  round(q.contribution, 6) AS contribution,
+        |  round(g.q_mod, 6) AS modularity
+        |FROM q, g ORDER BY q.n_members DESC, q.community
+        |LIMIT 10""".stripMargin,
     "q281_cms_heavy" ->
       """WITH ex AS (SELECT event_type, count(*)::BIGINT AS exact_n
         |  FROM events GROUP BY 1),

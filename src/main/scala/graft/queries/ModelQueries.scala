@@ -694,7 +694,186 @@ object ModelQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q406_huber_m — Huber M-estimator of location for each event
+    * type's value distribution: two IRLS iterations of μ ← Σwᵢxᵢ/Σwᵢ
+    * with w = min(1, δ/|x−μ|), δ = 1.345σ (the 95%-efficiency
+    * constant), σ from exact one-pass moments and μ₀ = mean — the
+    * principled middle ground between the outlier-owned mean and the
+    * fully-insensitive median (q119's MAD family): extreme values keep
+    * CONSTANT (not proportional) influence. Each iteration is one
+    * map-side-combinable weighted aggregation over the corpus keyed by
+    * type — 3 passes total, no window, no sort; the oracle replays the
+    * identical unrolled recursion. The w=1 branch is taken whenever
+    * |x−μ| ≤ δ, so the δ/|x−μ| division only ever sees a strictly
+    * positive denominator (a constant corpus has δ = 0 and all rows on
+    * the w=1 branch — DivisionAuditSpec-proof by construction).
+    */
+  def q406HuberM(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir)
+      .select(col("event_type"), col("value").cast("double").as("__x"))
+    val base = pts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("__x")).as("__mu0"),
+        (sum(col("__x") * col("__x")) / count(lit(1)) -
+          avg(col("__x")) * avg(col("__x"))).as("__var"))
+      .withColumn("__delta",
+        lit(1.345) * sqrt(greatest(col("__var"), lit(0.0))))
+    def irls(joined: DataFrame, muCol: String, out: String): DataFrame =
+      joined
+        .withColumn("__w",
+          when(abs(col("__x") - col(muCol)) <= col("__delta"), lit(1.0))
+            .otherwise(col("__delta") / abs(col("__x") - col(muCol))))
+        .groupBy(col("event_type"))
+        .agg(sum(col("__w") * col("__x")).as("__swx"),
+          sum(col("__w")).as("__sw"))
+        .withColumn(out, try_divide(col("__swx"), col("__sw")))
+        .select(col("event_type"), col(out))
+    val mu1 = irls(pts.join(broadcast(base), Seq("event_type")),
+      "__mu0", "__mu1")
+    val mu2 = irls(
+      pts.join(broadcast(base), Seq("event_type"))
+        .join(broadcast(mu1), Seq("event_type")), "__mu1", "__mu2")
+    base.join(mu1, Seq("event_type")).join(mu2, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        round(col("__mu0"), 4).as("mean"),
+        round(col("__delta"), 4).as("delta"),
+        round(col("__mu1"), 4).as("huber_mu_iter1"),
+        round(col("__mu2"), 4).as("huber_mu_iter2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q407_geometric_median — Weiszfeld's algorithm for the spatial
+    * (L1-in-distance) median of the per-user activity cloud
+    * (x = event count, y = mean value): three iterations of
+    * m ← Σ(pᵢ/dᵢ)/Σ(1/dᵢ), dᵢ = ‖pᵢ−m‖, from the centroid, points
+    * coincident with the current iterate skipped (the standard
+    * Weiszfeld guard — also what makes every 1/d division provably
+    * nonzero). The geometric median is the robust 2-D center the
+    * coordinate-wise median is NOT (it's rotation-equivariant and
+    * resists correlated outliers) — the anchor for multivariate
+    * anomaly fences beside q102's per-dimension ones. Scale: corpus →
+    * per-user frame in ONE aggregation; each Weiszfeld step is one
+    * map-side-combinable weighted sum over that frame.
+    */
+  def q407GeometricMedian(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("__px"),
+        avg(col("value")).as("__py"))
+      .localCheckpoint() // 4 aggregation passes read this frame
+    val c0 = pts.agg(avg(col("__px")).as("__mx"),
+      avg(col("__py")).as("__my"), count(lit(1)).as("n_points"))
+    def step(cur: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(cur))
+        .withColumn("__d", sqrt(
+          (col("__px") - col("__mx")) * (col("__px") - col("__mx")) +
+            (col("__py") - col("__my")) * (col("__py") - col("__my"))))
+        .filter(col("__d") > 0)
+        .agg(max(col("n_points")).as("n_points"),
+          (sum(col("__px") / col("__d")) / sum(lit(1.0) / col("__d")))
+            .as("__mx"),
+          (sum(col("__py") / col("__d")) / sum(lit(1.0) / col("__d")))
+            .as("__my"))
+    val m3 = step(step(step(c0)))
+    val obj = pts.crossJoin(broadcast(m3))
+      .agg(max(col("n_points")).as("n_points"),
+        max(col("__mx")).as("__mx"), max(col("__my")).as("__my"),
+        avg(sqrt(
+          (col("__px") - col("__mx")) * (col("__px") - col("__mx")) +
+            (col("__py") - col("__my")) * (col("__py") - col("__my"))))
+          .as("__avgd"))
+    obj.select(col("n_points"),
+      round(col("__mx"), 4).as("gm_x"), round(col("__my"), 4).as("gm_y"),
+      round(col("__avgd"), 4).as("avg_dist"))
+  }
+
+  /** q412_adaboost — two AdaBoost.M1 rounds of decision stumps on the
+    * lineitem return-flag task: round 1 picks the min-weighted-error
+    * stump from a fixed 26-candidate grid (13 thresholds × 2
+    * polarities over price/qty/discount), α = ½ln((1−ε)/ε), weights
+    * reweight by exp(−αyh), round 2 re-searches under the new
+    * weights, and the 2-stump ensemble sign(α₁h₁+α₂h₂) is scored for
+    * training accuracy — BOOSTING expressed as relational algebra:
+    * each round is ONE map-side-combinable (candidate × corpus)
+    * weighted-error aggregation (26× map amplification, combiner
+    * collapses to 26 rows — no per-row state, no driver loop), and
+    * the stump argmin is a struct-min with a total (ε, feat, thr,
+    * pol) tie-break so both engines pick the identical stump. ε is
+    * clamped to [1e-9, 1−1e-9] before the log-odds (Spark ln(0) is
+    * NULL, DuckDB −inf — the clamp makes the question moot). The
+    * single-stump ancestor is q191; q167's GBT is the MLlib
+    * black-box this replays in the open.
+    */
+  def q412Adaboost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.lineitem(s, dir).select(
+      when(col("l_returnflag") === "R", 1.0).otherwise(-1.0).as("__y"),
+      col("l_extendedprice").cast("double").as("__price"),
+      col("l_quantity").cast("double").as("__qty"),
+      col("l_discount").cast("double").as("__disc"))
+      .localCheckpoint() // 3 candidate-grid passes read this
+    val grid = Seq("price" -> Seq(1000.0, 5000.0, 10000.0, 20000.0,
+      40000.0, 70000.0), "qty" -> Seq(10.0, 20.0, 30.0, 40.0),
+      "disc" -> Seq(0.02, 0.05, 0.08))
+    val cands = grid.flatMap { case (f, ts) =>
+      ts.flatMap(t => Seq((f, t, 1.0), (f, t, -1.0)))
+    }.toDF("feat", "thr", "pol")
+    val fx = expr("CASE feat WHEN 'price' THEN __price " +
+      "WHEN 'qty' THEN __qty ELSE __disc END")
+    def h(f: Column, t: Column, p: Column): Column =
+      when(fx <= t, p).otherwise(-p)
+    def clamp(e: Column): Column =
+      least(greatest(e, lit(1e-9)), lit(1.0 - 1e-9))
+    def alphaOf(e: Column): Column =
+      lit(0.5) * log((lit(1.0) - clamp(e)) / clamp(e))
+    val e1 = pts.crossJoin(broadcast(cands))
+      .groupBy(col("feat"), col("thr"), col("pol"))
+      .agg(avg(when(h(col("feat"), col("thr"), col("pol")) =!= col("__y"),
+        1.0).otherwise(0.0)).as("__err"))
+    val b1 = e1.agg(min(struct(col("__err"), col("feat"), col("thr"),
+        col("pol"))).as("__b"))
+      .select(col("__b.__err").as("__e1"), col("__b.feat").as("__f1"),
+        col("__b.thr").as("__t1"), col("__b.pol").as("__p1"))
+      .withColumn("__a1", alphaOf(col("__e1")))
+    val fx1 = expr("CASE __f1 WHEN 'price' THEN __price " +
+      "WHEN 'qty' THEN __qty ELSE __disc END")
+    val h1 = when(fx1 <= col("__t1"), col("__p1")).otherwise(-col("__p1"))
+    val w2 = pts.crossJoin(broadcast(b1))
+      .withColumn("__w", exp(-col("__a1") * col("__y") * h1))
+    val e2 = w2.crossJoin(broadcast(cands))
+      .groupBy(col("feat"), col("thr"), col("pol"))
+      .agg(try_divide(
+        sum(col("__w") * when(h(col("feat"), col("thr"), col("pol"))
+          =!= col("__y"), 1.0).otherwise(0.0)),
+        sum(col("__w"))).as("__err"))
+    val b2 = e2.agg(min(struct(col("__err"), col("feat"), col("thr"),
+        col("pol"))).as("__b"))
+      .select(col("__b.__err").as("__e2"), col("__b.feat").as("__f2"),
+        col("__b.thr").as("__t2"), col("__b.pol").as("__p2"))
+      .withColumn("__a2", alphaOf(col("__e2")))
+    val fx2 = expr("CASE __f2 WHEN 'price' THEN __price " +
+      "WHEN 'qty' THEN __qty ELSE __disc END")
+    val h2 = when(fx2 <= col("__t2"), col("__p2")).otherwise(-col("__p2"))
+    val acc = pts.crossJoin(broadcast(b1)).crossJoin(broadcast(b2))
+      .agg(avg(when((when(col("__a1") * h1 + col("__a2") * h2 >= 0,
+        1.0).otherwise(-1.0)) === col("__y"), 1.0).otherwise(0.0))
+        .as("__acc"))
+    val r1 = b1.crossJoin(broadcast(acc)).select(lit(1).as("round_no"),
+      col("__f1").as("feat"), col("__t1").as("thr"),
+      col("__p1").as("pol"), round(col("__e1"), 6).as("err"),
+      round(col("__a1"), 4).as("alpha"),
+      round(col("__acc"), 4).as("ensemble_train_acc"))
+    val r2 = b2.crossJoin(broadcast(acc)).select(lit(2).as("round_no"),
+      col("__f2").as("feat"), col("__t2").as("thr"),
+      col("__p2").as("pol"), round(col("__e2"), 6).as("err"),
+      round(col("__a2"), 4).as("alpha"),
+      round(col("__acc"), 4).as("ensemble_train_acc"))
+    r1.unionByName(r2).orderBy(col("round_no"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q412_adaboost" -> (q412Adaboost _),
+    "q406_huber_m" -> (q406HuberM _),
+    "q407_geometric_median" -> (q407GeometricMedian _),
     "q383_pinball_loss" -> (q383PinballLoss _),
     "q373_avg_precision" -> (q373AvgPrecision _),
     "q375_brier_decomposition" -> (q375BrierDecomposition _),
@@ -716,6 +895,116 @@ object ModelQueries {
     "q198_mutual_info" -> (q198MutualInfo _))
 
   val oracle: Map[String, String] = Map(
+    "q412_adaboost" ->
+      """WITH pts AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE -1.0 END AS y,
+        |    l_extendedprice::DOUBLE AS price,
+        |    l_quantity::DOUBLE AS qty, l_discount::DOUBLE AS disc
+        |  FROM lineitem),
+        |cands AS (SELECT f.feat, f.thr, p.pol FROM (VALUES
+        |    ('price', 1000.0), ('price', 5000.0), ('price', 10000.0),
+        |    ('price', 20000.0), ('price', 40000.0), ('price', 70000.0),
+        |    ('qty', 10.0), ('qty', 20.0), ('qty', 30.0), ('qty', 40.0),
+        |    ('disc', 0.02), ('disc', 0.05), ('disc', 0.08))
+        |    f(feat, thr), (VALUES (1.0), (-1.0)) p(pol)),
+        |e1 AS (SELECT feat, thr, pol,
+        |    avg(CASE WHEN (CASE WHEN (CASE feat WHEN 'price' THEN price
+        |        WHEN 'qty' THEN qty ELSE disc END) <= thr
+        |      THEN pol ELSE -pol END) <> y THEN 1.0 ELSE 0.0 END)
+        |      AS err
+        |  FROM pts, cands GROUP BY 1, 2, 3),
+        |b1 AS (SELECT feat, thr, pol, err,
+        |    0.5 * ln((1 - least(greatest(err, 1e-9), 1 - 1e-9)) /
+        |      least(greatest(err, 1e-9), 1 - 1e-9)) AS alpha
+        |  FROM e1 ORDER BY err, feat, thr, pol LIMIT 1),
+        |w2 AS (SELECT pts.*, exp(-b1.alpha * y *
+        |    (CASE WHEN (CASE b1.feat WHEN 'price' THEN price
+        |        WHEN 'qty' THEN qty ELSE disc END) <= b1.thr
+        |      THEN b1.pol ELSE -b1.pol END)) AS w
+        |  FROM pts, b1),
+        |e2 AS (SELECT feat, thr, pol,
+        |    sum(w * CASE WHEN (CASE WHEN (CASE feat
+        |        WHEN 'price' THEN price WHEN 'qty' THEN qty
+        |        ELSE disc END) <= thr THEN pol ELSE -pol END) <> y
+        |      THEN 1.0 ELSE 0.0 END) / nullif(sum(w), 0) AS err
+        |  FROM w2, cands GROUP BY 1, 2, 3),
+        |b2 AS (SELECT feat, thr, pol, err,
+        |    0.5 * ln((1 - least(greatest(err, 1e-9), 1 - 1e-9)) /
+        |      least(greatest(err, 1e-9), 1 - 1e-9)) AS alpha
+        |  FROM e2 ORDER BY err, feat, thr, pol LIMIT 1),
+        |sc AS (SELECT avg(CASE WHEN (CASE WHEN
+        |      b1.alpha * (CASE WHEN (CASE b1.feat
+        |        WHEN 'price' THEN price WHEN 'qty' THEN qty
+        |        ELSE disc END) <= b1.thr THEN b1.pol
+        |        ELSE -b1.pol END) +
+        |      b2.alpha * (CASE WHEN (CASE b2.feat
+        |        WHEN 'price' THEN price WHEN 'qty' THEN qty
+        |        ELSE disc END) <= b2.thr THEN b2.pol
+        |        ELSE -b2.pol END) >= 0
+        |      THEN 1.0 ELSE -1.0 END) = y THEN 1.0 ELSE 0.0 END)
+        |      AS acc
+        |  FROM pts, b1, b2)
+        |SELECT 1 AS round_no, b1.feat, b1.thr, b1.pol,
+        |  round(b1.err, 6) AS err, round(b1.alpha, 4) AS alpha,
+        |  round(sc.acc, 4) AS ensemble_train_acc FROM b1, sc
+        |UNION ALL
+        |SELECT 2, b2.feat, b2.thr, b2.pol, round(b2.err, 6),
+        |  round(b2.alpha, 4), round(sc.acc, 4) FROM b2, sc
+        |ORDER BY round_no""".stripMargin,
+    "q406_huber_m" ->
+      """WITH pts AS (SELECT event_type, value::DOUBLE AS x
+        |  FROM events),
+        |b AS (SELECT event_type, count(*)::BIGINT AS n, avg(x) AS mu0,
+        |    1.345 * sqrt(greatest(
+        |      sum(x * x) / count(*) - avg(x) * avg(x), 0.0)) AS delta
+        |  FROM pts GROUP BY 1),
+        |i1 AS (SELECT p.event_type,
+        |    sum((CASE WHEN abs(x - mu0) <= delta THEN 1.0
+        |         ELSE delta / abs(x - mu0) END) * x) /
+        |    nullif(sum(CASE WHEN abs(x - mu0) <= delta THEN 1.0
+        |         ELSE delta / abs(x - mu0) END), 0) AS mu1
+        |  FROM pts p JOIN b USING (event_type) GROUP BY 1),
+        |i2 AS (SELECT p.event_type,
+        |    sum((CASE WHEN abs(x - mu1) <= delta THEN 1.0
+        |         ELSE delta / abs(x - mu1) END) * x) /
+        |    nullif(sum(CASE WHEN abs(x - mu1) <= delta THEN 1.0
+        |         ELSE delta / abs(x - mu1) END), 0) AS mu2
+        |  FROM pts p JOIN b USING (event_type)
+        |    JOIN i1 USING (event_type) GROUP BY 1)
+        |SELECT b.event_type, n, round(mu0, 4) AS mean,
+        |  round(delta, 4) AS delta,
+        |  round(mu1, 4) AS huber_mu_iter1,
+        |  round(mu2, 4) AS huber_mu_iter2
+        |FROM b JOIN i1 USING (event_type) JOIN i2 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q407_geometric_median" ->
+      """WITH pts AS (SELECT user_id, count(*)::DOUBLE AS px,
+        |    avg(value) AS py
+        |  FROM events GROUP BY 1),
+        |c0 AS (SELECT avg(px) AS mx, avg(py) AS my,
+        |    count(*)::BIGINT AS n FROM pts),
+        |s1 AS (SELECT max(n) AS n, sum(px / d) / sum(1.0 / d) AS mx,
+        |    sum(py / d) / sum(1.0 / d) AS my
+        |  FROM (SELECT p.px, p.py, c.n,
+        |      sqrt((px - mx) * (px - mx) + (py - my) * (py - my)) AS d
+        |    FROM pts p, c0 c) WHERE d > 0),
+        |s2 AS (SELECT max(n) AS n, sum(px / d) / sum(1.0 / d) AS mx,
+        |    sum(py / d) / sum(1.0 / d) AS my
+        |  FROM (SELECT p.px, p.py, c.n,
+        |      sqrt((px - mx) * (px - mx) + (py - my) * (py - my)) AS d
+        |    FROM pts p, s1 c) WHERE d > 0),
+        |s3 AS (SELECT max(n) AS n, sum(px / d) / sum(1.0 / d) AS mx,
+        |    sum(py / d) / sum(1.0 / d) AS my
+        |  FROM (SELECT p.px, p.py, c.n,
+        |      sqrt((px - mx) * (px - mx) + (py - my) * (py - my)) AS d
+        |    FROM pts p, s2 c) WHERE d > 0),
+        |o AS (SELECT max(s.n) AS n_points, max(mx) AS mx,
+        |    max(my) AS my,
+        |    avg(sqrt((px - mx) * (px - mx) + (py - my) * (py - my)))
+        |      AS avgd
+        |  FROM pts, s3 s)
+        |SELECT n_points, round(mx, 4) AS gm_x, round(my, 4) AS gm_y,
+        |  round(avgd, 4) AS avg_dist FROM o""".stripMargin,
     "q399_davies_bouldin" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

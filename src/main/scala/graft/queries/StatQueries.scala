@@ -731,7 +731,276 @@ object StatQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q401_mcnemar — McNemar's test for paired binary outcomes with
+    * continuity correction: does the share of users who VIEW but never
+    * PURCHASE differ from the share who purchase without viewing? Each
+    * user is its own pair (the two "treatments" are observed on the
+    * same subject), so the two-proportion z-test (q207) is wrong here —
+    * only the DISCORDANT cells carry information: χ² = (|b−c|−1)²/(b+c)
+    * on 1 dof, p = 2·Φ̄(√χ²). ONE map-side-combinable per-user
+    * aggregation collapses the corpus to 4 counts; the test is O(1)
+    * arithmetic on that frame — the plan is a single agg at any scale.
+    */
+  def q401Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0))
+        .as("__v"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("__p"))
+    per.agg(
+        count(when(col("__v") === 1 && col("__p") === 1, 1))
+          .as("n_both"),
+        count(when(col("__v") === 1 && col("__p") === 0, 1))
+          .as("n_view_only"),
+        count(when(col("__v") === 0 && col("__p") === 1, 1))
+          .as("n_purchase_only"),
+        count(when(col("__v") === 0 && col("__p") === 0, 1))
+          .as("n_neither"))
+      .withColumn("__b", col("n_view_only").cast("double"))
+      .withColumn("__c", col("n_purchase_only").cast("double"))
+      .withColumn("__chi2", try_divide(
+        pow(abs(col("__b") - col("__c")) - 1, 2),
+        col("__b") + col("__c")))
+      .select(col("n_both"), col("n_view_only"), col("n_purchase_only"),
+        col("n_neither"),
+        round(col("__chi2"), 4).as("chi2_cc"),
+        round(lit(2.0) * phiUpper(sqrt(col("__chi2"))), 4)
+          .as("p_value"))
+  }
+
+  /** q402_fisher_exact — Fisher's EXACT one-tailed test on the 2×2
+    * "nation has above-mean supplier presence × above-mean customer
+    * presence" table: p = Σ_{k≥a} C(r1,k)·C(r2,c1−k)/C(n,c1), the
+    * hypergeometric tail — the correct small-count test where q198's
+    * χ² approximation breaks (expected cells < 5). Scale shape: the
+    * corpus (suppliers, customers) collapses by TWO map-side
+    * aggregations to the 25-nation frame; the factorial ladder runs
+    * over sequences bounded by |nations|, evaluated by the identical
+    * left-fold Σln(j) in both engines (guarded: Spark `sequence` would
+    * generate DESCENDING for start > stop, so x<2 short-circuits to 0).
+    */
+  def q402FisherExact(s: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("__ns"))
+    val nc = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("__nc"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey").as("nk"))
+      .join(ns, Seq("nk"), "left").join(nc, Seq("nk"), "left")
+      .na.fill(0L, Seq("__ns", "__nc"))
+    val means = nat.agg(avg(col("__ns")).as("__ma"),
+      avg(col("__nc")).as("__mb"))
+    val cells = nat.crossJoin(broadcast(means))
+      .select((col("__ns") > col("__ma")).as("__ha"),
+        (col("__nc") > col("__mb")).as("__hb"))
+      .agg(count(when(col("__ha") && col("__hb"), 1)).as("a"),
+        count(when(col("__ha") && !col("__hb"), 1)).as("b"),
+        count(when(!col("__ha") && col("__hb"), 1)).as("c"),
+        count(when(!col("__ha") && !col("__hb"), 1)).as("d"))
+    val withMargins = cells
+      .withColumn("__r1", col("a") + col("b"))
+      .withColumn("__r2", col("c") + col("d"))
+      .withColumn("__c1", col("a") + col("c"))
+      .withColumn("__n", col("__r1") + col("__r2"))
+    withMargins
+      .withColumn("k",
+        explode(expr("sequence(a, least(__r1, __c1))")))
+      .withColumn("__pmf", exp(
+        lfE("__r1") + lfE("__r2") + lfE("__c1") + lfE("__n - __c1")
+          - lfE("k") - lfE("__r1 - k") - lfE("__c1 - k")
+          - lfE("__r2 - __c1 + k") - lfE("__n")))
+      .groupBy(col("a"), col("b"), col("c"), col("d"))
+      .agg(round(sum(col("__pmf")), 6).as("p_one_tail"))
+  }
+
+  // Guarded log-factorial ladder: ln(x!) = Σ_{j=2..x} ln j, 0 for x<2.
+  // Spark sequence(2, x) is DESCENDING when x < 2, so the guard is
+  // load-bearing; both engines fold the identical ln sum left-to-right.
+  private def lfSqlGuard(x: String): String =
+    s"CASE WHEN ($x) >= 2 THEN aggregate(sequence(2, ($x)), 0D, " +
+      s"(acc, j) -> acc + ln(double(j))) ELSE 0D END"
+  private def lfE(colName: String): Column = expr(lfSqlGuard(colName))
+  private def lfDuck(x: String): String =
+    s"coalesce(list_sum(list_transform(range(2, ($x)+1), " +
+      s"j -> ln(j::DOUBLE))), 0.0)"
+
+  /** q403_periodogram — discrete-Fourier periodogram of each type's
+    * daily count series at candidate periods 2–10 days: I(p) =
+    * 2·[(Σ(x−x̄)cos φ)² + (Σ(x−x̄)sin φ)²] / (n·Σ(x−x̄)²), φ =
+    * 2π(t mod p)/p — the FREQUENCY-domain seasonality detector beside
+    * q164's calendar profile and q381's PACF (which see lag-domain
+    * structure only). The mod-p phase reduction keeps both engines'
+    * cos/sin arguments in [0, 2π) where libm results agree to well
+    * under the 4-dp rounding. Day-frame arithmetic: the corpus
+    * collapses to |type×day| in ONE aggregation; the 9-period explode
+    * runs on that bounded frame.
+    */
+  def q403Periodogram(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).cast("double").as("__x"))
+    val base = daily.groupBy(col("event_type"))
+      .agg(min(col("__day")).as("__d0"), count(lit(1)).as("n_days"),
+        avg(col("__x")).as("__mu"),
+        (sum(col("__x") * col("__x")) -
+          sum(col("__x")) * avg(col("__x"))).as("__ss"))
+    daily.join(base, Seq("event_type"))
+      .withColumn("__t", datediff(col("__day"), col("__d0")))
+      .withColumn("period", explode(array((2 to 10).map(lit): _*)))
+      .withColumn("__phi",
+        lit(2.0 * math.Pi) * (col("__t") % col("period")) /
+          col("period"))
+      .groupBy(col("event_type"), col("period"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum((col("__x") - col("__mu")) * cos(col("__phi"))).as("__c"),
+        sum((col("__x") - col("__mu")) * sin(col("__phi"))).as("__s"),
+        max(col("__ss")).as("__ssm"))
+      .select(col("event_type"), col("period"), col("n_days"),
+        round(try_divide(
+          lit(2.0) * (col("__c") * col("__c") + col("__s") * col("__s")),
+          col("n_days") * col("__ssm")), 4).as("intensity"))
+      .orderBy(col("event_type"), col("period"))
+  }
+
+  /** q404_runs_test — Wald–Wolfowitz runs test for randomness of each
+    * type's daily-count series around its mean: too FEW runs of
+    * consecutive above/below-mean days means positive serial
+    * dependence (trends/regimes), too many means oscillation — the
+    * distribution-free "is this series exchangeable at all" gate run
+    * before any of the trend family (q223/q224) is trusted. R = 1 +
+    * #sign changes; z = (R − (2n₊n₋/n + 1)) / √(2n₊n₋(2n₊n₋−n) /
+    * (n²(n−1))), days equal to the mean dropped. One corpus
+    * aggregation → day frame; the lag window runs per type on that
+    * bounded frame.
+    */
+  def q404RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).cast("double").as("__x"))
+    val mu = daily.groupBy(col("event_type"))
+      .agg(avg(col("__x")).as("__mu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__day"))
+    daily.join(mu, Seq("event_type"))
+      .filter(col("__x") =!= col("__mu"))
+      .withColumn("__s", (col("__x") > col("__mu")).cast("int"))
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("__s") === 1, 1)).cast("double").as("__n1"),
+        count(when(col("__s") === 0, 1)).cast("double").as("__n0"),
+        sum(when(col("__prev").isNull ||
+          col("__prev") =!= col("__s"), 1).otherwise(0)).as("runs"))
+      .withColumn("__n", col("__n1") + col("__n0"))
+      .withColumn("__muR",
+        lit(2.0) * col("__n1") * col("__n0") / col("__n") + 1)
+      .withColumn("__z", try_divide(col("runs") - col("__muR"),
+        sqrt(try_divide(
+          lit(2.0) * col("__n1") * col("__n0") *
+            (lit(2.0) * col("__n1") * col("__n0") - col("__n")),
+          col("__n") * col("__n") * (col("__n") - 1)))))
+      .select(col("event_type"),
+        col("__n1").cast("long").as("n_above"),
+        col("__n0").cast("long").as("n_below"), col("runs"),
+        round(col("__z"), 4).as("z"),
+        round(lit(2.0) * phiUpper(abs(col("__z"))), 4).as("p_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q405_cochran_q — Cochran's Q test for k=3 PAIRED binary
+    * treatments: per user, did they ever view / click / purchase, and
+    * do the three success rates differ once each user is its own
+    * block? Q = (k−1)(k·ΣT_j² − T²)/(k·ΣR_i − ΣR_i²) on k−1=2 dof,
+    * where the χ² upper tail is EXACTLY exp(−Q/2) — no polynomial
+    * approximation needed. The k-treatment generalization of q401's
+    * McNemar (k=2 reduces to it); q341's Friedman is its ordinal
+    * big brother. ONE per-user aggregation → one global moment
+    * aggregation; O(1) arithmetic after.
+    */
+  def q405CochranQ(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0))
+        .as("__tv"),
+        max(when(col("event_type") === "click", 1).otherwise(0))
+          .as("__tc"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("__tp"))
+      .withColumn("__r", col("__tv") + col("__tc") + col("__tp"))
+    per.agg(count(lit(1)).as("n_users"),
+        sum(col("__tv")).cast("double").as("__sv"),
+        sum(col("__tc")).cast("double").as("__sc"),
+        sum(col("__tp")).cast("double").as("__sp"),
+        sum(col("__r")).cast("double").as("__sr"),
+        sum(col("__r") * col("__r")).cast("double").as("__sr2"))
+      .withColumn("__q", try_divide(
+        lit(2.0) * (lit(3.0) * (col("__sv") * col("__sv") +
+          col("__sc") * col("__sc") + col("__sp") * col("__sp")) -
+          col("__sr") * col("__sr")),
+        lit(3.0) * col("__sr") - col("__sr2")))
+      .select(col("n_users"),
+        col("__sv").cast("long").as("n_view"),
+        col("__sc").cast("long").as("n_click"),
+        col("__sp").cast("long").as("n_purchase"),
+        round(col("__q"), 4).as("q_stat"),
+        round(exp(-col("__q") / 2), 6).as("p_value"))
+  }
+
+  /** q415_mood_median — Mood's median test of l_quantity across the
+    * three return-flag populations: count above/at-or-below the
+    * POOLED median per group, Pearson χ² on the resulting 2×k table,
+    * df = k−1 = 2 so the upper tail is exactly exp(−χ²/2). The
+    * coarsest — and most outlier-immune — of the k-group location
+    * tests: q310's Kruskal–Wallis uses full rank information, Mood
+    * uses only the above/below bit, which is exactly what survives
+    * heavy censoring or gross contamination. The pooled median is
+    * `StatOps.exactPercentiles` (distributed selection, bit-identical
+    * to quantile_cont); the contingency table is ONE
+    * map-side-combinable aggregation over the corpus.
+    */
+  def q415MoodMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("double").as("__v"),
+        lit(1).as("__all"))
+    val med = graft.ops.StatOps.exactPercentiles(li, "__all", "__v",
+      Seq("med" -> 0.5)).select(col("med"))
+    val cells = li.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(count(when(col("__v") > col("med"), 1)).cast("double")
+        .as("__a"),
+        count(when(col("__v") <= col("med"), 1)).cast("double")
+          .as("__b"),
+        max(col("med")).as("__med"))
+    val tot = cells.agg(sum(col("__a")).as("__ta"),
+      sum(col("__b")).as("__tb"))
+    val chi = cells.crossJoin(broadcast(tot))
+      .withColumn("__n_i", col("__a") + col("__b"))
+      .withColumn("__ea",
+        col("__ta") * col("__n_i") / (col("__ta") + col("__tb")))
+      .withColumn("__eb",
+        col("__tb") * col("__n_i") / (col("__ta") + col("__tb")))
+      .withColumn("__cell",
+        try_divide((col("__a") - col("__ea")) *
+          (col("__a") - col("__ea")), col("__ea")) +
+          try_divide((col("__b") - col("__eb")) *
+            (col("__b") - col("__eb")), col("__eb")))
+    val stat = chi.agg(sum(col("__cell")).as("__chi2"))
+    chi.crossJoin(broadcast(stat))
+      .select(col("g").as("l_returnflag"),
+        col("__a").cast("long").as("n_above"),
+        col("__b").cast("long").as("n_at_or_below"),
+        round(col("__med"), 2).as("pooled_median"),
+        round(col("__chi2"), 4).as("chi2"),
+        round(exp(-col("__chi2") / 2), 6).as("p_value"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q415_mood_median" -> (q415MoodMedian _),
+    "q401_mcnemar" -> (q401Mcnemar _),
+    "q402_fisher_exact" -> (q402FisherExact _),
+    "q403_periodogram" -> (q403Periodogram _),
+    "q404_runs_test" -> (q404RunsTest _),
+    "q405_cochran_q" -> (q405CochranQ _),
     "q390_theil_decomp" -> (q390TheilDecomp _),
     "q379_kendall_tau" -> (q379KendallTau _),
     "q380_wilcoxon" -> (q380Wilcoxon _),
@@ -751,6 +1020,160 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q415_mood_median" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    l_quantity::DOUBLE AS v FROM lineitem),
+        |m AS (SELECT quantile_cont(v, 0.5) AS med FROM li),
+        |c AS (SELECT g,
+        |    count(CASE WHEN v > med THEN 1 END)::DOUBLE AS a,
+        |    count(CASE WHEN v <= med THEN 1 END)::DOUBLE AS b,
+        |    max(med) AS med
+        |  FROM li, m GROUP BY 1),
+        |t AS (SELECT sum(a) AS ta, sum(b) AS tb FROM c),
+        |x AS (SELECT c.*, t.ta, t.tb, a + b AS ni,
+        |    ta * (a + b) / (ta + tb) AS ea,
+        |    tb * (a + b) / (ta + tb) AS eb
+        |  FROM c, t),
+        |cc AS (SELECT *,
+        |    (a - ea) * (a - ea) / nullif(ea, 0) +
+        |    (b - eb) * (b - eb) / nullif(eb, 0) AS cell
+        |  FROM x),
+        |s AS (SELECT sum(cell) AS chi2 FROM cc)
+        |SELECT cc.g AS l_returnflag, cc.a::BIGINT AS n_above,
+        |  cc.b::BIGINT AS n_at_or_below,
+        |  round(cc.med, 2) AS pooled_median,
+        |  round(s.chi2, 4) AS chi2,
+        |  round(exp(-s.chi2 / 2), 6) AS p_value
+        |FROM cc, s ORDER BY cc.g""".stripMargin,
+    "q401_mcnemar" ->
+      s"""WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT
+        |    count(CASE WHEN v = 1 AND p = 1 THEN 1 END)::BIGINT
+        |      AS n_both,
+        |    count(CASE WHEN v = 1 AND p = 0 THEN 1 END)::BIGINT
+        |      AS n_view_only,
+        |    count(CASE WHEN v = 0 AND p = 1 THEN 1 END)::BIGINT
+        |      AS n_purchase_only,
+        |    count(CASE WHEN v = 0 AND p = 0 THEN 1 END)::BIGINT
+        |      AS n_neither
+        |  FROM per),
+        |x AS (SELECT *,
+        |    pow(abs(n_view_only::DOUBLE - n_purchase_only) - 1, 2) /
+        |      nullif(n_view_only + n_purchase_only, 0) AS chi2
+        |  FROM c)
+        |SELECT n_both, n_view_only, n_purchase_only, n_neither,
+        |  round(chi2, 4) AS chi2_cc,
+        |  round(2 * ${phiUpperSql("sqrt(chi2)")}, 4) AS p_value
+        |FROM x""".stripMargin,
+    "q402_fisher_exact" ->
+      s"""WITH ns AS (SELECT s_nationkey AS nk, count(*)::BIGINT AS cs
+        |  FROM supplier GROUP BY 1),
+        |ncu AS (SELECT c_nationkey AS nk, count(*)::BIGINT AS cc
+        |  FROM customer GROUP BY 1),
+        |nat AS (SELECT n.n_nationkey AS nk, coalesce(ns.cs, 0) AS cs,
+        |    coalesce(ncu.cc, 0) AS cc
+        |  FROM nation n LEFT JOIN ns ON n.n_nationkey = ns.nk
+        |  LEFT JOIN ncu ON n.n_nationkey = ncu.nk),
+        |m AS (SELECT avg(cs) AS ma, avg(cc) AS mb FROM nat),
+        |cells AS (SELECT
+        |    count(CASE WHEN cs > ma AND cc > mb THEN 1 END)::BIGINT
+        |      AS a,
+        |    count(CASE WHEN cs > ma AND cc <= mb THEN 1 END)::BIGINT
+        |      AS b,
+        |    count(CASE WHEN cs <= ma AND cc > mb THEN 1 END)::BIGINT
+        |      AS c,
+        |    count(CASE WHEN cs <= ma AND cc <= mb THEN 1 END)::BIGINT
+        |      AS d
+        |  FROM nat, m),
+        |mg AS (SELECT *, a + b AS r1, c + d AS r2, a + c AS c1,
+        |    a + b + c + d AS n FROM cells),
+        |kk AS (SELECT mg.*, unnest(range(a, least(r1, c1) + 1)) AS k
+        |  FROM mg),
+        |t AS (SELECT a, b, c, d,
+        |    exp(${lfDuck("r1")} + ${lfDuck("r2")} + ${lfDuck("c1")}
+        |      + ${lfDuck("n - c1")} - ${lfDuck("k")}
+        |      - ${lfDuck("r1 - k")} - ${lfDuck("c1 - k")}
+        |      - ${lfDuck("r2 - c1 + k")} - ${lfDuck("n")}) AS pmf
+        |  FROM kk)
+        |SELECT a, b, c, d, round(sum(pmf), 6) AS p_one_tail
+        |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q403_periodogram" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(day) AS d0,
+        |    count(*)::BIGINT AS n_days, avg(x) AS mu,
+        |    sum(x * x) - sum(x) * avg(x) AS ss
+        |  FROM d GROUP BY 1),
+        |e AS (SELECT d.event_type, p.period, b.n_days,
+        |    d.x - b.mu AS xc,
+        |    2 * pi() * (date_diff('day', b.d0, d.day) % p.period)
+        |      / p.period AS phi,
+        |    b.ss
+        |  FROM d JOIN b ON d.event_type = b.event_type,
+        |    (SELECT unnest(range(2, 11)) AS period) p)
+        |SELECT event_type, period, n_days,
+        |  round(2 * (pow(sum(xc * cos(phi)), 2) +
+        |      pow(sum(xc * sin(phi)), 2)) /
+        |    nullif(n_days * max(ss), 0), 4) AS intensity
+        |FROM e GROUP BY event_type, period, n_days
+        |ORDER BY event_type, period""".stripMargin,
+    "q404_runs_test" ->
+      s"""WITH d AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, avg(x) AS mu FROM d GROUP BY 1),
+        |s AS (SELECT d.event_type, d.day,
+        |    CASE WHEN d.x > m.mu THEN 1 ELSE 0 END AS sgn
+        |  FROM d JOIN m ON d.event_type = m.event_type
+        |  WHERE d.x <> m.mu),
+        |r AS (SELECT event_type, sgn,
+        |    lag(sgn) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS prev
+        |  FROM s),
+        |a AS (SELECT event_type,
+        |    count(CASE WHEN sgn = 1 THEN 1 END)::DOUBLE AS n1,
+        |    count(CASE WHEN sgn = 0 THEN 1 END)::DOUBLE AS n0,
+        |    sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1
+        |      ELSE 0 END)::BIGINT AS runs
+        |  FROM r GROUP BY 1),
+        |z AS (SELECT *,
+        |    (runs - (2 * n1 * n0 / (n1 + n0) + 1)) /
+        |      nullif(sqrt(2 * n1 * n0 * (2 * n1 * n0 - (n1 + n0)) /
+        |        nullif((n1 + n0) * (n1 + n0) * (n1 + n0 - 1), 0)), 0)
+        |      AS zz
+        |  FROM a)
+        |SELECT event_type, n1::BIGINT AS n_above,
+        |  n0::BIGINT AS n_below, runs,
+        |  round(zz, 4) AS z,
+        |  round(2 * ${phiUpperSql("abs(zz)")}, 4) AS p_value
+        |FROM z ORDER BY event_type""".stripMargin,
+    "q405_cochran_q" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS tv,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS tc,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS tp
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_users,
+        |    sum(tv)::DOUBLE AS sv, sum(tc)::DOUBLE AS sc,
+        |    sum(tp)::DOUBLE AS sp,
+        |    sum(tv + tc + tp)::DOUBLE AS sr,
+        |    sum((tv + tc + tp) * (tv + tc + tp))::DOUBLE AS sr2
+        |  FROM per),
+        |q AS (SELECT *,
+        |    2 * (3 * (sv * sv + sc * sc + sp * sp) - sr * sr) /
+        |      nullif(3 * sr - sr2, 0) AS qs
+        |  FROM a)
+        |SELECT n_users, sv::BIGINT AS n_view, sc::BIGINT AS n_click,
+        |  sp::BIGINT AS n_purchase, round(qs, 4) AS q_stat,
+        |  round(exp(-qs / 2), 6) AS p_value FROM q""".stripMargin,
     "q390_theil_decomp" ->
       """WITH g AS (SELECT o_orderpriority,
         |    count(*)::DOUBLE AS n, sum(o_totalprice) AS s,

@@ -1113,6 +1113,67 @@ object StructuralQueries {
     * the parameter IS a literal by the time the optimizer runs), so
     * the oracle replays with the values inlined.
     */
+  /** q409_execute_immediate — dynamic SQL through the Spark 4 SQL
+    * scripting surface: session VARIABLEs (`DECLARE` / `SET VAR`)
+    * hold the statement TEXT and the target table NAME, the statement
+    * resolves its table through `IDENTIFIER(var)` (late-bound, but
+    * injection-proof: the payload is an identifier, never spliced
+    * text), and `EXECUTE IMMEDIATE ... USING` binds the positional
+    * `?` parameter at run time — the metadata-driven-pipeline
+    * pattern (table names from a config table, thresholds from a
+    * job row) beside q347's static named-parameter binding. By
+    * execution time the parameter IS a literal, so pushdown and
+    * constant folding see the same plan as the inlined spelling,
+    * which is exactly what the oracle replays.
+    */
+  /** q413_distribute_by — the DISTRIBUTE BY / SORT BY physical-layout
+    * surface (Hive-inherited, still the canonical SQL spelling of
+    * repartition + sortWithinPartitions): the inner SELECT pins a
+    * hash distribution on l_suppkey and a within-partition sort, so
+    * the downstream per-supplier window consumes an exchange the
+    * query AUTHOR placed rather than one the planner infers — the
+    * SQL-layer control for the write-then-window and
+    * partition-align-before-merge patterns (q163's range export is
+    * the DataFrame spelling). Catalyst recognizes the child
+    * distribution, so the window adds no second exchange; the window
+    * ordering is total (shipdate, orderkey, linenumber), making the
+    * running sum deterministic, and the oracle replays the GROUP BY
+    * algebra the running-sum endpoints must equal.
+    */
+  def q413DistributeBy(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q413")
+    s.sql(
+      """WITH d AS (SELECT l_suppkey,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+        |    sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM (SELECT * FROM li_q413
+        |        DISTRIBUTE BY l_suppkey
+        |        SORT BY l_suppkey, l_shipdate, l_orderkey,
+        |          l_linenumber))
+        |SELECT l_suppkey, CAST(max(rn) AS BIGINT) AS n_lines,
+        |  round(max(running), 2) AS total_qty
+        |FROM d GROUP BY 1 ORDER BY l_suppkey LIMIT 10""".stripMargin)
+  }
+
+  def q409ExecuteImmediate(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q409")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_q409_tbl STRING " +
+      "DEFAULT 'orders_q409'")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_q409_stmt STRING")
+    s.sql(
+      """SET VAR graft_q409_stmt =
+        |  'SELECT o_orderpriority, count(*) AS n_orders,
+        |     round(avg(o_totalprice), 2) AS avg_price,
+        |     round(max(o_totalprice), 2) AS max_price
+        |   FROM IDENTIFIER(graft_q409_tbl) WHERE o_totalprice >= ?
+        |   GROUP BY o_orderpriority ORDER BY o_orderpriority'"""
+        .stripMargin)
+    s.sql("EXECUTE IMMEDIATE graft_q409_stmt USING 500.0")
+  }
+
   def q347ParamSql(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_q347")
     s.sql(
@@ -1357,6 +1418,8 @@ object StructuralQueries {
     "q345_pipe_syntax" -> (q345PipeSyntax _),
     "q346_collated_group" -> (q346CollatedGroup _),
     "q347_param_sql" -> (q347ParamSql _),
+    "q409_execute_immediate" -> (q409ExecuteImmediate _),
+    "q413_distribute_by" -> (q413DistributeBy _),
     "q343_int8_rerank" -> (q343Int8Rerank _),
     "q338_runtime_bloom_join" -> (q338RuntimeBloomJoin _),
     "q339_join_hints" -> (q339JoinHints _),
@@ -1497,6 +1560,17 @@ object StructuralQueries {
         |FROM orders
         |WHERE o_orderpriority = '1-URGENT' OR o_totalprice > 400000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q409_execute_immediate" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  round(avg(o_totalprice), 2) AS avg_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders WHERE o_totalprice >= 500.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q413_distribute_by" ->
+      """SELECT l_suppkey, count(*)::BIGINT AS n_lines,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_suppkey
+        |LIMIT 10""".stripMargin,
     "q343_int8_rerank" ->
       s"""$srpBucketCte,
         |qz AS (SELECT vec_id, bucket, embedding,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.EventOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 temporal/CDC manifest (SURVEY.md §2.13 X50, X51, X53-X55):
@@ -295,6 +296,176 @@ object TemporalQueries {
     EventOps.kaplanMeier(Tables.events(s, dir), "signup", "purchase",
       horizonDays = 3)
       .orderBy(col("duration_day"))
+
+  /** q411_rmst — restricted mean survival time over q204's
+    * Kaplan–Meier curve: RMST(τ=3d) = ∫₀^τ S(t)dt, the area under
+    * the step survival function — "expected conversion-free days
+    * within the window", the single-number summary regulators and
+    * experimenters prefer over median survival because it is defined
+    * even when S never crosses 0.5 and it weights the WHOLE curve
+    * (two arms with equal medians but different tails get different
+    * RMSTs). Computed as Σ S(tᵢ)·(min(tᵢ₊₁,τ) − tᵢ) plus the S=1
+    * head segment [0, t₁) — a lead window and one sum over the
+    * horizon-bounded KM frame, so the add-on cost over q204 is O(τ).
+    */
+  def q411Rmst(s: SparkSession, dir: String): DataFrame = {
+    val tau = 3.0
+    val km = EventOps.kaplanMeier(Tables.events(s, dir), "signup",
+      "purchase", horizonDays = 3)
+    val w = Window.orderBy(col("duration_day")) // horizon-sized frame
+    val seg = km
+      .withColumn("__next", coalesce(
+        lead(col("duration_day"), 1).over(w).cast("double"), lit(tau)))
+      .withColumn("__seg", greatest(lit(0.0),
+        least(col("__next"), lit(tau)) -
+          least(col("duration_day").cast("double"), lit(tau))))
+      .agg(sum(col("survival") * col("__seg")).as("__area"),
+        min(col("duration_day")).cast("double").as("__t0"),
+        sum(col("n_events") + col("n_censored")).as("n_subjects"))
+    seg.select(col("n_subjects"),
+      round(least(col("__t0"), lit(tau)) + col("__area"), 4)
+        .as("rmst_days"),
+      lit(3).as("tau_days"))
+  }
+
+  /** q414_competing_risks — Aalen–Johansen cumulative incidence for
+    * COMPETING outcomes after signup: first purchase vs first error
+    * within the 3-day window, whichever strikes first (simultaneous
+    * strikes resolve to purchase — a pinned, engine-identical rule).
+    * CIF_k(t) = Σ_{j≤t} S(t_{j−1})·d_kj/n_j with S the ALL-CAUSE KM —
+    * the estimator 1−KM_k gets WRONG under competing risks (it treats
+    * the other event as censoring and overstates both incidences;
+    * the CIFs here sum to ≤ 1 by construction). Corpus → per-user
+    * first-event frame in three aggregations; every window runs on
+    * the horizon-bounded day frame. The d/n divisions are structurally
+    * safe: a day row exists only because ≥1 subject exits there, so
+    * its n_at_risk ≥ 1.
+    */
+  def q414CompetingRisks(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables.events(s, dir)
+    val starts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("__t0"))
+    def firstAfter(t: String, out: String): DataFrame =
+      starts.join(ev.filter(col("event_type") === t)
+          .select(col("user_id"), unix_micros(col("ts")).as("__te")),
+        Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("__te") >= col("__t0"), col("__te"))).as(out))
+    val corpusEnd = ev.agg(max(unix_micros(col("ts"))).as("__tmax"))
+    val dur = starts
+      .join(firstAfter("purchase", "__tp"), Seq("user_id"))
+      .join(firstAfter("error", "__terr"), Seq("user_id"))
+      .crossJoin(broadcast(corpusEnd))
+      .withColumn("__cut",
+        least(col("__tmax"), col("__t0") + lit(3 * dayUs)))
+      .withColumn("__vp", when(col("__tp") <= col("__cut"), col("__tp")))
+      .withColumn("__ve",
+        when(col("__terr") <= col("__cut"), col("__terr")))
+      .withColumn("__cause",
+        when(col("__vp").isNotNull &&
+          (col("__ve").isNull || col("__vp") <= col("__ve")),
+          lit("purchase"))
+          .when(col("__ve").isNotNull, lit("error"))
+          .otherwise(lit("censored")))
+      .select(col("__cause"),
+        floor((when(col("__cause") === "purchase", col("__vp"))
+          .when(col("__cause") === "error", col("__ve"))
+          .otherwise(col("__cut")) - col("__t0")) / lit(dayUs))
+          .as("duration_day"))
+    val perDay = dur.groupBy(col("duration_day"))
+      .agg(count(when(col("__cause") === "purchase", 1))
+        .as("d_purchase"),
+        count(when(col("__cause") === "error", 1)).as("d_error"),
+        count(when(col("__cause") === "censored", 1)).as("n_censored"))
+    val total = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("duration_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val upTo = Window.orderBy(col("duration_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("__all",
+        col("d_purchase") + col("d_error") + col("n_censored"))
+      .withColumn("n_at_risk", sum(col("__all")).over(total) -
+        coalesce(sum(col("__all")).over(before), lit(0L)))
+      .withColumn("__sprev", exp(coalesce(
+        sum(when(col("d_purchase") + col("d_error") < col("n_at_risk"),
+          log(lit(1.0) -
+            (col("d_purchase") + col("d_error")).cast("double") /
+              col("n_at_risk"))).otherwise(lit(0.0))).over(before),
+        lit(0.0))))
+      .withColumn("cif_purchase", sum(col("__sprev") *
+        col("d_purchase").cast("double") / col("n_at_risk")).over(upTo))
+      .withColumn("cif_error", sum(col("__sprev") *
+        col("d_error").cast("double") / col("n_at_risk")).over(upTo))
+      .select(col("duration_day"), col("n_at_risk"), col("d_purchase"),
+        col("d_error"), col("n_censored"),
+        round(col("cif_purchase"), 4).as("cif_purchase"),
+        round(col("cif_error"), 4).as("cif_error"))
+      .orderBy(col("duration_day"))
+  }
+
+  /** q416_hurst — rescaled-range (R/S) Hurst exponent of each type's
+    * daily count series: for window sizes w ∈ {5, 10, 20}, complete
+    * blocks of w days yield R = range of within-block cumulative
+    * deviations and S = population σ; H is the least-squares slope of
+    * ln(avg R/S) on ln(w). H ≈ 0.5 says the series is memoryless,
+    * H > 0.5 long-range persistent (trends compound — q209/q372
+    * smoothing will lag), H < 0.5 anti-persistent (mean-reverting) —
+    * the LONG-memory diagnostic q165's fixed-lag ACF and q404's runs
+    * test cannot see. One corpus aggregation → day frame; the 3-way
+    * window-size explode, block windows, and 3-point regression all
+    * run on bounded frames.
+    */
+  def q416Hurst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__day"))
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).cast("double").as("__x"))
+      .withColumn("__rn", row_number().over(w))
+    val sized = daily
+      .withColumn("__w", explode(array(lit(5), lit(10), lit(20))))
+      .withColumn("__blk", floor((col("__rn") - 1) / col("__w")))
+    val wb = Window.partitionBy(col("event_type"), col("__w"),
+      col("__blk"))
+    val wbOrd = wb.orderBy(col("__rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBlock = sized
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") === col("__w"))
+      .withColumn("__mu", avg(col("__x")).over(wb))
+      .withColumn("__z", sum(col("__x") - col("__mu")).over(wbOrd))
+      .groupBy(col("event_type"), col("__w"), col("__blk"))
+      .agg(max(col("__z")).as("__zmax"), min(col("__z")).as("__zmin"),
+        sqrt(avg((col("__x") - col("__mu")) *
+          (col("__x") - col("__mu")))).as("__s"))
+      .withColumn("__rs",
+        try_divide(col("__zmax") - col("__zmin"), col("__s")))
+    val perW = perBlock.groupBy(col("event_type"), col("__w"))
+      .agg(avg(col("__rs")).as("__avg_rs"))
+    val fit = perW.filter(col("__avg_rs") > 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("__k"),
+        sum(log(col("__w"))).as("__sx"),
+        sum(log(col("__avg_rs"))).as("__sy"),
+        sum(log(col("__w")) * log(col("__avg_rs"))).as("__sxy"),
+        sum(log(col("__w")) * log(col("__w"))).as("__sxx"))
+      .select(col("event_type"),
+        round(try_divide(
+          col("__k") * col("__sxy") - col("__sx") * col("__sy"),
+          col("__k") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          .as("hurst"))
+    val wide = perW.groupBy(col("event_type"))
+      .agg(round(max(when(col("__w") === 5, col("__avg_rs"))), 4)
+        .as("rs_w5"),
+        round(max(when(col("__w") === 10, col("__avg_rs"))), 4)
+          .as("rs_w10"),
+        round(max(when(col("__w") === 20, col("__avg_rs"))), 4)
+          .as("rs_w20"))
+    wide.join(fit, Seq("event_type")).orderBy(col("event_type"))
+  }
 
   /** q322_log_rank — two-arm log-rank survival comparison
     * (`EventOps.logRank`): does signup→purchase time-to-event differ
@@ -766,6 +937,9 @@ object TemporalQueries {
     "q211_rollup_merge" -> (q211RollupMerge _),
     "q209_ewma_daily" -> (q209EwmaDaily _),
     "q204_kaplan_meier" -> (q204KaplanMeier _),
+    "q411_rmst" -> (q411Rmst _),
+    "q414_competing_risks" -> (q414CompetingRisks _),
+    "q416_hurst" -> (q416Hurst _),
     "q322_log_rank" -> (q322LogRank _),
     "q323_nelson_aalen" -> (q323NelsonAalen _),
     "q358_cox_score" -> (q358CoxScore _),
@@ -1170,6 +1344,160 @@ object TemporalQueries {
         |    ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4)
         |    AS fh_survival
         |FROM k ORDER BY duration_day""".stripMargin,
+    "q414_competing_risks" ->
+      """WITH starts AS (SELECT user_id,
+        |    min(epoch_us(ts::TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |tp0 AS (SELECT s.user_id,
+        |    min(CASE WHEN te >= t0 THEN te END) AS tp
+        |  FROM starts s LEFT JOIN (SELECT user_id,
+        |      epoch_us(ts::TIMESTAMP) AS te FROM events
+        |      WHERE event_type = 'purchase') p USING (user_id)
+        |  GROUP BY s.user_id),
+        |te0 AS (SELECT s.user_id,
+        |    min(CASE WHEN te >= t0 THEN te END) AS terr
+        |  FROM starts s LEFT JOIN (SELECT user_id,
+        |      epoch_us(ts::TIMESTAMP) AS te FROM events
+        |      WHERE event_type = 'error') p USING (user_id)
+        |  GROUP BY s.user_id),
+        |h AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events),
+        |cls AS (SELECT st.user_id, st.t0,
+        |    least(h.tmax, st.t0 + 3*86400000000) AS cut,
+        |    CASE WHEN tp <= least(h.tmax, st.t0 + 3*86400000000)
+        |      THEN tp END AS vp,
+        |    CASE WHEN terr <= least(h.tmax, st.t0 + 3*86400000000)
+        |      THEN terr END AS ve
+        |  FROM starts st JOIN tp0 USING (user_id)
+        |    JOIN te0 USING (user_id), h),
+        |dur AS (SELECT
+        |    CASE WHEN vp IS NOT NULL AND (ve IS NULL OR vp <= ve)
+        |      THEN 'purchase'
+        |    WHEN ve IS NOT NULL THEN 'error'
+        |    ELSE 'censored' END AS cause,
+        |    floor(((CASE WHEN vp IS NOT NULL AND
+        |        (ve IS NULL OR vp <= ve) THEN vp
+        |      WHEN ve IS NOT NULL THEN ve ELSE cut END) - t0)
+        |      / 86400000000)::BIGINT AS duration_day
+        |  FROM cls),
+        |pd AS (SELECT duration_day,
+        |    count(CASE WHEN cause = 'purchase' THEN 1 END)
+        |      AS d_purchase,
+        |    count(CASE WHEN cause = 'error' THEN 1 END) AS d_error,
+        |    count(CASE WHEN cause = 'censored' THEN 1 END)
+        |      AS n_censored
+        |  FROM dur GROUP BY 1),
+        |k AS (SELECT *,
+        |    (sum(d_purchase + d_error + n_censored) OVER ())::BIGINT -
+        |    coalesce(sum(d_purchase + d_error + n_censored) OVER (
+        |        ORDER BY duration_day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS n_at_risk
+        |  FROM pd),
+        |sp AS (SELECT *, exp(coalesce(sum(
+        |      CASE WHEN d_purchase + d_error < n_at_risk
+        |        THEN ln(1.0 -
+        |          (d_purchase + d_error)::DOUBLE / n_at_risk)
+        |        ELSE 0.0 END)
+        |    OVER (ORDER BY duration_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0.0)) AS sprev
+        |  FROM k)
+        |SELECT duration_day, n_at_risk, d_purchase, d_error,
+        |  n_censored,
+        |  round(sum(sprev * d_purchase::DOUBLE / n_at_risk)
+        |    OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4)
+        |    AS cif_purchase,
+        |  round(sum(sprev * d_error::DOUBLE / n_at_risk)
+        |    OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4)
+        |    AS cif_error
+        |FROM sp ORDER BY duration_day""".stripMargin,
+    "q416_hurst" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::DOUBLE AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS rn FROM d),
+        |e AS (SELECT r.*, w.w, floor((rn - 1) / w.w)::BIGINT AS blk
+        |  FROM r, (SELECT unnest([5, 10, 20]) AS w) w),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY event_type, w,
+        |    blk) AS bn FROM e),
+        |g AS (SELECT *, avg(x) OVER (PARTITION BY event_type, w, blk)
+        |    AS mu FROM f WHERE bn = w),
+        |hh AS (SELECT *, sum(x - mu) OVER (PARTITION BY event_type,
+        |    w, blk ORDER BY rn ROWS UNBOUNDED PRECEDING) AS z FROM g),
+        |pb AS (SELECT event_type, w, blk, max(z) AS zmax,
+        |    min(z) AS zmin, sqrt(avg((x - mu) * (x - mu))) AS s
+        |  FROM hh GROUP BY 1, 2, 3),
+        |rs AS (SELECT *, (zmax - zmin) / nullif(s, 0) AS rsv FROM pb),
+        |pw AS (SELECT event_type, w, avg(rsv) AS avg_rs
+        |  FROM rs GROUP BY 1, 2),
+        |ft AS (SELECT event_type, count(*)::DOUBLE AS k,
+        |    sum(ln(w)) AS sx, sum(ln(avg_rs)) AS sy,
+        |    sum(ln(w) * ln(avg_rs)) AS sxy,
+        |    sum(ln(w) * ln(w)) AS sxx
+        |  FROM pw WHERE avg_rs > 0 GROUP BY 1),
+        |wd AS (SELECT event_type,
+        |    round(max(CASE WHEN w = 5 THEN avg_rs END), 4) AS rs_w5,
+        |    round(max(CASE WHEN w = 10 THEN avg_rs END), 4) AS rs_w10,
+        |    round(max(CASE WHEN w = 20 THEN avg_rs END), 4) AS rs_w20
+        |  FROM pw GROUP BY 1)
+        |SELECT wd.event_type, rs_w5, rs_w10, rs_w20,
+        |  round((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0), 4)
+        |    AS hurst
+        |FROM wd JOIN ft USING (event_type)
+        |ORDER BY wd.event_type""".stripMargin,
+    "q411_rmst" ->
+      """WITH starts AS (
+        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |tg AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS te
+        |       FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events),
+        |dur AS (
+        |  SELECT s.user_id, any_value(t0) AS t0,
+        |    min(CASE WHEN te >= t0 THEN te END) AS t1
+        |  FROM starts s LEFT JOIN tg USING (user_id) GROUP BY s.user_id),
+        |d AS (
+        |  SELECT (t1 IS NOT NULL AND
+        |      t1 <= least(tmax, t0 + 3*86400000000)) AS ev,
+        |    floor((least(coalesce(t1, least(tmax, t0 + 3*86400000000)),
+        |        least(tmax, t0 + 3*86400000000)) - t0)
+        |      / 86400000000)::BIGINT AS duration_day
+        |  FROM dur, h),
+        |pd AS (
+        |  SELECT duration_day,
+        |    count(CASE WHEN ev THEN 1 END) AS n_events,
+        |    count(CASE WHEN NOT ev THEN 1 END) AS n_censored
+        |  FROM d GROUP BY 1),
+        |k AS (
+        |  SELECT duration_day, n_events, n_censored,
+        |    (sum(n_events + n_censored) OVER ())::BIGINT
+        |      - coalesce(sum(n_events + n_censored) OVER (
+        |          ORDER BY duration_day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0)::BIGINT AS n_at_risk
+        |  FROM pd),
+        |kmf AS (
+        |  SELECT duration_day, n_events, n_censored,
+        |    CASE WHEN max(CASE WHEN n_events >= n_at_risk THEN 1
+        |        ELSE 0 END)
+        |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING) = 1
+        |    THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN n_events < n_at_risk
+        |      THEN ln(1.0 - n_events::DOUBLE / n_at_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4)
+        |  END AS survival
+        |  FROM k),
+        |sg AS (SELECT survival, n_events, n_censored, duration_day,
+        |    greatest(0.0, least(coalesce(
+        |        lead(duration_day) OVER (ORDER BY duration_day),
+        |        3)::DOUBLE, 3.0) - least(duration_day::DOUBLE, 3.0))
+        |      AS seglen
+        |  FROM kmf)
+        |SELECT sum(n_events + n_censored)::BIGINT AS n_subjects,
+        |  round(least(min(duration_day)::DOUBLE, 3.0) +
+        |    sum(survival * seglen), 4) AS rmst_days,
+        |  3 AS tau_days
+        |FROM sg""".stripMargin,
     "q204_kaplan_meier" ->
       """WITH starts AS (
         |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0

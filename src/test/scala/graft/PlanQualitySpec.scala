@@ -280,7 +280,27 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q399 cross-joins the broadcast k=4 centroid / 1-row DB-index
     // frames; q400 is q100's broadcast-query batch kNN over the
     // bounded scored set
-    "q399_davies_bouldin", "q400_lof")
+    "q399_davies_bouldin", "q400_lof",
+    // q402 cross-joins the broadcast 1-row nation-mean scalar
+    "q402_fisher_exact",
+    // q406/q407 cross-join broadcast 1-row IRLS/Weiszfeld iterate
+    // frames between corpus passes
+    "q406_huber_m", "q407_geometric_median",
+    // q408 cross-joins the broadcast 1-row chosen-center frame per
+    // greedy round (k=3)
+    "q408_kcenter_coreset",
+    // q410 cross-joins broadcast 1-row edge-mass and modularity-sum
+    // scalars
+    "q410_modularity",
+    // q412 cross-joins the 26-row stump grid (weighted-error search)
+    // and broadcast 1-row best-stump/accuracy frames
+    "q412_adaboost",
+    // q415 cross-joins broadcast 1-row pooled-median / margin-total /
+    // chi2 scalars
+    "q415_mood_median",
+    // q411/q414 carry survivalDurations' broadcast corpus-end scalar
+    // (q204/q358's shape)
+    "q411_rmst", "q414_competing_risks")
 
   test("no query plans a non-broadcast cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
