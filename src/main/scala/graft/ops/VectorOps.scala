@@ -223,6 +223,39 @@ object VectorOps {
         col("col.ks").as(idCol), round(col("col.vs"), 4).as("cos_sim"))
   }
 
+  /** Local Outlier Factor (Breunig et al. 2000) from a k-bounded kNN
+    * edge list `(p, o, d)` (p's k nearest neighbors o at distance d —
+    * the [[batchTopK]] output shape): k-distance(x) is x's OWN k-th-NN
+    * distance max(d) GROUP BY p (§3 Def. 1 — NOT the max of edges
+    * pointing at x; the kNN relation is asymmetric and an isolated
+    * outlier may never appear as anyone's neighbor), reach-dist(p,o) =
+    * max(kdist(o), d(p,o)), lrd(p) = k/Σ_o reach-dist(p,o), LOF(p) =
+    * avg_o lrd(o)/lrd(p). Every point that queried gets a score —
+    * nothing is dropped for being unpopular. All joins run on the
+    * O(n·k) edge list; lrd floors the all-duplicate-neighbor
+    * degenerate case at 1e-12.
+    *
+    * @return (vec_id, lof, lrd, kdist), unrounded
+    */
+  def lofFromKnn(knn: DataFrame, k: Int): DataFrame = {
+    val kdist = knn.groupBy(col("p").as("vec_id"))
+      .agg(max(col("d")).as("kdist"))
+    val lrd = knn
+      .join(kdist.withColumnRenamed("vec_id", "o"), Seq("o"))
+      .groupBy(col("p"))
+      .agg((lit(k.toDouble) /
+        greatest(sum(greatest(col("kdist"), col("d"))), lit(1e-12)))
+        .as("lrd"))
+    knn.join(lrd.select(col("p").as("o"), col("lrd").as("__olrd")),
+        Seq("o"))
+      .groupBy(col("p")).agg(avg(col("__olrd")).as("__avg_olrd"))
+      .join(lrd, Seq("p"))
+      .join(kdist.withColumnRenamed("vec_id", "p"), Seq("p"))
+      .select(col("p").as("vec_id"),
+        (col("__avg_olrd") / col("lrd")).as("lof"),
+        col("lrd"), col("kdist"))
+  }
+
   /** Symmetric int8 quantization of an embedding column (X5): each
     * vector becomes (scale, array<int8-range int>) with
     * q_i = floor(x_i / scale * 127 + 0.5), scale = max |x_i| — the

@@ -1071,17 +1071,25 @@ object AdvancedQueries {
     val skA = sketch(a)
     val skB = sketch(b)
     val skU = sketch(a.unionByName(b).dropDuplicates("user_id"))
-    val estA = skA.agg((lit(k - 1) / max(col("__u"))).as("__ea"))
-    val estB = skB.agg((lit(k - 1) / max(col("__u"))).as("__eb"))
+    // Standard KMV small-set rule: a sketch that never filled (fewer
+    // than k distinct members) IS the set — its size is the exact
+    // cardinality; (k−1)/θ on an unfull sketch is a biased
+    // overestimate.
+    def kmvEst(alias: String): org.apache.spark.sql.Column =
+      when(count(lit(1)) < k, count(lit(1)).cast("double"))
+        .otherwise(lit(k - 1) / max(col("__u"))).as(alias)
+    val estA = skA.agg(kmvEst("__ea"))
+    val estB = skB.agg(kmvEst("__eb"))
     val uFlag = skU
       .join(a.select(col("user_id"), lit(1).as("__ina")),
         Seq("user_id"), "left")
       .join(b.select(col("user_id"), lit(1).as("__inb")),
         Seq("user_id"), "left")
     val inter = uFlag.agg(
-      (lit(k - 1) / max(col("__u"))).as("__eu"),
+      kmvEst("__eu"),
       (count(when(col("__ina") === 1 && col("__inb") === 1, 1))
-        .cast("double") / lit(k)).as("__j"))
+        .cast("double") /
+        greatest(count(lit(1)), lit(1L)).cast("double")).as("__j"))
     val exact = a.join(b, Seq("user_id"), "left_semi")
       .agg(count(lit(1)).as("exact_intersect"))
       .crossJoin(broadcast(a.agg(count(lit(1)).as("exact_a"))))
@@ -1259,12 +1267,15 @@ object AdvancedQueries {
         |ska AS (SELECT * FROM ah ORDER BY u, user_id LIMIT 128),
         |skb AS (SELECT * FROM bh ORDER BY u, user_id LIMIT 128),
         |sku AS (SELECT * FROM uh ORDER BY u, user_id LIMIT 128),
-        |ea AS (SELECT 127 / max(u) AS ea FROM ska),
-        |eb AS (SELECT 127 / max(u) AS eb FROM skb),
-        |iu AS (SELECT 127 / max(u) AS eu,
+        |ea AS (SELECT CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+        |    ELSE 127 / max(u) END AS ea FROM ska),
+        |eb AS (SELECT CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+        |    ELSE 127 / max(u) END AS eb FROM skb),
+        |iu AS (SELECT CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+        |      ELSE 127 / max(u) END AS eu,
         |    count(CASE WHEN user_id IN (SELECT user_id FROM au)
         |      AND user_id IN (SELECT user_id FROM bu) THEN 1 END)
-        |      / 128.0 AS j
+        |      / greatest(count(*), 1)::DOUBLE AS j
         |  FROM sku),
         |ex AS (SELECT
         |    (SELECT count(*) FROM au WHERE user_id IN

@@ -72,7 +72,11 @@ object CorpusQueries {
   /** q400_lof — Local Outlier Factor (Breunig et al. 2000) over the
     * embedding corpus on cosine distance: from the exact k=5 kNN edge
     * list (q100's `batchTopK` — ONE corpus pass, k-bounded state) the
-    * classic three-join chain derives k-distance, reachability
+    * classic three-join chain ([[graft.ops.VectorOps.lofFromKnn]])
+    * derives k-distance (each point's OWN k-th-NN distance — the kNN
+    * relation is asymmetric, so grouping on the pointed-at endpoint
+    * would both miscompute kdist and drop never-pointed-at outliers;
+    * VectorOpsSpec pins this on a fixture), reachability
     * distance reach(p,o) = max(kdist(o), d(p,o)), local reachability
     * density lrd = k/Σreach, and LOF(p) = avg lrd(neighbor)/lrd(p) —
     * the DENSITY-relative outlier score that q102's global norm
@@ -94,21 +98,8 @@ object CorpusQueries {
       .select(col("query_id").as("p"), col("vec_id").as("o"),
         (lit(1.0) - col("cos_sim")).as("d"))
       .localCheckpoint() // read by kdist, reach, and lof passes
-    val kdist = knn.groupBy(col("o").as("vec_id"))
-      .agg(max(col("d")).as("kdist"))
-    val lrd = knn
-      .join(kdist.withColumnRenamed("vec_id", "o"), Seq("o"))
-      .groupBy(col("p"))
-      .agg((lit(k.toDouble) /
-        greatest(sum(greatest(col("kdist"), col("d"))), lit(1e-12)))
-        .as("lrd"))
-    knn.join(lrd.select(col("p").as("o"), col("lrd").as("__olrd")),
-        Seq("o"))
-      .groupBy(col("p")).agg(avg(col("__olrd")).as("__avg_olrd"))
-      .join(lrd, Seq("p"))
-      .join(kdist.withColumnRenamed("vec_id", "p"), Seq("p"))
-      .select(col("p").as("vec_id"),
-        round(col("__avg_olrd") / col("lrd"), 4).as("lof"),
+    VectorOps.lofFromKnn(knn, k)
+      .select(col("vec_id"), round(col("lof"), 4).as("lof"),
         round(col("lrd"), 4).as("lrd"),
         round(col("kdist"), 4).as("kdist"))
       .orderBy(col("lof").desc, col("vec_id")).limit(15)
@@ -1209,7 +1200,7 @@ object CorpusQueries {
         |  FROM (SELECT *, row_number() OVER (PARTITION BY p
         |      ORDER BY cos DESC, o) AS rn FROM p)
         |  WHERE rn <= 5),
-        |kd AS (SELECT o AS vec_id, max(d) AS kdist FROM knn GROUP BY 1),
+        |kd AS (SELECT p AS vec_id, max(d) AS kdist FROM knn GROUP BY 1),
         |lrd AS (SELECT knn.p,
         |    5.0 / greatest(sum(greatest(kd.kdist, knn.d)), 1e-12) AS lrd
         |  FROM knn JOIN kd ON knn.o = kd.vec_id GROUP BY 1),

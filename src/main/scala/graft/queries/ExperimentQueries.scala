@@ -1533,7 +1533,10 @@ object ExperimentQueries {
 
   /** q391_dbscan — DBSCAN density clustering (Ester et al. 1996) over
     * the standardized 2-D per-user activity space (log event count ×
-    * log total value): a point is CORE with ≥ minPts ε-neighbors,
+    * log total value): a point is CORE when |N_ε(p)| ≥ minPts with the
+    * point counted as its own neighbor (Ester et al. §3.1 — so the
+    * neighbor-degree test below is deg ≥ minPts−1; pairs use strict
+    * d < ε, a documented convention shared with the oracle),
     * clusters are connected components of the core-core ε-graph,
     * non-core points with a core neighbor join as BORDER (min cluster
     * id — deterministic), the rest is NOISE. The density complement of
@@ -1567,7 +1570,7 @@ object ExperimentQueries {
     val sym = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val core = sym.groupBy(col("id_a")).agg(count(lit(1)).as("__deg"))
-      .filter(col("__deg") >= minPts)
+      .filter(col("__deg") >= minPts - 1) // +1 for the point itself
       .select(col("id_a").as("user_id"))
       .localCheckpoint()
     val coreEdges = pairs
@@ -1719,7 +1722,7 @@ object ExperimentQueries {
         |  WHERE sqrt((a.x - b.x) ^ 2 + (a.y - b.y) ^ 2) < 0.4),
         |sym AS (SELECT ia, ib FROM pr UNION ALL SELECT ib, ia FROM pr),
         |core AS (SELECT ia AS id FROM sym GROUP BY 1
-        |  HAVING count(*) >= 6),
+        |  HAVING count(*) >= 5),
         |ce AS (SELECT ia, ib FROM pr
         |  WHERE ia IN (SELECT id FROM core)
         |    AND ib IN (SELECT id FROM core)),

@@ -576,7 +576,10 @@ object StatQueries {
 
   /** q380_wilcoxon — Wilcoxon signed-rank test of week-over-week
     * change: per event type, paired differences d_t = count(t) −
-    * count(t−7 days), zero differences dropped, |d| tie-average-ranked,
+    * count(t−7 days) via a calendar self-join on date−7 (NOT a row
+    * lag — with gaps in a series a row lag would silently pair
+    * non-week-apart days), zero differences dropped, |d|
+    * tie-average-ranked,
     * W⁺ = Σ ranks of positive d, and the tie-corrected normal
     * approximation z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
     * The PAIRED nonparametric test the Welch/Kruskal family lacks —
@@ -586,12 +589,14 @@ object StatQueries {
     * by the one daily aggregation.
     */
   def q380Wilcoxon(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("__day"))
-    val paired = Tables.events(s, dir)
+    val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__p7", lag(col("__n"), 7).over(w))
-      .filter(col("__p7").isNotNull)
+    val paired = daily
+      .join(daily.select(col("event_type"),
+          date_add(col("__day"), 7).as("__day"),
+          col("__n").as("__p7")),
+        Seq("event_type", "__day"))
       .withColumn("__d", col("__n") - col("__p7"))
       .filter(col("__d") =!= 0)
     val g = paired
@@ -1219,10 +1224,10 @@ object StatQueries {
       """WITH d AS (SELECT event_type, ts::DATE AS day,
         |    count(*)::BIGINT AS n
         |  FROM events GROUP BY 1, 2),
-        |l AS (SELECT *, lag(n, 7) OVER (PARTITION BY event_type
-        |    ORDER BY day) AS p7 FROM d),
-        |df AS (SELECT event_type, n - p7 AS dd FROM l
-        |  WHERE p7 IS NOT NULL AND n - p7 <> 0),
+        |df AS (SELECT a.event_type, a.n - b.n AS dd
+        |  FROM d a JOIN d b ON a.event_type = b.event_type
+        |    AND b.day = a.day - INTERVAL 7 DAY
+        |  WHERE a.n - b.n <> 0),
         |g AS (SELECT event_type, abs(dd) AS ad,
         |    count(*)::BIGINT AS cnt,
         |    count(CASE WHEN dd > 0 THEN 1 END)::BIGINT AS pos

@@ -147,6 +147,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0.03), (3L, 4L, 0.04)))
   }
 
+  test("lofFromKnn: kdist is each point's OWN k-th-NN distance and " +
+    "asymmetric-kNN outliers are scored, not dropped") {
+    // 1-D line: tight cluster {a=0, b=0.1, c=0.2} plus far outlier
+    // z=10. With k=2, z's neighbors are {c, b} but z appears in NO
+    // other point's kNN list — under a group-by-pointed-at-endpoint
+    // kdist, z would have no kdist (dropped by the join) and c's kdist
+    // would absorb z's 9.8 incoming edge. The correct chain (Breunig
+    // et al. §3): kdist a=0.2 b=0.1 c=0.2 z=9.9; lrd a=2/0.3 b=2/0.4
+    // c=2/0.3 z=2/19.7; LOF(z)=avg(lrd_c,lrd_b)/lrd_z ≈ 57.5.
+    val knn = Seq(
+      ("a", "b", 0.1), ("a", "c", 0.2),
+      ("b", "a", 0.1), ("b", "c", 0.1),
+      ("c", "b", 0.1), ("c", "a", 0.2),
+      ("z", "c", 9.8), ("z", "b", 9.9))
+      .toDF("p", "o", "d")
+    val out = VectorOps.lofFromKnn(knn, k = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.size == 4, "every kNN query point must be scored")
+    assert(math.abs(out("z")._3 - 9.9) < 1e-9) // z's own 2nd-NN dist
+    assert(math.abs(out("c")._3 - 0.2) < 1e-9) // NOT z's 9.8 edge
+    val lofZ = out("z")._1
+    assert(math.abs(lofZ - (2.0 / 0.3 + 2.0 / 0.4) / 2 / (2.0 / 19.7))
+      < 1e-6)
+    assert(out.removed("z").values.forall(_._1 < 1.5) && lofZ > 10,
+      "outlier must dominate the cluster's near-1 scores")
+  }
+
   test("gridNeighborJoin matches brute force on random points") {
     val rnd = new scala.util.Random(11)
     val pts = (1L to 200L).map(i =>
