@@ -17,6 +17,66 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** Multi-round greedy BPE trainer over a word-frequency frame
+    * (Sennrich et al. 2016 §3.2; q418's engine): each round counts
+    * frequency-weighted adjacent symbol pairs (overlapping 2-grams of
+    * the word's symbol string), takes the argmax (count desc, pair asc
+    * — deterministic), collapses it vocabulary-wide to the sentinel
+    * `char(round)`, and records the merge. Returns the TRAINED MERGE
+    * TABLE (round, pair, weighted_count) with sub-merges rendered as
+    * nested brackets — a round-3 merge of round-1's output renders
+    * `[[th]e]` (BpeTrainSpec pins the nesting on a chaining fixture).
+    *
+    * Scale shape: every round runs on the checkpointed |vocab|-sized
+    * frame — the corpus is never touched here (collapse it to (w, f)
+    * first); the argmax is a limit-1 TakeOrdered, broadcast into the
+    * merge application. Sentinels restrict `rounds` to < 32 printable
+    * control chars — real trainers run thousands of rounds with an
+    * int symbol alphabet; this keeps the string form DuckDB-replayable.
+    *
+    * @param words (w string, f long) word-frequency frame; words must
+    *              not contain control characters
+    */
+  def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
+    val w0 = words.localCheckpoint()
+    // the length guard is NOT redundant: a fully-merged 1-char word
+    // hits sequence(1, 0), which Spark generates DESCENDING ([1, 0])
+    // rather than empty — two phantom 1-char "pairs" per occurrence
+    // (caught by BpeTrain's chaining fixture; DuckDB's range(1,1) is
+    // empty, so the engines would silently diverge)
+    def pairCounts(df: DataFrame): DataFrame = df
+      .filter(length(col("w")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("weighted_count"))
+    val (_, merges) = GraphOps
+      .unrolledRounds((w0, Vector.empty[DataFrame]), rounds) {
+        case ((wds, acc), r) =>
+          val best = pairCounts(wds)
+            .orderBy(col("weighted_count").desc, col("pair")).limit(1)
+            .select(col("pair").as(s"__p$r"),
+              col("weighted_count").as(s"__c$r"))
+            .localCheckpoint()
+          val next = wds.crossJoin(broadcast(best))
+            .select(expr(s"replace(w, __p$r, char($r))").as("w"),
+              col("f"))
+            .localCheckpoint()
+          (next, acc :+ best)
+      }
+    // render each merge with its sub-merges expanded, HIGHEST sentinel
+    // first (expanding char(k) re-introduces only sentinels < k)
+    def renderedExpr(r: Int): String =
+      (1 until r).reverse.foldLeft(s"__p$r") { (acc, k) =>
+        s"replace($acc, char($k), '[' || __p$k || ']')"
+      }
+    val all = merges.reduce(_ crossJoin _) // 1 row: __p1.., __c1..
+    (1 to rounds).map { r =>
+      all.select(lit(r).as("round"), expr(renderedExpr(r)).as("pair"),
+        col(s"__c$r").as("weighted_count"))
+    }.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** Within-document repetition score (the Gopher/MassiveText-style
     * repetition quality filter): the fraction of word n-gram
     * OCCURRENCES that are repeats of an earlier occurrence —

@@ -410,7 +410,11 @@ object CurationQueries {
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .localCheckpoint() // round-1 count + merge application read this
+    // length guard: a word fully collapsed by the merge is 1 char,
+    // and sequence(1, 0) is DESCENDING in Spark (phantom pairs) where
+    // DuckDB's range(1,1) is empty — see CurationOps.bpeTrain
     def pairCounts(df: DataFrame): DataFrame = df
+      .filter(length(col("w")) >= 2)
       .select(col("f"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
@@ -436,6 +440,32 @@ object CurationQueries {
       .orderBy(col("round"), col("rank"))
   }
 
+
+  /** q418_bpe_train — a multi-round BPE TRAINER (Sennrich et al. 2016
+    * §3.2), the depth q360's single step lacks: 4 greedy merge rounds
+    * unrolled over the word-frequency frame
+    * ([[graft.ops.GraphOps.unrolledRounds]], the engine's one BSP
+    * fold), each round counting frequency-weighted adjacent symbol
+    * pairs, taking the argmax (count desc, pair asc — the canonical
+    * deterministic tie-break), collapsing it to a sentinel char(round)
+    * across the vocabulary, and recording the merge. Output is the
+    * TRAINED MERGE TABLE — round, merged pair rendered with nested
+    * brackets (a round-3 pair that merges round-1's output renders
+    * `[[th]e]`), and the pair's weighted count at merge time — i.e.
+    * the artifact a tokenizer ships. Scale shape identical to q360:
+    * the corpus is touched ONCE (word collapse); all 4 rounds run on
+    * the |vocab|-sized checkpointed frame, which is why real 100 TB
+    * BPE training iterates on word counts, never raw text. The oracle
+    * replays the same 4 greedy rounds unrolled (argmax and replace are
+    * bit-identical in both engines), so the merge table hash-matches.
+    */
+  def q418BpeTrain(s: SparkSession, dir: String): DataFrame =
+    CurationOps.bpeTrain(
+      Tables.parallelize(Tables.documents(s, dir))
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f")),
+      rounds = 4)
 
   /** q384_readability — Flesch reading-ease scoring (Flesch 1948; the
     * public-domain readability formula): FRE = 206.835 −
@@ -508,6 +538,7 @@ object CurationQueries {
     "q384_readability" -> (q384Readability _),
     "q385_vocab_richness" -> (q385VocabRichness _),
     "q360_bpe_merge" -> (q360BpeMerge _),
+    "q418_bpe_train" -> (q418BpeTrain _),
     "q143_containment" -> (q143Containment _),
     "q148_quality_vector" -> (q148QualityVector _),
     "q155_sentences" -> (q155Sentences _),
@@ -591,6 +622,56 @@ object CurationQueries {
         |  FROM u)
         |SELECT round, rank, pair, weighted_count FROM r
         |WHERE rank <= 10 ORDER BY round, rank""".stripMargin,
+    "q418_bpe_train" ->
+      """WITH wr AS (SELECT unnest(string_split_regex(lower(text),
+        |    '\s+')) AS w FROM documents),
+        |wf AS (SELECT w, count(*)::BIGINT AS f FROM wr
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+        |  GROUP BY 1),
+        |p1 AS (SELECT substr(w, i::INT, 2) AS pair,
+        |    sum(f)::BIGINT AS wc
+        |  FROM wf, unnest(range(1, len(w))) AS u(i) GROUP BY 1),
+        |b1 AS (SELECT pair, wc FROM p1
+        |  ORDER BY wc DESC, pair LIMIT 1),
+        |w1 AS (SELECT replace(w, (SELECT pair FROM b1), chr(1)) AS w,
+        |    f FROM wf),
+        |p2 AS (SELECT substr(w, i::INT, 2) AS pair,
+        |    sum(f)::BIGINT AS wc
+        |  FROM w1, unnest(range(1, len(w))) AS u(i) GROUP BY 1),
+        |b2 AS (SELECT pair, wc FROM p2
+        |  ORDER BY wc DESC, pair LIMIT 1),
+        |w2 AS (SELECT replace(w, (SELECT pair FROM b2), chr(2)) AS w,
+        |    f FROM w1),
+        |p3 AS (SELECT substr(w, i::INT, 2) AS pair,
+        |    sum(f)::BIGINT AS wc
+        |  FROM w2, unnest(range(1, len(w))) AS u(i) GROUP BY 1),
+        |b3 AS (SELECT pair, wc FROM p3
+        |  ORDER BY wc DESC, pair LIMIT 1),
+        |w3 AS (SELECT replace(w, (SELECT pair FROM b3), chr(3)) AS w,
+        |    f FROM w2),
+        |p4 AS (SELECT substr(w, i::INT, 2) AS pair,
+        |    sum(f)::BIGINT AS wc
+        |  FROM w3, unnest(range(1, len(w))) AS u(i) GROUP BY 1),
+        |b4 AS (SELECT pair, wc FROM p4
+        |  ORDER BY wc DESC, pair LIMIT 1)
+        |SELECT 1 AS round, (SELECT pair FROM b1) AS pair,
+        |  (SELECT wc FROM b1) AS weighted_count
+        |UNION ALL SELECT 2,
+        |  replace((SELECT pair FROM b2), chr(1),
+        |    '[' || (SELECT pair FROM b1) || ']'),
+        |  (SELECT wc FROM b2)
+        |UNION ALL SELECT 3,
+        |  replace(replace((SELECT pair FROM b3), chr(2),
+        |      '[' || (SELECT pair FROM b2) || ']'), chr(1),
+        |    '[' || (SELECT pair FROM b1) || ']'),
+        |  (SELECT wc FROM b3)
+        |UNION ALL SELECT 4,
+        |  replace(replace(replace((SELECT pair FROM b4), chr(3),
+        |        '[' || (SELECT pair FROM b3) || ']'), chr(2),
+        |      '[' || (SELECT pair FROM b2) || ']'), chr(1),
+        |    '[' || (SELECT pair FROM b1) || ']'),
+        |  (SELECT wc FROM b4)
+        |ORDER BY round""".stripMargin,
     "q324_repeated_substrings" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |g AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, i AS pos,

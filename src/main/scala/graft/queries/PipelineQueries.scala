@@ -436,6 +436,64 @@ object PipelineQueries {
     s.createDataFrame(rows.asJava, cm.schema)
   }
 
+  /** q417_model_persistence — ML model save/load round trip (M10 +
+    * MLWritable): the production surface the reference's
+    * retrain-per-run scripts imply but never deliver
+    * (`random_forest_final_class_8.py:199-243` refits on every
+    * invocation — a served model must survive a process boundary).
+    * Fits the reference RF pipeline (M1-M4/M7), persists the fitted
+    * `PipelineModel` via `MLWritable.write.overwrite.save`, reloads
+    * with `PipelineModel.load`, and PROVES reloaded-transform ≡
+    * original-transform: the two prediction frames are full-outer
+    * joined on the row key and disagreements counted over prediction
+    * AND 6-dp class-probability (n_mismatch MUST be 0), plus a
+    * params-survived check on the RF stage. Trained-model output is
+    * engine-specific → rows-only driver check; the invariants are
+    * additionally pinned at fixture scale in `PersistenceSpec`.
+    * Save path is a corpus-keyed staged dir under target/tmp (same
+    * convention as the staged graph/stream artifacts).
+    */
+  def q417ModelPersistence(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.ClassifierPipelines
+    import org.apache.spark.ml.PipelineModel
+    import org.apache.spark.ml.classification.RandomForestClassificationModel
+    import org.apache.spark.ml.functions.vector_to_array
+    val df = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        when(col("o_orderstatus") === "F", "late")
+          .otherwise(lit("ontime")).as("is_late"))
+    val Array(train, test) = df.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val pipe = ClassifierPipelines.pipeline(
+      Seq("o_orderpriority"), Seq("o_totalprice"), "is_late",
+      ClassifierPipelines.randomForest(numTrees = 8, maxDepth = 4))
+    val model = pipe.fit(train)
+    val path = "target/tmp/q417_model_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    model.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    def score(m: PipelineModel, tag: String) = m.transform(test)
+      .select(col("o_orderkey"), col("prediction").as(s"pred_$tag"),
+        round(element_at(vector_to_array(col("probability")), 1), 6)
+          .as(s"p0_$tag"))
+    def rfStage(m: PipelineModel) = m.stages.last
+      .asInstanceOf[RandomForestClassificationModel]
+    val joined = score(model, "a")
+      .join(score(reloaded, "b"), Seq("o_orderkey"), "full_outer")
+    joined.agg(count(lit(1)).as("n_test"),
+        count(when(col("pred_a").isNull || col("pred_b").isNull ||
+          col("pred_a") =!= col("pred_b") ||
+          col("p0_a") =!= col("p0_b"), 1)).as("n_mismatch"))
+      .select(col("n_test"), col("n_mismatch"),
+        (col("n_mismatch") === 0).as("roundtrip_exact"),
+        lit(rfStage(reloaded).getNumTrees ==
+          rfStage(model).getNumTrees &&
+          rfStage(reloaded).toDebugString ==
+            rfStage(model).toDebugString).as("params_survived"),
+        lit(model.stages.length).as("n_stages"))
+  }
+
   /** q234_lda_vocab — the DETERMINISTIC half of q133's topic pipeline,
     * split out so it can be ORACLE-HASHED (q133 itself stays rows-only
     * because trained-LDA output is engine-specific): the
@@ -498,6 +556,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q417_model_persistence" -> (q417ModelPersistence _),
     "q234_lda_vocab" -> (q234LdaVocab _),
     "q235_resample_counts" -> (q235ResampleCounts _),
     "q114_ml_eval" -> (q114MlEval _),

@@ -260,6 +260,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q359_wasserstein",
     // q360 cross-joins the broadcast 1-row best-pair frame twice
     "q360_bpe_merge",
+    // q418 cross-joins a broadcast 1-row argmax frame per merge round
+    // plus the final 1-row merge-table assembly
+    "q418_bpe_train",
     // q362/q363 cross-join broadcast 1-row corpus-fence/sample-size
     // scalars
     "q362_ucb1", "q363_anderson_darling",

@@ -186,6 +186,28 @@ object PropertyProps extends Properties("graft") {
         (a.isEmpty || self == 1.0)
     }
 
+  /** Float-parity rule for the trig-heavy family (q403 periodogram and
+    * any future periodic query): cross-engine cos/sin agreement under
+    * the 4-dp output rounding is guaranteed ONLY when the phase is
+    * reduced into [0, 2π) BEFORE the trig call — φ = 2π(t mod p)/p,
+    * never 2π·t/p with unbounded t (argument reduction of huge doubles
+    * is where JVM Math and DuckDB's libm may legitimately part ways).
+    * Pins the contract executable: the engine-evaluated reduced phase
+    * lands in [0, 2π) for any day offset / period, and on reduced args
+    * intrinsic Math and fdlibm StrictMath agree to 1e-12 — eight
+    * orders inside the 4-dp tolerance. A query that skips the mod-p
+    * reduction breaks the range assertion here first.
+    */
+  property("trig phase reduction: 2π(t mod p)/p in [0,2π), " +
+    "Math == fdlibm on reduced args") =
+    forAll(Gen.choose(0L, 4000000000L), Gen.choose(2, 366)) { (t, p) =>
+      val phi = evalCol(lit(2.0) * lit(math.Pi) *
+        (lit(t) % lit(p)).cast("double") / lit(p)).asInstanceOf[Double]
+      phi >= 0.0 && phi < 2.0 * math.Pi &&
+        math.abs(Math.cos(phi) - StrictMath.cos(phi)) < 1e-12 &&
+        math.abs(Math.sin(phi) - StrictMath.sin(phi)) < 1e-12
+    }
+
   property("native word_shingles matches the HOF formulation") =
     forAll(Gen.listOf(tokenGen), Gen.choose(1, 5)) { (toks, n) =>
       import org.apache.spark.sql.functions.array

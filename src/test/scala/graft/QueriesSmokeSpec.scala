@@ -29,7 +29,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // entry points C and B as manifest queries: LDA topics and the
       // RF confusion matrix are model outputs — pipeline invariants in
       // TopicPipelineSpec / ClassifierPipelinesSpec
-      "q133_topic_model", "q134_rf_confusion")
+      "q133_topic_model", "q134_rf_confusion",
+      // save/load round trip of a trained model: output is the
+      // engine-internal equivalence proof (n_mismatch == 0), pinned
+      // at fixture scale in PersistenceSpec
+      "q417_model_persistence")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

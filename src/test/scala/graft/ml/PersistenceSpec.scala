@@ -1,0 +1,76 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.classification.RandomForestClassificationModel
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.functions._
+
+/** Model persistence (MLWritable/MLReader) round trips — the serving
+  * surface q417_model_persistence exercises at manifest scale: a
+  * production engine loads models it did NOT just train (the reference
+  * retrains per run, `random_forest_final_class_8.py:199-243`). A
+  * reloaded model must transform identically, keep its params, and be
+  * loadable into a FRESH transform chain with no reference to the
+  * fitting session state.
+  */
+class PersistenceSpec extends SparkSpec {
+
+  private lazy val orders = Tables.orders(spark, sf0001)
+    .select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"),
+      when(col("o_totalprice") > 150000, "hi").otherwise("lo")
+        .as("bucket"))
+
+  private def fitModel(): (PipelineModel,
+      org.apache.spark.sql.DataFrame) = {
+    val Array(train, test) =
+      orders.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val pipe = ClassifierPipelines.pipeline(
+      Seq("o_orderpriority"), Seq("o_totalprice"), "bucket",
+      ClassifierPipelines.randomForest(numTrees = 4, maxDepth = 3))
+    (pipe.fit(train), test)
+  }
+
+  private def preds(m: PipelineModel,
+      test: org.apache.spark.sql.DataFrame) =
+    m.transform(test)
+      .select(col("o_orderkey"), col("prediction"),
+        round(element_at(vector_to_array(col("probability")), 1), 6)
+          .as("p0"))
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+
+  test("PipelineModel save/load: reloaded transform is identical") {
+    val (model, test) = fitModel()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_persist").resolve("m").toString
+    model.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    assert(preds(model, test).sameElements(preds(reloaded, test)))
+  }
+
+  test("save/load keeps stage params and tree structure") {
+    val (model, test) = fitModel()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_persist").resolve("m").toString
+    model.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    assert(reloaded.stages.length == model.stages.length)
+    val (a, b) = (
+      model.stages.last.asInstanceOf[RandomForestClassificationModel],
+      reloaded.stages.last.asInstanceOf[RandomForestClassificationModel])
+    assert(b.getNumTrees == a.getNumTrees)
+    assert(b.getMaxDepth == a.getMaxDepth)
+    assert(b.toDebugString == a.toDebugString,
+      "every split threshold must survive the round trip")
+    // overwrite().save onto the same path must also work (idempotent
+    // re-publish, the q417 staged-dir contract)
+    model.write.overwrite().save(path)
+    assert(PipelineModel.load(path)
+      .stages.last.asInstanceOf[RandomForestClassificationModel]
+      .toDebugString == a.toDebugString)
+    preds(model, test) // exercise the original post-save (still usable)
+  }
+}

@@ -191,6 +191,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1)._3 == r4(pba))
   }
 
+  test("bpeTrain: greedy argmax chain with nested-bracket rendering") {
+    // round 1: th (100+50+30=180) beats he (150); round 2: [th]e
+    // (100+50=150); round 3 merges round 2's OUTPUT with m -> the
+    // rendered pair must nest as [[th]e]m with count 50
+    val words = Seq(("the", 100L), ("them", 50L), ("this", 30L))
+      .toDF("w", "f")
+    val out = CurationOps.bpeTrain(words, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1, "th", 180L), (2, "[th]e", 150L), (3, "[[th]e]m", 50L)))
+  }
+
   test("featureHash: tf sums to token count, buckets bounded, " +
     "same token same bucket") {
     val df = Seq((1L, "alpha beta alpha gamma"), (2L, "alpha alpha"))
