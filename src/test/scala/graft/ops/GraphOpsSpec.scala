@@ -90,4 +90,49 @@ class GraphOpsSpec extends SparkSpec {
       assert(got.toSeq === expected, s"k=$k")
     }
   }
+
+  test("simhashDocEdges: staged cache serves identical edges and a " +
+    "regenerated corpus rebuilds it") {
+    import java.nio.file.{Files, Paths}
+    // a private corpus dir so the test can regenerate documents.parquet
+    // without touching the shared testdata
+    val dir = Files.createTempDirectory("graft_edge_cache").toString
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/__build")
+        .ensuring(_ => {
+          val part = Files.list(Paths.get(s"$dir/__build"))
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          Files.move(part, Paths.get(s"$dir/documents.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        })
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    writeCorpus(Seq(1L -> near, 2L -> near, 3L -> (near + " extra"),
+      4L -> "completely different text about spark catalyst planning"))
+    def edges() = GraphOps.simhashDocEdges(spark, dir)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = edges()
+    assert(first.nonEmpty && first.contains((1L, 2L)),
+      s"near-identical docs must be joined: $first")
+    // second call must serve the STAGED artifact (fingerprint fresh)
+    // with identical content
+    val stage = Paths.get("target/tmp/simhash_edges_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val fpBefore = Files.readAllBytes(stage.resolve("_fingerprint"))
+    assert(edges() == first)
+    assert(Files.readAllBytes(stage.resolve("_fingerprint"))
+      .sameElements(fpBefore), "fresh cache must not rebuild")
+    // regenerate the corpus IN PLACE (different content AND size) —
+    // the fingerprint must invalidate and the edges must change
+    writeCorpus(Seq(10L -> (near + " one"), 11L -> (near + " one"),
+      12L -> "unrelated second corpus body entirely"))
+    val second = edges()
+    assert(second.contains((10L, 11L)) && second != first,
+      s"stale cache served after corpus regeneration: $second")
+  }
 }
