@@ -3,7 +3,7 @@ package graft.ml
 import graft.ops.FrequencyEncoder
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.types.{LongType, StructType}
 
@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * frozen train-time frequencies applied to unseen data, fit the count
   * table once with `ops.FrequencyEncoder` and join it explicitly.
   */
-class FrequencyEncoderModel(override val uid: String) extends Transformer {
+class FrequencyEncoderModel(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("freqEncoder"))
 
@@ -42,3 +43,12 @@ class FrequencyEncoderModel(override val uid: String) extends Transformer {
   override def copy(extra: ParamMap): FrequencyEncoderModel =
     defaultCopy(extra)
 }
+
+/** Param-only persistence (the transformer carries no model data —
+  * frequencies are recomputed from the dataset it transforms), so
+  * `DefaultParamsReadable` round-trips it losslessly. Without this, a
+  * saved Pipeline containing the reference's signature encoder (M4)
+  * would throw on `write` — the gap PersistenceSpec pins.
+  */
+object FrequencyEncoderModel
+  extends DefaultParamsReadable[FrequencyEncoderModel]

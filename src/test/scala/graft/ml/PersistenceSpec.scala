@@ -73,4 +73,30 @@ class PersistenceSpec extends SparkSpec {
       .toDebugString == a.toDebugString)
     preds(model, test) // exercise the original post-save (still usable)
   }
+
+  test("a Pipeline containing the custom FrequencyEncoderModel " +
+    "saves and reloads") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.VectorAssembler
+    val enc = new FrequencyEncoderModel()
+      .setInputCol("o_orderpriority").setOutputCol("freq_pri")
+    val asm = new VectorAssembler()
+      .setInputCols(Array("freq_pri", "o_totalprice"))
+      .setOutputCol("features")
+    val fitted = new Pipeline().setStages(Array(enc, asm)).fit(orders)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_persist").resolve("fe").toString
+    fitted.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    val re = reloaded.stages.head.asInstanceOf[FrequencyEncoderModel]
+    assert(re.getOrDefault(re.inputCol) == "o_orderpriority" &&
+      re.getOrDefault(re.outputCol) == "freq_pri")
+    val a = fitted.transform(orders)
+      .select("o_orderkey", "freq_pri").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = reloaded.transform(orders)
+      .select("o_orderkey", "freq_pri").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }
