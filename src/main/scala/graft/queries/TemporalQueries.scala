@@ -251,29 +251,29 @@ object TemporalQueries {
   }
 
   /** q197_mad_anomaly — robust day-level anomaly detection on revenue:
-    * median + MAD (both `StatOps.exactPercentiles`, bit-identical to
-    * the oracle's quantile_cont) with the 1.4826 normal-consistency
-    * factor; days with robust-z > 3 surface. The robust fence survives
-    * the outliers that would inflate a mean/stddev fence (q102's
-    * percentile-fence sibling on the time axis). The raw table reduces
-    * to ~|days| rows in one aggregation; the two medians and the scan
-    * over the daily frame are bounded by that, and the two 1-row fence
-    * frames broadcast.
+    * median + MAD via the built-in EXACT `percentile` aggregate
+    * (continuous interpolation — bit-identical to the oracle's
+    * quantile_cont AND to StatOps.exactPercentiles, which exists for
+    * the few-groups × UNBOUNDED-rows regime; here the raw table
+    * reduces to ~|days| rows in one aggregation first, and on a
+    * day-bounded frame the built-in is exact, memory-safe, and one
+    * job instead of a 3-pass selection — was 3.2 s of pure pass
+    * overhead at sf0.1, PERF_NOTES R8.5) with the 1.4826
+    * normal-consistency factor; days with robust-z > 3 surface. The
+    * robust fence survives the outliers that would inflate a
+    * mean/stddev fence (q102's percentile-fence sibling on the time
+    * axis). The two 1-row fence frames broadcast.
     */
   def q197MadAnomaly(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice")).as("__total"))
-      .withColumn("__g", lit(1))
-    val med = graft.ops.StatOps.exactPercentiles(
-        daily, "__g", "__total", Seq("med" -> 0.5))
-      .select(col("med"))
+      .localCheckpoint() // median agg + dev scan reread the day frame
+    val med = daily.agg(
+      expr("percentile(__total, 0.5)").as("med"))
     val dev = daily.crossJoin(broadcast(med))
       .withColumn("__dev", abs(col("__total") - col("med")))
-    val mad = graft.ops.StatOps.exactPercentiles(
-        dev.select(col("__g"), col("__dev")), "__g", "__dev",
-        Seq("mad" -> 0.5))
-      .select(col("mad"))
+    val mad = dev.agg(expr("percentile(__dev, 0.5)").as("mad"))
     dev.crossJoin(broadcast(mad))
       .withColumn("robust_z", // try_divide: constant series has MAD 0
         try_divide(col("__dev"), lit(1.4826) * col("mad")))
