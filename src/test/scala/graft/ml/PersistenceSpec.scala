@@ -74,6 +74,30 @@ class PersistenceSpec extends SparkSpec {
     preds(model, test) // exercise the original post-save (still usable)
   }
 
+  test("CrossValidatorModel save/load: best model and avgMetrics " +
+    "survive, reloaded transform identical") {
+    import org.apache.spark.ml.tuning.CrossValidatorModel
+    val Array(train, test) =
+      orders.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val pipe = ClassifierPipelines.pipeline(
+      Seq("o_orderpriority"), Seq("o_totalprice"), "bucket",
+      ClassifierPipelines.randomForest(numTrees = 2, maxDepth = 2))
+    val rf = pipe.getStages.last
+      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassifier]
+    val grid = ClassifierPipelines.rfGrid(rf,
+      numTrees = Seq(2), maxDepth = Seq(2, 3))
+    val cv = ClassifierPipelines.crossValidate(
+      pipe, grid, folds = 2, evaluatorMetric = "accuracy", train)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_persist").resolve("cv").toString
+    cv.write.overwrite().save(path)
+    val reloaded = CrossValidatorModel.load(path)
+    assert(reloaded.avgMetrics.toSeq == cv.avgMetrics.toSeq,
+      "fold-averaged grid metrics must survive")
+    assert(preds(reloaded.bestModel.asInstanceOf[PipelineModel], test)
+      .sameElements(preds(cv.bestModel.asInstanceOf[PipelineModel], test)))
+  }
+
   test("a Pipeline containing the custom FrequencyEncoderModel " +
     "saves and reloads") {
     import org.apache.spark.ml.Pipeline
