@@ -1345,6 +1345,12 @@ object AnalyticsQueries {
     val words = Tables.parallelize(Tables.documents(s, dir))
       .select(explode(TextOps.tokens(col("text"))).as("__w"))
     words
+      // 1-char tokens have no adjacent pair — and must be EXCLUDED
+      // explicitly: Spark's sequence(1, 0) generates DESCENDING [1, 0]
+      // (two phantom pairs per occurrence, one of which contaminates a
+      // real same-char pair key) where DuckDB's range(1, 1) is empty.
+      // Same divergence class CurationOps.bpeTrain's fixture caught.
+      .filter(length(col("__w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(__w) - 1), " +
           "i -> struct(substring(__w, i, 1) AS a, " +
