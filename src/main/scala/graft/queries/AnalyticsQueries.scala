@@ -347,9 +347,12 @@ object AnalyticsQueries {
       .withColumn("__llr",
         col("x") * log(lit(0.55 / 0.45)) +
           (col("n") - col("x")) * log(lit(0.45 / 0.55)))
+      // + 0.0 normalizes IEEE -0.0 (an all-negative-zero prefix sum)
+      // to +0.0 — stringified compare would otherwise split engines
+      // on a value that is arithmetically equal; mirrored in the SQL
       .withColumn("cum_llr", round(sum(col("__llr")).over(
         Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, 0)), 4))
+          .rowsBetween(Window.unboundedPreceding, 0)), 4) + lit(0.0))
       .withColumn("verdict",
         when(col("cum_llr") >= bound, "accept_h1")
           .when(col("cum_llr") <= -bound, "accept_h0")
@@ -2027,7 +2030,7 @@ object AnalyticsQueries {
         |  GROUP BY 1),
         |c AS (SELECT day, n, x,
         |    round(sum(x * ln(0.55 / 0.45) + (n - x) * ln(0.45 / 0.55))
-        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4)
+        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4) + 0.0
         |      AS cum_llr
         |  FROM d)
         |SELECT day, n, x, cum_llr,
