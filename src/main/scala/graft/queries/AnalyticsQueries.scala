@@ -1095,7 +1095,7 @@ object AnalyticsQueries {
     import java.nio.file.{Files, Paths}
     import graft.functions.ImageMetaUtil
     val outDir = Paths.get(
-      "target/tmp/q377_img_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "target/tmp/q377_img_" + graft.ops.Staging.corpusKey(dir))
     Files.createDirectories(outDir)
     Tables.documents(s, dir).filter(col("doc_id") < 24)
       .select(col("doc_id")).collect()
@@ -1140,7 +1140,7 @@ object AnalyticsQueries {
     import java.nio.file.{Files, Paths}
     import graft.functions.AudioMetaUtil
     val outDir = Paths.get(
-      "target/tmp/q396_aud_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "target/tmp/q396_aud_" + graft.ops.Staging.corpusKey(dir))
     Files.createDirectories(outDir)
     Tables.documents(s, dir).filter(col("doc_id") < 24)
       .select(col("doc_id")).collect()
@@ -1193,7 +1193,7 @@ object AnalyticsQueries {
     import java.nio.file.{Files, Paths}
     import graft.functions.VideoMetaUtil
     val outDir = Paths.get(
-      "target/tmp/q398_vid_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "target/tmp/q398_vid_" + graft.ops.Staging.corpusKey(dir))
     Files.createDirectories(outDir)
     Tables.documents(s, dir).filter(col("doc_id") < 24)
       .select(col("doc_id")).collect()
@@ -1235,7 +1235,7 @@ object AnalyticsQueries {
   def q261BinarySource(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val outDir = Paths.get(
-      "target/tmp/q261_bin_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "target/tmp/q261_bin_" + graft.ops.Staging.corpusKey(dir))
     Files.createDirectories(outDir)
     Tables.documents(s, dir).filter(col("doc_id") < 20)
       .select(col("doc_id"), col("text")).collect()
@@ -1262,7 +1262,7 @@ object AnalyticsQueries {
     * pipeline uses before any structure is imposed.
     */
   def q262TextSource(s: SparkSession, dir: String): DataFrame = {
-    val path = "target/tmp/q262_text_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = "target/tmp/q262_text_" + graft.ops.Staging.corpusKey(dir)
     Tables.documents(s, dir).select(col("text"))
       .write.mode("overwrite").text(path)
     s.read.text(path)

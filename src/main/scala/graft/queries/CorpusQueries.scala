@@ -259,7 +259,7 @@ object CorpusQueries {
   def q113JsonScan(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = "target/tmp/q113_json_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.Staging.corpusKey(dir)
     // default JSON timestampFormat truncates to milliseconds — pin a
     // microsecond format on BOTH sides of the round trip
     val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"

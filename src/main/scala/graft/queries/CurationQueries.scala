@@ -656,21 +656,25 @@ object CurationQueries {
         |  ORDER BY wc DESC, pair LIMIT 1)
         |SELECT 1 AS round, (SELECT pair FROM b1) AS pair,
         |  (SELECT wc FROM b1) AS weighted_count
+        |WHERE (SELECT pair FROM b1) IS NOT NULL
         |UNION ALL SELECT 2,
         |  replace((SELECT pair FROM b2), chr(1),
         |    '[' || (SELECT pair FROM b1) || ']'),
         |  (SELECT wc FROM b2)
+        |WHERE (SELECT pair FROM b2) IS NOT NULL
         |UNION ALL SELECT 3,
         |  replace(replace((SELECT pair FROM b3), chr(2),
         |      '[' || (SELECT pair FROM b2) || ']'), chr(1),
         |    '[' || (SELECT pair FROM b1) || ']'),
         |  (SELECT wc FROM b3)
+        |WHERE (SELECT pair FROM b3) IS NOT NULL
         |UNION ALL SELECT 4,
         |  replace(replace(replace((SELECT pair FROM b4), chr(3),
         |        '[' || (SELECT pair FROM b3) || ']'), chr(2),
         |      '[' || (SELECT pair FROM b2) || ']'), chr(1),
         |    '[' || (SELECT pair FROM b1) || ']'),
         |  (SELECT wc FROM b4)
+        |WHERE (SELECT pair FROM b4) IS NOT NULL
         |ORDER BY round""".stripMargin,
     "q324_repeated_substrings" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -732,7 +732,7 @@ object ExperimentQueries {
     */
   def q288XmlSource(s: SparkSession, dir: String): DataFrame = {
     val path = "target/tmp/q288_xml_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.Staging.corpusKey(dir)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
     docs.write.mode("overwrite")
@@ -1104,7 +1104,7 @@ object ExperimentQueries {
     */
   def q299FileLineage(s: SparkSession, dir: String): DataFrame = {
     val path = "target/tmp/q299_part_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.Staging.corpusKey(dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("source"))
       .repartition(col("source"))

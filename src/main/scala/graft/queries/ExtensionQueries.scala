@@ -57,7 +57,7 @@ object ExtensionQueries {
       tag: String): DataFrame = {
     import java.nio.file.{Files, LinkOption, Paths}
     val srcDir = Paths.get(s"target/tmp/${tag}_src_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      graft.ops.Staging.corpusKey(dir))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
@@ -686,7 +686,7 @@ object ExtensionQueries {
       tag: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val srcDir = Paths.get(s"target/tmp/${tag}_src_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      graft.ops.Staging.corpusKey(dir))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
     if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
@@ -745,7 +745,7 @@ object ExtensionQueries {
       dir: String, tag: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val srcDir = Paths.get(s"target/tmp/${tag}_src_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      graft.ops.Staging.corpusKey(dir))
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = srcDir.resolve(s"__build_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -809,7 +809,7 @@ object ExtensionQueries {
   def q369StatestoreRead(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import java.nio.file.{Files, Paths}
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tag = graft.ops.Staging.corpusKey(dir)
     val ckpt = s"target/tmp/q369_ckpt_$tag"
     val ckptPath = Paths.get(ckpt)
     if (Files.exists(ckptPath))
@@ -1071,7 +1071,7 @@ object ExtensionQueries {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.{Files, Paths}
     val out = "target/tmp/q334_fbsink_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.Staging.corpusKey(dir)
     val outPath = Paths.get(out)
     if (Files.exists(outPath))
       Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())

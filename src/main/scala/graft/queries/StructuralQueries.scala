@@ -251,7 +251,7 @@ object StructuralQueries {
     * aggregate is oracle-checked against the unpartitioned source.
     */
   def q132PartitionedSink(s: SparkSession, dir: String): DataFrame = {
-    val path = "target/tmp/q132_part_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = "target/tmp/q132_part_" + graft.ops.Staging.corpusKey(dir)
     Tables.events(s, dir)
       .withColumn("day", to_date(col("ts")).cast("string"))
       .write.mode("overwrite").partitionBy("day").parquet(path)
@@ -275,7 +275,7 @@ object StructuralQueries {
     * unpartitioned source.
     */
   def q201DppJoin(s: SparkSession, dir: String): DataFrame = {
-    val path = "target/tmp/q201_dpp_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = "target/tmp/q201_dpp_" + graft.ops.Staging.corpusKey(dir)
     Tables.events(s, dir)
       .withColumn("day", to_date(col("ts")).cast("string"))
       .write.mode("overwrite").partitionBy("day").parquet(path)
@@ -302,7 +302,7 @@ object StructuralQueries {
     * no stage ever saw more than 1/k of the data.
     */
   def q163RangeExport(s: SparkSession, dir: String): DataFrame = {
-    val path = "target/tmp/q163_range_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = "target/tmp/q163_range_" + graft.ops.Staging.corpusKey(dir)
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val fences = graft.ops.StatOps.exactPercentiles(
@@ -601,7 +601,9 @@ object StructuralQueries {
     * demonstration doesn't degrade to broadcast on the small test SF.
     */
   def q135BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // table names forbid '.', so dot-stripped corpusKey (the CRC keeps
+    // distinct dirs from colliding on one table name — advice r8)
+    val sfx = graft.ops.Staging.corpusKey(dir).replace(".", "_")
     val (ordT, liT) = (s"g_orders_bkt_$sfx", s"g_lineitem_bkt_$sfx")
     Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite")
@@ -628,7 +630,7 @@ object StructuralQueries {
     * doubles as their shortest round-trippable decimal).
     */
   def q140CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = "target/tmp/q140_csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = "target/tmp/q140_csv_" + graft.ops.Staging.corpusKey(dir)
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), to_date(col("o_orderdate")).as("day"))
@@ -652,7 +654,7 @@ object StructuralQueries {
     * exercises ORC filter pushdown on the read-back.
     */
   def q228OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = "target/tmp/q228_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = "target/tmp/q228_orc_" + graft.ops.Staging.corpusKey(dir)
     graft.sources.Ingest.writeOrc(
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -705,7 +707,7 @@ object StructuralQueries {
     * is exactly what this avoids.
     */
   def q144SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val path = "target/tmp/q144_evo_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = "target/tmp/q144_evo_" + graft.ops.Staging.corpusKey(dir)
     val orders = Tables.orders(s, dir)
     orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -891,7 +893,7 @@ object StructuralQueries {
     */
   def q332DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
     val path = "target/tmp/q332_dynover_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.Staging.corpusKey(dir)
     val e = Tables.events(s, dir)
       .withColumn("day", to_date(col("ts")).cast("string"))
       .select(col("event_id"), col("event_type"), col("value"),
@@ -1245,7 +1247,7 @@ object StructuralQueries {
     */
   def q368XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val path = "target/tmp/q368_xml_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = "target/tmp/q368_xml_" + graft.ops.Staging.corpusKey(dir)
     graft.sources.Ingest.writeXml(
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),

@@ -203,6 +203,25 @@ class CurationOpsSpec extends SparkSpec {
       (1, "th", 180L), (2, "[th]e", 150L), (3, "[[th]e]m", 50L)))
   }
 
+  test("bpeTrain: stops early on a fully-merged vocabulary and keeps " +
+    "the completed rounds (advice r8)") {
+    // one 2-char word: round 1 merges "ab" -> char(1) (1 symbol), so
+    // round 2's pair frame is EMPTY. Without the early stop, the 0-row
+    // argmax crossJoin-annihilates the merge table and round 1 is lost.
+    val words = Seq(("ab", 7L)).toDF("w", "f")
+    val out = CurationOps.bpeTrain(words, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "ab", 7L)),
+      s"only the completed round must survive: ${out.toSeq}")
+    // sentinel contract bounds
+    intercept[IllegalArgumentException] {
+      CurationOps.bpeTrain(words, rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      CurationOps.bpeTrain(words, rounds = 32)
+    }
+  }
+
   test("featureHash: tf sums to token count, buckets bounded, " +
     "same token same bucket") {
     val df = Seq((1L, "alpha beta alpha gamma"), (2L, "alpha alpha"))

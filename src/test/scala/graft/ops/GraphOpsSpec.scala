@@ -119,14 +119,18 @@ class GraphOpsSpec extends SparkSpec {
     val first = edges()
     assert(first.nonEmpty && first.contains((1L, 2L)),
       s"near-identical docs must be joined: $first")
-    // second call must serve the STAGED artifact (fingerprint fresh)
-    // with identical content
+    // second call must serve the STAGED artifact (same content-addressed
+    // edges-<fingerprint> dir) with identical content
     val stage = Paths.get("target/tmp/simhash_edges_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val fpBefore = Files.readAllBytes(stage.resolve("_fingerprint"))
+      Staging.corpusKey(dir))
+    def artifactDirs() = Files.list(stage)
+      .filter(_.getFileName.toString.startsWith("edges-"))
+      .map[String](_.getFileName.toString)
+      .sorted().collect(java.util.stream.Collectors.toList[String])
+    val dirsBefore = artifactDirs()
+    assert(dirsBefore.size == 1, s"one published artifact: $dirsBefore")
     assert(edges() == first)
-    assert(Files.readAllBytes(stage.resolve("_fingerprint"))
-      .sameElements(fpBefore), "fresh cache must not rebuild")
+    assert(artifactDirs() == dirsBefore, "fresh cache must not rebuild")
     // regenerate the corpus IN PLACE (different content AND size) —
     // the fingerprint must invalidate and the edges must change
     writeCorpus(Seq(10L -> (near + " one"), 11L -> (near + " one"),
@@ -134,5 +138,36 @@ class GraphOpsSpec extends SparkSpec {
     val second = edges()
     assert(second.contains((10L, 11L)) && second != first,
       s"stale cache served after corpus regeneration: $second")
+    val dirsAfter = artifactDirs()
+    assert(dirsAfter.size == 1 && dirsAfter != dirsBefore,
+      s"stale artifact must be swept and replaced: $dirsAfter")
+  }
+
+  test("simhashDocEdges: a corpus stored as a Spark output DIRECTORY " +
+    "is fingerprinted by its part files, not the dir inode") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_edge_dircorpus").toString
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet") // a DIRECTORY, not a file
+    writeCorpus(Seq(1L -> near, 2L -> near,
+      3L -> "completely different text about spark catalyst planning"))
+    def edges() = GraphOps.simhashDocEdges(spark, dir)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = edges()
+    assert(first.contains((1L, 2L)), s"near-dups must join: $first")
+    // regenerate IN PLACE: Files.size of the directory itself is a
+    // meaningless constant (~4096), so only a part-file fingerprint
+    // (advice r8) detects the change
+    writeCorpus(Seq(10L -> (near + " x"), 11L -> (near + " x"),
+      12L -> "unrelated second corpus body entirely"))
+    val second = edges()
+    assert(second.contains((10L, 11L)) && second != first,
+      s"directory corpus regeneration must rebuild the cache: $second")
   }
 }

@@ -175,6 +175,31 @@ class VectorOpsSpec extends SparkSpec {
       "outlier must dominate the cluster's near-1 scores")
   }
 
+  test("lofFromKnn: a neighbor that never queried falls back to " +
+    "reach-dist = d and a neutral lrd ratio instead of dropping the " +
+    "edge (advice r8)") {
+    // x appears only as a NEIGHBOR (never as a query p). Old inner
+    // joins dropped the (a,x)/(b,x) edges: lrd summed 1 reach term
+    // instead of k=2 and was silently inflated.
+    val knn = Seq(
+      ("a", "b", 0.1), ("a", "x", 0.5),
+      ("b", "a", 0.1), ("b", "x", 0.6))
+      .toDF("p", "o", "d")
+    val out = VectorOps.lofFromKnn(knn, k = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("a", "b"))
+    // kdist(a)=0.5, kdist(b)=0.6
+    // reach(a,b)=max(kdist(b),0.1)=0.6; reach(a,x)=d=0.5 (no kdist(x))
+    // => lrd(a)=2/1.1; reach(b,a)=0.5, reach(b,x)=0.6 => lrd(b)=2/1.1
+    assert(math.abs(out("a")._2 - 2.0 / 1.1) < 1e-9,
+      s"lrd(a) must sum BOTH reach terms: ${out("a")._2}")
+    assert(math.abs(out("b")._2 - 2.0 / 1.1) < 1e-9)
+    // x contributes a neutral 1.0 ratio; lrd(a)==lrd(b) => LOF = 1.0
+    assert(math.abs(out("a")._1 - 1.0) < 1e-9)
+    assert(math.abs(out("b")._1 - 1.0) < 1e-9)
+  }
+
   test("gridNeighborJoin matches brute force on random points") {
     val rnd = new scala.util.Random(11)
     val pts = (1L to 200L).map(i =>
