@@ -536,10 +536,15 @@ object AnalyticsQueries {
       .withColumn("__vb",
         (col("__qb") - col("__sb") * col("__sb") / col("__nb")) /
           (col("__nb") - 1))
+      // + 0.0 normalizes IEEE -0.0: a tiny-negative mean/SMD rounds to
+      // -0.0 in DuckDB but +0.0 through Spark's BigDecimal round —
+      // stringified compare splits them (R9 cross-SF audit; same class
+      // as q243, here on plain signed aggregates, not a cumulative sum)
       .withColumn("smd", round(try_divide(col("__ma") - col("__mb"),
-        sqrt((col("__va") + col("__vb")) / 2)), 4))
-      .select(col("dim"), round(col("__ma"), 4).as("mean_a"),
-        round(col("__mb"), 4).as("mean_b"), col("smd"),
+        sqrt((col("__va") + col("__vb")) / 2)), 4) + lit(0.0))
+      .select(col("dim"),
+        (round(col("__ma"), 4) + lit(0.0)).as("mean_a"),
+        (round(col("__mb"), 4) + lit(0.0)).as("mean_b"), col("smd"),
         (abs(col("smd")) > 0.1).as("drifted"))
       .orderBy(col("dim"))
   }
@@ -1992,9 +1997,11 @@ object AnalyticsQueries {
         |    (qb - sb * sb / nb) / (nb - 1) AS vb
         |  FROM a),
         |s AS (SELECT dim, ma, mb,
-        |    round((ma - mb) / nullif(sqrt((va + vb) / 2), 0), 4) AS smd
+        |    round((ma - mb) / nullif(sqrt((va + vb) / 2), 0), 4) + 0.0
+        |      AS smd
         |  FROM m)
-        |SELECT dim, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |SELECT dim, round(ma, 4) + 0.0 AS mean_a,
+        |  round(mb, 4) + 0.0 AS mean_b,
         |  smd, abs(smd) > 0.1 AS drifted
         |FROM s ORDER BY dim""".stripMargin,
     "q249_variant_json" ->

@@ -478,8 +478,10 @@ object ExperimentQueries {
       .select(col("community"), col("n_members"),
         col("within_edges").cast("long").as("within_edges"),
         col("degree_sum").cast("long").as("degree_sum"),
-        round(col("contribution"), 6).as("contribution"),
-        round(col("__q"), 6).as("modularity"))
+        // + 0.0: a tiny-negative contribution rounds to -0.0 in DuckDB
+        // but +0.0 through Spark's BigDecimal round (R9 cross-SF audit)
+        (round(col("contribution"), 6) + lit(0.0)).as("contribution"),
+        (round(col("__q"), 6) + lit(0.0)).as("modularity"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(10)
   }
@@ -2281,8 +2283,8 @@ object ExperimentQueries {
         |SELECT q.community, q.n_members,
         |  q.within_edges::BIGINT AS within_edges,
         |  q.degree_sum::BIGINT AS degree_sum,
-        |  round(q.contribution, 6) AS contribution,
-        |  round(g.q_mod, 6) AS modularity
+        |  round(q.contribution, 6) + 0.0 AS contribution,
+        |  round(g.q_mod, 6) + 0.0 AS modularity
         |FROM q, g ORDER BY q.n_members DESC, q.community
         |LIMIT 10""".stripMargin,
     "q281_cms_heavy" ->
