@@ -33,7 +33,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // save/load round trip of a trained model: output is the
       // engine-internal equivalence proof (n_mismatch == 0), pinned
       // at fixture scale in PersistenceSpec
-      "q417_model_persistence")
+      "q417_model_persistence",
+      // streaming inference on the reloaded model: output is the
+      // stream-vs-batch serving-parity proof (n_mismatch == 0), pinned
+      // at fixture scale in StreamInferenceSpec
+      "q419_stream_inference")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
