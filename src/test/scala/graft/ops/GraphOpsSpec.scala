@@ -138,9 +138,22 @@ class GraphOpsSpec extends SparkSpec {
     val second = edges()
     assert(second.contains((10L, 11L)) && second != first,
       s"stale cache served after corpus regeneration: $second")
+    // the superseded artifact is NOT swept immediately — it survives
+    // the sweep's one-hour grace window so a concurrent reader mid-scan
+    // doesn't lose its files (advice r9 / Staging.sweepStale rule 1);
+    // the new fingerprint's artifact must exist alongside it
     val dirsAfter = artifactDirs()
-    assert(dirsAfter.size == 1 && dirsAfter != dirsBefore,
-      s"stale artifact must be swept and replaced: $dirsAfter")
+    assert(dirsAfter.containsAll(dirsBefore),
+      s"young stale artifact must survive the grace window: $dirsAfter")
+    assert(dirsAfter.size == 2 && !dirsBefore.containsAll(dirsAfter),
+      s"new-fingerprint artifact must be published: $dirsAfter")
+    // an aged-out stale artifact IS reclaimed (grace window elapsed)
+    Staging.sweepStale(stage, "edges",
+      Paths.get(s"$dir/documents.parquet"), graceMillis = -1)
+    val dirsSwept = artifactDirs()
+    assert(dirsSwept.size == 1 && !dirsBefore.containsAll(dirsSwept),
+      s"aged stale artifact must be reclaimed: $dirsSwept")
+    assert(edges() == second, "current artifact still serves after sweep")
   }
 
   test("simhashDocEdges: a corpus stored as a Spark output DIRECTORY " +

@@ -55,4 +55,62 @@ class StagingSpec extends AnyFunSuite {
   test("deleteRecursively tolerates missing paths") {
     Staging.deleteRecursively(Paths.get("/tmp/graft_nonexistent_xyz"))
   }
+
+  // ------------------------------------------------- sweepStale rules
+
+  private def mkArtifact(stage: java.nio.file.Path, name: String) = {
+    val d = stage.resolve(name)
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("data"), "payload")
+    d
+  }
+
+  test("sweepStale: a stale-fingerprint artifact is kept inside the " +
+    "grace window and reclaimed after it (advice r9 age gate)") {
+    val stage = Files.createTempDirectory("graft_sweep_age")
+    val corpus = Files.createTempDirectory("graft_sweep_corpus")
+    Files.writeString(corpus.resolve("part-0"), "v2")
+    val current = mkArtifact(stage,
+      s"edges-${Staging.fingerprint(corpus)}")
+    val stale = mkArtifact(stage, "edges-deadbeef")
+    Staging.sweepStale(stage, "edges", corpus) // default 1 h grace
+    assert(Files.exists(stale), "young stale artifact survives the window")
+    Staging.sweepStale(stage, "edges", corpus, graceMillis = -1)
+    assert(!Files.exists(stale), "aged stale artifact is reclaimed")
+    assert(Files.exists(current.resolve("data")),
+      "current-fingerprint artifact is never touched")
+  }
+
+  test("sweepStale: the current fingerprint is recomputed at sweep " +
+    "time, so a late publisher can't sweep the newer artifact") {
+    val stage = Files.createTempDirectory("graft_sweep_fp")
+    val corpus = Files.createTempDirectory("graft_sweep_corpus2")
+    Files.writeString(corpus.resolve("part-0"), "old")
+    val oldFp = Staging.fingerprint(corpus)
+    Files.writeString(corpus.resolve("part-0"), "newer") // regenerated
+    val newArt = mkArtifact(stage, s"edges-${Staging.fingerprint(corpus)}")
+    val oldArt = mkArtifact(stage, s"edges-$oldFp")
+    // the late publisher knows only oldFp — but the sweep re-reads the
+    // corpus, so the NEW artifact survives and the old one goes
+    Staging.sweepStale(stage, "edges", corpus, graceMillis = -1)
+    assert(Files.exists(newArt.resolve("data")), "newer artifact survives")
+    assert(!Files.exists(oldArt), "late publisher's own artifact swept")
+  }
+
+  test("sweepStale: orphaned .tmp- copies of dead writers are " +
+    "reclaimed; a live writer's in-flight copy survives") {
+    val stage = Files.createTempDirectory("graft_sweep_tmp")
+    val corpus = Files.createTempDirectory("graft_sweep_corpus3")
+    Files.writeString(corpus.resolve("part-0"), "x")
+    val fp = Staging.fingerprint(corpus)
+    // own (live) pid: must survive even past the grace window's
+    // completed-artifact rule — publishAtomic owns its lifecycle
+    val live = mkArtifact(stage,
+      s"edges-$fp.tmp-${ProcessHandle.current().pid()}")
+    // a pid that can't be alive (max pid is bounded far below this)
+    val dead = mkArtifact(stage, "edges-aaaa.tmp-999999999")
+    Staging.sweepStale(stage, "edges", corpus)
+    assert(Files.exists(live.resolve("data")), "live writer untouched")
+    assert(!Files.exists(dead), "dead writer's orphan reclaimed")
+  }
 }
