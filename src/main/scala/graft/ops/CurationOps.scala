@@ -248,7 +248,7 @@ object CurationOps {
         sum(when(struct(col(idCol), col("chunk_idx")) === col("__keep"), 1L)
           .otherwise(0L)).as("n_kept"))
       .withColumn("kept_frac",
-        round(col("n_kept").cast("double") / col("n_chunks"), 4))
+        (round(col("n_kept").cast("double") / col("n_chunks"), 4) + lit(0.0)))
   }
 
   /** Mixture sampling to target weights (the data-mixing step of a
@@ -380,8 +380,8 @@ object CurationOps {
         size(filter(col("__ids"), _ === -1L)).cast("long").as("n_oov"),
         col("__ids"))
       .select(col(idCol), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") /
-          greatest(col("n_tokens"), lit(1L)), 4).as("oov_rate"),
+        (round(col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4) + lit(0.0)).as("oov_rate"),
         array_join(transform(col("__ids"), _.cast("string")), " ").as("ids"))
   }
 
@@ -487,8 +487,8 @@ object CurationOps {
       .crossJoin(broadcast(v))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(log((col("__c2") + 1) / (col("__c1") + col("__v")))) /
-          count(lit(1)), 4).as("logprob"))
+        (round(sum(log((col("__c2") + 1) / (col("__c1") + col("__v")))) /
+          count(lit(1)), 4) + lit(0.0)).as("logprob"))
   }
 
   /** Corpus-level document frequency with a minimum-share cutoff: the
@@ -576,16 +576,16 @@ object CurationOps {
         sum(col("__y") * col("__y")).as("__syy"),
         sum(col("__x") * col("__y")).as("__sxy"))
       .select(col("__n").cast("long").as("n_tokens"),
-        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+        (round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4) + lit(0.0))
           .as("slope"),
-        round((col("__sy") - col("__sx") *
+        (round((col("__sy") - col("__sx") *
           ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
             (col("__n") * col("__sxx") - col("__sx") * col("__sx")))) /
-          col("__n"), 4).as("intercept"),
-        round(pow((col("__n") * col("__sxy") - col("__sx") * col("__sy")), 2) /
+          col("__n"), 4) + lit(0.0)).as("intercept"),
+        (round(pow((col("__n") * col("__sxy") - col("__sx") * col("__sy")), 2) /
           ((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
-            (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 4)
+            (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 4) + lit(0.0))
           .as("r2"))
   }
 }

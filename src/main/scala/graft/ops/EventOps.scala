@@ -234,7 +234,7 @@ object EventOps {
       .filter(col("__rn") === 1)
       .select(col("event_type"), col("hour"), col("n_events"),
         when(col("__sd") > 0,
-          round((col("n_events") - col("__mean")) / col("__sd"), 4))
+          (round((col("n_events") - col("__mean")) / col("__sd"), 4) + lit(0.0)))
           .otherwise(lit(0.0)).as("peak_z"))
   }
 
@@ -509,10 +509,10 @@ object EventOps {
           .over(upTo))
       .withColumn("survival",
         when(col("__exhausted") === 1, lit(0.0)).otherwise(
-          round(exp(sum(when(col("n_events") < col("n_at_risk"),
+          (round(exp(sum(when(col("n_events") < col("n_at_risk"),
             log(lit(1.0) -
               col("n_events").cast("double") / col("n_at_risk")))
-            .otherwise(lit(0.0))).over(upTo)), 4)))
+            .otherwise(lit(0.0))).over(upTo)), 4) + lit(0.0))))
       .select(col("duration_day"), col("n_at_risk"), col("n_events"),
         col("n_censored"), col("survival"))
   }
@@ -544,11 +544,11 @@ object EventOps {
           coalesce(sum(col("n_events") + col("n_censored")).over(before),
             lit(0L)))
       .withColumn("cum_hazard",
-        round(sum(col("n_events").cast("double") / col("n_at_risk"))
-          .over(upTo), 4))
+        (round(sum(col("n_events").cast("double") / col("n_at_risk"))
+          .over(upTo), 4) + lit(0.0)))
       .withColumn("fh_survival",
-        round(exp(-sum(col("n_events").cast("double") / col("n_at_risk"))
-          .over(upTo)), 4))
+        (round(exp(-sum(col("n_events").cast("double") / col("n_at_risk"))
+          .over(upTo)), 4) + lit(0.0)))
       .select(col("duration_day"), col("n_at_risk"), col("n_events"),
         col("n_censored"), col("cum_hazard"), col("fh_survival"))
   }
@@ -612,9 +612,9 @@ object EventOps {
           (col("observed_a") - col("__ea")), col("__va")))
       .withColumn("__p", lit(2.0) * phiU(sqrt(col("__chi2"))))
       .select(col("observed_a"), col("observed_b"),
-        round(col("__ea"), 4).as("expected_a"),
-        round(col("__chi2"), 4).as("chi2"),
-        round(col("__p"), 4).as("p_value"),
+        (round(col("__ea"), 4) + lit(0.0)).as("expected_a"),
+        (round(col("__chi2"), 4) + lit(0.0)).as("chi2"),
+        (round(col("__p"), 4) + lit(0.0)).as("p_value"),
         (col("__p") < 0.05).as("significant"))
   }
 
@@ -636,7 +636,7 @@ object EventOps {
     val cum = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rk = Window.partitionBy(col("event_type"))
-      .orderBy(round(abs(col("__cusum")), 6).desc, col("day"))
+      .orderBy((round(abs(col("__cusum")), 6) + lit(0.0)).desc, col("day"))
     daily
       .withColumn("__mean", avg(col("__cnt")).over(full))
       .withColumn("__sd", stddev_samp(col("__cnt")).over(full))
@@ -648,8 +648,8 @@ object EventOps {
       .filter(col("__rn") === 1)
       .select(col("event_type"), col("day").as("change_day"),
         col("__n_days").as("n_days"),
-        round(col("__cusum"), 4).as("peak_cusum"),
-        round(abs(col("__cusum")), 4).as("peak_abs"))
+        (round(col("__cusum"), 4) + lit(0.0)).as("peak_cusum"),
+        (round(abs(col("__cusum")), 4) + lit(0.0)).as("peak_abs"))
   }
 
   /** Truncated-window EWMA smoothing of each event type's daily count

@@ -41,19 +41,19 @@ object ModelEvalOps {
       .select(col(groupCol), col("n"),
         // try_divide: a constant-x group has zero Sxx — null out, never
         // throw (DivisionAuditSpec's degenerate corpus)
-        round(try_divide(
+        (round(try_divide(
           col("n") * col("__sxy") - col("__sx") * col("__sy"),
-          col("n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          col("n") * col("__sxx") - col("__sx") * col("__sx")), 4) + lit(0.0))
           .as("slope"),
-        round((col("__sy") - try_divide(
+        (round((col("__sy") - try_divide(
           col("n") * col("__sxy") - col("__sx") * col("__sy"),
           col("n") * col("__sxx") - col("__sx") * col("__sx")) *
-          col("__sx")) / col("n"), 4).as("intercept"),
-        round(try_divide(
+          col("__sx")) / col("n"), 4) + lit(0.0)).as("intercept"),
+        (round(try_divide(
           (col("n") * col("__sxy") - col("__sx") * col("__sy")) *
             (col("n") * col("__sxy") - col("__sx") * col("__sy")),
           (col("n") * col("__sxx") - col("__sx") * col("__sx")) *
-            (col("n") * col("__syy") - col("__sy") * col("__sy"))), 4)
+            (col("n") * col("__syy") - col("__sy") * col("__sy"))), 4) + lit(0.0))
           .as("r2"))
   }
 
@@ -84,8 +84,8 @@ object ModelEvalOps {
         sum(col("__cnt") - col("__pos")).as("n_neg"),
         sum(col("__pos") * col("__rank")).as("__rp"))
       .select(col(groupCol), col("n_pos"), col("n_neg"),
-        round((col("__rp") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
-          (col("n_pos") * col("n_neg")), 4).as("auc"))
+        (round((col("__rp") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos") * col("n_neg")), 4) + lit(0.0)).as("auc"))
   }
 
   /** Decision-stump split search — the inner loop of the reference's
@@ -163,12 +163,12 @@ object ModelEvalOps {
     val sea = try_divide(va, col("n_a"))
     val seb = try_divide(vb, col("n_b"))
     agg.select(col(groupCol), col("n_a"), col("n_b"),
-      round(try_divide(col("__sa"), col("n_a")), 2).as("mean_a"),
-      round(try_divide(col("__sb"), col("n_b")), 2).as("mean_b"),
-      round(try_divide(
+      (round(try_divide(col("__sa"), col("n_a")), 2) + lit(0.0)).as("mean_a"),
+      (round(try_divide(col("__sb"), col("n_b")), 2) + lit(0.0)).as("mean_b"),
+      (round(try_divide(
         try_divide(col("__sa"), col("n_a")) -
           try_divide(col("__sb"), col("n_b")),
-        sqrt(sea + seb)), 4).as("t_stat"),
+        sqrt(sea + seb)), 4) + lit(0.0)).as("t_stat"),
       round(try_divide((sea + seb) * (sea + seb),
         try_divide(sea * sea, col("n_a") - 1) +
           try_divide(seb * seb, col("n_b") - 1)), 2)
@@ -247,8 +247,8 @@ object ModelEvalOps {
     val b0 = resid.groupBy(col(groupCol))
       .agg(expr("percentile(__b0, 0.5)").as("intercept"))
     m.join(b0, Seq(groupCol))
-      .select(col(groupCol), round(col("slope"), 4).as("slope"),
-        round(col("intercept"), 4).as("intercept"))
+      .select(col(groupCol), (round(col("slope"), 4) + lit(0.0)).as("slope"),
+        (round(col("intercept"), 4) + lit(0.0)).as("intercept"))
   }
 
   /** Mann–Kendall monotonic-trend test per group — [[theilSen]]'s

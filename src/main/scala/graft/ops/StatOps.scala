@@ -167,9 +167,9 @@ object StatOps {
       .withColumn("__tb", sum(col("__nb")).over(wAll))
       .groupBy(g)
       .agg(first(col("__ta")).as("n_a"), first(col("__tb")).as("n_b"),
-        round(max(abs(
+        (round(max(abs(
           col("__ca").cast("double") / col("__ta") -
-            col("__cb").cast("double") / col("__tb"))), 4).as("ks"))
+            col("__cb").cast("double") / col("__tb"))), 4) + lit(0.0)).as("ks"))
   }
 
   /** Distributed equi-width histogram per group: bucket bounds derive
@@ -353,7 +353,7 @@ object StatOps {
       .filter(col("__cw") >= col("__tw") / 2)
       .groupBy(col(groupCol))
       .agg(min(col("__value")).as("weighted_median"),
-        round(max(col("__tw")), 2).as("total_weight"))
+        (round(max(col("__tw")), 2) + lit(0.0)).as("total_weight"))
   }
 
   /** Shard-level data-skipping statistics — the min/max/null-count
@@ -450,6 +450,6 @@ object StatOps {
       .withColumn("__cum", sum(col("n")).over(w))
       .crossJoin(broadcast(total))
       .select(col("value"), col("n"),
-        round(col("__cum") / col("__t"), 6).as("ecdf"))
+        (round(col("__cum") / col("__t"), 6) + lit(0.0)).as("ecdf"))
   }
 }

@@ -228,7 +228,7 @@ object RetrievalOps {
             lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col(idCol))
       .agg(sum(col("__s")).as("__score"), count(lit(1)).as("n_terms"))
-      .select(col(idCol), col("n_terms"), round(col("__score"), 4).as("score"),
+      .select(col(idCol), col("n_terms"), (round(col("__score"), 4) + lit(0.0)).as("score"),
         col("__score"))
       .orderBy(col("__score").desc, col(idCol))
       .limit(k)

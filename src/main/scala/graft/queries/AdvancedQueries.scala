@@ -172,8 +172,8 @@ object AdvancedQueries {
       // double the factors BEFORE multiplying: n_both·n and n_a·n_b
       // overflow Long past ~3e9 users (the cohenKappa fix, same class)
       .select(col("type_a"), col("type_b"), col("n_both"),
-        round((col("n_both").cast("double") * col("__n").cast("double")) /
-          (col("__na").cast("double") * col("__nb").cast("double")), 4)
+        (round((col("n_both").cast("double") * col("__n").cast("double")) /
+          (col("__na").cast("double") * col("__nb").cast("double")), 4) + lit(0.0))
           .as("lift"))
       .orderBy(col("type_a"), col("type_b"))
   }
@@ -441,7 +441,7 @@ object AdvancedQueries {
           (lit(0.15) / col("n_nodes") +
             lit(0.85) * coalesce(col("__in"), lit(0.0))).as("p"))
     }
-    ranks.select(col("node").as("doc_id"), round(col("p"), 4).as("pagerank"),
+    ranks.select(col("node").as("doc_id"), (round(col("p"), 4) + lit(0.0)).as("pagerank"),
         col("deg"))
       .orderBy(col("pagerank").desc, col("doc_id")).limit(25)
   }
@@ -538,8 +538,8 @@ object AdvancedQueries {
       .groupBy(col("o_orderpriority"), col("fold"))
       .agg(sum(col("o_totalprice")).as("__s"), count(lit(1)).as("__n"))
       .withColumn("encoding",
-        round((sum(col("__s")).over(w) - col("__s")) /
-          (sum(col("__n")).over(w) - col("__n")), 4))
+        (round((sum(col("__s")).over(w) - col("__s")) /
+          (sum(col("__n")).over(w) - col("__n")), 4) + lit(0.0)))
       .select(col("o_orderpriority"), col("fold"), col("__n").as("n_rows"),
         col("encoding"))
       .orderBy(col("o_orderpriority"), col("fold"))
@@ -668,7 +668,7 @@ object AdvancedQueries {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk").cast("int").as("rk"), col("word"),
-        round(col("score"), 4).as("tfidf"))
+        (round(col("score"), 4) + lit(0.0)).as("tfidf"))
       .orderBy(col("doc_id"), col("rk"))
   }
 
@@ -707,7 +707,7 @@ object AdvancedQueries {
       Tables.lineitem(s, dir), "l_returnflag", 8)
     qty.join(cnt, Seq("l_returnflag"))
       .select(col("l_returnflag"),
-        round(col("total_qty"), 2).as("total_qty"), col("count").as("n"))
+        (round(col("total_qty"), 2) + lit(0.0)).as("total_qty"), col("count").as("n"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -779,7 +779,7 @@ object AdvancedQueries {
       .unionByName(partial(e.filter(col("ts") >= cutoff)))
       .groupBy(col("day"))
       .agg(sum(col("pn")).as("n_events"),
-        round(sum(col("pv")), 2).as("total_value"))
+        (round(sum(col("pv")), 2) + lit(0.0)).as("total_value"))
       .orderBy(col("day"))
   }
 
@@ -835,7 +835,7 @@ object AdvancedQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-        round(sum(col("o_totalprice")).over(w30), 2).as("trailing_30d"),
+        (round(sum(col("o_totalprice")).over(w30), 2) + lit(0.0)).as("trailing_30d"),
         first(col("o_orderdate")).over(wAll).as("first_order"))
       .orderBy(col("o_orderkey"))
   }
@@ -929,8 +929,8 @@ object AdvancedQueries {
     a2raw.crossJoin(broadcast(a2n))
       .join(a1, Seq("event_type"))
       .select(col("event_type"),
-        round(col("a0"), 6).as("authority_iter0"),
-        round(col("__a2") / col("__na2"), 6).as("authority"))
+        (round(col("a0"), 6) + lit(0.0)).as("authority_iter0"),
+        (round(col("__a2") / col("__na2"), 6) + lit(0.0)).as("authority"))
       .orderBy(col("event_type"))
   }
 
@@ -965,7 +965,7 @@ object AdvancedQueries {
     scored.join(e.select(col("id_a").as("a"), col("id_b").as("b")),
         Seq("a", "b"), "left_anti")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        col("common_neighbors"), round(col("__score"), 4).as("aa_score"))
+        col("common_neighbors"), (round(col("__score"), 4) + lit(0.0)).as("aa_score"))
       .orderBy(col("aa_score").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -1144,7 +1144,7 @@ object AdvancedQueries {
             .as("p"))
     }
     ranks.filter(col("p") > 0)
-      .select(col("node").as("doc_id"), round(col("p"), 5).as("ppr"),
+      .select(col("node").as("doc_id"), (round(col("p"), 5) + lit(0.0)).as("ppr"),
         col("deg"), (col("node") % 100 === 0).as("is_seed"))
       .orderBy(col("ppr").desc, col("doc_id")).limit(15)
   }
@@ -1248,7 +1248,7 @@ object AdvancedQueries {
          |    GROUP BY sym.dst) c
          |  ON c.node = d.src),
          |f AS (SELECT node, p, deg FROM p3 WHERE p > 0)
-         |SELECT node AS doc_id, round(p, 5) AS ppr, deg,
+         |SELECT node AS doc_id, (round(p, 5) + 0.0) AS ppr, deg,
          |  node % 100 = 0 AS is_seed
          |FROM f ORDER BY ppr DESC, doc_id LIMIT 15""".stripMargin,
     "q387_kmv_intersect" ->
@@ -1354,7 +1354,7 @@ object AdvancedQueries {
          |nw AS (SELECT * FROM sc WHERE NOT EXISTS
          |  (SELECT 1 FROM e WHERE e.ea = sc.a AND e.eb = sc.b))
          |SELECT a AS doc_a, b AS doc_b, common_neighbors,
-         |  round(score, 4) AS aa_score
+         |  (round(score, 4) + 0.0) AS aa_score
          |FROM nw ORDER BY aa_score DESC, doc_a, doc_b
          |LIMIT 20""".stripMargin,
     "q351_hits" ->
@@ -1370,8 +1370,8 @@ object AdvancedQueries {
         |a2r AS (SELECT e.event_type, sum(e.w * h1.h1) AS a2
         |  FROM e JOIN h1 USING (user_id) GROUP BY 1),
         |a2n AS (SELECT sqrt(sum(a2 * a2)) AS na2 FROM a2r)
-        |SELECT event_type, round(a0, 6) AS authority_iter0,
-        |  round(a2 / na2, 6) AS authority
+        |SELECT event_type, (round(a0, 6) + 0.0) AS authority_iter0,
+        |  (round(a2 / na2, 6) + 0.0) AS authority
         |FROM a2r JOIN a1 USING (event_type) CROSS JOIN a2n
         |ORDER BY event_type""".stripMargin,
     "q221_skyline" ->
@@ -1560,7 +1560,7 @@ object AdvancedQueries {
          |  SELECT doc_id, tf.word,
          |    tf * (ln((n_docs + 1.0) / (dfx + 1.0)) + 1.0) AS score
          |  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n)
-         |SELECT doc_id, rk::INT AS rk, word, round(score, 4) AS tfidf FROM (
+         |SELECT doc_id, rk::INT AS rk, word, (round(score, 4) + 0.0) AS tfidf FROM (
          |  SELECT doc_id, word, score,
          |    row_number() OVER (PARTITION BY doc_id
          |                       ORDER BY score DESC, word) AS rk
@@ -1654,8 +1654,8 @@ object AdvancedQueries {
         |g AS (SELECT o_orderpriority, fold, sum(o_totalprice) AS s, count(*) AS n
         |  FROM o GROUP BY o_orderpriority, fold)
         |SELECT o_orderpriority, fold, n AS n_rows,
-        |  round((sum(s) OVER (PARTITION BY o_orderpriority) - s) /
-        |        (sum(n) OVER (PARTITION BY o_orderpriority) - n), 4) AS encoding
+        |  (round((sum(s) OVER (PARTITION BY o_orderpriority) - s) /
+        |        (sum(n) OVER (PARTITION BY o_orderpriority) - n), 4) + 0.0) AS encoding
         |FROM g ORDER BY o_orderpriority, fold""".stripMargin,
     "q154_dedup_survivors" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -1729,7 +1729,7 @@ object AdvancedQueries {
          |    SELECT sym.dst AS node, sum(p2.p / p2.deg) AS sin
          |    FROM p2 JOIN sym ON p2.node = sym.src GROUP BY sym.dst) c
          |  ON c.node = d.src)
-         |SELECT node AS doc_id, round(p, 4) AS pagerank, deg
+         |SELECT node AS doc_id, (round(p, 4) + 0.0) AS pagerank, deg
          |FROM p3 ORDER BY pagerank DESC, doc_id LIMIT 25""".stripMargin,
     "q152_triangles" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

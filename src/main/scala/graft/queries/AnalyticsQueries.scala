@@ -430,8 +430,8 @@ object AnalyticsQueries {
       .withColumn("__sxx", sum(col("x") * col("x")).over(w))
       .select(col("event_type"), col("day"), col("__n").cast("long")
         .as("n_days"),
-        round(try_divide(col("__n") * col("__sxy") - col("__sx") * col("__sy"),
-          col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+        (round(try_divide(col("__n") * col("__sxy") - col("__sx") * col("__sy"),
+          col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4) + lit(0.0))
           .as("slope_14d"))
       .orderBy(col("event_type"), col("day"))
   }
@@ -503,7 +503,7 @@ object AnalyticsQueries {
           when(abs(col("__ba") - col("__bb")) <= 100, 1).otherwise(0) +
           when(col("__ka") === col("__kbb"), 1).otherwise(0))
       .select(col("id_a"), col("id_b"), col("n_agree"),
-        round(col("__w"), 4).as("weight"))
+        (round(col("__w"), 4) + lit(0.0)).as("weight"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -639,9 +639,9 @@ object AnalyticsQueries {
       .groupBy(col("dow")).agg(avg(col("__detr")).as("__seasonal"))
     detr.join(broadcast(seasonal), Seq("dow"), "left")
       .select(col("day"), col("y").cast("long").as("n_events"),
-        round(col("__trend"), 2).as("trend"),
-        round(col("__seasonal"), 2).as("seasonal"),
-        round(col("__detr") - col("__seasonal"), 2).as("residual"))
+        (round(col("__trend"), 2) + lit(0.0)).as("trend"),
+        (round(col("__seasonal"), 2) + lit(0.0)).as("seasonal"),
+        (round(col("__detr") - col("__seasonal"), 2) + lit(0.0)).as("residual"))
       .orderBy(col("day"))
   }
 
@@ -675,8 +675,8 @@ object AnalyticsQueries {
       .agg(max(col("n_calib")).as("n_calib"),
         count(lit(1)).as("n_test"),
         round(max(col("__qhat")), 2).as("qhat"),
-        round(avg((abs(col("__v") - col("__mean")) <= col("__qhat"))
-          .cast("double")), 4).as("coverage"))
+        (round(avg((abs(col("__v") - col("__mean")) <= col("__qhat"))
+          .cast("double")), 4) + lit(0.0)).as("coverage"))
       // 0.8, not nominal 0.9: single-split empirical coverage has
       // binomial noise ~sqrt(0.09/n_test) — the guarantee is on the
       // EXPECTATION over calibration draws, so the flag allows small-
@@ -710,8 +710,8 @@ object AnalyticsQueries {
         sum(when(col("__pday") === date_sub(col("day"), 1),
           bit_count(col("bits").bitwiseAND(col("__pbits"))))
           .otherwise(0)).as("retained"))
-    d.withColumn("retention_rate", round(try_divide(col("retained"),
-        lag(col("dau"), 1).over(Window.orderBy(col("day")))), 4))
+    d.withColumn("retention_rate", (round(try_divide(col("retained"),
+        lag(col("dau"), 1).over(Window.orderBy(col("day")))), 4) + lit(0.0)))
       .orderBy(col("day"))
   }
 
@@ -836,10 +836,10 @@ object AnalyticsQueries {
       .withColumn("__tot",
         sum(col("__re")).over(Window.partitionBy()))
       .select(col("channel"),
-        round(col("__pconv"), 6).as("p_conv_removed"),
-        round(col("__p0"), 6).as("p_conv_base"),
-        round(col("__re"), 4).as("removal_effect"),
-        round(try_divide(col("__re"), col("__tot")), 4)
+        (round(col("__pconv"), 6) + lit(0.0)).as("p_conv_removed"),
+        (round(col("__p0"), 6) + lit(0.0)).as("p_conv_base"),
+        (round(col("__re"), 4) + lit(0.0)).as("removal_effect"),
+        (round(try_divide(col("__re"), col("__tot")), 4) + lit(0.0))
           .as("attribution_share"))
       .orderBy(col("channel"))
   }
@@ -898,8 +898,8 @@ object AnalyticsQueries {
         coalesce(col("__vs"), lit(0.0)))).as("__phi"))
       .withColumn("__tot",
         sum(col("__phi")).over(Window.partitionBy()))
-      .select(col("channel"), round(col("__phi"), 6).as("shapley"),
-        round(try_divide(col("__phi"), col("__tot")), 4).as("share"))
+      .select(col("channel"), (round(col("__phi"), 6) + lit(0.0)).as("shapley"),
+        (round(try_divide(col("__phi"), col("__tot")), 4) + lit(0.0)).as("share"))
       .orderBy(col("channel"))
   }
 
@@ -981,7 +981,7 @@ object AnalyticsQueries {
     edges.join(broadcast(partFeat), Seq("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_parts"),
-        round(avg(col("__pf")), 2).as("neighbor_feat"))
+        (round(avg(col("__pf")), 2) + lit(0.0)).as("neighbor_feat"))
       .join(ordVal, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_orderkey") % 100 === 0)
       .select(col("l_orderkey").as("o_orderkey"),
@@ -1011,7 +1011,7 @@ object AnalyticsQueries {
         lit(1.0) - pow(lit(1.0) - pow(jmid, 4), 2))
       .groupBy(col("j_bucket"))
       .agg(count(lit(1)).as("n_candidates"),
-        round(avg(abs(col("est_jacc") - col("jaccard"))), 4)
+        (round(avg(abs(col("est_jacc") - col("jaccard"))), 4) + lit(0.0))
           .as("mean_abs_err"),
         round(max(col("__p")), 4).as("analytic_p"))
       .orderBy(col("j_bucket"))
@@ -1043,10 +1043,10 @@ object AnalyticsQueries {
         sum(col("__ra") * col("__ra")).as("__saa"),
         sum(col("__rb") * col("__rb")).as("__sbb"))
       .select(col("lang"), col("__n").cast("long").as("n_docs"),
-        round(try_divide(
+        (round(try_divide(
           col("__n") * col("__sab") - col("__sa") * col("__sb"),
           sqrt((col("__n") * col("__saa") - col("__sa") * col("__sa")) *
-            (col("__n") * col("__sbb") - col("__sb") * col("__sb")))), 4)
+            (col("__n") * col("__sbb") - col("__sb") * col("__sb")))), 4) + lit(0.0))
           .as("spearman_rho"))
       .orderBy(col("lang"))
   }
@@ -1072,9 +1072,9 @@ object AnalyticsQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("__held")).as("__tot"))
-      .withColumn("held_hours", round(col("__tot") / 3.6e9, 2))
-      .withColumn("share", round(try_divide(col("__tot"),
-        sum(col("__tot")).over(Window.partitionBy())), 4))
+      .withColumn("held_hours", (round(col("__tot") / 3.6e9, 2) + lit(0.0)))
+      .withColumn("share", (round(try_divide(col("__tot"),
+        sum(col("__tot")).over(Window.partitionBy())), 4) + lit(0.0)))
       .select(col("event_type"), col("n_intervals"), col("held_hours"),
         col("share"))
       .orderBy(col("event_type"))
@@ -1396,7 +1396,7 @@ object AnalyticsQueries {
       .filter(col("__gap").isNotNull)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_grid_points"),
-        round(sum(abs(col("__fa") - col("__fb")) * col("__gap")), 2)
+        (round(sum(abs(col("__fa") - col("__fb")) * col("__gap")), 2) + lit(0.0))
           .as("emd"))
       .orderBy(col("o_orderpriority"))
   }
@@ -1465,14 +1465,14 @@ object AnalyticsQueries {
       .select(col("__n").cast("long").as("n_points"),
         // try_divide: a 1-doc (or constant-length) corpus has zero
         // log-token variance (DivisionAuditSpec)
-        round(try_divide(
+        (round(try_divide(
           col("__n") * col("__sxy") - col("__sx") * col("__sy"),
-          col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4) + lit(0.0))
           .as("beta"),
-        round((col("__sy") - try_divide(
+        (round((col("__sy") - try_divide(
           col("__n") * col("__sxy") - col("__sx") * col("__sy"),
           col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
-          col("__sx")) / col("__n"), 4).as("ln_k"))
+          col("__sx")) / col("__n"), 4) + lit(0.0)).as("ln_k"))
   }
 
   /** q269_srp_sweep — SRP-LSH parameter sweep: candidate volume and
@@ -1630,7 +1630,7 @@ object AnalyticsQueries {
         |  FROM g JOIN t USING (o_orderpriority)
         |  WINDOW w AS (PARTITION BY g.o_orderpriority ORDER BY v))
         |SELECT o_orderpriority, count(*)::BIGINT AS n_grid_points,
-        |  round(sum(abs(fa - fb) * gap), 2) AS emd
+        |  (round(sum(abs(fa - fb) * gap), 2) + 0.0) AS emd
         |FROM c WHERE gap IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q267_negative_sampling" ->
@@ -1662,9 +1662,9 @@ object AnalyticsQueries {
         |g AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
         |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM l)
         |SELECT n::BIGINT AS n_points,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
-        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-        |    / n, 4) AS ln_k
+        |  (round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0) AS beta,
+        |  (round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 4) + 0.0) AS ln_k
         |FROM g""".stripMargin,
     "q263_star_schema" ->
       """WITH dim AS (SELECT o_orderpriority, o_orderstatus,
@@ -1734,9 +1734,9 @@ object AnalyticsQueries {
         |    sum(rb) AS sb, sum(ra * rb) AS sab, sum(ra * ra) AS saa,
         |    sum(rb * rb) AS sbb FROM r GROUP BY 1)
         |SELECT lang, n::BIGINT AS n_docs,
-        |  round((n * sab - sa * sb) /
+        |  (round((n * sab - sa * sb) /
         |    nullif(sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 0),
-        |    4) AS spearman_rho
+        |    4) + 0.0) AS spearman_rho
         |FROM g ORDER BY lang""".stripMargin,
     "q260_state_occupancy" ->
       """WITH e AS (SELECT user_id, event_type,
@@ -1749,8 +1749,8 @@ object AnalyticsQueries {
         |    sum(held)::BIGINT AS tot
         |  FROM l WHERE held IS NOT NULL GROUP BY 1)
         |SELECT event_type, n_intervals,
-        |  round(tot / 3.6e9, 2) AS held_hours,
-        |  round(tot / nullif(sum(tot) OVER (), 0), 4) AS share
+        |  (round(tot / 3.6e9, 2) + 0.0) AS held_hours,
+        |  (round(tot / nullif(sum(tot) OVER (), 0), 4) + 0.0) AS share
         |FROM g ORDER BY event_type""".stripMargin,
     "q377_image_decode" ->
       """SELECT doc_id,
@@ -1852,9 +1852,9 @@ object AnalyticsQueries {
         |pf AS (SELECT l_partkey, avg(v) AS pf
         |  FROM edges JOIN ov ON l_orderkey = o_orderkey GROUP BY 1),
         |of2 AS (SELECT l_orderkey, count(*)::BIGINT AS n_parts,
-        |    round(avg(pf), 2) AS neighbor_feat
+        |    (round(avg(pf), 2) + 0.0) AS neighbor_feat
         |  FROM edges JOIN pf USING (l_partkey) GROUP BY 1)
-        |SELECT l_orderkey AS o_orderkey, round(v, 2) AS o_totalprice,
+        |SELECT l_orderkey AS o_orderkey, (round(v, 2) + 0.0) AS o_totalprice,
         |  n_parts, neighbor_feat
         |FROM of2 JOIN ov ON l_orderkey = o_orderkey
         |WHERE l_orderkey % 100 = 0 ORDER BY 1""".stripMargin,
@@ -1864,7 +1864,7 @@ object AnalyticsQueries {
         |    least(floor(jac * 10) / 10 + 0.05, 1.0) AS jmid, est, jac
         |  FROM e)
         |SELECT j_bucket, count(*)::BIGINT AS n_candidates,
-        |  round(avg(abs(est - jac)), 4) AS mean_abs_err,
+        |  (round(avg(abs(est - jac)), 4) + 0.0) AS mean_abs_err,
         |  round(max(1.0 - pow(1.0 - pow(jmid, 4), 2)), 4) AS analytic_p
         |FROM bkt GROUP BY 1 ORDER BY 1""".stripMargin,
     "q250_quantile_normalize" ->
@@ -1893,9 +1893,9 @@ object AnalyticsQueries {
         |se AS (SELECT dow, avg(detr) AS seasonal FROM dt
         |  WHERE detr IS NOT NULL GROUP BY 1)
         |SELECT dt.day, dt.y::BIGINT AS n_events,
-        |  round(dt.trend, 2) AS trend,
-        |  round(se.seasonal, 2) AS seasonal,
-        |  round(dt.detr - se.seasonal, 2) AS residual
+        |  (round(dt.trend, 2) + 0.0) AS trend,
+        |  (round(se.seasonal, 2) + 0.0) AS seasonal,
+        |  (round(dt.detr - se.seasonal, 2) + 0.0) AS residual
         |FROM dt LEFT JOIN se USING (dow) ORDER BY day""".stripMargin,
     "q252_conformal" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority,
@@ -1910,10 +1910,10 @@ object AnalyticsQueries {
         |SELECT t.o_orderpriority, max(m.n_calib) AS n_calib,
         |  count(*)::BIGINT AS n_test,
         |  round(max(q.qhat), 2) AS qhat,
-        |  round(avg(CASE WHEN abs(t.v - m.mean) <= q.qhat
-        |    THEN 1.0 ELSE 0.0 END), 4) AS coverage,
-        |  round(avg(CASE WHEN abs(t.v - m.mean) <= q.qhat
-        |    THEN 1.0 ELSE 0.0 END), 4) >= 0.8 AS coverage_ok
+        |  (round(avg(CASE WHEN abs(t.v - m.mean) <= q.qhat
+        |    THEN 1.0 ELSE 0.0 END), 4) + 0.0) AS coverage,
+        |  (round(avg(CASE WHEN abs(t.v - m.mean) <= q.qhat
+        |    THEN 1.0 ELSE 0.0 END), 4) + 0.0) >= 0.8 AS coverage_ok
         |FROM test t JOIN m USING (o_orderpriority)
         |  JOIN q USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1933,7 +1933,7 @@ object AnalyticsQueries {
         |      AS retained
         |  FROM l GROUP BY 1)
         |SELECT day, dau, retained,
-        |  round(retained / nullif(lag(dau) OVER (ORDER BY day), 0), 4)
+        |  (round(retained / nullif(lag(dau) OVER (ORDER BY day), 0), 4) + 0.0)
         |    AS retention_rate
         |FROM d ORDER BY day""".stripMargin,
     "q245_rolling_regression" ->
@@ -1949,7 +1949,7 @@ object AnalyticsQueries {
         |  FROM x WINDOW win AS (PARTITION BY event_type ORDER BY x
         |    RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT event_type, day, n::BIGINT AS n_days,
-        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4)
+        |  (round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4) + 0.0)
         |    AS slope_14d
         |FROM w ORDER BY event_type, day""".stripMargin,
     "q246_event_paths" ->
@@ -2058,9 +2058,9 @@ object AnalyticsQueries {
         |d AS (SELECT ia AS antecedent, ib AS consequent, np FROM p
         |  UNION ALL SELECT ib, ia, np FROM p)
         |SELECT d.antecedent, d.consequent, d.np AS n_both,
-        |  round(d.np / nb.n, 6) AS support,
+        |  (round(d.np / nb.n, 6) + 0.0) AS support,
         |  round(d.np / ca.ci, 4) AS confidence,
-        |  round(d.np * nb.n / (ca.ci * cb.ci), 4) AS lift
+        |  (round(d.np * nb.n / (ca.ci * cb.ci), 4) + 0.0) AS lift
         |FROM d
         |JOIN ic ca ON ca.l_partkey = d.antecedent
         |JOIN ic cb ON cb.l_partkey = d.consequent, nb
@@ -2099,10 +2099,10 @@ object AnalyticsQueries {
         |re AS (SELECT channel, pc, p0,
         |    greatest(1 - pc / p0, 0) AS re FROM res),
         |tt AS (SELECT sum(re) AS tot FROM re)
-        |SELECT channel, round(pc, 6) AS p_conv_removed,
+        |SELECT channel, (round(pc, 6) + 0.0) AS p_conv_removed,
         |  round(p0, 6) AS p_conv_base,
         |  round(re, 4) AS removal_effect,
-        |  round(re / nullif(tot, 0), 4) AS attribution_share
+        |  (round(re / nullif(tot, 0), 4) + 0.0) AS attribution_share
         |FROM re, tt ORDER BY channel""".stripMargin,
     "q331_shapley_attribution" ->
       """WITH e AS (SELECT user_id, event_type,
@@ -2137,8 +2137,8 @@ object AnalyticsQueries {
         |  JOIN v v2 ON v2.S = v1.S + ch.bm
         |  GROUP BY 1),
         |tt AS (SELECT sum(phi) AS tot FROM phi)
-        |SELECT channel, round(phi, 6) AS shapley,
-        |  round(phi / nullif(tot, 0), 4) AS share
+        |SELECT channel, (round(phi, 6) + 0.0) AS shapley,
+        |  (round(phi / nullif(tot, 0), 4) + 0.0) AS share
         |FROM phi, tt ORDER BY channel""".stripMargin,
     "q329_blocking_eval" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
@@ -2187,7 +2187,7 @@ object AnalyticsQueries {
         |    len(list_intersect(ta, tb))::DOUBLE AS i,
         |    len(ta) AS na, len(tb) AS nb FROM p)
         |SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
-        |  round(i / (na + nb - i), 4) AS jaccard
+        |  (round(i / (na + nb - i), 4) + 0.0) AS jaccard
         |FROM j WHERE i / (na + nb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q240_token_kl_drift" ->
@@ -2231,10 +2231,10 @@ object AnalyticsQueries {
         |m AS (SELECT o_orderpriority, b, sum(wgt * v) / sum(wgt) AS m
         |  FROM w GROUP BY 1, 2),
         |ci AS (SELECT o_orderpriority, count(*)::BIGINT AS n_reps,
-        |    round(quantile_cont(m, 0.025), 2) AS ci_lo,
-        |    round(quantile_cont(m, 0.975), 2) AS ci_hi
+        |    (round(quantile_cont(m, 0.025), 2) + 0.0) AS ci_lo,
+        |    (round(quantile_cont(m, 0.975), 2) + 0.0) AS ci_hi
         |  FROM m GROUP BY 1),
-        |pt AS (SELECT o_orderpriority, round(avg(v), 2) AS mean_price
+        |pt AS (SELECT o_orderpriority, (round(avg(v), 2) + 0.0) AS mean_price
         |  FROM o GROUP BY 1)
         |SELECT pt.o_orderpriority, mean_price, n_reps, ci_lo, ci_hi
         |FROM pt JOIN ci USING (o_orderpriority) ORDER BY 1""".stripMargin,
@@ -2285,8 +2285,8 @@ object AnalyticsQueries {
         |  FROM cs0),
         |f AS (SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
         |    bm.r_bm25, cs.r_vec,
-        |    round(coalesce(1.0 / (60 + bm.r_bm25), 0) +
-        |          coalesce(1.0 / (60 + cs.r_vec), 0), 6) AS rrf_score
+        |    (round(coalesce(1.0 / (60 + bm.r_bm25), 0) +
+        |          coalesce(1.0 / (60 + cs.r_vec), 0), 6) + 0.0) AS rrf_score
         |  FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id)
         |SELECT doc_id, r_bm25::INT AS r_bm25, r_vec::INT AS r_vec,
         |  rrf_score

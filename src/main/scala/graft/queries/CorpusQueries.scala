@@ -100,7 +100,7 @@ object CorpusQueries {
       .localCheckpoint() // read by kdist, reach, and lof passes
     VectorOps.lofFromKnn(knn, k)
       .select(col("vec_id"), round(col("lof"), 4).as("lof"),
-        round(col("lrd"), 4).as("lrd"),
+        (round(col("lrd"), 4) + lit(0.0)).as("lrd"),
         round(col("kdist"), 4).as("kdist"))
       .orderBy(col("lof").desc, col("vec_id")).limit(15)
   }
@@ -238,13 +238,13 @@ object CorpusQueries {
       sum(col("n_b")).cast("double").as("t_b"))
     perLang.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_a"), col("n_b"),
-        round(col("n_a") / col("t_a"), 4).as("p_a"),
-        round(col("n_b") / col("t_b"), 4).as("p_b"),
-        round(abs(col("n_a") / col("t_a") - col("n_b") / col("t_b")), 4)
+        (round(col("n_a") / col("t_a"), 4) + lit(0.0)).as("p_a"),
+        (round(col("n_b") / col("t_b"), 4) + lit(0.0)).as("p_b"),
+        (round(abs(col("n_a") / col("t_a") - col("n_b") / col("t_b")), 4) + lit(0.0))
           .as("abs_gap"),
         when(col("n_a") > 0 && col("n_b") > 0,
-          round((col("n_a") / col("t_a")) *
-            log((col("n_a") / col("t_a")) / (col("n_b") / col("t_b"))), 6))
+          (round((col("n_a") / col("t_a")) *
+            log((col("n_a") / col("t_a")) / (col("n_b") / col("t_b"))), 6) + lit(0.0)))
           .otherwise(lit(null)).as("kl_term"))
       .orderBy(col("lang"))
   }
@@ -413,7 +413,7 @@ object CorpusQueries {
         col("qlabel").cast("long")).cast("double")).as("__agree"))
       .groupBy(col("qlabel").as("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("__agree")), 4).as("avg_agreement"),
+        (round(avg(col("__agree")), 4) + lit(0.0)).as("avg_agreement"),
         count(when(col("__agree") < 0.5, 1)).as("n_suspect"))
       .orderBy(col("label"))
   }
@@ -490,8 +490,8 @@ object CorpusQueries {
       .crossJoin(broadcast(cls))
       .join(matched, Seq("doc_id", "__c"), "left")
       .na.fill(0.0, Seq("__msum"))
-      .withColumn("__r", round(
-        col("__lp") - col("__dl") * col("__lden") + col("__msum"), 6))
+      .withColumn("__r", (round(
+        col("__lp") - col("__dl") * col("__lden") + col("__msum"), 6) + lit(0.0)))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .groupBy(col("true_lang"), col("__c").as("pred_lang"))
@@ -535,8 +535,8 @@ object CorpusQueries {
       .agg(sum(log((col("__tf") + lit(mu) * col("__p")) /
         (col("__dl") + lit(mu)))).as("__score"))
       .select(col("doc_id"), col("__dl").as("n_tokens"),
-        round(col("__score"), 4).as("ql_score"),
-        round(col("__score"), 6).as("__key"))
+        (round(col("__score"), 4) + lit(0.0)).as("ql_score"),
+        (round(col("__score"), 6) + lit(0.0)).as("__key"))
       .orderBy(col("__key").desc, col("doc_id"))
       .limit(10)
       .drop("__key")
@@ -577,7 +577,7 @@ object CorpusQueries {
     var result = cands
       .orderBy(col("score").desc, col("doc_id")).limit(1)
       .withColumn("rank", lit(1))
-      .withColumn("mmr", round(lit(lam) * col("score"), 6))
+      .withColumn("mmr", (round(lit(lam) * col("score"), 6) + lit(0.0)))
     for (r <- 2 to 4) {
       val selIds = result.select(col("doc_id").as("__sid"))
       val next = cands
@@ -588,7 +588,7 @@ object CorpusQueries {
         .groupBy(col("doc_id"), col("score"))
         .agg(max(col("__jac")).as("__ms"))
         .withColumn("mmr",
-          round(lit(lam) * col("score") - lit(0.3) * col("__ms"), 6))
+          (round(lit(lam) * col("score") - lit(0.3) * col("__ms"), 6) + lit(0.0)))
         .orderBy(col("mmr").desc, col("doc_id")).limit(1)
         .withColumn("rank", lit(r))
         .select(col("doc_id"), col("score"), col("rank"), col("mmr"))
@@ -684,9 +684,9 @@ object CorpusQueries {
       .join(exact, Seq("vec_id"))
       .join(exactTop.withColumn("__hit", lit(true)), Seq("vec_id"),
         "left")
-      .orderBy(round(col("__est"), 6), col("vec_id")).limit(10)
+      .orderBy((round(col("__est"), 6) + lit(0.0)), col("vec_id")).limit(10)
       .select(col("vec_id"),
-        round(sqrt(col("__est")), 4).as("pq_dist"),
+        (round(sqrt(col("__est")), 4) + lit(0.0)).as("pq_dist"),
         round(sqrt(col("__ex")), 4).as("exact_dist"),
         coalesce(col("__hit"), lit(false)).as("in_exact_top10"))
   }
@@ -793,7 +793,7 @@ object CorpusQueries {
   // one greedy MMR selection round: sel{r-1} -> s{r}/sel{r}
   private def mmrRound(r: Int): String =
     s"""s$r AS (SELECT t.doc_id, t.score, $r AS rank,
-       |    round(0.7 * t.score - 0.3 * max(sims.jac), 6) AS mmr
+       |    (round(0.7 * t.score - 0.3 * max(sims.jac), 6) + 0.0) AS mmr
        |  FROM top t JOIN sims ON sims.sa = t.doc_id
        |    AND sims.sb IN (SELECT doc_id FROM sel${r - 1})
        |  WHERE t.doc_id NOT IN (SELECT doc_id FROM sel${r - 1})
@@ -810,21 +810,21 @@ object CorpusQueries {
         |      x -> x::DOUBLE * x::DOUBLE)) AS d
         |  FROM e),
         |c1 AS (SELECT vec_id AS cid, embedding AS ce FROM n2
-        |  ORDER BY round(d, 6) DESC, vec_id LIMIT 1),
+        |  ORDER BY (round(d, 6) + 0.0) DESC, vec_id LIMIT 1),
         |d1 AS (SELECT e.vec_id, e.embedding,
         |    list_sum(list_transform(range(1, 65), i ->
         |      (e.embedding[i]::DOUBLE - c1.ce[i]::DOUBLE) *
         |      (e.embedding[i]::DOUBLE - c1.ce[i]::DOUBLE))) AS d
         |  FROM e, c1),
         |c2 AS (SELECT vec_id AS cid, embedding AS ce FROM d1
-        |  ORDER BY round(d, 6) DESC, vec_id LIMIT 1),
+        |  ORDER BY (round(d, 6) + 0.0) DESC, vec_id LIMIT 1),
         |d2 AS (SELECT d1.vec_id, d1.embedding, least(d1.d,
         |    list_sum(list_transform(range(1, 65), i ->
         |      (d1.embedding[i]::DOUBLE - c2.ce[i]::DOUBLE) *
         |      (d1.embedding[i]::DOUBLE - c2.ce[i]::DOUBLE)))) AS d
         |  FROM d1, c2),
         |c3 AS (SELECT vec_id AS cid, embedding AS ce FROM d2
-        |  ORDER BY round(d, 6) DESC, vec_id LIMIT 1),
+        |  ORDER BY (round(d, 6) + 0.0) DESC, vec_id LIMIT 1),
         |d3 AS (SELECT least(d2.d,
         |    list_sum(list_transform(range(1, 65), i ->
         |      (d2.embedding[i]::DOUBLE - c3.ce[i]::DOUBLE) *
@@ -833,7 +833,7 @@ object CorpusQueries {
         |SELECT (SELECT cid FROM c1) AS center1_id,
         |  (SELECT cid FROM c2) AS center2_id,
         |  (SELECT cid FROM c3) AS center3_id,
-        |  round(sqrt(max(round(d, 6))), 4) AS coverage_radius,
+        |  (round(sqrt(max((round(d, 6) + 0.0))), 4) + 0.0) AS coverage_radius,
         |  count(*)::BIGINT AS n_points
         |FROM d3""".stripMargin,
     "q395_product_quantization" ->
@@ -846,8 +846,8 @@ object CorpusQueries {
         |ini AS (SELECT sub, vec_id::INT AS code, sv AS cv
         |  FROM subs WHERE vec_id < 16),
         |a0r AS (SELECT s.vec_id, s.sub, c.code,
-        |    round(list_sum(list_transform(range(1, 17),
-        |      i -> (s.sv[i] - c.cv[i]) ^ 2)), 6) AS d
+        |    (round(list_sum(list_transform(range(1, 17),
+        |      i -> (s.sv[i] - c.cv[i]) ^ 2)), 6) + 0.0) AS d
         |  FROM subs s JOIN ini c ON s.sub = c.sub),
         |a0 AS (SELECT vec_id, sub, code FROM (SELECT *, row_number()
         |    OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
@@ -862,8 +862,8 @@ object CorpusQueries {
         |books AS (SELECT i.sub, i.code, coalesce(u.cv, i.cv) AS cv
         |  FROM ini i LEFT JOIN updv u USING (sub, code)),
         |encr AS (SELECT s.vec_id, s.sub, c.code,
-        |    round(list_sum(list_transform(range(1, 17),
-        |      i -> (s.sv[i] - c.cv[i]) ^ 2)), 6) AS d
+        |    (round(list_sum(list_transform(range(1, 17),
+        |      i -> (s.sv[i] - c.cv[i]) ^ 2)), 6) + 0.0) AS d
         |  FROM subs s JOIN books c ON s.sub = c.sub),
         |enc AS (SELECT vec_id, sub, code FROM (SELECT *, row_number()
         |    OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rk
@@ -879,12 +879,12 @@ object CorpusQueries {
         |ex AS (SELECT v.vec_id, list_sum(list_transform(range(1, 65),
         |    i -> (v.v[i] - qv.q[i]) ^ 2)) AS ex FROM v, qv),
         |ext AS (SELECT vec_id FROM ex WHERE vec_id <> 7
-        |  ORDER BY round(ex, 6), vec_id LIMIT 10)
-        |SELECT e.vec_id, round(sqrt(e.est), 4) AS pq_dist,
-        |  round(sqrt(x.ex), 4) AS exact_dist,
+        |  ORDER BY (round(ex, 6) + 0.0), vec_id LIMIT 10)
+        |SELECT e.vec_id, (round(sqrt(e.est), 4) + 0.0) AS pq_dist,
+        |  (round(sqrt(x.ex), 4) + 0.0) AS exact_dist,
         |  e.vec_id IN (SELECT vec_id FROM ext) AS in_exact_top10
         |FROM est e JOIN ex x USING (vec_id) WHERE e.vec_id <> 7
-        |ORDER BY round(e.est, 6), e.vec_id LIMIT 10""".stripMargin,
+        |ORDER BY (round(e.est, 6) + 0.0), e.vec_id LIMIT 10""".stripMargin,
     "q327_mmr_diversify" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
@@ -903,7 +903,7 @@ object CorpusQueries {
         |        (1 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS sterm
         |  FROM tf, fr, st WHERE tf.token = fr.token),
         |r AS (SELECT doc_id, sum(sterm) AS raw FROM sc GROUP BY 1),
-        |top AS (SELECT doc_id, round(raw, 4) AS score FROM r
+        |top AS (SELECT doc_id, (round(raw, 4) + 0.0) AS score FROM r
         |  ORDER BY raw DESC, doc_id LIMIT 8),
         |sets AS (SELECT top.doc_id, list_distinct(t.toks) AS s
         |  FROM top JOIN t ON top.doc_id = t.doc_id),
@@ -912,7 +912,7 @@ object CorpusQueries {
         |      len(list_distinct(a.s || b.s))::DOUBLE AS jac
         |  FROM sets a JOIN sets b ON a.doc_id <> b.doc_id),
         |s1 AS (SELECT doc_id, score, 1 AS rank,
-        |    round(0.7 * score, 6) AS mmr
+        |    (round(0.7 * score, 6) + 0.0) AS mmr
         |  FROM top ORDER BY score DESC, doc_id LIMIT 1),
         |sel1 AS (SELECT doc_id FROM s1),
         |${(2 to 4).map(mmrRound).mkString(",\n")}
@@ -948,8 +948,8 @@ object CorpusQueries {
         |  WHERE test AND token IN (SELECT token FROM voc)
         |  GROUP BY 1),
         |sc AS (SELECT b.doc_id, b.lang AS true_lang, cls.c,
-        |    round(cls.lp - coalesce(dlv.dl, 0) * cls.lden +
-        |      coalesce(mt.msum, 0.0), 6) AS r
+        |    (round(cls.lp - coalesce(dlv.dl, 0) * cls.lden +
+        |      coalesce(mt.msum, 0.0), 6) + 0.0) AS r
         |  FROM (SELECT doc_id, lang FROM d WHERE test) b
         |  CROSS JOIN cls
         |  LEFT JOIN dlv ON dlv.doc_id = b.doc_id
@@ -979,8 +979,8 @@ object CorpusQueries {
         |  LEFT JOIN tfq ON tfq.doc_id = dl.doc_id
         |    AND tfq.token = cf.token
         |  GROUP BY 1, 2)
-        |SELECT doc_id, dl AS n_tokens, round(score, 4) AS ql_score
-        |FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 10"""
+        |SELECT doc_id, dl AS n_tokens, (round(score, 4) + 0.0) AS ql_score
+        |FROM sc ORDER BY (round(score, 6) + 0.0) DESC, doc_id LIMIT 10"""
         .stripMargin,
     "q232_label_noise" ->
       s"""${StructuralQueries.srpBucketCte},
@@ -1001,7 +1001,7 @@ object CorpusQueries {
         |    avg(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END) AS agree
         |  FROM r WHERE rn <= 10 GROUP BY 1, 2)
         |SELECT qlabel AS label, count(*) AS n_vecs,
-        |  round(avg(agree), 4) AS avg_agreement,
+        |  (round(avg(agree), 4) + 0.0) AS avg_agreement,
         |  count(CASE WHEN agree < 0.5 THEN 1 END) AS n_suspect
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q226_feature_hash" ->
@@ -1029,7 +1029,7 @@ object CorpusQueries {
         |c AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
         |s AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM c)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(sum(ln((c.c + 1) / (s.n + s.v))) / count(*), 4) AS logprob
+        |  (round(sum(ln((c.c + 1) / (s.n + s.v))) / count(*), 4) + 0.0) AS logprob
         |FROM tok JOIN c USING (token), s
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q119_robust_scale" ->
@@ -1090,7 +1090,7 @@ object CorpusQueries {
         |  FROM tf, fr, s WHERE tf.token = fr.token),
         |r AS (SELECT doc_id, count(*) AS n_terms, sum(sterm) AS score
         |      FROM sc GROUP BY doc_id)
-        |SELECT doc_id, n_terms, round(score, 4) AS score
+        |SELECT doc_id, n_terms, (round(score, 4) + 0.0) AS score
         |FROM r ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q111_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
@@ -1110,10 +1110,10 @@ object CorpusQueries {
         |  FROM d GROUP BY lang),
         |t AS (SELECT sum(n_a)::DOUBLE AS t_a, sum(n_b)::DOUBLE AS t_b FROM g)
         |SELECT lang, n_a, n_b,
-        |  round(n_a / t_a, 4) AS p_a, round(n_b / t_b, 4) AS p_b,
-        |  round(abs(n_a / t_a - n_b / t_b), 4) AS abs_gap,
+        |  (round(n_a / t_a, 4) + 0.0) AS p_a, (round(n_b / t_b, 4) + 0.0) AS p_b,
+        |  (round(abs(n_a / t_a - n_b / t_b), 4) + 0.0) AS abs_gap,
         |  CASE WHEN n_a > 0 AND n_b > 0
-        |       THEN round((n_a / t_a) * ln((n_a / t_a) / (n_b / t_b)), 6)
+        |       THEN (round((n_a / t_a) * ln((n_a / t_a) / (n_b / t_b)), 6) + 0.0)
         |       ELSE NULL END AS kl_term
         |FROM g, t ORDER BY lang""".stripMargin,
     "q113_json_scan" ->
@@ -1206,8 +1206,8 @@ object CorpusQueries {
         |  FROM knn JOIN kd ON knn.o = kd.vec_id GROUP BY 1),
         |lof AS (SELECT knn.p, avg(ol.lrd) AS avg_olrd
         |  FROM knn JOIN lrd ol ON knn.o = ol.p GROUP BY 1)
-        |SELECT f.p AS vec_id, round(f.avg_olrd / l.lrd, 4) AS lof,
-        |  round(l.lrd, 4) AS lrd, round(k.kdist, 4) AS kdist
+        |SELECT f.p AS vec_id, (round(f.avg_olrd / l.lrd, 4) + 0.0) AS lof,
+        |  (round(l.lrd, 4) + 0.0) AS lrd, round(k.kdist, 4) AS kdist
         |FROM lof f JOIN lrd l ON f.p = l.p JOIN kd k ON f.p = k.vec_id
         |ORDER BY lof DESC, vec_id LIMIT 15""".stripMargin,
     "q100_batch_topk" ->
@@ -1234,8 +1234,8 @@ object CorpusQueries {
         |  FROM t, vl)
         |SELECT doc_id, n_tokens,
         |  len(list_filter(ids, i -> i = -1))::BIGINT AS n_oov,
-        |  round(len(list_filter(ids, i -> i = -1))::DOUBLE
-        |        / greatest(n_tokens, 1), 4) AS oov_rate,
+        |  (round(len(list_filter(ids, i -> i = -1))::DOUBLE
+        |        / greatest(n_tokens, 1), 4) + 0.0) AS oov_rate,
         |  array_to_string(ids, ' ') AS ids
         |FROM e ORDER BY doc_id""".stripMargin,
     "q102_norm_outliers" ->

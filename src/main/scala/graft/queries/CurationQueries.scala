@@ -95,7 +95,7 @@ object CurationQueries {
         count(lit(1)).as("n_spans"),
         sum(col("__covered")).as("covered_tokens"))
       .withColumn("coverage",
-        round(col("covered_tokens") / col("n_tokens").cast("double"), 4))
+        (round(col("covered_tokens") / col("n_tokens").cast("double"), 4) + lit(0.0)))
       .orderBy(col("doc_id"))
   }
 
@@ -172,7 +172,7 @@ object CurationQueries {
         round(col("ref_share"), 6).as("ref_share"),
         round(col("cur_share"), 6).as("cur_share"),
         round(col("psi_term"), 6).as("psi_term"),
-        round(col("psi"), 6).as("psi"))
+        (round(col("psi"), 6) + lit(0.0)).as("psi"))
       .orderBy(col("bin"))
 
   /** q139_bigram_logprob — bigram language-model quality scoring
@@ -353,9 +353,9 @@ object CurationQueries {
     val z = powed.agg(sum(col("__pa")).as("__z"))
     powed.crossJoin(broadcast(z))
       .select(col("lang"), col("n_tokens"),
-        round(col("__p"), 6).as("share"),
-        round(col("__pa") / col("__z"), 6).as("weight"),
-        round(col("__pa") / col("__z") * 1000000).cast("long")
+        (round(col("__p"), 6) + lit(0.0)).as("share"),
+        (round(col("__pa") / col("__z"), 6) + lit(0.0)).as("weight"),
+        (round(col("__pa") / col("__z") * 1000000) + lit(0.0)).cast("long")
           .as("alloc_tokens"))
       .orderBy(col("lang"))
   }
@@ -385,7 +385,7 @@ object CurationQueries {
         round(avg(col("__sr")), 4).as("avg_stop_ratio"))
       .join(dupes, Seq("lang"))
       .withColumn("dup_rate",
-        round(col("n_exact_dupes") / col("n_docs"), 4))
+        (round(col("n_exact_dupes") / col("n_docs"), 4) + lit(0.0)))
       .orderBy(col("lang"))
   }
 
@@ -530,7 +530,7 @@ object CurationQueries {
         round(col("v_observed") +
           col("f1") * (col("f1") - 1) /
             (lit(2.0) * (col("f2") + 1)), 2).as("chao1_est"),
-        round(try_divide(col("f1").cast("double"), col("n_tokens")), 6)
+        (round(try_divide(col("f1").cast("double"), col("n_tokens")), 6) + lit(0.0))
           .as("gt_unseen_mass"))
       .orderBy(col("lang"))
 
@@ -592,7 +592,7 @@ object CurationQueries {
         |SELECT lang, v_observed, n_tokens, f1, f2,
         |  round(v_observed + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 2)
         |    AS chao1_est,
-        |  round(f1 / nullif(n_tokens, 0)::DOUBLE, 6)
+        |  (round(f1 / nullif(n_tokens, 0)::DOUBLE, 6) + 0.0)
         |    AS gt_unseen_mass
         |FROM a ORDER BY lang""".stripMargin,
     "q360_bpe_merge" ->
@@ -702,7 +702,7 @@ object CurationQueries {
         |SELECT doc_id, n_tokens, sum(starts)::BIGINT AS n_rep_grams,
         |  count(*)::BIGINT AS n_spans,
         |  sum(covered)::BIGINT AS covered_tokens,
-        |  round(sum(covered) / n_tokens::DOUBLE, 4) AS coverage
+        |  (round(sum(covered) / n_tokens::DOUBLE, 4) + 0.0) AS coverage
         |FROM sp GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q169_decontaminated_release" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
@@ -799,8 +799,8 @@ object CurationQueries {
          |    pow(n_tokens / tt, 0.3) AS pa FROM t, tot),
          |z AS (SELECT sum(pa) AS zz FROM p)
          |SELECT lang, n_tokens, round(sh, 6) AS share,
-         |  round(pa / zz, 6) AS weight,
-         |  round(pa / zz * 1000000)::BIGINT AS alloc_tokens
+         |  (round(pa / zz, 6) + 0.0) AS weight,
+         |  (round(pa / zz * 1000000) + 0.0)::BIGINT AS alloc_tokens
          |FROM p, z ORDER BY lang""".stripMargin,
     "q178_line_dedup" ->
       """WITH s AS (SELECT doc_id,
@@ -847,7 +847,7 @@ object CurationQueries {
         |  min(nt) AS min_tokens, max(nt) AS max_tokens,
         |  round(avg(sr), 4) AS avg_stop_ratio,
         |  any_value(n_exact_dupes) AS n_exact_dupes,
-        |  round(any_value(n_exact_dupes)::DOUBLE / count(*), 4) AS dup_rate
+        |  (round(any_value(n_exact_dupes)::DOUBLE / count(*), 4) + 0.0) AS dup_rate
         |FROM f JOIN dd ON f.lang = dd.lang
         |GROUP BY f.lang ORDER BY f.lang""".stripMargin,
     "q148_quality_vector" ->
@@ -933,8 +933,8 @@ object CurationQueries {
         |SELECT cohort, bin, round(ref_share, 6) AS ref_share,
         |  round(cur_share, 6) AS cur_share,
         |  round((cur_share - ref_share) * ln(cur_share / ref_share), 6) AS psi_term,
-        |  round(sum((cur_share - ref_share) * ln(cur_share / ref_share))
-        |    OVER (PARTITION BY cohort), 6) AS psi
+        |  (round(sum((cur_share - ref_share) * ln(cur_share / ref_share))
+        |    OVER (PARTITION BY cohort), 6) + 0.0) AS psi
         |FROM cu JOIN r USING (bin)
         |ORDER BY bin""".stripMargin,
     "q139_bigram_logprob" ->
@@ -950,7 +950,7 @@ object CurationQueries {
         |vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v
         |  FROM (SELECT unnest($tokSetSql) AS tok FROM documents))
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(sum(ln((c2 + 1) / (c1 + v))) / count(*), 4) AS logprob
+        |  (round(sum(ln((c2 + 1) / (c1 + v))) / count(*), 4) + 0.0) AS logprob
         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )

@@ -43,13 +43,13 @@ object ExperimentQueries {
         var_pop(col("__x")).as("__vx"),
         var_pop(col("__y")).as("__vy"))
       .select(col("n_users"),
-        round(try_divide(col("__cxy"), col("__vx")), 4).as("theta"),
-        round(col("__vy"), 4).as("var_raw"),
-        round(col("__vy") -
-          try_divide(col("__cxy") * col("__cxy"), col("__vx")), 4)
+        (round(try_divide(col("__cxy"), col("__vx")), 4) + lit(0.0)).as("theta"),
+        (round(col("__vy"), 4) + lit(0.0)).as("var_raw"),
+        (round(col("__vy") -
+          try_divide(col("__cxy") * col("__cxy"), col("__vx")), 4) + lit(0.0))
           .as("var_cuped"),
-        round(try_divide(col("__cxy") * col("__cxy"),
-          col("__vx") * col("__vy")), 4).as("var_reduction"))
+        (round(try_divide(col("__cxy") * col("__cxy"),
+          col("__vx") * col("__vy")), 4) + lit(0.0)).as("var_reduction"))
   }
 
   /** q271_did — difference-in-differences on per-user pre→post deltas:
@@ -87,13 +87,13 @@ object ExperimentQueries {
         var_samp(when(col("__t"), col("__d"))).as("__vt"),
         var_samp(when(!col("__t"), col("__d"))).as("__vc"))
       .select(col("n_treat"), col("n_ctrl"),
-        round(col("__mtpre"), 4).as("m_treat_pre"),
-        round(col("__mtpost"), 4).as("m_treat_post"),
-        round(col("__mcpre"), 4).as("m_ctrl_pre"),
-        round(col("__mcpost"), 4).as("m_ctrl_post"),
-        round(col("__dt") - col("__dc"), 4).as("did"),
-        round(sqrt(try_divide(col("__vt"), col("n_treat")) +
-          try_divide(col("__vc"), col("n_ctrl"))), 4).as("se"),
+        (round(col("__mtpre"), 4) + lit(0.0)).as("m_treat_pre"),
+        (round(col("__mtpost"), 4) + lit(0.0)).as("m_treat_post"),
+        (round(col("__mcpre"), 4) + lit(0.0)).as("m_ctrl_pre"),
+        (round(col("__mcpost"), 4) + lit(0.0)).as("m_ctrl_post"),
+        (round(col("__dt") - col("__dc"), 4) + lit(0.0)).as("did"),
+        (round(sqrt(try_divide(col("__vt"), col("n_treat")) +
+          try_divide(col("__vc"), col("n_ctrl"))), 4) + lit(0.0)).as("se"),
         (abs(col("__dt") - col("__dc")) >
           lit(1.96) * sqrt(try_divide(col("__vt"), col("n_treat")) +
             try_divide(col("__vc"), col("n_ctrl")))).as("significant"))
@@ -126,9 +126,9 @@ object ExperimentQueries {
       .withColumn("__woe", log(col("__dg") / col("__db")))
       .withColumn("__ivc", (col("__dg") - col("__db")) * col("__woe"))
       .select(col("o_orderpriority"), col("n"), col("n_bad"),
-        round(col("__woe"), 4).as("woe"),
-        round(col("__ivc"), 6).as("iv_contrib"),
-        round(sum(col("__ivc")).over(w), 6).as("iv_total"))
+        (round(col("__woe"), 4) + lit(0.0)).as("woe"),
+        (round(col("__ivc"), 6) + lit(0.0)).as("iv_contrib"),
+        (round(sum(col("__ivc")).over(w), 6) + lit(0.0)).as("iv_total"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -175,10 +175,10 @@ object ExperimentQueries {
     before.join(matched, Seq("stratum"), "left")
       .select(col("stratum"), col("n_treated"), col("n_control"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        round(try_divide(col("__mt") - col("__mc"),
-          sqrt((col("__vt") + col("__vc")) / 2)), 4).as("smd_before"),
-        round(try_divide(col("__mt_m") - col("__mc_m"),
-          sqrt((col("__vt_m") + col("__vc_m")) / 2)), 4).as("smd_after"))
+        (round(try_divide(col("__mt") - col("__mc"),
+          sqrt((col("__vt") + col("__vc")) / 2)), 4) + lit(0.0)).as("smd_before"),
+        (round(try_divide(col("__mt_m") - col("__mc_m"),
+          sqrt((col("__vt_m") + col("__vc_m")) / 2)), 4) + lit(0.0)).as("smd_after"))
       .orderBy(col("stratum"))
   }
 
@@ -210,10 +210,10 @@ object ExperimentQueries {
     agg.select(explode(array(ks.map { k =>
         struct(lit(k).as("k"),
           col(s"__fk$k").cast("long").as("f_next"),
-          round(col(s"__s$k") / k - log(col(s"__fk$k")), 4)
+          (round(col(s"__s$k") / k - log(col(s"__fk$k")), 4) + lit(0.0))
             .as("gamma"),
-          round(try_divide(lit(1.0),
-            col(s"__s$k") / k - log(col(s"__fk$k"))), 4).as("alpha"))
+          (round(try_divide(lit(1.0),
+            col(s"__s$k") / k - log(col(s"__fk$k"))), 4) + lit(0.0)).as("alpha"))
       }: _*)).as("r"))
       .select(col("r.k"), col("r.f_next"), col("r.gamma"),
         col("r.alpha"))
@@ -256,9 +256,9 @@ object ExperimentQueries {
       .agg(count(lit(1)).as("n_reps"),
         count(when(abs(col("__d")) >= abs(col("__obs")), 1)).as("__ge"),
         max(abs(col("__obs"))).as("__aobs"))
-      .select(round(col("__aobs"), 4).as("abs_obs_diff"),
+      .select((round(col("__aobs"), 4) + lit(0.0)).as("abs_obs_diff"),
         col("n_reps"),
-        round((col("__ge") + 1) / (col("n_reps") + 1), 4).as("p_value"),
+        (round((col("__ge") + 1) / (col("n_reps") + 1), 4) + lit(0.0)).as("p_value"),
         ((col("__ge") + 1) / (col("n_reps") + 1) <= 0.05).as("reject_05"))
   }
 
@@ -291,10 +291,10 @@ object ExperimentQueries {
           try_divide(sum(col("__rc")).over(w), sum(col("__nc")).over(w)))
       .select(col("ship_year"),
         (col("__nt") + col("__nc")).as("n"),
-        round(col("__rate_t"), 4).as("rate_treated"),
-        round(col("__rate_c"), 4).as("rate_control"),
-        round(col("__diff"), 4).as("stratum_diff"),
-        round(col("__pooled"), 4).as("pooled_diff"),
+        (round(col("__rate_t"), 4) + lit(0.0)).as("rate_treated"),
+        (round(col("__rate_c"), 4) + lit(0.0)).as("rate_control"),
+        (round(col("__diff"), 4) + lit(0.0)).as("stratum_diff"),
+        (round(col("__pooled"), 4) + lit(0.0)).as("pooled_diff"),
         (signum(col("__diff")) =!= signum(col("__pooled")) &&
           signum(col("__diff")) =!= 0).as("sign_reversal"))
       .orderBy(col("ship_year"))
@@ -339,9 +339,9 @@ object ExperimentQueries {
       .withColumn("__pbh", least(lit(1.0),
         min(col("__p") * col("__m") / col("__rk")).over(
           rw.rowsBetween(0, Window.unboundedFollowing))))
-      .select(col("event_type"), round(col("__z"), 4).as("z"),
-        round(col("__p"), 6).as("p_value"),
-        round(col("__pbh"), 6).as("p_bh"),
+      .select(col("event_type"), (round(col("__z"), 4) + lit(0.0)).as("z"),
+        (round(col("__p"), 6) + lit(0.0)).as("p_value"),
+        (round(col("__pbh"), 6) + lit(0.0)).as("p_bh"),
         (col("__pbh") <= 0.10).as("rejected_fdr10"))
       .orderBy(col("event_type"))
   }
@@ -393,9 +393,9 @@ object ExperimentQueries {
       .withColumn("__loo", (col("__ts") - col("__s")) /
         (col("__tn") - col("__n")))
       .select(col("o_orderpriority"), col("__n").as("n"),
-        round(col("__gm"), 4).as("global_mean"),
-        round(col("__loo"), 4).as("loo_mean"),
-        round(col("__loo") - col("__gm"), 4).as("influence"),
+        (round(col("__gm"), 4) + lit(0.0)).as("global_mean"),
+        (round(col("__loo"), 4) + lit(0.0)).as("loo_mean"),
+        (round(col("__loo") - col("__gm"), 4) + lit(0.0)).as("influence"),
         (abs(col("__loo") - col("__gm")) >
           lit(0.005) * abs(col("__gm"))).as("influential"))
       .orderBy(col("o_orderpriority"))
@@ -564,9 +564,9 @@ object ExperimentQueries {
         sum(when(!col("__t"), lit(1.0) / (lit(1.0) - col("__p"))))
           .as("__swc"))
       .select(col("n_users"),
-        round(col("__naive"), 4).as("naive_diff"),
-        round(try_divide(col("__syt"), col("__swt")) -
-          try_divide(col("__syc"), col("__swc")), 4).as("ipw_ate"))
+        (round(col("__naive"), 4) + lit(0.0)).as("naive_diff"),
+        (round(try_divide(col("__syt"), col("__swt")) -
+          try_divide(col("__syc"), col("__swc")), 4) + lit(0.0)).as("ipw_ate"))
   }
 
   /** q283_auto_histogram — histogram with DATA-DRIVEN bin width
@@ -586,17 +586,17 @@ object ExperimentQueries {
         expr("percentile(__v, 0.25)").as("__q1"),
         expr("percentile(__v, 0.75)").as("__q3"))
       .withColumn("__h", greatest(
-        round(lit(2.0) * (col("__q3") - col("__q1")) /
-          pow(col("__n").cast("double"), lit(1.0 / 3.0)), 0),
+        (round(lit(2.0) * (col("__q3") - col("__q1")) /
+          pow(col("__n").cast("double"), lit(1.0 / 3.0)), 0) + lit(0.0)),
         lit(1.0)))
     v.crossJoin(broadcast(stats))
       .withColumn("bin",
         floor((col("__v") - col("__lo")) / col("__h")).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        round(max(col("__lo") + col("bin") * col("__h")), 2)
+        (round(max(col("__lo") + col("bin") * col("__h")), 2) + lit(0.0))
           .as("bin_lo"),
-        round(max(col("__h")), 2).as("bin_width"))
+        (round(max(col("__h")), 2) + lit(0.0)).as("bin_width"))
       .orderBy(col("bin"))
   }
 
@@ -627,11 +627,11 @@ object ExperimentQueries {
       .withColumn("__hh_est", col("__hh_f2") + col("__rem"))
       .withColumn("__uni", col("__n") * col("__n") / col("__d"))
       .select(col("__f2").as("exact_f2"),
-        round(col("__uni"), 2).as("uniform_est"),
-        round(col("__hh_est"), 2).as("hh_est"),
-        round(try_divide(col("__uni") - col("__f2"), col("__f2")), 4)
+        (round(col("__uni"), 2) + lit(0.0)).as("uniform_est"),
+        (round(col("__hh_est"), 2) + lit(0.0)).as("hh_est"),
+        (round(try_divide(col("__uni") - col("__f2"), col("__f2")), 4) + lit(0.0))
           .as("uniform_rel_err"),
-        round(try_divide(col("__hh_est") - col("__f2"), col("__f2")), 4)
+        (round(try_divide(col("__hh_est") - col("__f2"), col("__f2")), 4) + lit(0.0))
           .as("hh_rel_err"))
   }
 
@@ -665,7 +665,7 @@ object ExperimentQueries {
     exact.crossJoin(broadcast(est))
       .select(col("__f2").as("exact_f2"),
         round(col("__ams"), 2).as("ams_est"),
-        round(try_divide(col("__ams") - col("__f2"), col("__f2")), 4)
+        (round(try_divide(col("__ams") - col("__f2"), col("__f2")), 4) + lit(0.0))
           .as("rel_err"),
         (abs(try_divide(col("__ams") - col("__f2"), col("__f2"))) <=
           1.0).as("within_2x"))
@@ -714,10 +714,10 @@ object ExperimentQueries {
         avg(try_divide(abs(col("__n") - col("__p7")), col("__n")))
           .as("__mape7"))
       .select(col("event_type"), col("n_days_eval"),
-        round(col("__mae7"), 4).as("mae_seasonal"),
-        round(col("__mae1"), 4).as("mae_naive"),
-        round(col("__mape7"), 4).as("mape_seasonal"),
-        round(lit(1.0) - try_divide(col("__mae7"), col("__mae1")), 4)
+        (round(col("__mae7"), 4) + lit(0.0)).as("mae_seasonal"),
+        (round(col("__mae1"), 4) + lit(0.0)).as("mae_naive"),
+        (round(col("__mape7"), 4) + lit(0.0)).as("mape_seasonal"),
+        (round(lit(1.0) - try_divide(col("__mae7"), col("__mae1")), 4) + lit(0.0))
           .as("skill_vs_naive"))
       .orderBy(col("event_type"))
   }
@@ -782,7 +782,7 @@ object ExperimentQueries {
     q.awaitTermination()
     s.table(sink)
       .select(col("tier"), col("n_events"),
-        round(col("__sv"), 2).as("total_value"))
+        (round(col("__sv"), 2) + lit(0.0)).as("total_value"))
       .orderBy(col("tier"))
   }
 
@@ -813,7 +813,7 @@ object ExperimentQueries {
       .withColumn("__cum", sum(col("__v")).over(w))
       .select(col("__cw").as("cohort_week"),
         col("__age").as("age_weeks"), col("n_users"),
-        round(col("__cum") / col("n_users"), 4).as("cum_value_per_user"))
+        (round(col("__cum") / col("n_users"), 4) + lit(0.0)).as("cum_value_per_user"))
       .orderBy(col("cohort_week"), col("age_weeks"))
   }
 
@@ -980,7 +980,7 @@ object ExperimentQueries {
       .withColumn("__p", lit(2.0) * phiUpper(sqrt(col("__chi2"))))
       .select(col("n_a"), col("n_b"),
         round(col("__chi2"), 4).as("chi2"),
-        round(col("__p"), 6).as("p_value"),
+        (round(col("__p"), 6) + lit(0.0)).as("p_value"),
         (col("__p") < 0.001).as("srm_detected"))
   }
 
@@ -1019,9 +1019,9 @@ object ExperimentQueries {
         var_samp(when(col("__t"), col("__v"))).as("__va"),
         var_samp(when(!col("__t"), col("__v"))).as("__vb"))
       .select(col("cap"),
-        round(col("__ma") - col("__mb"), 4).as("diff"),
-        round(sqrt(col("__va") / col("__na") +
-          col("__vb") / col("__nb")), 4).as("se"),
+        (round(col("__ma") - col("__mb"), 4) + lit(0.0)).as("diff"),
+        (round(sqrt(col("__va") / col("__na") +
+          col("__vb") / col("__nb")), 4) + lit(0.0)).as("se"),
         (abs(col("__ma") - col("__mb")) >
           lit(1.96) * sqrt(col("__va") / col("__na") +
             col("__vb") / col("__nb"))).as("significant"))
@@ -1057,12 +1057,12 @@ object ExperimentQueries {
         max(col("__tot")).as("n_total"),
         // try_divide: one group (k−1=0) or zero within-variance (SSW 0
         // on a constant metric) nulls out, never throws
-        round(try_divide(
+        (round(try_divide(
           try_divide(max(col("__ssb")), max(col("__k")) - 1),
           try_divide(max(col("__ssw")),
-            max(col("__tot")) - max(col("__k")))), 4).as("f_stat"),
-        round(try_divide(max(col("__ssb")),
-          max(col("__ssb")) + max(col("__ssw"))), 6).as("eta_sq"))
+            max(col("__tot")) - max(col("__k")))), 4) + lit(0.0)).as("f_stat"),
+        (round(try_divide(max(col("__ssb")),
+          max(col("__ssb")) + max(col("__ssw"))), 6) + lit(0.0)).as("eta_sq"))
   }
 
   /** q298_mde_power — minimum detectable effect at α = 0.05 /
@@ -1083,14 +1083,14 @@ object ExperimentQueries {
       .agg(count(lit(1)).as("n_users"),
         avg(col("__m")).as("__mean"), var_samp(col("__m")).as("__var"))
       .select(col("event_type"), col("n_users"),
-        round(col("__mean"), 4).as("metric_mean"),
-        round(col("__var"), 4).as("metric_var"),
-        round(lit(zq + zp) *
-          sqrt(lit(2.0) * col("__var") / (col("n_users") / 2.0)), 4)
+        (round(col("__mean"), 4) + lit(0.0)).as("metric_mean"),
+        (round(col("__var"), 4) + lit(0.0)).as("metric_var"),
+        (round(lit(zq + zp) *
+          sqrt(lit(2.0) * col("__var") / (col("n_users") / 2.0)), 4) + lit(0.0))
           .as("mde_abs"),
-        round(lit(zq + zp) *
+        (round(lit(zq + zp) *
           sqrt(lit(2.0) * col("__var") / (col("n_users") / 2.0)) /
-          col("__mean"), 4).as("mde_rel"))
+          col("__mean"), 4) + lit(0.0)).as("mde_rel"))
       .orderBy(col("event_type"))
   }
 
@@ -1195,7 +1195,7 @@ object ExperimentQueries {
           sum(col("__p") * col("__hv"))).as("__ig"),
           count(lit(1)).as("n_values"))
         .select(lit(name).as("feature"), col("n_values"),
-          round(col("__ig"), 6).as("info_gain_bits"))
+          (round(col("__ig"), 6) + lit(0.0)).as("info_gain_bits"))
     }
     ig("__f1", "order_priority")
       .unionByName(ig("__f2", "order_year"))
@@ -1228,7 +1228,7 @@ object ExperimentQueries {
       .withColumn("__left", lit(budget) - sum(col("__base")).over(w))
       .withColumn("__rk", row_number().over(rw))
       .select(col("event_type"), col("__n").as("n"),
-        round(col("__share"), 4).as("exact_share"),
+        (round(col("__share"), 4) + lit(0.0)).as("exact_share"),
         (col("__base") +
           when(col("__rk") <= col("__left"), 1L).otherwise(0L))
           .as("alloc"))
@@ -1265,7 +1265,7 @@ object ExperimentQueries {
     islands.groupBy(col("user_id"))
       .agg(sum(col("__niv")).as("n_intervals"),
         count(lit(1)).as("n_islands"),
-        round(sum(col("__e") - col("__s")) / lit(60000000.0), 2)
+        (round(sum(col("__e") - col("__s")) / lit(60000000.0), 2) + lit(0.0))
           .as("covered_min"))
       .orderBy(col("user_id"))
   }
@@ -1296,10 +1296,10 @@ object ExperimentQueries {
         (col("__vy") - lit(2.0) * col("__r") * col("__cxy") +
           col("__r") * col("__r") * col("__vx")) /
           (col("n_users") * col("__mx") * col("__mx"))))
-      .select(col("n_users"), round(col("__r"), 4).as("ratio"),
-        round(col("__se"), 4).as("se_delta"),
-        round(col("__r") - lit(1.96) * col("__se"), 4).as("ci_lo"),
-        round(col("__r") + lit(1.96) * col("__se"), 4).as("ci_hi"))
+      .select(col("n_users"), (round(col("__r"), 4) + lit(0.0)).as("ratio"),
+        (round(col("__se"), 4) + lit(0.0)).as("se_delta"),
+        (round(col("__r") - lit(1.96) * col("__se"), 4) + lit(0.0)).as("ci_lo"),
+        (round(col("__r") + lit(1.96) * col("__se"), 4) + lit(0.0)).as("ci_hi"))
   }
 
   /** q305_median_impute — group-median imputation with provenance:
@@ -1324,8 +1324,8 @@ object ExperimentQueries {
       .agg(count(lit(1)).as("n"),
         count(when(col("__v").isNull, 1)).as("n_imputed"),
         round(max(col("__med")), 2).as("median_used"),
-        round(avg(col("__v")), 4).as("mean_before"),
-        round(avg(coalesce(col("__v"), col("__med"))), 4)
+        (round(avg(col("__v")), 4) + lit(0.0)).as("mean_before"),
+        (round(avg(coalesce(col("__v"), col("__med"))), 4) + lit(0.0))
           .as("mean_after"))
       .orderBy(col("event_type"))
   }
@@ -1363,10 +1363,10 @@ object ExperimentQueries {
       .agg(sum((pow(lit(2.0), col("__rel")) - 1) /
         (log(col("__rk") + 1) / ln2)).as("__idcg"))
     dcg.crossJoin(broadcast(ideal))
-      .select(col("n_ranked"), round(col("__dcg"), 4).as("dcg_at_10"),
-        round(col("__idcg"), 4).as("idcg_at_10"),
-        round(col("__dcg") / col("__idcg"), 4).as("ndcg_at_10"),
-        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 4)
+      .select(col("n_ranked"), (round(col("__dcg"), 4) + lit(0.0)).as("dcg_at_10"),
+        (round(col("__idcg"), 4) + lit(0.0)).as("idcg_at_10"),
+        (round(col("__dcg") / col("__idcg"), 4) + lit(0.0)).as("ndcg_at_10"),
+        (round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 4) + lit(0.0))
           .as("mrr"))
   }
 
@@ -1407,7 +1407,7 @@ object ExperimentQueries {
           col("__pb") * log(col("__pb") / col("__m")) / 2)
           .otherwise(lit(0.0)))
       .groupBy(col("source_a"), col("source_b"))
-      .agg(round(sum(col("__kl")), 6).as("jsd"))
+      .agg((round(sum(col("__kl")), 6) + lit(0.0)).as("jsd"))
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -1447,8 +1447,8 @@ object ExperimentQueries {
       .select(col("cluster"), col("pos"), col("col").as("__s"))
     val shift = newDims.join(seedDims, Seq("cluster", "pos"))
       .groupBy(col("cluster"))
-      .agg(round(sqrt(sum((col("__m") - col("__s")) *
-        (col("__m") - col("__s")))), 4).as("centroid_shift"))
+      .agg((round(sqrt(sum((col("__m") - col("__s")) *
+        (col("__m") - col("__s")))), 4) + lit(0.0)).as("centroid_shift"))
     stats.join(shift, Seq("cluster"))
       .orderBy(col("cluster"))
   }
@@ -1492,9 +1492,9 @@ object ExperimentQueries {
         when(col("__z") >= 0, lit(1.0) - phiUpper(col("__z")))
           .otherwise(phiUpper(-col("__z"))))
       .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-        round(col("__ma"), 4).as("post_mean_a"),
-        round(col("__mb"), 4).as("post_mean_b"),
-        round(col("__pab"), 4).as("prob_a_beats_b"),
+        (round(col("__ma"), 4) + lit(0.0)).as("post_mean_a"),
+        (round(col("__mb"), 4) + lit(0.0)).as("post_mean_b"),
+        (round(col("__pab"), 4) + lit(0.0)).as("prob_a_beats_b"),
         (col("__pab") > 0.95 || col("__pab") < 0.05).as("decisive"))
   }
 
@@ -1524,11 +1524,11 @@ object ExperimentQueries {
         sqrt(lit(2.0) * log(col("__N")) / col("n_pulls")))
     arms
       .withColumn("chosen", row_number().over(
-        Window.orderBy(round(col("__ucb"), 6).desc, col("event_type")))
+        Window.orderBy((round(col("__ucb"), 6) + lit(0.0)).desc, col("event_type")))
         === 1)
       .select(col("event_type"), col("n_pulls"),
-        round(col("__mu"), 4).as("mean_reward"),
-        round(col("__ucb"), 4).as("ucb_score"), col("chosen"))
+        (round(col("__mu"), 4) + lit(0.0)).as("mean_reward"),
+        (round(col("__ucb"), 4) + lit(0.0)).as("ucb_score"), col("chosen"))
       .orderBy(col("event_type"))
   }
 
@@ -1768,7 +1768,7 @@ object ExperimentQueries {
         |  FROM a),
         |r AS (SELECT *, row_number() OVER (
         |    ORDER BY round(ucb, 6) DESC, event_type) AS rk FROM u)
-        |SELECT event_type, n_pulls, round(mu, 4) AS mean_reward,
+        |SELECT event_type, n_pulls, (round(mu, 4) + 0.0) AS mean_reward,
         |  round(ucb, 4) AS ucb_score, rk = 1 AS chosen
         |FROM r ORDER BY event_type""".stripMargin,
     "q306_ndcg_eval" ->
@@ -1788,7 +1788,7 @@ object ExperimentQueries {
         |        (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sterm
         |  FROM tf, fr, s WHERE tf.token = fr.token),
         |r AS (SELECT doc_id, sum(sterm) AS raw FROM sc GROUP BY 1),
-        |top AS (SELECT doc_id, round(raw, 4) AS score FROM r
+        |top AS (SELECT doc_id, (round(raw, 4) + 0.0) AS score FROM r
         |  ORDER BY raw DESC, doc_id LIMIT 10),
         |rk AS (SELECT doc_id, row_number() OVER
         |    (ORDER BY score DESC, doc_id) AS rk FROM top),
@@ -1826,10 +1826,10 @@ object ExperimentQueries {
         |  FROM grid a JOIN grid b ON a.t = b.t
         |    AND a.source < b.source)
         |SELECT source_a, source_b,
-        |  round(sum(
+        |  (round(sum(
         |    CASE WHEN pa > 0 THEN pa * ln(pa / m) / 2 ELSE 0.0 END +
         |    CASE WHEN pb > 0 THEN pb * ln(pb / m) / 2 ELSE 0.0 END),
-        |    6) AS jsd
+        |    6) + 0.0) AS jsd
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q308_lloyd_step" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
@@ -1853,7 +1853,7 @@ object ExperimentQueries {
         |    (generate_subscripts(c, 1) - 1)::INT AS pos,
         |    unnest(c) AS sv FROM seeds),
         |sh AS (SELECT nm.cluster,
-        |    round(sqrt(sum((nm.m - sd.sv) * (nm.m - sd.sv))), 4)
+        |    (round(sqrt(sum((nm.m - sd.sv) * (nm.m - sd.sv))), 4) + 0.0)
         |      AS centroid_shift
         |  FROM nm JOIN sd ON nm.cluster = sd.cluster
         |    AND nm.pos = sd.pos
@@ -1886,7 +1886,7 @@ object ExperimentQueries {
         |    ELSE ${phiUpperSql("-z")} END AS pab
         |  FROM z)
         |SELECT n_a, x_a, n_b, x_b,
-        |  round(ma, 4) AS post_mean_a, round(mb, 4) AS post_mean_b,
+        |  (round(ma, 4) + 0.0) AS post_mean_a, (round(mb, 4) + 0.0) AS post_mean_b,
         |  round(pab, 4) AS prob_a_beats_b,
         |  pab > 0.95 OR pab < 0.05 AS decisive
         |FROM q""".stripMargin,
@@ -1928,7 +1928,7 @@ object ExperimentQueries {
         |  FROM z GROUP BY 1, 2)
         |SELECT user_id, sum(niv)::BIGINT AS n_intervals,
         |  count(*)::BIGINT AS n_islands,
-        |  round(sum(e - s) / 60000000.0, 2) AS covered_min
+        |  (round(sum(e - s) / 60000000.0, 2) + 0.0) AS covered_min
         |FROM ig GROUP BY 1 ORDER BY 1""".stripMargin,
     "q304_ratio_delta_method" ->
       """WITH per AS (SELECT user_id,
@@ -1946,9 +1946,9 @@ object ExperimentQueries {
         |      (my / mx) * (my / mx) * vx) / (n * mx * mx)) AS se
         |  FROM a)
         |SELECT n AS n_users, round(r, 4) AS ratio,
-        |  round(se, 4) AS se_delta,
-        |  round(r - 1.96 * se, 4) AS ci_lo,
-        |  round(r + 1.96 * se, 4) AS ci_hi
+        |  (round(se, 4) + 0.0) AS se_delta,
+        |  (round(r - 1.96 * se, 4) + 0.0) AS ci_lo,
+        |  (round(r + 1.96 * se, 4) + 0.0) AS ci_hi
         |FROM r""".stripMargin,
     "q305_median_impute" ->
       s"""WITH e AS (SELECT event_type, value,
@@ -1961,8 +1961,8 @@ object ExperimentQueries {
         |  count(CASE WHEN e.v IS NULL THEN 1 END)::BIGINT
         |    AS n_imputed,
         |  round(max(med.med), 2) AS median_used,
-        |  round(avg(e.v), 4) AS mean_before,
-        |  round(avg(coalesce(e.v, med.med)), 4) AS mean_after
+        |  (round(avg(e.v), 4) + 0.0) AS mean_before,
+        |  (round(avg(coalesce(e.v, med.med)), 4) + 0.0) AS mean_after
         |FROM e JOIN med ON e.event_type = med.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q299_file_lineage" ->
@@ -1984,7 +1984,7 @@ object ExperimentQueries {
              ("g3", "f3", "cust_mod10")).map { case (cte, f, name) =>
         s"""$cte AS (
            |  SELECT '$name' AS feature, count(*)::BIGINT AS n_values,
-           |    round(max(hy) - sum(p * hv), 6) AS info_gain_bits
+           |    (round(max(hy) - sum(p * hv), 6) + 0.0) AS info_gain_bits
            |  FROM (
            |    SELECT n / tot::DOUBLE AS p,
            |      CASE WHEN n1 / n::DOUBLE > 0 AND n1 / n::DOUBLE < 1
@@ -2062,8 +2062,8 @@ object ExperimentQueries {
         |    var_samp(CASE WHEN t THEN v END) AS va,
         |    var_samp(CASE WHEN NOT t THEN v END) AS vb
         |  FROM x GROUP BY 1)
-        |SELECT cap, round(ma - mb, 4) AS diff,
-        |  round(sqrt(va / na + vb / nb), 4) AS se,
+        |SELECT cap, (round(ma - mb, 4) + 0.0) AS diff,
+        |  (round(sqrt(va / na + vb / nb), 4) + 0.0) AS se,
         |  abs(ma - mb) > 1.96 * sqrt(va / na + vb / nb) AS significant
         |FROM g ORDER BY cap""".stripMargin,
     "q297_anova" ->
@@ -2078,8 +2078,8 @@ object ExperimentQueries {
         |    sum((n - 1) * v) AS ssw
         |  FROM g)
         |SELECT k AS k_groups, nt AS n_total,
-        |  round((ssb / (k - 1)) / (ssw / (nt - k)), 4) AS f_stat,
-        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |  (round((ssb / (k - 1)) / (ssw / (nt - k)), 4) + 0.0) AS f_stat,
+        |  (round(ssb / (ssb + ssw), 6) + 0.0) AS eta_sq
         |FROM x""".stripMargin,
     "q298_mde_power" ->
       """WITH pu AS (SELECT event_type, user_id, avg(value) AS m
@@ -2087,12 +2087,12 @@ object ExperimentQueries {
         |g AS (SELECT event_type, count(*)::BIGINT AS n_users,
         |    avg(m) AS mv, var_samp(m) AS vv
         |  FROM pu GROUP BY 1)
-        |SELECT event_type, n_users, round(mv, 4) AS metric_mean,
-        |  round(vv, 4) AS metric_var,
-        |  round((1.959963984540054 + 0.8416212335729143) *
-        |    sqrt(2.0 * vv / (n_users / 2.0)), 4) AS mde_abs,
-        |  round((1.959963984540054 + 0.8416212335729143) *
-        |    sqrt(2.0 * vv / (n_users / 2.0)) / mv, 4) AS mde_rel
+        |SELECT event_type, n_users, (round(mv, 4) + 0.0) AS metric_mean,
+        |  (round(vv, 4) + 0.0) AS metric_var,
+        |  (round((1.959963984540054 + 0.8416212335729143) *
+        |    sqrt(2.0 * vv / (n_users / 2.0)), 4) + 0.0) AS mde_abs,
+        |  (round((1.959963984540054 + 0.8416212335729143) *
+        |    sqrt(2.0 * vv / (n_users / 2.0)) / mv, 4) + 0.0) AS mde_rel
         |FROM g ORDER BY event_type""".stripMargin,
     "q290_cohort_ltv" ->
       """WITH cohort AS (SELECT user_id,
@@ -2207,11 +2207,11 @@ object ExperimentQueries {
         |      AS p1
         |  FROM d)
         |SELECT event_type, count(*)::BIGINT AS n_days_eval,
-        |  round(avg(abs(n - p7)), 4) AS mae_seasonal,
-        |  round(avg(abs(n - p1)), 4) AS mae_naive,
-        |  round(avg(abs(n - p7) / n::DOUBLE), 4) AS mape_seasonal,
-        |  round(1.0 - avg(abs(n - p7)) /
-        |    nullif(avg(abs(n - p1)), 0), 4) AS skill_vs_naive
+        |  (round(avg(abs(n - p7)), 4) + 0.0) AS mae_seasonal,
+        |  (round(avg(abs(n - p1)), 4) + 0.0) AS mae_naive,
+        |  (round(avg(abs(n - p7) / n::DOUBLE), 4) + 0.0) AS mape_seasonal,
+        |  (round(1.0 - avg(abs(n - p7)) /
+        |    nullif(avg(abs(n - p1)), 0), 4) + 0.0) AS skill_vs_naive
         |FROM l WHERE p7 IS NOT NULL AND p1 IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q288_xml_source" ->
@@ -2324,12 +2324,12 @@ object ExperimentQueries {
         |j AS (SELECT st.t, st.y, pf.p
         |  FROM st JOIN pf ON st.stratum = pf.stratum)
         |SELECT count(*)::BIGINT AS n_users,
-        |  round(avg(CASE WHEN t THEN y END) -
-        |    avg(CASE WHEN NOT t THEN y END), 4) AS naive_diff,
-        |  round(sum(CASE WHEN t THEN y / p END) /
+        |  (round(avg(CASE WHEN t THEN y END) -
+        |    avg(CASE WHEN NOT t THEN y END), 4) + 0.0) AS naive_diff,
+        |  (round(sum(CASE WHEN t THEN y / p END) /
         |      sum(CASE WHEN t THEN 1.0 / p END) -
         |    sum(CASE WHEN NOT t THEN y / (1.0 - p) END) /
-        |      sum(CASE WHEN NOT t THEN 1.0 / (1.0 - p) END), 4)
+        |      sum(CASE WHEN NOT t THEN 1.0 / (1.0 - p) END), 4) + 0.0)
         |    AS ipw_ate
         |FROM j""".stripMargin,
     "q283_auto_histogram" ->
@@ -2338,12 +2338,12 @@ object ExperimentQueries {
         |    quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
         |  FROM v),
         |h AS (SELECT n, lo,
-        |    greatest(round(2.0 * (q3 - q1) / pow(n::DOUBLE, 1.0 / 3.0),
-        |      0), 1.0) AS h
+        |    greatest((round(2.0 * (q3 - q1) / pow(n::DOUBLE, 1.0 / 3.0),
+        |      0) + 0.0), 1.0) AS h
         |  FROM s)
         |SELECT floor((v.v - h.lo) / h.h)::BIGINT AS bin,
         |  count(*)::BIGINT AS n,
-        |  round(max(h.lo + floor((v.v - h.lo) / h.h) * h.h), 2)
+        |  (round(max(h.lo + floor((v.v - h.lo) / h.h) * h.h), 2) + 0.0)
         |    AS bin_lo,
         |  round(max(h.h), 2) AS bin_width
         |FROM v, h GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2364,9 +2364,9 @@ object ExperimentQueries {
         |      ELSE 0.0 END AS hh_est
         |  FROM a, t)
         |SELECT f2 AS exact_f2, round(uni, 2) AS uniform_est,
-        |  round(hh_est, 2) AS hh_est,
+        |  (round(hh_est, 2) + 0.0) AS hh_est,
         |  round((uni - f2) / f2::DOUBLE, 4) AS uniform_rel_err,
-        |  round((hh_est - f2) / f2::DOUBLE, 4) AS hh_rel_err
+        |  (round((hh_est - f2) / f2::DOUBLE, 4) + 0.0) AS hh_rel_err
         |FROM x""".stripMargin,
     "q276_simpson" ->
       """WITH g AS (SELECT year(l_shipdate) AS ship_year,
@@ -2427,7 +2427,7 @@ object ExperimentQueries {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |      AS pbh
         |  FROM r)
-        |SELECT event_type, round(z, 4) AS z,
+        |SELECT event_type, (round(z, 4) + 0.0) AS z,
         |  round(p, 6) AS p_value, round(pbh, 6) AS p_bh,
         |  pbh <= 0.10 AS rejected_fdr10
         |FROM bh ORDER BY event_type""".stripMargin,
@@ -2450,9 +2450,9 @@ object ExperimentQueries {
         |    sum(s) OVER () / sum(n) OVER () AS gm,
         |    (sum(s) OVER () - s) / (sum(n) OVER () - n) AS loo
         |  FROM g)
-        |SELECT o_orderpriority, n, round(gm, 4) AS global_mean,
-        |  round(loo, 4) AS loo_mean,
-        |  round(loo - gm, 4) AS influence,
+        |SELECT o_orderpriority, n, (round(gm, 4) + 0.0) AS global_mean,
+        |  (round(loo, 4) + 0.0) AS loo_mean,
+        |  (round(loo - gm, 4) + 0.0) AS influence,
         |  abs(loo - gm) > 0.005 * abs(gm) AS influential
         |FROM x ORDER BY o_orderpriority""".stripMargin,
     "q270_cuped" ->
@@ -2460,10 +2460,10 @@ object ExperimentQueries {
         |a AS (SELECT count(*)::BIGINT AS n_users,
         |    covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy
         |  FROM per)
-        |SELECT n_users, round(cxy / nullif(vx, 0), 4) AS theta,
-        |  round(vy, 4) AS var_raw,
-        |  round(vy - cxy * cxy / nullif(vx, 0), 4) AS var_cuped,
-        |  round(cxy * cxy / nullif(vx * vy, 0), 4) AS var_reduction
+        |SELECT n_users, (round(cxy / nullif(vx, 0), 4) + 0.0) AS theta,
+        |  (round(vy, 4) + 0.0) AS var_raw,
+        |  (round(vy - cxy * cxy / nullif(vx, 0), 4) + 0.0) AS var_cuped,
+        |  (round(cxy * cxy / nullif(vx * vy, 0), 4) + 0.0) AS var_reduction
         |FROM a""".stripMargin,
     "q271_did" ->
       s"""WITH $prePostCte,
@@ -2483,12 +2483,12 @@ object ExperimentQueries {
         |    var_samp(CASE WHEN NOT tr THEN d END) AS vc
         |  FROM t)
         |SELECT n_treat, n_ctrl,
-        |  round(mtpre, 4) AS m_treat_pre,
-        |  round(mtpost, 4) AS m_treat_post,
-        |  round(mcpre, 4) AS m_ctrl_pre,
-        |  round(mcpost, 4) AS m_ctrl_post,
-        |  round(dt - dc, 4) AS did,
-        |  round(sqrt(vt / n_treat + vc / n_ctrl), 4) AS se,
+        |  (round(mtpre, 4) + 0.0) AS m_treat_pre,
+        |  (round(mtpost, 4) + 0.0) AS m_treat_post,
+        |  (round(mcpre, 4) + 0.0) AS m_ctrl_pre,
+        |  (round(mcpost, 4) + 0.0) AS m_ctrl_post,
+        |  (round(dt - dc, 4) + 0.0) AS did,
+        |  (round(sqrt(vt / n_treat + vc / n_ctrl), 4) + 0.0) AS se,
         |  abs(dt - dc) > 1.96 * sqrt(vt / n_treat + vc / n_ctrl)
         |    AS significant
         |FROM a""".stripMargin,
@@ -2509,9 +2509,9 @@ object ExperimentQueries {
         |y AS (SELECT o_orderpriority, n, n_bad,
         |    ln(dg / db) AS woe, (dg - db) * ln(dg / db) AS ivc
         |  FROM x)
-        |SELECT o_orderpriority, n, n_bad, round(woe, 4) AS woe,
+        |SELECT o_orderpriority, n, n_bad, (round(woe, 4) + 0.0) AS woe,
         |  round(ivc, 6) AS iv_contrib,
-        |  round(sum(ivc) OVER (), 6) AS iv_total
+        |  (round(sum(ivc) OVER (), 6) + 0.0) AS iv_total
         |FROM y ORDER BY o_orderpriority""".stripMargin,
     "q273_propensity_match" ->
       s"""WITH per AS (SELECT user_id, count(*)::BIGINT AS ne,
@@ -2538,10 +2538,10 @@ object ExperimentQueries {
         |  FROM st GROUP BY 1)
         |SELECT b.stratum, b.n_treated, b.n_control,
         |  coalesce(m.n_matched, 0)::BIGINT AS n_matched,
-        |  round((b.mt - b.mc) / nullif(sqrt((b.vt + b.vc) / 2), 0), 4)
+        |  (round((b.mt - b.mc) / nullif(sqrt((b.vt + b.vc) / 2), 0), 4) + 0.0)
         |    AS smd_before,
-        |  round((m.mt_m - m.mc_m) /
-        |    nullif(sqrt((m.vt_m + m.vc_m) / 2), 0), 4) AS smd_after
+        |  (round((m.mt_m - m.mc_m) /
+        |    nullif(sqrt((m.vt_m + m.vc_m) / 2), 0), 4) + 0.0) AS smd_after
         |FROM b LEFT JOIN m ON b.stratum = m.stratum
         |ORDER BY b.stratum""".stripMargin,
     "q274_hill_tail" ->
@@ -2562,15 +2562,15 @@ object ExperimentQueries {
         |  round(1.0 / nullif(g_raw, 0), 4) AS alpha
         |FROM (
         |  SELECT 25 AS k, fk25::BIGINT AS f_next,
-        |    round(s25 / 25 - ln(fk25), 4) AS gamma,
+        |    (round(s25 / 25 - ln(fk25), 4) + 0.0) AS gamma,
         |    s25 / 25 - ln(fk25) AS g_raw FROM a
         |  UNION ALL
         |  SELECT 50, fk50::BIGINT,
-        |    round(s50 / 50 - ln(fk50), 4),
+        |    (round(s50 / 50 - ln(fk50), 4) + 0.0),
         |    s50 / 50 - ln(fk50) FROM a
         |  UNION ALL
         |  SELECT 100, fk100::BIGINT,
-        |    round(s100 / 100 - ln(fk100), 4),
+        |    (round(s100 / 100 - ln(fk100), 4) + 0.0),
         |    s100 / 100 - ln(fk100) FROM a)
         |ORDER BY k""".stripMargin,
     "q275_randomization_test" ->
@@ -2588,11 +2588,11 @@ object ExperimentQueries {
         |        THEN p.m END) AS d
         |  FROM per p, (SELECT unnest(range(0, 64)) AS r) r
         |  GROUP BY 1)
-        |SELECT round(abs((SELECT obs FROM obs)), 4) AS abs_obs_diff,
+        |SELECT (round(abs((SELECT obs FROM obs)), 4) + 0.0) AS abs_obs_diff,
         |  count(*)::BIGINT AS n_reps,
-        |  round((count(CASE WHEN abs(d) >=
+        |  (round((count(CASE WHEN abs(d) >=
         |      abs((SELECT obs FROM obs)) THEN 1 END) + 1) /
-        |    (count(*) + 1)::DOUBLE, 4) AS p_value,
+        |    (count(*) + 1)::DOUBLE, 4) + 0.0) AS p_value,
         |  (count(CASE WHEN abs(d) >= abs((SELECT obs FROM obs))
         |      THEN 1 END) + 1) / (count(*) + 1)::DOUBLE <= 0.05
         |    AS reject_05

@@ -143,10 +143,10 @@ object ExtensionQueries {
         Seq("event_type", "month"))
       .select(col("event_type"), col("month"),
         col("cnt").as("n_events"),
-        round(col("sum_v"), 2).as("total_value"),
+        (round(col("sum_v"), 2) + lit(0.0)).as("total_value"),
         round(col("min_v"), 4).as("min_value"),
         round(col("max_v"), 4).as("max_value"),
-        round(col("sum_v") / col("cnt"), 4).as("avg_value"))
+        (round(col("sum_v") / col("cnt"), 4) + lit(0.0)).as("avg_value"))
       .orderBy(col("event_type"), col("month"))
   }
 
@@ -182,7 +182,7 @@ object ExtensionQueries {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_closed_sessions"),
         sum(col("n_events")).as("n_events"),
-        round(sum(col("session_value")), 2).as("total_value"))
+        (round(sum(col("session_value")), 2) + lit(0.0)).as("total_value"))
       .orderBy(col("user_id"))
   }
 
@@ -289,7 +289,7 @@ object ExtensionQueries {
     Tables.documents(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 2).as("avg_chars"))
+        (round(avg(col("n_chars")), 2) + lit(0.0)).as("avg_chars"))
       .orderBy(col("lang"))
 
   /** q22_quality — per-document quality scoring: token stats, stopword /
@@ -943,7 +943,7 @@ object ExtensionQueries {
     } finally s.conf.set(provKey, prevProv)
     s.table(sink)
       .select(col("user_id"), col("n_events"),
-        round(col("total_value"), 2).as("total_value"))
+        (round(col("total_value"), 2) + lit(0.0)).as("total_value"))
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(20)
   }
@@ -1094,7 +1094,7 @@ object ExtensionQueries {
     s.read.option("basePath", out).parquet(out + "/batch=*")
       .groupBy(col("event_type"))
       .agg(sum(col("n")).as("n_events"),
-        round(sum(col("val")), 2).as("total_value"))
+        (round(sum(col("val")), 2) + lit(0.0)).as("total_value"))
       .orderBy(col("event_type"))
   }
 
@@ -1220,7 +1220,7 @@ object ExtensionQueries {
         |mx AS (SELECT user_id, max(session_id) AS last_s FROM agg GROUP BY user_id),
         |wm AS (SELECT max(us) - 600000000 AS watermark FROM e)
         |SELECT a.user_id, count(*) AS n_closed_sessions,
-        |  sum(a.ne)::BIGINT AS n_events, round(sum(a.sv), 2) AS total_value
+        |  sum(a.ne)::BIGINT AS n_events, (round(sum(a.sv), 2) + 0.0) AS total_value
         |FROM agg a JOIN mx USING (user_id), wm
         |WHERE a.session_id < mx.last_s
         |   OR a.last_us + 1800000000 <= wm.watermark
@@ -1261,7 +1261,7 @@ object ExtensionQueries {
         |u AS (SELECT user_id, count(*)::BIGINT AS n_events,
         |    sum(v) AS total_value, max(us) // 1000 AS mx
         |  FROM rec GROUP BY 1)
-        |SELECT user_id, n_events, round(total_value, 2) AS total_value
+        |SELECT user_id, n_events, (round(total_value, 2) + 0.0) AS total_value
         |FROM u, w WHERE u.mx + 1800000 < w.wm
         |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
     "q364_transform_with_state" ->
@@ -1331,7 +1331,7 @@ object ExtensionQueries {
       s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_lang_hist" ->
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+      """SELECT lang, count(*) AS n_docs, (round(avg(n_chars), 2) + 0.0) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q22_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)

@@ -29,7 +29,7 @@ object FunctionQueries {
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
-        round(sum(col("o_totalprice")).over(wf), 2).as("running_total"))
+        (round(sum(col("o_totalprice")).over(wf), 2) + lit(0.0)).as("running_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -138,7 +138,7 @@ object FunctionQueries {
     o.join(broadcast(avgPrice))
       .filter(col("o_totalprice") > col("a") * 1.5)
       .select(col("o_orderkey"),
-        round(col("o_totalprice") - col("a"), 2).as("above_avg"))
+        (round(col("o_totalprice") - col("a"), 2) + lit(0.0)).as("above_avg"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -324,9 +324,9 @@ object FunctionQueries {
         |  lead(o_totalprice) OVER w AS next_price,
         |  CAST(rank() OVER w AS INT) AS rnk,
         |  CAST(dense_rank() OVER w AS INT) AS drnk,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  (round(sum(o_totalprice) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0.0) AS running_total
         |FROM orders WHERE o_custkey <= 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -384,7 +384,7 @@ object FunctionQueries {
         |ORDER BY s_suppkey NULLS FIRST, l_suppkey NULLS FIRST""".stripMargin,
     "q39_scalar_subquery" ->
       """SELECT o_orderkey,
-        |  round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2) AS above_avg
+        |  (round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2) + 0.0) AS above_avg
         |FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
         |ORDER BY o_orderkey""".stripMargin,

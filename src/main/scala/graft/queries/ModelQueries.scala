@@ -74,10 +74,10 @@ object ModelQueries {
     spend.withColumn("__rk", row_number().over(w))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("__spend")), 2).as("total_spend"),
-        round(lit(2) * sum(col("__rk") * col("__spend")) /
+        (round(sum(col("__spend")), 2) + lit(0.0)).as("total_spend"),
+        (round(lit(2) * sum(col("__rk") * col("__spend")) /
           (count(lit(1)) * sum(col("__spend"))) -
-          (count(lit(1)) + 1) / count(lit(1)).cast("double"), 4).as("gini"))
+          (count(lit(1)) + 1) / count(lit(1)).cast("double"), 4) + lit(0.0)).as("gini"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -107,19 +107,19 @@ object ModelQueries {
         max(col("n")).as("n"),
         count_distinct(col("x")).as("r"),
         count_distinct(col("y")).as("c"),
-        round(sum((col("o") / col("n")) *
-          log(col("o") * col("n") / (col("rx") * col("cy")))), 4).as("mi"),
-        round(sum((col("o") / col("n")) *
+        (round(sum((col("o") / col("n")) *
+          log(col("o") * col("n") / (col("rx") * col("cy")))), 4) + lit(0.0)).as("mi"),
+        (round(sum((col("o") / col("n")) *
             log(col("o") * col("n") / (col("rx") * col("cy")))) /
           sqrt(sum((col("o") / col("n")) * -log(col("rx") / col("n"))) *
-            sum((col("o") / col("n")) * -log(col("cy") / col("n")))), 4)
+            sum((col("o") / col("n")) * -log(col("cy") / col("n")))), 4) + lit(0.0))
           .as("nmi"),
-        round(sum(col("o") * col("o") * col("n") / (col("rx") * col("cy"))) -
-          max(col("n")), 4).as("chi2"),
-        round(sqrt((sum(col("o") * col("o") * col("n") /
+        (round(sum(col("o") * col("o") * col("n") / (col("rx") * col("cy"))) -
+          max(col("n")), 4) + lit(0.0)).as("chi2"),
+        (round(sqrt((sum(col("o") * col("o") * col("n") /
             (col("rx") * col("cy"))) - max(col("n"))) /
           (max(col("n")) * least(count_distinct(col("x")) - 1,
-            count_distinct(col("y")) - 1))), 4).as("cramers_v"))
+            count_distinct(col("y")) - 1))), 4) + lit(0.0)).as("cramers_v"))
   }
 
   /** q205_welch_ttest — Welch's unequal-variance two-sample t-test per
@@ -240,8 +240,8 @@ object ModelQueries {
       .agg(max(col("__m")).as("__iso"))
     bins.join(iso, Seq("b"))
       .select(col("b"), col("n"), col("pos"),
-        round(col("pos") / col("n").cast("double"), 4).as("frac_pos"),
-        round(col("__iso"), 6).as("iso_calibrated"), col("mean_score"))
+        (round(col("pos") / col("n").cast("double"), 4) + lit(0.0)).as("frac_pos"),
+        (round(col("__iso"), 6) + lit(0.0)).as("iso_calibrated"), col("mean_score"))
       .orderBy(col("b"))
   }
 
@@ -274,11 +274,11 @@ object ModelQueries {
       .withColumn("__shrunk", (col("x") + col("__alpha")) /
         (col("n") + col("__alpha") + col("__beta")))
       .select(col("o_custkey"), col("n"), col("x"),
-        round(col("__raw"), 4).as("raw_rate"),
-        round(col("__shrunk"), 4).as("shrunk_rate"),
-        round(col("__alpha"), 4).as("alpha"),
-        round(col("__beta"), 4).as("beta"),
-        round(abs(col("__raw") - col("__shrunk")), 6).as("__mv"))
+        (round(col("__raw"), 4) + lit(0.0)).as("raw_rate"),
+        (round(col("__shrunk"), 4) + lit(0.0)).as("shrunk_rate"),
+        (round(col("__alpha"), 4) + lit(0.0)).as("alpha"),
+        (round(col("__beta"), 4) + lit(0.0)).as("beta"),
+        (round(abs(col("__raw") - col("__shrunk")), 6) + lit(0.0)).as("__mv"))
       .orderBy(col("__mv").desc, col("o_custkey"))
       .limit(10)
       .drop("__mv")
@@ -323,17 +323,17 @@ object ModelQueries {
         sum(col("__r2")).as("__s2"), sum(col("__r2") * col("x")).as("__sx2"),
         sum(col("__r2") * col("x") * col("x")).as("__sxx2"))
       .select(col("n"),
-        round(col("__s1") / col("n"), 4).as("w1"),
-        round(col("__s2") / col("n"), 4).as("w2"),
-        round(try_divide(col("__sx1"), col("__s1")), 2).as("mu1"),
-        round(try_divide(col("__sx2"), col("__s2")), 2).as("mu2"),
-        round(sqrt(try_divide(col("__sxx1"), col("__s1")) -
+        (round(col("__s1") / col("n"), 4) + lit(0.0)).as("w1"),
+        (round(col("__s2") / col("n"), 4) + lit(0.0)).as("w2"),
+        (round(try_divide(col("__sx1"), col("__s1")), 2) + lit(0.0)).as("mu1"),
+        (round(try_divide(col("__sx2"), col("__s2")), 2) + lit(0.0)).as("mu2"),
+        (round(sqrt(try_divide(col("__sxx1"), col("__s1")) -
           try_divide(col("__sx1"), col("__s1")) *
-            try_divide(col("__sx1"), col("__s1"))), 2)
+            try_divide(col("__sx1"), col("__s1"))), 2) + lit(0.0))
           .as("sd1"),
-        round(sqrt(try_divide(col("__sxx2"), col("__s2")) -
+        (round(sqrt(try_divide(col("__sxx2"), col("__s2")) -
           try_divide(col("__sx2"), col("__s2")) *
-            try_divide(col("__sx2"), col("__s2"))), 2)
+            try_divide(col("__sx2"), col("__s2"))), 2) + lit(0.0))
           .as("sd2"))
   }
 
@@ -382,11 +382,11 @@ object ModelQueries {
       .withColumn("__unc", col("__obar") * (lit(1.0) - col("__obar")))
       .withColumn("__wv", (col("__wvp") - lit(2.0) * col("__wcov")) / col("__N"))
       .select(col("__N").cast("long").as("n"),
-        round(col("__brier"), 4).as("brier"),
-        round(col("__rel"), 4).as("reliability"),
-        round(col("__res"), 4).as("resolution"),
-        round(col("__unc"), 4).as("uncertainty"),
-        round(col("__wv"), 4).as("within_bin_term"),
+        (round(col("__brier"), 4) + lit(0.0)).as("brier"),
+        (round(col("__rel"), 4) + lit(0.0)).as("reliability"),
+        (round(col("__res"), 4) + lit(0.0)).as("resolution"),
+        (round(col("__unc"), 4) + lit(0.0)).as("uncertainty"),
+        (round(col("__wv"), 4) + lit(0.0)).as("within_bin_term"),
         (abs(col("__brier") - (col("__rel") - col("__res") +
           col("__unc") + col("__wv"))) < 1e-9).as("identity_exact"))
   }
@@ -435,8 +435,8 @@ object ModelQueries {
           .as("__ap"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n"))))
       .select(col("n"), col("n_pos"),
-        round(col("__ap"), 4).as("avg_precision"),
-        round(col("n_pos").cast("double") / col("n"), 4)
+        (round(col("__ap"), 4) + lit(0.0)).as("avg_precision"),
+        (round(col("n_pos").cast("double") / col("n"), 4) + lit(0.0))
           .as("baseline_prevalence"))
   }
 
@@ -477,10 +477,10 @@ object ModelQueries {
         sum(col("y") * col("__eta") - log(lit(1.0) + exp(col("__eta"))))
           .as("__ll1"))
       .select(col("n"),
-        round(col("__b0"), 6).as("beta0"),
-        round(col("__b1"), 6).as("beta1"),
-        round(-col("n") * math.log(2.0), 4).as("ll_null"),
-        round(col("__ll1"), 4).as("ll_newton"),
+        (round(col("__b0"), 6) + lit(0.0)).as("beta0"),
+        (round(col("__b1"), 6) + lit(0.0)).as("beta1"),
+        (round(-col("n") * math.log(2.0), 4) + lit(0.0)).as("ll_null"),
+        (round(col("__ll1"), 4) + lit(0.0)).as("ll_newton"),
         (col("__ll1") > -col("n") * math.log(2.0)).as("improved"))
   }
 
@@ -546,11 +546,11 @@ object ModelQueries {
           col("__b2") * col("x2"))
       .withColumn("__e0", col("y") - col("__sy") / col("__n"))
       .agg(count(lit(1)).as("n"),
-        round(max(col("__b0")), 6).as("beta0"),
-        round(max(col("__b1")), 6).as("beta1"),
-        round(max(col("__b2")), 6).as("beta2"),
-        round(sqrt(avg(col("__e") * col("__e"))), 4).as("rmse"),
-        round(sqrt(avg(col("__e0") * col("__e0"))), 4).as("rmse_null"))
+        (round(max(col("__b0")), 6) + lit(0.0)).as("beta0"),
+        (round(max(col("__b1")), 6) + lit(0.0)).as("beta1"),
+        (round(max(col("__b2")), 6) + lit(0.0)).as("beta2"),
+        (round(sqrt(avg(col("__e") * col("__e"))), 4) + lit(0.0)).as("rmse"),
+        (round(sqrt(avg(col("__e0") * col("__e0"))), 4) + lit(0.0)).as("rmse_null"))
   }
 
   /** q399_davies_bouldin — Davies–Bouldin cluster-validity index over
@@ -604,9 +604,9 @@ object ModelQueries {
       .agg(max(col("__r")).as("__rmax"))
     rij.crossJoin(broadcast(
         rij.agg(avg(col("__rmax")).as("__db"))))
-      .select(col("code"), col("n"), round(col("__s"), 4).as("scatter"),
-        round(col("__rmax"), 4).as("r_max"),
-        round(col("__db"), 4).as("db_index"))
+      .select(col("code"), col("n"), (round(col("__s"), 4) + lit(0.0)).as("scatter"),
+        (round(col("__rmax"), 4) + lit(0.0)).as("r_max"),
+        (round(col("__db"), 4) + lit(0.0)).as("db_index"))
       .orderBy(col("code"))
   }
 
@@ -649,8 +649,8 @@ object ModelQueries {
         .as("__rmse"))
     v0.join(v1, Seq("event_type")).join(rmse, Seq("event_type"))
       .select(col("event_type"), round(col("v0"), 6).as("item_init"),
-        col("n_users"), round(col("v1"), 6).as("item_factor"),
-        round(col("__rmse"), 4).as("rmse"))
+        col("n_users"), (round(col("v1"), 6) + lit(0.0)).as("item_factor"),
+        (round(col("__rmse"), 4) + lit(0.0)).as("rmse"))
       .orderBy(col("event_type"))
   }
 
@@ -685,10 +685,10 @@ object ModelQueries {
       .join(broadcast(preds), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_test"),
-        round(avg(greatest(lit(0.5) * (col("y") - col("p50")),
-          lit(-0.5) * (col("y") - col("p50")))), 4).as("pinball_p50"),
-        round(avg(greatest(lit(0.9) * (col("y") - col("p90")),
-          lit(-0.1) * (col("y") - col("p90")))), 4).as("pinball_p90"),
+        (round(avg(greatest(lit(0.5) * (col("y") - col("p50")),
+          lit(-0.5) * (col("y") - col("p50")))), 4) + lit(0.0)).as("pinball_p50"),
+        (round(avg(greatest(lit(0.9) * (col("y") - col("p90")),
+          lit(-0.1) * (col("y") - col("p90")))), 4) + lit(0.0)).as("pinball_p90"),
         round(avg((col("y") <= col("p90")).cast("double")), 4)
           .as("cov_p90"))
       .orderBy(col("event_type"))
@@ -734,10 +734,10 @@ object ModelQueries {
         .join(broadcast(mu1), Seq("event_type")), "__mu1", "__mu2")
     base.join(mu1, Seq("event_type")).join(mu2, Seq("event_type"))
       .select(col("event_type"), col("n"),
-        round(col("__mu0"), 4).as("mean"),
-        round(col("__delta"), 4).as("delta"),
-        round(col("__mu1"), 4).as("huber_mu_iter1"),
-        round(col("__mu2"), 4).as("huber_mu_iter2"))
+        (round(col("__mu0"), 4) + lit(0.0)).as("mean"),
+        (round(col("__delta"), 4) + lit(0.0)).as("delta"),
+        (round(col("__mu1"), 4) + lit(0.0)).as("huber_mu_iter1"),
+        (round(col("__mu2"), 4) + lit(0.0)).as("huber_mu_iter2"))
       .orderBy(col("event_type"))
   }
 
@@ -782,8 +782,8 @@ object ModelQueries {
             (col("__py") - col("__my")) * (col("__py") - col("__my"))))
           .as("__avgd"))
     obj.select(col("n_points"),
-      round(col("__mx"), 4).as("gm_x"), round(col("__my"), 4).as("gm_y"),
-      round(col("__avgd"), 4).as("avg_dist"))
+      (round(col("__mx"), 4) + lit(0.0)).as("gm_x"), (round(col("__my"), 4) + lit(0.0)).as("gm_y"),
+      (round(col("__avgd"), 4) + lit(0.0)).as("avg_dist"))
   }
 
   /** q412_adaboost — two AdaBoost.M1 rounds of decision stumps on the
@@ -861,12 +861,12 @@ object ModelQueries {
       col("__f1").as("feat"), col("__t1").as("thr"),
       col("__p1").as("pol"), round(col("__e1"), 6).as("err"),
       round(col("__a1"), 4).as("alpha"),
-      round(col("__acc"), 4).as("ensemble_train_acc"))
+      (round(col("__acc"), 4) + lit(0.0)).as("ensemble_train_acc"))
     val r2 = b2.crossJoin(broadcast(acc)).select(lit(2).as("round_no"),
       col("__f2").as("feat"), col("__t2").as("thr"),
       col("__p2").as("pol"), round(col("__e2"), 6).as("err"),
       round(col("__a2"), 4).as("alpha"),
-      round(col("__acc"), 4).as("ensemble_train_acc"))
+      (round(col("__acc"), 4) + lit(0.0)).as("ensemble_train_acc"))
     r1.unionByName(r2).orderBy(col("round_no"))
   }
 
@@ -945,11 +945,11 @@ object ModelQueries {
         |      AS acc
         |  FROM pts, b1, b2)
         |SELECT 1 AS round_no, b1.feat, b1.thr, b1.pol,
-        |  round(b1.err, 6) AS err, round(b1.alpha, 4) AS alpha,
+        |  (round(b1.err, 6) + 0.0) AS err, (round(b1.alpha, 4) + 0.0) AS alpha,
         |  round(sc.acc, 4) AS ensemble_train_acc FROM b1, sc
         |UNION ALL
-        |SELECT 2, b2.feat, b2.thr, b2.pol, round(b2.err, 6),
-        |  round(b2.alpha, 4), round(sc.acc, 4) FROM b2, sc
+        |SELECT 2, b2.feat, b2.thr, b2.pol, (round(b2.err, 6) + 0.0),
+        |  (round(b2.alpha, 4) + 0.0), round(sc.acc, 4) FROM b2, sc
         |ORDER BY round_no""".stripMargin,
     "q406_huber_m" ->
       """WITH pts AS (SELECT event_type, value::DOUBLE AS x
@@ -971,10 +971,10 @@ object ModelQueries {
         |         ELSE delta / abs(x - mu1) END), 0) AS mu2
         |  FROM pts p JOIN b USING (event_type)
         |    JOIN i1 USING (event_type) GROUP BY 1)
-        |SELECT b.event_type, n, round(mu0, 4) AS mean,
-        |  round(delta, 4) AS delta,
-        |  round(mu1, 4) AS huber_mu_iter1,
-        |  round(mu2, 4) AS huber_mu_iter2
+        |SELECT b.event_type, n, (round(mu0, 4) + 0.0) AS mean,
+        |  (round(delta, 4) + 0.0) AS delta,
+        |  (round(mu1, 4) + 0.0) AS huber_mu_iter1,
+        |  (round(mu2, 4) + 0.0) AS huber_mu_iter2
         |FROM b JOIN i1 USING (event_type) JOIN i2 USING (event_type)
         |ORDER BY event_type""".stripMargin,
     "q407_geometric_median" ->
@@ -1003,7 +1003,7 @@ object ModelQueries {
         |    avg(sqrt((px - mx) * (px - mx) + (py - my) * (py - my)))
         |      AS avgd
         |  FROM pts, s3 s)
-        |SELECT n_points, round(mx, 4) AS gm_x, round(my, 4) AS gm_y,
+        |SELECT n_points, (round(mx, 4) + 0.0) AS gm_x, (round(my, 4) + 0.0) AS gm_y,
         |  round(avgd, 4) AS avg_dist FROM o""".stripMargin,
     "q399_davies_bouldin" ->
       """WITH v AS (SELECT vec_id,
@@ -1012,13 +1012,13 @@ object ModelQueries {
         |ini AS (SELECT vec_id::INT AS code, v AS cv FROM v
         |  WHERE vec_id < 4),
         |ar AS (SELECT v.vec_id, i.code,
-        |    round(list_sum(list_transform(range(1, 65),
-        |      k -> (v.v[k] - i.cv[k]) ^ 2)), 6) AS d
+        |    (round(list_sum(list_transform(range(1, 65),
+        |      k -> (v.v[k] - i.cv[k]) ^ 2)), 6) + 0.0) AS d
         |  FROM v, ini i),
         |asg AS (SELECT vec_id, code FROM (SELECT *, row_number()
         |    OVER (PARTITION BY vec_id ORDER BY d, code) AS rk
         |  FROM ar) WHERE rk = 1),
-        |cent AS (SELECT a.code, k.k AS pos, round(avg(v.v[k.k]), 6) AS c
+        |cent AS (SELECT a.code, k.k AS pos, (round(avg(v.v[k.k]), 6) + 0.0) AS c
         |  FROM asg a JOIN v USING (vec_id),
         |    (SELECT unnest(range(1, 65)) AS k) k
         |  GROUP BY 1, 2),
@@ -1036,8 +1036,8 @@ object ModelQueries {
         |    sc j JOIN cl cj ON j.code = cj.code
         |  WHERE i.code <> j.code GROUP BY 1, 2, 3),
         |db AS (SELECT avg(rmax) AS db FROM r)
-        |SELECT code, n, round(s, 4) AS scatter,
-        |  round(rmax, 4) AS r_max, round(db.db, 4) AS db_index
+        |SELECT code, n, (round(s, 4) + 0.0) AS scatter,
+        |  (round(rmax, 4) + 0.0) AS r_max, (round(db.db, 4) + 0.0) AS db_index
         |FROM r, db ORDER BY code""".stripMargin,
     "q397_ridge_gram" ->
       """WITH d AS (SELECT l_quantity::DOUBLE AS x1,
@@ -1066,11 +1066,11 @@ object ModelQueries {
         |      + sy * (s1 * s12 - a11 * s2)) / dt AS b2
         |  FROM det)
         |SELECT count(*)::BIGINT AS n,
-        |  round(max(b.b0), 6) AS beta0, round(max(b.b1), 6) AS beta1,
-        |  round(max(b.b2), 6) AS beta2,
-        |  round(sqrt(avg((y - b.b0 - b.b1 * x1 - b.b2 * x2) ^ 2)), 4)
+        |  (round(max(b.b0), 6) + 0.0) AS beta0, (round(max(b.b1), 6) + 0.0) AS beta1,
+        |  (round(max(b.b2), 6) + 0.0) AS beta2,
+        |  (round(sqrt(avg((y - b.b0 - b.b1 * x1 - b.b2 * x2) ^ 2)), 4) + 0.0)
         |    AS rmse,
-        |  round(sqrt(avg((y - b.sy / b.n) ^ 2)), 4) AS rmse_null
+        |  (round(sqrt(avg((y - b.sy / b.n) ^ 2)), 4) + 0.0) AS rmse_null
         |FROM d, b""".stripMargin,
     "q383_pinball_loss" ->
       """WITH e AS (SELECT event_type, ts::DATE AS day,
@@ -1081,9 +1081,9 @@ object ModelQueries {
         |    quantile_cont(y, 0.5) AS p50, quantile_cont(y, 0.9) AS p90
         |  FROM e, c WHERE day < cut GROUP BY 1)
         |SELECT e.event_type, count(*)::BIGINT AS n_test,
-        |  round(avg(greatest(0.5 * (y - p50), -0.5 * (y - p50))), 4)
+        |  (round(avg(greatest(0.5 * (y - p50), -0.5 * (y - p50))), 4) + 0.0)
         |    AS pinball_p50,
-        |  round(avg(greatest(0.9 * (y - p90), -0.1 * (y - p90))), 4)
+        |  (round(avg(greatest(0.9 * (y - p90), -0.1 * (y - p90))), 4) + 0.0)
         |    AS pinball_p90,
         |  round(avg(CASE WHEN y <= p90 THEN 1.0 ELSE 0.0 END), 4)
         |    AS cov_p90
@@ -1112,8 +1112,8 @@ object ModelQueries {
         |    (sumo / nn) * (1.0 - sumo / nn) AS unc,
         |    (wvp - 2 * wcov) / nn AS wv
         |  FROM a)
-        |SELECT nn::BIGINT AS n, round(brier, 4) AS brier,
-        |  round(rel, 4) AS reliability, round(res, 4) AS resolution,
+        |SELECT nn::BIGINT AS n, (round(brier, 4) + 0.0) AS brier,
+        |  (round(rel, 4) + 0.0) AS reliability, round(res, 4) AS resolution,
         |  round(unc, 4) AS uncertainty,
         |  round(wv, 4) AS within_bin_term,
         |  abs(brier - (rel - res + unc + wv)) < 1e-9
@@ -1132,7 +1132,7 @@ object ModelQueries {
         |    avg(prk::DOUBLE / rk) AS ap
         |  FROM r WHERE pos = 1)
         |SELECT (SELECT count(*) FROM e)::BIGINT AS n, n_pos,
-        |  round(ap, 4) AS avg_precision,
+        |  (round(ap, 4) + 0.0) AS avg_precision,
         |  round(n_pos::DOUBLE / (SELECT count(*) FROM e), 4)
         |    AS baseline_prevalence
         |FROM a""".stripMargin,
@@ -1154,8 +1154,8 @@ object ModelQueries {
         |      ln(1.0 + exp(b.b0 + b.b1 * o.x))) AS ll1
         |  FROM o CROSS JOIN b)
         |SELECT n, round(b0, 6) AS beta0, round(b1, 6) AS beta1,
-        |  round(-n * ln(2.0), 4) AS ll_null,
-        |  round(ll1, 4) AS ll_newton,
+        |  (round(-n * ln(2.0), 4) + 0.0) AS ll_null,
+        |  (round(ll1, 4) + 0.0) AS ll_newton,
         |  ll1 > -n * ln(2.0) AS improved
         |FROM l""".stripMargin,
     "q354_als_step" ->
@@ -1176,8 +1176,8 @@ object ModelQueries {
         |  FROM r JOIN u1 USING (user_id) JOIN v1 USING (event_type)
         |  GROUP BY 1)
         |SELECT event_type, round(v0.v0, 6) AS item_init,
-        |  v1.n_users, round(v1.v1, 6) AS item_factor,
-        |  round(e.rmse, 4) AS rmse
+        |  v1.n_users, (round(v1.v1, 6) + 0.0) AS item_factor,
+        |  (round(e.rmse, 4) + 0.0) AS rmse
         |FROM v0 JOIN v1 USING (event_type) JOIN e USING (event_type)
         |ORDER BY event_type""".stripMargin,
     "q344_gmm_em_step" ->
@@ -1198,10 +1198,10 @@ object ModelQueries {
         |    sum(r1) AS s1, sum(r1 * x) AS sx1, sum(r1 * x * x) AS sxx1,
         |    sum(r2) AS s2, sum(r2 * x) AS sx2, sum(r2 * x * x) AS sxx2
         |  FROM r)
-        |SELECT n, round(s1 / n, 4) AS w1, round(s2 / n, 4) AS w2,
-        |  round(sx1 / s1, 2) AS mu1, round(sx2 / s2, 2) AS mu2,
-        |  round(sqrt(sxx1 / s1 - (sx1 / s1) * (sx1 / s1)), 2) AS sd1,
-        |  round(sqrt(sxx2 / s2 - (sx2 / s2) * (sx2 / s2)), 2) AS sd2
+        |SELECT n, (round(s1 / n, 4) + 0.0) AS w1, (round(s2 / n, 4) + 0.0) AS w2,
+        |  (round(sx1 / s1, 2) + 0.0) AS mu1, (round(sx2 / s2, 2) + 0.0) AS mu2,
+        |  (round(sqrt(sxx1 / s1 - (sx1 / s1) * (sx1 / s1)), 2) + 0.0) AS sd1,
+        |  (round(sqrt(sxx2 / s2 - (sx2 / s2) * (sx2 / s2)), 2) + 0.0) AS sd2
         |FROM a""".stripMargin,
     "q328_eb_shrinkage" ->
       """WITH g AS (SELECT o_custkey, count(*)::BIGINT AS n,
@@ -1220,8 +1220,8 @@ object ModelQueries {
         |    pr.alpha, pr.beta
         |  FROM r, pr)
         |SELECT o_custkey, n, x, round(raw, 4) AS raw_rate,
-        |  round(shrunk, 4) AS shrunk_rate, round(alpha, 4) AS alpha,
-        |  round(beta, 4) AS beta
+        |  round(shrunk, 4) AS shrunk_rate, (round(alpha, 4) + 0.0) AS alpha,
+        |  (round(beta, 4) + 0.0) AS beta
         |FROM sh
         |ORDER BY round(abs(raw - shrunk), 6) DESC, o_custkey
         |LIMIT 10""".stripMargin,
@@ -1245,7 +1245,7 @@ object ModelQueries {
         |    ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING
         |    AND CURRENT ROW) AS mv FROM p),
         |iso AS (SELECT k AS b, max(mv) AS iso FROM m GROUP BY 1)
-        |SELECT bins.b, n, pos, round(pos / n::DOUBLE, 4) AS frac_pos,
+        |SELECT bins.b, n, pos, (round(pos / n::DOUBLE, 4) + 0.0) AS frac_pos,
         |  round(iso.iso, 6) AS iso_calibrated, mean_score
         |FROM bins JOIN iso USING (b) ORDER BY bins.b""".stripMargin,
     "q225_wilson_ci" ->
@@ -1260,12 +1260,12 @@ object ModelQueries {
         |  FROM a)
         |SELECT o_orderpriority, n, x,
         |  round(p, 4) AS rate,
-        |  round(((p + (1.96 * 1.96) / (2.0 * n)) / denom) -
+        |  (round(((p + (1.96 * 1.96) / (2.0 * n)) / denom) -
         |    (1.96 * sqrt(p * (1.0 - p) / n +
-        |      (1.96 * 1.96) / (4.0 * n::DOUBLE * n))) / denom, 4) AS ci_lo,
-        |  round(((p + (1.96 * 1.96) / (2.0 * n)) / denom) +
+        |      (1.96 * 1.96) / (4.0 * n::DOUBLE * n))) / denom, 4) + 0.0) AS ci_lo,
+        |  (round(((p + (1.96 * 1.96) / (2.0 * n)) / denom) +
         |    (1.96 * sqrt(p * (1.0 - p) / n +
-        |      (1.96 * 1.96) / (4.0 * n::DOUBLE * n))) / denom, 4) AS ci_hi
+        |      (1.96 * 1.96) / (4.0 * n::DOUBLE * n))) / denom, 4) + 0.0) AS ci_hi
         |FROM m ORDER BY o_orderpriority""".stripMargin,
     "q207_prop_ztest" ->
       """WITH a AS (
@@ -1306,10 +1306,10 @@ object ModelQueries {
         |    AS rcsum
         |  FROM ma FULL OUTER JOIN mb USING (k))
         |SELECT n,
-        |  round(agree::DOUBLE / n, 4) AS po,
-        |  round(rcsum / (n::DOUBLE * n::DOUBLE), 4) AS pe,
-        |  round((agree::DOUBLE / n - rcsum / (n::DOUBLE * n::DOUBLE)) /
-        |    (1.0 - rcsum / (n::DOUBLE * n::DOUBLE)), 4) AS kappa
+        |  (round(agree::DOUBLE / n, 4) + 0.0) AS po,
+        |  (round(rcsum / (n::DOUBLE * n::DOUBLE), 4) + 0.0) AS pe,
+        |  (round((agree::DOUBLE / n - rcsum / (n::DOUBLE * n::DOUBLE)) /
+        |    (1.0 - rcsum / (n::DOUBLE * n::DOUBLE)), 4) + 0.0) AS kappa
         |FROM base, rc""".stripMargin,
     "q205_welch_ttest" ->
       """WITH j AS (
@@ -1330,8 +1330,8 @@ object ModelQueries {
         |    ((ssb - sb * sb / n_b) / (n_b - 1)) / n_b AS seb
         |  FROM a)
         |SELECT c_mktsegment, n_a, n_b,
-        |  round(sa / n_a, 2) AS mean_a, round(sb / n_b, 2) AS mean_b,
-        |  round((sa / n_a - sb / n_b) / sqrt(sea + seb), 4) AS t_stat,
+        |  (round(sa / n_a, 2) + 0.0) AS mean_a, (round(sb / n_b, 2) + 0.0) AS mean_b,
+        |  (round((sa / n_a - sb / n_b) / sqrt(sea + seb), 4) + 0.0) AS t_stat,
         |  round((sea + seb) * (sea + seb) /
         |    (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 2)
         |    AS welch_df
@@ -1346,11 +1346,11 @@ object ModelQueries {
         |    sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
-        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4)
+        |  (round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) + 0.0) AS slope,
+        |  (round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) + 0.0)
         |    AS intercept,
-        |  round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
-        |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+        |  (round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+        |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) + 0.0) AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q190_auc" ->
       """WITH ps AS (
@@ -1366,9 +1366,9 @@ object ModelQueries {
         |  FROM ps)
         |SELECT o_orderpriority,
         |  sum(pos)::BIGINT AS n_pos, sum(cnt - pos)::BIGINT AS n_neg,
-        |  round((sum(pos * avg_rank) -
+        |  (round((sum(pos * avg_rank) -
         |      sum(pos)::BIGINT * (sum(pos)::BIGINT + 1) / 2.0) /
-        |    (sum(pos)::BIGINT * sum(cnt - pos)::BIGINT), 4) AS auc
+        |    (sum(pos)::BIGINT * sum(cnt - pos)::BIGINT), 4) + 0.0) AS auc
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q195_gini_lorenz" ->
       """WITH spend AS (
@@ -1380,9 +1380,9 @@ object ModelQueries {
         |      ORDER BY spend, o_custkey) AS rk
         |  FROM spend JOIN customer ON o_custkey = c_custkey)
         |SELECT c_mktsegment, count(*) AS n_customers,
-        |  round(sum(spend), 2) AS total_spend,
-        |  round(2.0 * sum(rk * spend) / (count(*) * sum(spend)) -
-        |    (count(*) + 1) / count(*)::DOUBLE, 4) AS gini
+        |  (round(sum(spend), 2) + 0.0) AS total_spend,
+        |  (round(2.0 * sum(rk * spend) / (count(*) * sum(spend)) -
+        |    (count(*) + 1) / count(*)::DOUBLE, 4) + 0.0) AS gini
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q198_mutual_info" ->
       """WITH cells AS (
@@ -1396,15 +1396,15 @@ object ModelQueries {
         |    (sum(o) OVER ())::BIGINT AS n, x, y
         |  FROM cells)
         |SELECT max(n) AS n, count(DISTINCT x) AS r, count(DISTINCT y) AS c,
-        |  round(sum((o / n::DOUBLE) * ln(o * n / (rx * cy::DOUBLE))), 4)
+        |  (round(sum((o / n::DOUBLE) * ln(o * n / (rx * cy::DOUBLE))), 4) + 0.0)
         |    AS mi,
-        |  round(sum((o / n::DOUBLE) * ln(o * n / (rx * cy::DOUBLE))) /
+        |  (round(sum((o / n::DOUBLE) * ln(o * n / (rx * cy::DOUBLE))) /
         |    sqrt(sum((o / n::DOUBLE) * -ln(rx / n::DOUBLE)) *
-        |      sum((o / n::DOUBLE) * -ln(cy / n::DOUBLE))), 4) AS nmi,
-        |  round(sum(o * o * n / (rx * cy::DOUBLE)) - max(n), 4) AS chi2,
-        |  round(sqrt((sum(o * o * n / (rx * cy::DOUBLE)) - max(n)) /
+        |      sum((o / n::DOUBLE) * -ln(cy / n::DOUBLE))), 4) + 0.0) AS nmi,
+        |  (round(sum(o * o * n / (rx * cy::DOUBLE)) - max(n), 4) + 0.0) AS chi2,
+        |  (round(sqrt((sum(o * o * n / (rx * cy::DOUBLE)) - max(n)) /
         |    (max(n) * least(count(DISTINCT x) - 1,
-        |      count(DISTINCT y) - 1))), 4) AS cramers_v
+        |      count(DISTINCT y) - 1))), 4) + 0.0) AS cramers_v
         |FROM m""".stripMargin,
     "q191_best_split" ->
       """WITH pv AS (

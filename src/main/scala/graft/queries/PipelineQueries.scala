@@ -304,8 +304,8 @@ object PipelineQueries {
         avg(col("label").cast("double")).as("__pr"))
       .crossJoin(broadcast(overall))
       .select(col("decile"), col("n"), col("n_pos"),
-        round(col("__pr"), 4).as("pos_rate"),
-        round(col("__pr") / col("__base"), 4).as("lift"))
+        (round(col("__pr"), 4) + lit(0.0)).as("pos_rate"),
+        (round(col("__pr") / col("__base"), 4) + lit(0.0)).as("lift"))
       .orderBy(col("decile"))
   }
 
@@ -336,9 +336,9 @@ object PipelineQueries {
       .withColumn("__ece", sum(abs(col("__acc") - col("__conf")) *
         col("n")).over(w) / col("__tot"))
       .select(col("bin"), col("n"),
-        round(col("__conf"), 4).as("mean_conf"),
-        round(col("__acc"), 4).as("obs_rate"),
-        round(col("__ece"), 4).as("ece"))
+        (round(col("__conf"), 4) + lit(0.0)).as("mean_conf"),
+        (round(col("__acc"), 4) + lit(0.0)).as("obs_rate"),
+        (round(col("__ece"), 4) + lit(0.0)).as("ece"))
       .orderBy(col("bin"))
   }
 
@@ -719,7 +719,7 @@ object PipelineQueries {
         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
         |d AS (SELECT term, count(*)::BIGINT AS df FROM tok
         |  WHERE term NOT IN ($stopwordListSql) GROUP BY term)
-        |SELECT term, df, round(ln((m.m + 1) / (df + 1)), 4) AS idf
+        |SELECT term, df, (round(ln((m.m + 1) / (df + 1)), 4) + 0.0) AS idf
         |FROM d, m ORDER BY term""".stripMargin,
     "q235_resample_counts" ->
       """WITH RECURSIVE o AS (
@@ -804,7 +804,7 @@ object PipelineQueries {
         |                       ORDER BY h.n_events DESC, h.hour) AS rn
         |  FROM h JOIN s USING (event_type))
         |SELECT event_type, hour, n_events,
-        |  CASE WHEN sd > 0 THEN round((n_events - m) / sd, 4)
+        |  CASE WHEN sd > 0 THEN (round((n_events - m) / sd, 4) + 0.0)
         |       ELSE 0.0 END AS peak_z
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q89_shard_shuffle" ->
@@ -893,8 +893,8 @@ object PipelineQueries {
         |t AS (SELECT sum(n) AS tot,
         |        sum(abs(acc - conf) * n) / sum(n) AS ece
         |      FROM b)
-        |SELECT bin, n, round(conf, 4) AS mean_conf,
-        |  round(acc, 4) AS obs_rate, round(ece, 4) AS ece
+        |SELECT bin, n, (round(conf, 4) + 0.0) AS mean_conf,
+        |  (round(acc, 4) + 0.0) AS obs_rate, (round(ece, 4) + 0.0) AS ece
         |FROM b CROSS JOIN t ORDER BY bin""".stripMargin,
     "q183_batch_inference" ->
       """WITH sc AS (SELECT o_orderkey,
@@ -917,7 +917,7 @@ object PipelineQueries {
         |  FROM sc, f)
         |SELECT decile, count(*) AS n, sum(label)::BIGINT AS n_pos,
         |  round(avg(label::DOUBLE), 4) AS pos_rate,
-        |  round(avg(label::DOUBLE) / br, 4) AS lift
+        |  (round(avg(label::DOUBLE) / br, 4) + 0.0) AS lift
         |FROM d, base GROUP BY decile, br ORDER BY decile""".stripMargin,
     "q162_threshold_curve" ->
       s"""$candidateJaccardCte,

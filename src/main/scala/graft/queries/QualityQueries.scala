@@ -157,8 +157,8 @@ object QualityQueries {
       .withColumn("__p", benfordP)
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("__cnt")).as("n_orders"),
-        round(sum(col("__cnt") * col("__cnt") / col("__p")) /
-          sum(col("__cnt")) - sum(col("__cnt")), 4).as("chi2"),
+        (round(sum(col("__cnt") * col("__cnt") / col("__p")) /
+          sum(col("__cnt")) - sum(col("__cnt")), 4) + lit(0.0)).as("chi2"),
         round(sum(when(col("__d") === 1, col("__cnt")).otherwise(lit(0L)))
           / sum(col("__cnt")), 4).as("freq_digit1"))
       .orderBy(col("o_orderpriority"))
@@ -240,7 +240,7 @@ object QualityQueries {
         |    WHEN 9 THEN 0.045757 END)::DOUBLE AS pd
         |  FROM c)
         |SELECT o_orderpriority, sum(cnt)::BIGINT AS n_orders,
-        |  round(sum(cnt * cnt / pd) / sum(cnt) - sum(cnt), 4) AS chi2,
+        |  (round(sum(cnt * cnt / pd) / sum(cnt) - sum(cnt), 4) + 0.0) AS chi2,
         |  round(sum(CASE WHEN d = 1 THEN cnt ELSE 0 END)::DOUBLE /
         |    sum(cnt), 4) AS freq_digit1
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -295,8 +295,8 @@ object QualityQueries {
       """WITH c AS (SELECT l_quantity::DOUBLE AS value, count(*) AS n
         |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)
         |SELECT value, n,
-        |  round(sum(n) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
-        |    / (SELECT sum(n) FROM c), 6) AS ecdf
+        |  (round(sum(n) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        |    / (SELECT sum(n) FROM c), 6) + 0.0) AS ecdf
         |FROM c ORDER BY value""".stripMargin,
     "q128_corr_matrix" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -329,11 +329,11 @@ object QualityQueries {
         |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
         |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM xy)
         |SELECT n::BIGINT AS n_tokens,
-        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
-        |  round((sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n, 4)
+        |  (round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) + 0.0) AS slope,
+        |  (round((sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n, 4) + 0.0)
         |    AS intercept,
-        |  round(pow(n*sxy - sx*sy, 2) /
-        |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+        |  (round(pow(n*sxy - sx*sy, 2) /
+        |    ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) + 0.0) AS r2
         |FROM s""".stripMargin,
     "q131_split_report" ->
       s"""WITH d AS (SELECT lang,

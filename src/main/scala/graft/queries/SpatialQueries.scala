@@ -114,7 +114,7 @@ object SpatialQueries {
       cells.withColumn("__rk", row_number().over(w))
         .groupBy()
         .agg(count(lit(1)).as("n_cells"), max(col("n")).as("max_n"),
-          round(sum(col("bal")), 2).as("total_bal"),
+          (round(sum(col("bal")), 2) + lit(0.0)).as("total_bal"),
           max(when(col("__rk") === 1,
             concat_ws(":", col("__cla"), col("__clo")))).as("top_cell"))
         .select(lit(res).as("res_deg_x100"), col("n_cells"),
@@ -160,7 +160,7 @@ object SpatialQueries {
         |    PARTITION BY res_deg_x100
         |    ORDER BY n DESC, cla, clo) AS rk FROM lv)
         |SELECT res_deg_x100, count(*)::BIGINT AS n_cells,
-        |  max(n)::BIGINT AS max_n, round(sum(bal), 2) AS total_bal,
+        |  max(n)::BIGINT AS max_n, (round(sum(bal), 2) + 0.0) AS total_bal,
         |  max(CASE WHEN rk = 1 THEN cla::VARCHAR || ':' || clo::VARCHAR
         |    END) AS top_cell
         |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,

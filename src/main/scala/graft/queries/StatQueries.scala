@@ -91,10 +91,10 @@ object StatQueries {
         when(col("__z") >= 0, phiUpper(col("__z")))
           .otherwise(lit(1.0) - phiUpper(-col("__z"))))
       .select(col("k"), col("__n").as("n"),
-        round(col("__h"), 4).as("h_stat"),
-        round(col("__ha"), 4).as("h_adj"),
+        (round(col("__h"), 4) + lit(0.0)).as("h_stat"),
+        (round(col("__ha"), 4) + lit(0.0)).as("h_adj"),
         dfv.as("df"),
-        round(col("__p"), 4).as("p_value"),
+        (round(col("__p"), 4) + lit(0.0)).as("p_value"),
         (col("__p") < 0.05).as("significant"))
   }
 
@@ -146,9 +146,9 @@ object StatQueries {
         when(col("__z") >= 0, phiUpper(col("__z")))
           .otherwise(lit(1.0) - phiUpper(-col("__z"))))
       .select(col("k"), col("n"),
-        round(col("__f"), 4).as("f_stat"),
+        (round(col("__f"), 4) + lit(0.0)).as("f_stat"),
         d1.as("df1"), d2.as("df2"),
-        round(col("__p"), 4).as("p_approx"),
+        (round(col("__p"), 4) + lit(0.0)).as("p_approx"),
         (col("__p") < 0.05).as("heteroscedastic"))
   }
 
@@ -173,8 +173,8 @@ object StatQueries {
       .withColumn("__peak", max(col("__cum")).over(w))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(max(col("__peak") - col("__cum")), 4).as("max_drawdown"),
-        round(max(col("__peak")), 4).as("peak_value"))
+        (round(max(col("__peak") - col("__cum")), 4) + lit(0.0)).as("max_drawdown"),
+        (round(max(col("__peak")), 4) + lit(0.0)).as("peak_value"))
       .orderBy(col("max_drawdown").desc, col("user_id"))
       .limit(10)
   }
@@ -201,16 +201,16 @@ object StatQueries {
     val w = Window.partitionBy()
     val rw = Window.orderBy(col("__rem").desc, col("stratum"))
     g.withColumn("__ideal",
-        round(lit(budget) * try_divide(col("__w"),
-          sum(col("__w")).over(w)), 6))
+        (round(lit(budget) * try_divide(col("__w"),
+          sum(col("__w")).over(w)), 6) + lit(0.0)))
       .withColumn("__fl", floor(col("__ideal")).cast("long"))
-      .withColumn("__rem", round(col("__ideal") - col("__fl"), 6))
+      .withColumn("__rem", (round(col("__ideal") - col("__fl"), 6) + lit(0.0)))
       .withColumn("__short",
         lit(budget) - sum(col("__fl")).over(w))
       .withColumn("__rk", row_number().over(rw))
       .select(col("stratum"), col("n_h"),
-        round(col("__sd"), 4).as("sd_h"),
-        round(col("__ideal"), 2).as("ideal"),
+        (round(col("__sd"), 4) + lit(0.0)).as("sd_h"),
+        (round(col("__ideal"), 2) + lit(0.0)).as("ideal"),
         (col("__fl") +
           when(col("__rk") <= col("__short"), 1L).otherwise(0L))
           .as("alloc"))
@@ -264,9 +264,9 @@ object StatQueries {
       .withColumn("__p", lit(2.0) * phiUpper(abs(col("__z"))))
       .select(col("group_a"), col("group_b"),
         col("__na").as("n_a"), col("__nb").as("n_b"),
-        round(col("__z"), 4).as("z"),
-        round(col("__p"), 6).as("p_value"),
-        round(least(lit(1.0), lit(m) * col("__p")), 6).as("p_adj"),
+        (round(col("__z"), 4) + lit(0.0)).as("z"),
+        (round(col("__p"), 6) + lit(0.0)).as("p_value"),
+        (round(least(lit(1.0), lit(m) * col("__p")), 6) + lit(0.0)).as("p_adj"),
         (least(lit(1.0), lit(m) * col("__p")) < 0.05).as("significant"))
       .orderBy(col("group_a"), col("group_b"))
   }
@@ -299,9 +299,9 @@ object StatQueries {
         var_samp(col("__total")).as("__vt"))
       .select(lit(k).as("k"), col("n_users"),
         round(col("__sv"), 4).as("sum_item_var"),
-        round(col("__vt"), 4).as("total_var"),
-        round(lit(k.toDouble / (k - 1)) *
-          (lit(1.0) - try_divide(col("__sv"), col("__vt"))), 4)
+        (round(col("__vt"), 4) + lit(0.0)).as("total_var"),
+        (round(lit(k.toDouble / (k - 1)) *
+          (lit(1.0) - try_divide(col("__sv"), col("__vt"))), 4) + lit(0.0))
           .as("alpha"))
   }
 
@@ -353,9 +353,9 @@ object StatQueries {
         when(col("__z") >= 0, phiUpper(col("__z")))
           .otherwise(lit(1.0) - phiUpper(-col("__z"))))
       .select(col("b"), lit(k).as("k"),
-        round(col("__chi2"), 4).as("chi2_f"),
+        (round(col("__chi2"), 4) + lit(0.0)).as("chi2_f"),
         lit(k - 1).as("df"),
-        round(col("__p"), 4).as("p_value"),
+        (round(col("__p"), 4) + lit(0.0)).as("p_value"),
         (col("__p") < 0.05).as("significant"))
   }
 
@@ -393,10 +393,10 @@ object StatQueries {
           (col("__kurt") - 3.0) * (col("__kurt") - 3.0) / 4.0))
       .withColumn("__p", exp(-col("__jb") / 2))
       .select(col("event_type"), col("n"),
-        round(col("__skew"), 4).as("skewness"),
-        round(col("__kurt"), 4).as("kurtosis"),
-        round(col("__jb"), 4).as("jb_stat"),
-        round(col("__p"), 4).as("p_value"),
+        (round(col("__skew"), 4) + lit(0.0)).as("skewness"),
+        (round(col("__kurt"), 4) + lit(0.0)).as("kurtosis"),
+        (round(col("__jb"), 4) + lit(0.0)).as("jb_stat"),
+        (round(col("__p"), 4) + lit(0.0)).as("p_value"),
         (col("__p") < 0.05).as("non_normal"))
       .orderBy(col("event_type"))
   }
@@ -436,7 +436,7 @@ object StatQueries {
         (pow((col("n") + col("m")).cast("double"), 2) *
           col("n") * col("m")))
       .select(col("n"), col("m"),
-        round(col("__t"), 4).as("cvm_stat"),
+        (round(col("__t"), 4) + lit(0.0)).as("cvm_stat"),
         (col("__t") > 0.461).as("rejected"))
   }
 
@@ -474,7 +474,7 @@ object StatQueries {
           abs((col("m") * col("__Fn") - col("n") * col("__Gm"))
             .cast("double"))).as("__s"))
       .select(col("n"), col("m"),
-        round(col("__s") / (col("n") * col("m")), 4).as("w1_distance"))
+        (round(col("__s") / (col("n") * col("m")), 4) + lit(0.0)).as("w1_distance"))
   }
 
   /** q363_anderson_darling — two-sample Anderson–Darling statistic in
@@ -528,9 +528,9 @@ object StatQueries {
           col("__d4"))).as("__s2"),
         max(col("__tt")).as("__tt"))
       .select(col("n"), col("m"),
-        round((col("__tt") - 1) / col("__tt") *
+        (round((col("__tt") - 1) / col("__tt") *
           (col("__s1") / (col("__tt") * col("n")) +
-            col("__s2") / (col("__tt") * col("m"))), 4).as("ad_stat"))
+            col("__s2") / (col("__tt") * col("m"))), 4) + lit(0.0)).as("ad_stat"))
   }
 
 
@@ -567,10 +567,10 @@ object StatQueries {
         count(when(col("__sy") === 0, 1)).as("__ty"))
       .select(col("event_type"), col("n_pairs"), col("concordant"),
         col("discordant"),
-        round(try_divide(
+        (round(try_divide(
           (col("concordant") - col("discordant")).cast("double"),
           sqrt((col("n_pairs") - col("__tx")).cast("double") *
-            (col("n_pairs") - col("__ty")))), 4).as("tau_b"))
+            (col("n_pairs") - col("__ty")))), 4) + lit(0.0)).as("tau_b"))
       .orderBy(col("event_type"))
   }
 
@@ -614,12 +614,12 @@ object StatQueries {
           .as("__tie3"))
       .withColumn("__n", col("n_pairs").cast("double"))
       .select(col("event_type"), col("n_pairs"),
-        round(col("w_plus"), 1).as("w_plus"),
-        round(try_divide(
+        (round(col("w_plus"), 1) + lit(0.0)).as("w_plus"),
+        (round(try_divide(
           col("w_plus") - col("__n") * (col("__n") + 1) / 4,
           sqrt(col("__n") * (col("__n") + 1) *
             (lit(2) * col("__n") + 1) / 24
-            - col("__tie3") / lit(48.0))), 4).as("z"))
+            - col("__tie3") / lit(48.0))), 4) + lit(0.0)).as("z"))
       .orderBy(col("event_type"))
   }
 
@@ -653,9 +653,9 @@ object StatQueries {
       .agg(count(lit(1)).as("n_days"), r("__l1").as("__r1"),
         r("__l2").as("__r2"))
       .select(col("event_type"), col("n_days"),
-        round(col("__r1"), 4).as("pacf1"),
-        round(try_divide(col("__r2") - col("__r1") * col("__r1"),
-          lit(1.0) - col("__r1") * col("__r1")), 4).as("pacf2"))
+        (round(col("__r1"), 4) + lit(0.0)).as("pacf1"),
+        (round(try_divide(col("__r2") - col("__r1") * col("__r1"),
+          lit(1.0) - col("__r1") * col("__r1")), 4) + lit(0.0)).as("pacf2"))
       .orderBy(col("event_type"))
   }
 
@@ -686,11 +686,11 @@ object StatQueries {
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
       .select(col("lag"), col("n_days"),
-        round(try_divide(
+        (round(try_divide(
           col("n_days") * col("__sxy") - col("__sx") * col("__sy"),
           sqrt((col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
             * (col("n_days") * col("__syy") - col("__sy") * col("__sy")))),
-          4).as("ccf"))
+          4) + lit(0.0)).as("ccf"))
       .orderBy(col("lag"))
   }
 
@@ -728,11 +728,11 @@ object StatQueries {
       max(col("__tsl") / col("__ts") - log(col("__mu"))).as("__tt"))
     w.crossJoin(broadcast(between))
       .select(col("o_orderpriority"), col("__n").cast("long").as("n"),
-        round(col("__share"), 4).as("income_share"),
-        round(col("__tg"), 6).as("theil_within_group"),
-        round(col("__tt"), 6).as("theil_total"),
-        round(col("__tb"), 6).as("theil_between"),
-        round(col("__tw"), 6).as("theil_within"))
+        (round(col("__share"), 4) + lit(0.0)).as("income_share"),
+        (round(col("__tg"), 6) + lit(0.0)).as("theil_within_group"),
+        (round(col("__tt"), 6) + lit(0.0)).as("theil_total"),
+        (round(col("__tb"), 6) + lit(0.0)).as("theil_between"),
+        (round(col("__tw"), 6) + lit(0.0)).as("theil_within"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -769,8 +769,8 @@ object StatQueries {
         col("__b") + col("__c")))
       .select(col("n_both"), col("n_view_only"), col("n_purchase_only"),
         col("n_neither"),
-        round(col("__chi2"), 4).as("chi2_cc"),
-        round(lit(2.0) * phiUpper(sqrt(col("__chi2"))), 4)
+        (round(col("__chi2"), 4) + lit(0.0)).as("chi2_cc"),
+        (round(lit(2.0) * phiUpper(sqrt(col("__chi2"))), 4) + lit(0.0))
           .as("p_value"))
   }
 
@@ -861,9 +861,9 @@ object StatQueries {
         sum((col("__x") - col("__mu")) * sin(col("__phi"))).as("__s"),
         max(col("__ss")).as("__ssm"))
       .select(col("event_type"), col("period"), col("n_days"),
-        round(try_divide(
+        (round(try_divide(
           lit(2.0) * (col("__c") * col("__c") + col("__s") * col("__s")),
-          col("n_days") * col("__ssm")), 4).as("intensity"))
+          col("n_days") * col("__ssm")), 4) + lit(0.0)).as("intensity"))
       .orderBy(col("event_type"), col("period"))
   }
 
@@ -905,8 +905,8 @@ object StatQueries {
       .select(col("event_type"),
         col("__n1").cast("long").as("n_above"),
         col("__n0").cast("long").as("n_below"), col("runs"),
-        round(col("__z"), 4).as("z"),
-        round(lit(2.0) * phiUpper(abs(col("__z"))), 4).as("p_value"))
+        (round(col("__z"), 4) + lit(0.0)).as("z"),
+        (round(lit(2.0) * phiUpper(abs(col("__z"))), 4) + lit(0.0)).as("p_value"))
       .orderBy(col("event_type"))
   }
 
@@ -994,8 +994,8 @@ object StatQueries {
         col("__a").cast("long").as("n_above"),
         col("__b").cast("long").as("n_at_or_below"),
         round(col("__med"), 2).as("pooled_median"),
-        round(col("__chi2"), 4).as("chi2"),
-        round(exp(-col("__chi2") / 2), 6).as("p_value"))
+        (round(col("__chi2"), 4) + lit(0.0)).as("chi2"),
+        (round(exp(-col("__chi2") / 2), 6) + lit(0.0)).as("p_value"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1047,8 +1047,8 @@ object StatQueries {
         |SELECT cc.g AS l_returnflag, cc.a::BIGINT AS n_above,
         |  cc.b::BIGINT AS n_at_or_below,
         |  round(cc.med, 2) AS pooled_median,
-        |  round(s.chi2, 4) AS chi2,
-        |  round(exp(-s.chi2 / 2), 6) AS p_value
+        |  (round(s.chi2, 4) + 0.0) AS chi2,
+        |  (round(exp(-s.chi2 / 2), 6) + 0.0) AS p_value
         |FROM cc, s ORDER BY cc.g""".stripMargin,
     "q401_mcnemar" ->
       s"""WITH per AS (SELECT user_id,
@@ -1071,7 +1071,7 @@ object StatQueries {
         |      nullif(n_view_only + n_purchase_only, 0) AS chi2
         |  FROM c)
         |SELECT n_both, n_view_only, n_purchase_only, n_neither,
-        |  round(chi2, 4) AS chi2_cc,
+        |  (round(chi2, 4) + 0.0) AS chi2_cc,
         |  round(2 * ${phiUpperSql("sqrt(chi2)")}, 4) AS p_value
         |FROM x""".stripMargin,
     "q402_fisher_exact" ->
@@ -1122,9 +1122,9 @@ object StatQueries {
         |  FROM d JOIN b ON d.event_type = b.event_type,
         |    (SELECT unnest(range(2, 11)) AS period) p)
         |SELECT event_type, period, n_days,
-        |  round(2 * (pow(sum(xc * cos(phi)), 2) +
+        |  (round(2 * (pow(sum(xc * cos(phi)), 2) +
         |      pow(sum(xc * sin(phi)), 2)) /
-        |    nullif(n_days * max(ss), 0), 4) AS intensity
+        |    nullif(n_days * max(ss), 0), 4) + 0.0) AS intensity
         |FROM e GROUP BY event_type, period, n_days
         |ORDER BY event_type, period""".stripMargin,
     "q404_runs_test" ->
@@ -1197,8 +1197,8 @@ object StatQueries {
         |  round(share, 4) AS income_share,
         |  round(tg, 6) AS theil_within_group,
         |  round(tt, 6) AS theil_total,
-        |  round(tb, 6) AS theil_between,
-        |  round(tw, 6) AS theil_within
+        |  (round(tb, 6) + 0.0) AS theil_between,
+        |  (round(tw, 6) + 0.0) AS theil_within
         |FROM w, b ORDER BY o_orderpriority""".stripMargin,
     "q379_kendall_tau" ->
       """WITH d AS (SELECT event_type, ts::DATE AS day,
@@ -1213,11 +1213,11 @@ object StatQueries {
         |    AS concordant,
         |  count(CASE WHEN sx * sy < 0 THEN 1 END)::BIGINT
         |    AS discordant,
-        |  round((count(CASE WHEN sx * sy > 0 THEN 1 END) -
+        |  (round((count(CASE WHEN sx * sy > 0 THEN 1 END) -
         |      count(CASE WHEN sx * sy < 0 THEN 1 END)) /
         |    nullif(sqrt((count(*) -
         |        count(CASE WHEN sx = 0 THEN 1 END))::DOUBLE *
-        |      (count(*) - count(CASE WHEN sy = 0 THEN 1 END))), 0), 4)
+        |      (count(*) - count(CASE WHEN sy = 0 THEN 1 END))), 0), 4) + 0.0)
         |    AS tau_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q380_wilcoxon" ->
@@ -1239,10 +1239,10 @@ object StatQueries {
         |    sum(pos * avgrk) AS w_plus,
         |    sum(cnt * (cnt * cnt - 1)) AS tie3
         |  FROM rk GROUP BY 1)
-        |SELECT event_type, n_pairs, round(w_plus, 1) AS w_plus,
-        |  round((w_plus - n_pairs * (n_pairs + 1.0) / 4) /
+        |SELECT event_type, n_pairs, (round(w_plus, 1) + 0.0) AS w_plus,
+        |  (round((w_plus - n_pairs * (n_pairs + 1.0) / 4) /
         |    nullif(sqrt(n_pairs * (n_pairs + 1.0) *
-        |      (2 * n_pairs + 1) / 24 - tie3 / 48.0), 0), 4) AS z
+        |      (2 * n_pairs + 1) / 24 - tie3 / 48.0), 0), 4) + 0.0) AS z
         |FROM agg ORDER BY event_type""".stripMargin,
     "q381_pacf" ->
       """WITH d AS (SELECT event_type, ts::DATE AS day,
@@ -1265,8 +1265,8 @@ object StatQueries {
         |      sum(CASE WHEN l2 IS NOT NULL THEN v END) ^ 2) *
         |    (count(l2) * sum(l2 * l2) - sum(l2) ^ 2)), 0) AS r2
         |  FROM l GROUP BY 1)
-        |SELECT event_type, n_days, round(r1, 4) AS pacf1,
-        |  round((r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0), 4) AS pacf2
+        |SELECT event_type, n_days, (round(r1, 4) + 0.0) AS pacf1,
+        |  (round((r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0), 4) + 0.0) AS pacf2
         |FROM a ORDER BY event_type""".stripMargin,
     "q382_ccf" ->
       """WITH x AS (SELECT ts::DATE AS day, count(*)::DOUBLE AS x
@@ -1281,9 +1281,9 @@ object StatQueries {
         |    sum(y * y) AS syy
         |  FROM j GROUP BY 1)
         |SELECT lag, n_days,
-        |  round((n_days * sxy - sx * sy) /
+        |  (round((n_days * sxy - sx * sy) /
         |    nullif(sqrt((n_days * sxx - sx * sx) *
-        |      (n_days * syy - sy * sy)), 0), 4) AS ccf
+        |      (n_days * syy - sy * sy)), 0), 4) + 0.0) AS ccf
         |FROM a ORDER BY lag""".stripMargin,
     "q363_anderson_darling" ->
       """WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
@@ -1313,7 +1313,7 @@ object StatQueries {
         |    sum(l * u2 * u2 / nullif(d4, 0)) AS s2
         |  FROM j)
         |SELECT n::BIGINT AS n, m::BIGINT AS m,
-        |  round((nn - 1) / nn * (s1 / (nn * n) + s2 / (nn * m)), 4)
+        |  (round((nn - 1) / nn * (s1 / (nn * n) + s2 / (nn * m)), 4) + 0.0)
         |    AS ad_stat
         |FROM s""".stripMargin,
     "q359_wasserstein" ->
@@ -1333,7 +1333,7 @@ object StatQueries {
         |s AS (SELECT max(t.n) AS n, max(t.m) AS m,
         |    sum(c.gap * abs((t.m * c.fn - t.n * c.gm)::DOUBLE)) AS sq
         |  FROM c CROSS JOIN t WHERE c.gap IS NOT NULL)
-        |SELECT n, m, round(sq / (n * m), 4) AS w1_distance
+        |SELECT n, m, (round(sq / (n * m), 4) + 0.0) AS w1_distance
         |FROM s""".stripMargin,
     "q355_cramer_von_mises" ->
       """WITH e AS (SELECT event_type AS g, value::DOUBLE AS v
@@ -1353,7 +1353,7 @@ object StatQueries {
         |      pow((t.m * c.fn - t.n * c.gm)::DOUBLE, 2)) AS sq
         |  FROM c CROSS JOIN t)
         |SELECT n, m,
-        |  round(sq / (pow((n + m)::DOUBLE, 2) * n * m), 4)
+        |  (round(sq / (pow((n + m)::DOUBLE, 2) * n * m), 4) + 0.0)
         |    AS cvm_stat,
         |  sq / (pow((n + m)::DOUBLE, 2) * n * m) > 0.461 AS rejected
         |FROM s""".stripMargin,
@@ -1392,9 +1392,9 @@ object StatQueries {
         |    var_samp(i1) + var_samp(i2) + var_samp(i3) +
         |      var_samp(i4) + var_samp(i5) AS sv,
         |    var_samp(i1 + i2 + i3 + i4 + i5) AS vt FROM u)
-        |SELECT 5 AS k, n_users, round(sv, 4) AS sum_item_var,
-        |  round(vt, 4) AS total_var,
-        |  round(5.0 / 4.0 * (1.0 - sv / vt), 4) AS alpha
+        |SELECT 5 AS k, n_users, (round(sv, 4) + 0.0) AS sum_item_var,
+        |  (round(vt, 4) + 0.0) AS total_var,
+        |  (round(5.0 / 4.0 * (1.0 - sv / vt), 4) + 0.0) AS alpha
         |FROM a""".stripMargin,
     "q341_friedman" ->
       s"""WITH wk AS (SELECT
@@ -1423,7 +1423,7 @@ object StatQueries {
         |    (1.0 - 2.0 / 36.0)) / sqrt(2.0 / 36.0) AS z FROM c2),
         |p AS (SELECT *, CASE WHEN z >= 0 THEN ${phiUpperSql("z")}
         |    ELSE 1.0 - ${phiUpperSql("-z")} END AS p FROM z)
-        |SELECT b, 5 AS k, round(chi2, 4) AS chi2_f, 4 AS df,
+        |SELECT b, 5 AS k, (round(chi2, 4) + 0.0) AS chi2_f, 4 AS df,
         |  round(p, 4) AS p_value, p < 0.05 AS significant
         |FROM p""".stripMargin,
     "q335_dunn_posthoc" ->
@@ -1451,7 +1451,7 @@ object StatQueries {
         |    sqrt(V * (1.0 / na + 1.0 / nb)) AS z FROM z),
         |p AS (SELECT *, 2.0 * ${phiUpperSql("abs(z)")} AS p FROM zz)
         |SELECT group_a, group_b, na AS n_a, nb AS n_b,
-        |  round(z, 4) AS z, round(p, 6) AS p_value,
+        |  (round(z, 4) + 0.0) AS z, round(p, 6) AS p_value,
         |  round(least(1.0, 3.0 * p), 6) AS p_adj,
         |  least(1.0, 3.0 * p) < 0.05 AS significant
         |FROM p ORDER BY group_a, group_b""".stripMargin,
@@ -1533,14 +1533,14 @@ object StatQueries {
         |    stddev_samp(o_totalprice) AS sd FROM orders GROUP BY 1),
         |sh AS (SELECT *, n_h * sd AS w FROM g),
         |id AS (SELECT *,
-        |    round(1000 * w / sum(w) OVER (), 6) AS ideal FROM sh),
+        |    (round(1000 * w / sum(w) OVER (), 6) + 0.0) AS ideal FROM sh),
         |fl AS (SELECT *, floor(ideal)::BIGINT AS f,
-        |    round(ideal - floor(ideal), 6) AS rem FROM id),
+        |    (round(ideal - floor(ideal), 6) + 0.0) AS rem FROM id),
         |rk AS (SELECT *, 1000 - sum(f) OVER () AS short,
         |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk
         |  FROM fl)
-        |SELECT stratum, n_h, round(sd, 4) AS sd_h,
-        |  round(ideal, 2) AS ideal,
+        |SELECT stratum, n_h, (round(sd, 4) + 0.0) AS sd_h,
+        |  (round(ideal, 2) + 0.0) AS ideal,
         |  (f + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT
         |    AS alloc
         |FROM rk ORDER BY stratum""".stripMargin,

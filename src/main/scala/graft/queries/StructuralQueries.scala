@@ -399,7 +399,7 @@ object StructuralQueries {
     val trace = emb
       .select(posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy(col("pos")).agg(var_samp(col("v")).as("pvar"))
-      .agg(round(sum(col("pvar")), 4).as("trace"))
+      .agg((round(sum(col("pvar")), 4) + lit(0.0)).as("trace"))
     trace.select(lit(k).as("n_components"), col("trace"),
       lit(evsumOk).as("evsum_ok"), lit(normsOk).as("norms_ok"),
       lit(sortedOk).as("ev_sorted_ok"))
@@ -496,8 +496,8 @@ object StructuralQueries {
           .otherwise(lit("changed")))
       .groupBy(col("change_type"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(coalesce(col("b_total"), lit(0.0)) -
-          coalesce(col("a_total"), lit(0.0))), 2).as("net_delta"))
+        (round(sum(coalesce(col("b_total"), lit(0.0)) -
+          coalesce(col("a_total"), lit(0.0))), 2) + lit(0.0)).as("net_delta"))
       .orderBy(col("change_type"))
   }
 
@@ -1366,7 +1366,7 @@ object StructuralQueries {
         |    SET i = i + 1;
         |  END WHILE;
         |  SELECT o_orderpriority, count(*) AS n_below,
-        |    round(mu, 2) AS trimmed_mu
+        |    (round(mu, 2) + 0.0) AS trimmed_mu
         |  FROM orders_q389 WHERE o_totalprice <= mu
         |  GROUP BY o_orderpriority ORDER BY o_orderpriority;
         |END""".stripMargin)
@@ -1497,7 +1497,7 @@ object StructuralQueries {
         |m3 AS (SELECT avg(o_totalprice) AS mu FROM orders, m2
         |  WHERE o_totalprice <= 2 * m2.mu)
         |SELECT o_orderpriority, count(*)::BIGINT AS n_below,
-        |  round(m3.mu, 2) AS trimmed_mu
+        |  (round(m3.mu, 2) + 0.0) AS trimmed_mu
         |FROM orders, m3 WHERE o_totalprice <= m3.mu
         |GROUP BY o_orderpriority, m3.mu
         |ORDER BY o_orderpriority""".stripMargin,
@@ -1621,8 +1621,8 @@ object StructuralQueries {
     "q332_dynamic_overwrite" ->
       """SELECT (ts::DATE = DATE '2024-01-15') AS patched,
         |  count(*)::BIGINT AS n,
-        |  round(sum(CASE WHEN ts::DATE = DATE '2024-01-15'
-        |    THEN value * 2 ELSE value END), 2) AS total_value
+        |  (round(sum(CASE WHEN ts::DATE = DATE '2024-01-15'
+        |    THEN value * 2 ELSE value END), 2) + 0.0) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q333_reused_exchange" ->
       """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
@@ -1708,7 +1708,7 @@ object StructuralQueries {
         |    generate_subscripts(embedding, 1) AS pos
         |  FROM embeddings),
         |pv AS (SELECT pos, var_samp(v) AS pvar FROM d GROUP BY 1)
-        |SELECT 64 AS n_components, round(sum(pvar), 4) AS trace,
+        |SELECT 64 AS n_components, (round(sum(pvar), 4) + 0.0) AS trace,
         |  true AS evsum_ok, true AS norms_ok, true AS ev_sorted_ok
         |FROM pv""".stripMargin,
     "q187_union_evolve" ->
@@ -1741,7 +1741,7 @@ object StructuralQueries {
         |      THEN 'unchanged'
         |    ELSE 'changed' END AS change_type,
         |  count(*) AS n_customers,
-        |  round(sum(coalesce(b_total, 0) - coalesce(a_total, 0)), 2)
+        |  (round(sum(coalesce(b_total, 0) - coalesce(a_total, 0)), 2) + 0.0)
         |    AS net_delta
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q184_bucketed_neardup" ->

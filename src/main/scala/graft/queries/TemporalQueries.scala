@@ -246,7 +246,7 @@ object TemporalQueries {
       .withColumn("__us", unix_micros(col("ts")))
       .select(col("user_id"), col("event_id"),
         count(lit(1)).over(w).as("n_last_hour"),
-        round(sum(col("value")).over(w), 2).as("value_last_hour"))
+        (round(sum(col("value")).over(w), 2) + lit(0.0)).as("value_last_hour"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
@@ -278,8 +278,8 @@ object TemporalQueries {
       .withColumn("robust_z", // try_divide: constant series has MAD 0
         try_divide(col("__dev"), lit(1.4826) * col("mad")))
       .filter(col("robust_z") > 3.0)
-      .select(col("day"), round(col("__total"), 2).as("daily_total"),
-        round(col("robust_z"), 4).as("robust_z"))
+      .select(col("day"), (round(col("__total"), 2) + lit(0.0)).as("daily_total"),
+        (round(col("robust_z"), 4) + lit(0.0)).as("robust_z"))
       .orderBy(col("day"))
   }
 
@@ -323,7 +323,7 @@ object TemporalQueries {
         min(col("duration_day")).cast("double").as("__t0"),
         sum(col("n_events") + col("n_censored")).as("n_subjects"))
     seg.select(col("n_subjects"),
-      round(least(col("__t0"), lit(tau)) + col("__area"), 4)
+      (round(least(col("__t0"), lit(tau)) + col("__area"), 4) + lit(0.0))
         .as("rmst_days"),
       lit(3).as("tau_days"))
   }
@@ -402,8 +402,8 @@ object TemporalQueries {
         col("d_error").cast("double") / col("n_at_risk")).over(upTo))
       .select(col("duration_day"), col("n_at_risk"), col("d_purchase"),
         col("d_error"), col("n_censored"),
-        round(col("cif_purchase"), 4).as("cif_purchase"),
-        round(col("cif_error"), 4).as("cif_error"))
+        (round(col("cif_purchase"), 4) + lit(0.0)).as("cif_purchase"),
+        (round(col("cif_error"), 4) + lit(0.0)).as("cif_error"))
       .orderBy(col("duration_day"))
   }
 
@@ -453,16 +453,16 @@ object TemporalQueries {
         sum(log(col("__w")) * log(col("__avg_rs"))).as("__sxy"),
         sum(log(col("__w")) * log(col("__w"))).as("__sxx"))
       .select(col("event_type"),
-        round(try_divide(
+        (round(try_divide(
           col("__k") * col("__sxy") - col("__sx") * col("__sy"),
-          col("__k") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          col("__k") * col("__sxx") - col("__sx") * col("__sx")), 4) + lit(0.0))
           .as("hurst"))
     val wide = perW.groupBy(col("event_type"))
-      .agg(round(max(when(col("__w") === 5, col("__avg_rs"))), 4)
+      .agg((round(max(when(col("__w") === 5, col("__avg_rs"))), 4) + lit(0.0))
         .as("rs_w5"),
-        round(max(when(col("__w") === 10, col("__avg_rs"))), 4)
+        (round(max(when(col("__w") === 10, col("__avg_rs"))), 4) + lit(0.0))
           .as("rs_w10"),
-        round(max(when(col("__w") === 20, col("__avg_rs"))), 4)
+        (round(max(when(col("__w") === 20, col("__avg_rs"))), 4) + lit(0.0))
           .as("rs_w20"))
     wide.join(fit, Seq("event_type")).orderBy(col("event_type"))
   }
@@ -559,9 +559,9 @@ object TemporalQueries {
         avg(abs(col("n") - col("__l1"))).as("__mae1"),
         avg(abs(col("n") - col("__l7"))).as("__mae7"))
       .select(col("event_type"), col("n_days"),
-        round(col("__mae1"), 4).as("mae_naive1"),
-        round(col("__mae7"), 4).as("mae_seasonal7"),
-        round(try_divide(col("__mae1"), col("__mae7")), 4).as("mase"))
+        (round(col("__mae1"), 4) + lit(0.0)).as("mae_naive1"),
+        (round(col("__mae7"), 4) + lit(0.0)).as("mae_seasonal7"),
+        (round(try_divide(col("__mae1"), col("__mae7")), 4) + lit(0.0)).as("mase"))
       .orderBy(col("event_type"))
   }
 
@@ -611,9 +611,9 @@ object TemporalQueries {
     d.agg(count(lit(1)).as("n_users"))
       .crossJoin(broadcast(stats))
       .select(col("n_users"), col("n_deaths"),
-        round(col("__u"), 4).as("score_u"),
-        round(col("__v"), 4).as("score_var"),
-        round(try_divide(col("__u"), sqrt(col("__v"))), 4).as("z"),
+        (round(col("__u"), 4) + lit(0.0)).as("score_u"),
+        (round(col("__v"), 4) + lit(0.0)).as("score_var"),
+        (round(try_divide(col("__u"), sqrt(col("__v"))), 4) + lit(0.0)).as("z"),
         (abs(try_divide(col("__u"), sqrt(col("__v")))) > 1.96)
           .as("significant"))
   }
@@ -711,9 +711,9 @@ object TemporalQueries {
         // try_divide: sd + mean = 0 when every gap of a type is zero
         // (all events on one microsecond) — null burstiness, no ANSI
         // DIVIDE_BY_ZERO
-        round(try_divide(
+        (round(try_divide(
           stddev_samp(col("__gap")) - avg(col("__gap")),
-          stddev_samp(col("__gap")) + avg(col("__gap"))), 4)
+          stddev_samp(col("__gap")) + avg(col("__gap"))), 4) + lit(0.0))
           .as("burstiness"))
       .orderBy(col("event_type"))
   }
@@ -777,7 +777,7 @@ object TemporalQueries {
       .withColumn("z", try_divide(col("n_events") - col("__m"), col("__sd")))
       .filter(abs(col("z")) > 1.5)
       .select(col("event_type"), col("day"), col("dow"), col("n_events"),
-        round(col("__m"), 2).as("dow_mean"), round(col("z"), 4).as("z"))
+        (round(col("__m"), 2) + lit(0.0)).as("dow_mean"), (round(col("z"), 4) + lit(0.0)).as("z"))
       .orderBy(col("event_type"), col("day"))
   }
 
@@ -1060,8 +1060,8 @@ object TemporalQueries {
         |SELECT event_type, count(*) AS n_gaps,
         |  round(avg(gap), 2) AS mean_gap_sec,
         |  round(stddev_samp(gap), 2) AS sd_gap_sec,
-        |  round((stddev_samp(gap) - avg(gap)) /
-        |    (stddev_samp(gap) + avg(gap)), 4) AS burstiness
+        |  (round((stddev_samp(gap) - avg(gap)) /
+        |    (stddev_samp(gap) + avg(gap)), 4) + 0.0) AS burstiness
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q224_mann_kendall" ->
@@ -1088,8 +1088,8 @@ object TemporalQueries {
         |      - t.tiesum) / 18.0 AS var
         |  FROM s JOIN t ON s.event_type = t.event_type)
         |SELECT event_type, n_obs, s,
-        |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
-        |    WHEN s < 0 THEN (s + 1) / sqrt(var) ELSE 0.0 END, 4) AS z,
+        |  (round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+        |    WHEN s < 0 THEN (s + 1) / sqrt(var) ELSE 0.0 END, 4) + 0.0) AS z,
         |  CASE WHEN CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
         |      WHEN s < 0 THEN (s + 1) / sqrt(var) ELSE 0.0 END > 1.96
         |    THEN 'increasing'
@@ -1180,9 +1180,9 @@ object TemporalQueries {
         |a AS (SELECT event_type, count(*)::BIGINT AS n_days,
         |    avg(abs(n - l1)) AS mae1, avg(abs(n - l7)) AS mae7
         |  FROM l GROUP BY 1)
-        |SELECT event_type, n_days, round(mae1, 4) AS mae_naive1,
-        |  round(mae7, 4) AS mae_seasonal7,
-        |  round(mae1 / nullif(mae7, 0), 4) AS mase
+        |SELECT event_type, n_days, (round(mae1, 4) + 0.0) AS mae_naive1,
+        |  (round(mae7, 4) + 0.0) AS mae_seasonal7,
+        |  (round(mae1 / nullif(mae7, 0), 4) + 0.0) AS mase
         |FROM a ORDER BY event_type""".stripMargin,
     "q372_holt_smoothing" ->
       """WITH RECURSIVE d AS (
@@ -1250,8 +1250,8 @@ object TemporalQueries {
         |    sum(dth * (s2 / s0 - pow(s1 / s0, 2))) AS v
         |  FROM k WHERE dth > 0)
         |SELECT (SELECT count(*) FROM d)::BIGINT AS n_users, n_deaths,
-        |  round(u, 4) AS score_u, round(v, 4) AS score_var,
-        |  round(u / nullif(sqrt(v), 0), 4) AS z,
+        |  (round(u, 4) + 0.0) AS score_u, (round(v, 4) + 0.0) AS score_var,
+        |  (round(u / nullif(sqrt(v), 0), 4) + 0.0) AS z,
         |  abs(u / nullif(sqrt(v), 0)) > 1.96 AS significant
         |FROM st""".stripMargin,
     "q322_log_rank" ->
@@ -1301,7 +1301,7 @@ object TemporalQueries {
         |  FROM sm),
         |p AS (SELECT *, sqrt(chi2) AS z, 2.0 *
         |    ${phiUpperSqlT("sqrt(chi2)")} AS p FROM c)
-        |SELECT observed_a, observed_b, round(ea, 4) AS expected_a,
+        |SELECT observed_a, observed_b, (round(ea, 4) + 0.0) AS expected_a,
         |  round(chi2, 4) AS chi2, round(p, 4) AS p_value,
         |  p < 0.05 AS significant
         |FROM p""".stripMargin,
@@ -1337,11 +1337,11 @@ object TemporalQueries {
         |        0)::BIGINT AS n_at_risk
         |  FROM pd)
         |SELECT duration_day, n_at_risk, n_events, n_censored,
-        |  round(sum(n_events::DOUBLE / n_at_risk) OVER (
-        |    ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4)
+        |  (round(sum(n_events::DOUBLE / n_at_risk) OVER (
+        |    ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4) + 0.0)
         |    AS cum_hazard,
-        |  round(exp(-sum(n_events::DOUBLE / n_at_risk) OVER (
-        |    ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4)
+        |  (round(exp(-sum(n_events::DOUBLE / n_at_risk) OVER (
+        |    ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4) + 0.0)
         |    AS fh_survival
         |FROM k ORDER BY duration_day""".stripMargin,
     "q414_competing_risks" ->
@@ -1404,11 +1404,11 @@ object TemporalQueries {
         |  FROM k)
         |SELECT duration_day, n_at_risk, d_purchase, d_error,
         |  n_censored,
-        |  round(sum(sprev * d_purchase::DOUBLE / n_at_risk)
-        |    OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4)
+        |  (round(sum(sprev * d_purchase::DOUBLE / n_at_risk)
+        |    OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4) + 0.0)
         |    AS cif_purchase,
-        |  round(sum(sprev * d_error::DOUBLE / n_at_risk)
-        |    OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4)
+        |  (round(sum(sprev * d_error::DOUBLE / n_at_risk)
+        |    OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING), 4) + 0.0)
         |    AS cif_error
         |FROM sp ORDER BY duration_day""".stripMargin,
     "q416_hurst" ->
@@ -1436,12 +1436,12 @@ object TemporalQueries {
         |    sum(ln(w) * ln(w)) AS sxx
         |  FROM pw WHERE avg_rs > 0 GROUP BY 1),
         |wd AS (SELECT event_type,
-        |    round(max(CASE WHEN w = 5 THEN avg_rs END), 4) AS rs_w5,
-        |    round(max(CASE WHEN w = 10 THEN avg_rs END), 4) AS rs_w10,
-        |    round(max(CASE WHEN w = 20 THEN avg_rs END), 4) AS rs_w20
+        |    (round(max(CASE WHEN w = 5 THEN avg_rs END), 4) + 0.0) AS rs_w5,
+        |    (round(max(CASE WHEN w = 10 THEN avg_rs END), 4) + 0.0) AS rs_w10,
+        |    (round(max(CASE WHEN w = 20 THEN avg_rs END), 4) + 0.0) AS rs_w20
         |  FROM pw GROUP BY 1)
         |SELECT wd.event_type, rs_w5, rs_w10, rs_w20,
-        |  round((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0), 4)
+        |  (round((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0), 4) + 0.0)
         |    AS hurst
         |FROM wd JOIN ft USING (event_type)
         |ORDER BY wd.event_type""".stripMargin,
@@ -1482,9 +1482,9 @@ object TemporalQueries {
         |        ELSE 0 END)
         |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING) = 1
         |    THEN 0.0
-        |    ELSE round(exp(sum(CASE WHEN n_events < n_at_risk
+        |    ELSE (round(exp(sum(CASE WHEN n_events < n_at_risk
         |      THEN ln(1.0 - n_events::DOUBLE / n_at_risk) ELSE 0.0 END)
-        |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4)
+        |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4) + 0.0)
         |  END AS survival
         |  FROM k),
         |sg AS (SELECT survival, n_events, n_censored, duration_day,
@@ -1533,9 +1533,9 @@ object TemporalQueries {
         |  CASE WHEN max(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
         |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING) = 1
         |    THEN 0.0
-        |    ELSE round(exp(sum(CASE WHEN n_events < n_at_risk
+        |    ELSE (round(exp(sum(CASE WHEN n_events < n_at_risk
         |      THEN ln(1.0 - n_events::DOUBLE / n_at_risk) ELSE 0.0 END)
-        |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4)
+        |      OVER (ORDER BY duration_day ROWS UNBOUNDED PRECEDING)), 4) + 0.0)
         |  END AS survival
         |FROM k ORDER BY duration_day""".stripMargin,
     "q206_cusum" ->
@@ -1565,7 +1565,7 @@ object TemporalQueries {
         |dev AS (SELECT day, total, abs(total - med) AS dev
         |  FROM daily CROSS JOIN med),
         |mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
-        |SELECT day, round(total, 2) AS daily_total,
+        |SELECT day, (round(total, 2) + 0.0) AS daily_total,
         |  round(dev / (1.4826 * mad), 4) AS robust_z
         |FROM dev CROSS JOIN mad
         |WHERE dev / (1.4826 * mad) > 3.0
@@ -1591,17 +1591,17 @@ object TemporalQueries {
         |SELECT user_id, count(*) AS n_purchases,
         |  count(*) FILTER (WHERE cus IS NOT NULL
         |    AND us - cus <= 1800000000) AS n_attributed,
-        |  round(sum(value) FILTER (WHERE cus IS NOT NULL
-        |    AND us - cus <= 1800000000), 2) AS attributed_value
+        |  (round(sum(value) FILTER (WHERE cus IS NOT NULL
+        |    AND us - cus <= 1800000000), 2) + 0.0) AS attributed_value
         |FROM sel GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q175_decayed_counts" ->
       """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
         |SELECT event_type, count(*) AS n_events,
-        |  round(sum(pow(0.5,
-        |    (r.ref - epoch_us(ts))::DOUBLE / (7.0 * 86400e6))), 4)
+        |  (round(sum(pow(0.5,
+        |    (r.ref - epoch_us(ts))::DOUBLE / (7.0 * 86400e6))), 4) + 0.0)
         |    AS decayed_count,
-        |  round(sum(pow(0.5,
-        |    (r.ref - epoch_us(ts))::DOUBLE / (7.0 * 86400e6)) * value), 2)
+        |  (round(sum(pow(0.5,
+        |    (r.ref - epoch_us(ts))::DOUBLE / (7.0 * 86400e6)) * value), 2) + 0.0)
         |    AS decayed_value
         |FROM events, r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q170_compaction" ->
@@ -1661,7 +1661,7 @@ object TemporalQueries {
         |b AS (SELECT user_id, value FROM r WHERE NOT is_upd AND rn = 1),
         |u AS (SELECT user_id, value FROM r WHERE is_upd AND rn = 1)
         |SELECT coalesce(b.user_id, u.user_id) AS user_id,
-        |  round(coalesce(u.value, b.value), 2) AS final_value,
+        |  (round(coalesce(u.value, b.value), 2) + 0.0) AS final_value,
         |  CASE WHEN u.user_id IS NOT NULL THEN 'update' ELSE 'base' END
         |    AS src
         |FROM b FULL OUTER JOIN u ON b.user_id = u.user_id

@@ -16,13 +16,33 @@ import scala.jdk.CollectionConverters._
   *    Every such generator must carry a `length(x) >= 2` guard in the
   *    lines immediately above it.
   *
-  * 2. An all-negative cumulative (windowed) sum rounds to IEEE -0.0 in
-  *    one engine and +0.0 in the other; stringified compare splits
-  *    them (q243). Every `round(sum(X).over(...), n)` must either be
-  *    followed by the `+ lit(0.0)` normalizer or sum an expression
-  *    that provably can't go negative (waived below BY SUMMAND, so a
-  *    new cumulative sum over a new expression always trips the lint
-  *    until it's normalized or consciously waived).
+  * 2. A tiny-negative double rounds to IEEE -0.0 in DuckDB (whose
+  *    `round` preserves sign) and to +0.0 in Spark (whose `round` goes
+  *    through BigDecimal and never emits -0.0); stringified compare
+  *    splits them. Round 8 caught the cumulative-sum form (q243);
+  *    the round-9 sf0.1 audit proved the class GENERALIZES to any
+  *    signed rounded output that can land on exact zero (q248 per-dim
+  *    means, q410 modularity contributions). Since round 10 the rule
+  *    is three-armed — a `round(` call is flagged when its first
+  *    argument
+  *      (a) contains an aggregate AND a window marker (cumulative
+  *          class, minus not required: the summand's sign is data),
+  *      (b) contains an aggregate AND an arithmetic `-` (signed
+  *          aggregate arithmetic: diffs of means, slopes, Ginis), or
+  *      (c) references a file-local ALIAS of an aggregate expression
+  *          (the parked-aggregate q248 shape: `avg(v).as("__ma")` …
+  *          `round(col("__ma"), 4)`),
+  *    and the round's close paren is not immediately followed by the
+  *    normalizer (`+ lit(0.0)` in Scala, `+ 0.0` in SQL). HEAD holds
+  *    the rule with ZERO waivers: every flagged site was normalized in
+  *    BOTH engines in round 10 (the normalizer is a semantic no-op on
+  *    doubles except on -0.0 — exactly the divergence), and the full
+  *    sf0.01 oracle gate re-verified each. The waiver mechanism stays
+  *    (summand-keyed) for future non-double sites where `+ lit(0.0)`
+  *    would change the output type. Known residual (documented, not
+  *    lintable): an aggregate parked in one FRAME and rounded after a
+  *    join in another file/frame has no same-file syntactic trail —
+  *    that shape stays the cross-SF audit's job (PERF_NOTES R9.1).
   *
   * Both rules are tested twice: a seeded violation must be FLAGGED
   * (the lint works) and HEAD must be clean (the rules hold).
@@ -56,51 +76,129 @@ class ParityLintSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------- rule 2
 
-  /** Summands proven non-negative by construction — their partial sums
-    * can never round to -0.0, so the normalizer is noise. Keyed by the
-    * EXACT summand text: a new windowed rounded sum over any other
-    * expression fails the lint until normalized or reviewed + waived.
-    */
-  private val nonNegativeSummandWaivers: Set[String] = Set(
-    // Nelson–Aalen hazard increments: event counts / at-risk counts
-    """col("n_events").cast("double") / col("n_at_risk")""",
-    // events.value and TPC-H o_totalprice are positive by generation
-    """col("value")""",
-    """col("o_totalprice")""",
-    // IV contribution (p1 - p0) * ln(p1/p0): both factors share sign
-    """col("__ivc")""")
+  private val AggRe =
+    ("(?i)(?<![\\w.])(sum|avg|mean|stddev_samp|stddev_pop|var_samp|" +
+      "var_pop|covar_samp|covar_pop|corr|list_sum)\\s*\\(").r
+  private val RoundRe = "(?<![\\w.])round\\s*\\(".r
+  private val OverRe = "(?i)(?<!\\w)over\\s*\\(".r
+  private val ColRefRe = """col\("(\w+)"\)""".r
+  private val IdentRe = "[A-Za-z_]\\w*".r
 
-  /** (summandText, charOffset) of every `round(sum(X).over(...), n)`
-    * whose X is not waived and which lacks the `+ lit(0.0)` (engine)
-    * normalizer right after the round. */
-  private[graft] def unnormalizedCumsumSites(
-      text: String): Seq[(String, Int)] = {
-    def closeParen(from: Int): Int = { // index AFTER the matching ')'
-      var depth = 1; var i = from
-      while (depth > 0 && i < text.length) {
-        text(i) match { case '(' => depth += 1
-                        case ')' => depth -= 1; case _ => }
-        i += 1
+  /** Summand-keyed waivers (stripped first-arg text): reviewed sites
+    * where the `+ lit(0.0)` normalizer would be WRONG (e.g. it would
+    * widen a non-double output type). Empty at HEAD — every flagged
+    * double site was normalized instead.
+    */
+  private val signedRoundWaivers: Set[String] = Set()
+
+  /** Index AFTER the matching close paren, and the end of the FIRST
+    * argument (the depth-0 comma, or the close if single-arg), for a
+    * call body starting at `i0` (just past the open paren). */
+  private[graft] def firstArgSpan(text: String, i0: Int): (Int, Int) = {
+    var d = 0; var j = i0; var argEnd = -1; var done = false
+    while (j < text.length && !done) {
+      text(j) match {
+        case '(' => d += 1
+        case ')' => if (d == 0) done = true else d -= 1
+        case ',' if d == 0 && argEnd < 0 => argEnd = j
+        case _ =>
       }
-      i
+      if (!done) j += 1
     }
-    val marker = "round(sum("
-    Iterator.iterate(text.indexOf(marker)) { at =>
-      text.indexOf(marker, at + 1)
-    }.takeWhile(_ >= 0).flatMap { at =>
-      val sumEnd = closeParen(at + marker.length)
-      val summand = text.slice(at + marker.length, sumEnd - 1)
-        .split("\n").map(_.trim).mkString(" ")
-      val isWindowed = text.slice(sumEnd, sumEnd + 8).startsWith(".over(")
-      if (!isWindowed || nonNegativeSummandWaivers(summand)) None
+    (if (argEnd >= 0) argEnd else j, j + 1)
+  }
+
+  /** Balanced backward walk: the expression ending just before `end`
+    * (a `)`-closed call with its function name, or a bare token). */
+  private def backExpr(text: String, end: Int): String = {
+    var i = end - 1
+    while (i >= 0 && text(i).isWhitespace) i -= 1
+    if (i < 0) ""
+    else if (text(i) == ')') {
+      var d = 1; i -= 1
+      while (i >= 0 && d > 0) {
+        if (text(i) == ')') d += 1 else if (text(i) == '(') d -= 1
+        i -= 1
+      }
+      while (i >= 0 && (text(i).isLetterOrDigit ||
+        text(i) == '_' || text(i) == '.')) i -= 1
+      text.substring(i + 1, end)
+    } else {
+      var j = i
+      while (j >= 0 && (text(j).isLetterOrDigit ||
+        "_.:'[]".contains(text(j)))) j -= 1
+      text.substring(j + 1, i + 1)
+    }
+  }
+
+  /** File-local aliases TRANSITIVELY bound to aggregate expressions,
+    * from all three binding forms — `EXPR.as("N")` / `.alias`,
+    * `.withColumn("N", EXPR)`, SQL `EXPR AS n` — propagated to a
+    * fixpoint: an alias is aggregate-derived if its defining text
+    * contains an aggregate call OR references an aggregate-derived
+    * alias (q248's `__ma` = `__sa / __na` where `__sa` is the sum). */
+  private[graft] def aggAliases(text: String): Set[String] = {
+    // taint propagates ONLY through precise col("N") references: SQL
+    // bare identifiers (short CTE/column names shared across a file's
+    // many queries) would over-taint, flagging integer ids and ranks
+    def exprRefs(e: String): Set[String] =
+      ColRefRe.findAllMatchIn(e).map(_.group(1)).toSet
+    val bindings: Seq[(String, String)] =
+      """\.(?:as|alias)\(\s*"(\w+)"\s*\)""".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> backExpr(text, m.start)).toSeq ++
+      """\.withColumn\(\s*"(\w+)"\s*,""".r.findAllMatchIn(text)
+        .map { m =>
+          val (argEnd, _) = firstArgSpan(text, m.end)
+          m.group(1) -> text.substring(m.end, argEnd)
+        }.toSeq ++
+      "(?i)\\sAS\\s+(\\w+)".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> backExpr(text, m.start)).toSeq
+    var tainted = bindings
+      .filter { case (_, e) => AggRe.findFirstIn(e).nonEmpty }
+      .map(_._1).toSet
+    var grew = true
+    while (grew) {
+      val next = tainted ++ bindings.collect {
+        case (n, e) if !tainted(n) &&
+          exprRefs(e).intersect(tainted).nonEmpty => n
+      }
+      grew = next.size > tainted.size
+      tainted = next
+    }
+    tainted
+  }
+
+  /** (strippedFirstArg, charOffset, arm) of every flagged `round(`
+    * site — see the class doc for the three arms. */
+  private[graft] def unnormalizedSignedRoundSites(
+      text: String): Seq[(String, Int, String)] = {
+    val aliases = aggAliases(text)
+    RoundRe.findAllMatchIn(text).flatMap { m =>
+      val (argEnd, closeEnd) = firstArgSpan(text, m.end)
+      val arg = text.substring(m.end, argEnd)
+      val stripped = arg.replaceAll("\\s+", "")
+      val after = text.substring(closeEnd,
+        math.min(text.length, closeEnd + 30))
+      val normalized =
+        "^\\s*\\+\\s*(lit\\(\\s*0\\.0\\s*\\)|0\\.0)".r
+          .findFirstIn(after).nonEmpty
+      if (normalized || signedRoundWaivers(stripped)) None
       else {
-        // walk to the close of round(...): depth reopened by `.over(`
-        val roundEnd = closeParen(sumEnd)
-        // the normalizer must follow the round's closing paren
-        if (text.slice(roundEnd, roundEnd + 40).replaceAll("\\s+", " ")
-            .contains("+ lit(0.0)"))
-          None
-        else Some((summand, at))
+        val cleaned = stripped.replace("->", "")
+          .replace("'-'", "").replace("\"-\"", "")
+        val hasAgg = AggRe.findFirstIn(arg).nonEmpty
+        val windowed = hasAgg && (OverRe.findFirstIn(arg).nonEmpty ||
+          stripped.contains(".over("))
+        val signedAgg = hasAgg && cleaned.contains('-')
+        val refs =
+          ColRefRe.findAllMatchIn(arg).map(_.group(1)).toSet ++
+            IdentRe.findAllIn(
+              arg.replaceAll("\"[^\"]*\"|'[^']*'", "")).toSet
+        val parked = refs.intersect(aliases).nonEmpty
+        if (windowed) Some((stripped, m.start, "windowed"))
+        else if (signedAgg) Some((stripped, m.start, "signed_agg"))
+        else if (parked) Some((stripped, m.start, "parked"))
+        else None
       }
     }.toList
   }
@@ -117,18 +215,48 @@ class ParityLintSpec extends AnyFunSuite {
     assert(unguardedSequenceSites(good).isEmpty)
   }
 
-  test("lint flags a seeded unnormalized signed cumulative round") {
+  test("rule 2a: a seeded unnormalized signed cumulative round is " +
+    "flagged, whitespace-robustly; the normalized form passes") {
     val bad =
-      """.withColumn("cum", round(sum(col("signed_llr")).over(
+      """.withColumn("cum", round (sum(col("signed_llr")) . over(
         |  Window.orderBy(col("day"))), 4))""".stripMargin
-    assert(unnormalizedCumsumSites(bad).map(_._1) ==
-      Seq("""col("signed_llr")"""))
+    assert(unnormalizedSignedRoundSites(bad).map(_._3) == Seq("windowed"))
     val normalized =
       """.withColumn("cum", round(sum(col("signed_llr")).over(
         |  Window.orderBy(col("day"))), 4) + lit(0.0))""".stripMargin
-    assert(unnormalizedCumsumSites(normalized).isEmpty)
-    val waived = """round(sum(col("value")).over(w), 2).as("v")"""
-    assert(unnormalizedCumsumSites(waived).isEmpty)
+    assert(unnormalizedSignedRoundSites(normalized).isEmpty)
+  }
+
+  test("rule 2b: a seeded round over signed aggregate arithmetic is " +
+    "flagged in both Scala and SQL forms") {
+    val scala =
+      """.agg(round(avg(when(col("t"), col("y"))) -
+        |  avg(when(!col("t"), col("y"))), 4).as("did"))""".stripMargin
+    assert(unnormalizedSignedRoundSites(scala).map(_._3) ==
+      Seq("signed_agg"))
+    val sql = "SELECT round(avg(a) - avg(b), 4) AS did FROM t"
+    assert(unnormalizedSignedRoundSites(sql).map(_._3).contains("signed_agg"))
+    val sqlNorm = "SELECT round(avg(a) - avg(b), 4) + 0.0 AS did FROM t"
+    assert(unnormalizedSignedRoundSites(sqlNorm).isEmpty)
+  }
+
+  test("rule 2c: the seeded q248 shape — an aggregate parked in an " +
+    "alias and rounded later — is flagged through the alias hop") {
+    val scala =
+      """.agg(sum(when(col("__isA"), col("__v"))).as("__sa"),
+        |  count(lit(1)).cast("double").as("__na"))
+        |.withColumn("__ma", col("__sa") / col("__na"))
+        |.select((round(col("__ma"), 4)).as("mean_a"))""".stripMargin
+    assert(unnormalizedSignedRoundSites(scala).map(_._3) == Seq("parked"))
+    val scalaNorm = scala.replace("round(col(\"__ma\"), 4)",
+      "round(col(\"__ma\"), 4) + lit(0.0)")
+    assert(unnormalizedSignedRoundSites(scalaNorm).isEmpty)
+    val sql =
+      """WITH m AS (SELECT dim, avg(val) AS ma FROM e GROUP BY dim)
+        |SELECT dim, round(ma, 4) AS mean_a FROM m""".stripMargin
+    assert(unnormalizedSignedRoundSites(sql).map(_._3) == Seq("parked"))
+    val sqlNorm = sql.replace("round(ma, 4)", "round(ma, 4) + 0.0")
+    assert(unnormalizedSignedRoundSites(sqlNorm).isEmpty)
   }
 
   // ------------------------------------------------------ HEAD clean
@@ -142,14 +270,15 @@ class ParityLintSpec extends AnyFunSuite {
       s"unguarded sequence(1, length-1) generators (R8.5 rule 1): $hits")
   }
 
-  test("HEAD: every windowed rounded sum is -0.0-normalized or sums a " +
-    "waived non-negative expression") {
+  test("HEAD: every signed/aggregate-derived round is -0.0-normalized " +
+    "(or summand-waived) in both engines") {
     val hits = mainSources.flatMap { case (f, t) =>
-      unnormalizedCumsumSites(t).map { case (s, at) =>
-        s"$f@${t.take(at).count(_ == '\n') + 1}: sum($s)"
+      unnormalizedSignedRoundSites(t).map { case (s, at, arm) =>
+        s"$f@${t.take(at).count(_ == '\n') + 1} [$arm]: round($s)"
       }
     }
     assert(hits.isEmpty,
-      s"unnormalized signed cumulative rounds (R8.5 rule 2): $hits")
+      "unnormalized signed rounds (R9.1 generalized -0.0 rule; append " +
+        s"`+ lit(0.0)` / `+ 0.0` in BOTH engines or waive): $hits")
   }
 }
