@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement fixture generator (judge verdict r9 "Next round" #4):
+  * an sf1-equivalent dataset — 10× the sf0.1 row count — for ONE more
+  * decade of empirical scaling evidence on the heaviest non-degenerate
+  * queries (q412 adaboost, q400 LOF, q151 FPGrowth, q193 weighted
+  * median, q314 Naive Bayes). Staged under target/fixtures, never
+  * touching the driver-owned /root/testdata (oracle hashes depend on
+  * it); this exists only so PERF_NOTES can extend the R9.2 slope table
+  * from sf0.001→sf0.1 to sf0.1→sf1.
+  *
+  * Only the tables those five queries scan are scaled — lineitem
+  * (q412/q151/q193), embeddings (q400), documents (q314) — by
+  * unioning 10 key-shifted copies: keys shift by a copy-indexed span
+  * (10× distinct orders/docs/vectors, preserving per-key cardinality
+  * so group sizes stay realistic rather than 10×-deep), and each
+  * embedding copy is nudged by copy_index * 1e-3 per dimension so
+  * kNN/LOF never sees exact duplicate points (k-distance 0 would make
+  * the copies DEGENERATE, the opposite of the fixture's purpose).
+  * Everything else rides along from sf0.1 as symlinks.
+  *
+  * Usage: sbt "runMain graft.Sf1Fixture [outDir]"
+  * (default target/fixtures/sf1).
+  */
+object Sf1Fixture {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "target/fixtures/sf1"
+    val src = "/root/testdata/sf0.1"
+    val copies = 10
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import java.nio.file.{Files, Paths}
+    val outPath = Paths.get(out)
+    graft.ops.Staging.deleteRecursively(outPath)
+    Files.createDirectories(outPath)
+
+    def scaled(table: String, keyShifts: Map[String, Long],
+        perturb: Boolean = false) = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until copies).map { i =>
+        val shifted = keyShifts.foldLeft(base) { case (df, (k, span)) =>
+          df.withColumn(k, col(k) + lit(i * span))
+        }
+        if (perturb && i > 0)
+          // dimension- and copy-indexed jitter: a CONSTANT shift would
+          // leave all 10 copies of a vector directionally identical,
+          // so they'd share every SRP/LSH bucket and within-bucket
+          // pair counts would blow up 100x — fixture degeneracy, not
+          // engine behavior. ±5%-scale sin jitter decorrelates copies'
+          // directions while keeping the label-cluster structure.
+          shifted.withColumn("embedding",
+            transform(col("embedding"), (v, j) =>
+              (v + sin((col("vec_id") % 97 + j * 7 + lit(i * 13))
+                .cast("double")) * lit(0.05)).cast("float")))
+        else shifted
+      }.reduce(_ unionByName _)
+    }
+
+    // spans: one million clears every sf0.1 key range with headroom
+    val span = 1000000L
+    scaled("lineitem", Map("l_orderkey" -> span))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    scaled("documents", Map("doc_id" -> span))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    scaled("embeddings", Map("vec_id" -> span), perturb = true)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events").foreach { t =>
+      Files.createSymbolicLink(outPath.resolve(s"$t.parquet"),
+        Paths.get(src).resolve(s"$t.parquet"))
+    }
+    Seq("lineitem", "documents", "embeddings").foreach { t =>
+      val n = spark.read.parquet(s"$out/$t.parquet").count()
+      println(s"[sf1-fixture] $t: $n rows")
+    }
+    spark.stop()
+  }
+}
