@@ -59,6 +59,15 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate's sort-based fallback fires at 128 DISTINCT
+      // KEYS per partition and then writes every remaining input row to
+      // disk as its own (key, buffer) pair — for the k-bounded TopKAgg
+      // family that silently turns O(groups × k) map-side combine into
+      // an O(rows) external sort (q400's sf1 cross product spilled
+      // >80 GB). Raised far above any manifest group count; bounded
+      // buffers (~300 B) keep the worst-case map at ~300 MB. See
+      // TopKAgg scaladoc + PERF_NOTES R10.5 for the sizing rule.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       // the generated-class cache defaults to 100 entries — a 415-query
       // manifest evicts everything between a query's two pass
       // executions, so every run would pay full Janino compilation

@@ -23,6 +23,10 @@ object RunOne {
       .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // k-bounded TopKAgg buffers must stay in hash mode or partial
+      // aggregation degrades to an O(rows) disk sort (TopKAgg scaladoc;
+      // PERF_NOTES R10.5)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

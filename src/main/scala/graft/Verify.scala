@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // k-bounded TopKAgg buffers must stay in hash mode or partial
+      // aggregation degrades to an O(rows) disk sort (TopKAgg scaladoc;
+      // PERF_NOTES R10.5)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

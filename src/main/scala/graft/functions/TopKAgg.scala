@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions.udaf
   *
   * Buffer/output are parallel (values, keys) arrays sorted by value
   * desc with key-asc tiebreak (deterministic for oracle parity).
+  *
+  * DEPLOYMENT REQUIREMENT (measured, PERF_NOTES R10.5): the map-side
+  * combine above only happens while `ObjectHashAggregateExec` stays in
+  * hash mode. Its sort-based fallback triggers at
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * DISTINCT KEYS PER PARTITION (default 128 — sized for unbounded
+  * buffers like collect_list, not for a k-bounded heap), and once
+  * fallen back EVERY remaining input row is written to the external
+  * sorter as its own (key, single-row buffer) pair: the partial
+  * aggregation degrades from O(groups × k) state to an O(rows) disk
+  * sort. At the sf1 fixture this turned q400's 400 M-row exact-kNN
+  * cross product into >80 GB of spill (disk-full abort); with the
+  * threshold raised above the per-partition group count the same
+  * query completes in seconds. Size it to
+  * `expected groups per partition × ~300 B` of executor memory —
+  * graft's harnesses (Bench/Verify/RunOne) set 1,048,576 (~300 MB
+  * worst case, far above any manifest query's group count).
   */
 case class TopKIn(v: Double, key: Long)
 case class TopKBuf(vs: Array[Double], ks: Array[Long])

@@ -28,6 +28,9 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // k-bounded TopKAgg buffers must stay in hash mode (TopKAgg
+      // scaladoc; PERF_NOTES R10.5)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
