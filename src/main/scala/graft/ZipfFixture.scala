@@ -16,8 +16,12 @@ import org.apache.spark.sql.SparkSession
   * ~5% of tokens resampled) so dedup queries have true positives to
   * find. Deterministic: all randomness is seeded by doc id.
   *
-  * Usage: sbt "runMain graft.ZipfFixture [outDir]"
-  * (default target/fixtures/zipf). The non-document tables are
+  * Usage: sbt "runMain graft.ZipfFixture [outDir] [nDocs]"
+  * (default target/fixtures/zipf, 5000 docs — pass 50000 for the
+  * realistic-vocabulary DECADE fixture: unlike Sf1Fixture's documents,
+  * content stays distinct, so near-dup cost scales with banded
+  * candidates, not with a planted d² duplication term — PERF_NOTES
+  * R10.9). The non-document tables are
   * symlinked from /root/testdata/sf0.1 so any query runs unchanged
   * with SPARK_GRAFT_SF_DIR=<outDir>. Manifest fixtures are NOT
   * touched — oracle hashes depend on them; this exists only so
@@ -26,7 +30,7 @@ import org.apache.spark.sql.SparkSession
 object ZipfFixture {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "target/fixtures/zipf"
-    val nDocs = 5000
+    val nDocs = if (args.length > 1) args(1).toInt else 5000
     val vocabSize = 10000
     val zipfS = 1.07
     val avgLen = 54
