@@ -392,6 +392,64 @@ object StatOps {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 
+  /** Distributed prefix sums over a totally-ordered frame — the q203
+    * shard-offset pattern generalized (round-10 window audit: an
+    * unpartitioned cumulative window puts EVERY row in one task, the
+    * classic 100 TB single-task trap; WindowVolumeProbe measures which
+    * manifest sites are corpus-proportional). For each `(in, out)`
+    * pair this produces exactly
+    * `sum(in).over(Window.orderBy(orderCol).rowsBetween(unboundedPreceding, currentRow))`
+    * but distributed three ways:
+    *
+    *  1. range-shard on `orderCol` by approx-percentile fences — the
+    *     fences only balance the shards, so approximation is free
+    *     (any split preserves range order); one corpus pass;
+    *  2. per-shard totals → an `nShards`-row running-offset frame
+    *     (the only unpartitioned window left, bounded by nShards);
+    *  3. shard-local cumulative window + broadcast offset join —
+    *     O(n/nShards) rows per task.
+    *
+    * Bit-exactness: long/integer sums are associative, so the shard
+    * decomposition reproduces the single-task cumulative exactly;
+    * for double inputs the re-association can perturb low bits —
+    * callers needing oracle parity should sum integral columns.
+    * `orderCol` must be numeric and UNIQUE (a total order): rows tied
+    * on a fence value stay in one shard, but cumulative values AT tied
+    * rows are order-ambiguous in the unpartitioned form too —
+    * uniqueness is what makes either form deterministic.
+    * Passes over `df` several times — cache/checkpoint upstream if it
+    * is derived from an expensive scan (the R5.2 lesson).
+    */
+  def shardedCumsum(df: DataFrame, orderCol: String,
+      sums: Seq[(String, String)], nShards: Int = 8): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    val qs = (1 until nShards).map(_.toDouble / nShards)
+    val fences = df.agg(percentile_approx(col(orderCol).cast("double"),
+      typedlit(qs), lit(10000)).as("__fs"))
+    val shardExpr = (1 until nShards).reverse
+      .foldLeft(lit(nShards)) { case (acc, i) =>
+        when(col(orderCol).cast("double") <= element_at(col("__fs"), i), i)
+          .otherwise(acc)
+      }
+    val sharded = df.crossJoin(broadcast(fences))
+      .withColumn("__shard", shardExpr).drop("__fs")
+    val byShard = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = sums.map { case (in, out) =>
+      sum(col(in)).as(s"__tot_$out") }
+    val offsets = sharded.groupBy(col("__shard"))
+      .agg(totals.head, totals.tail: _*)
+      .select(col("__shard") +: sums.map { case (_, out) =>
+        coalesce(sum(col(s"__tot_$out")).over(byShard), lit(0L))
+          .as(s"__off_$out") }: _*)
+    val local = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.foldLeft(sharded.join(broadcast(offsets), Seq("__shard"))) {
+      case (acc, (in, out)) =>
+        acc.withColumn(out, sum(col(in)).over(local) + col(s"__off_$out"))
+    }.drop("__shard" +: sums.map { case (_, out) => s"__off_$out" }: _*)
+  }
+
   /** The canonical algebraic aggregate state for [[rollupMerge]]:
     * count / sum / min / max of `valCol` per (group, bucket). */
   def dailyState(df: DataFrame, groupCols: Seq[Column], valCol: String)

@@ -1436,8 +1436,11 @@ object AnalyticsQueries {
   /** q268_heaps_law — vocabulary-growth (Heaps'-law) fit V(n) ≈ K·n^β:
     * each token's FIRST document (min doc_id — one hash agg, the only
     * corpus-scale pass) gives the vocabulary size after every prefix
-    * of the doc-ordered corpus as a cumulative window over the
-    * |docs|-bounded frame; β and ln K come from the OLS closed form on
+    * of the doc-ordered corpus via distributed range-sharded prefix
+    * sums ([[graft.ops.StatOps.shardedCumsum]] — the per-doc frame is
+    * corpus-PROPORTIONAL, one row per document, so the round-10 window
+    * audit retired the unpartitioned cumulative window that would have
+    * single-tasked it); β and ln K come from the OLS closed form on
     * (ln tokens_processed, ln V). The sublinearity companion of
     * q130's Zipf fit — together they decide how much NEW vocabulary
     * more crawl data will buy.
@@ -1451,11 +1454,20 @@ object AnalyticsQueries {
     val firstSeen = tok.groupBy(col("__t"))
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("__nnew"))
-    val w = Window.orderBy(col("doc_id"))
-    val curve = perDoc.join(firstSeen, Seq("doc_id"), "left")
-      .withColumn("__cumtok", sum(col("__ntok")).over(w))
-      .withColumn("__cumv",
-        sum(coalesce(col("__nnew"), lit(0L))).over(w))
+    // the per-doc frame is one row per DOCUMENT — corpus-proportional,
+    // so the cumulatives run through StatOps.shardedCumsum (range-
+    // sharded two-pass prefix sums) instead of an unpartitioned window
+    // that would put the whole corpus in one task (round-10 window
+    // audit). Long sums are associative → bit-identical to the
+    // single-task form. Checkpoint the narrow 3-column frame first:
+    // the cumsum machinery passes over it several times, and each pass
+    // would otherwise re-tokenize the corpus (R5.2).
+    val joined = perDoc.join(firstSeen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__ntok"),
+        coalesce(col("__nnew"), lit(0L)).as("__nnew"))
+      .localCheckpoint()
+    val curve = graft.ops.StatOps.shardedCumsum(joined, "doc_id",
+        Seq("__ntok" -> "__cumtok", "__nnew" -> "__cumv"))
       .select(log(col("__cumtok").cast("double")).as("__x"),
         log(col("__cumv").cast("double")).as("__y"))
     curve.agg(count(lit(1)).cast("double").as("__n"),

@@ -328,40 +328,21 @@ object StructuralQueries {
   /** q203_global_seq — scalable GLOBAL row numbering: the reference's
     * `rdd.zipWithIndex` (init.py:29) and the naive unpartitioned
     * `row_number() OVER (ORDER BY …)` both funnel the corpus through
-    * one task; this is the distributed rewrite. Deterministic
-    * percentile fences (q163's machinery) route rows to k ordered
-    * shards, ranks are computed per-SHARD (balanced window partitions),
-    * and a k-row cumulative-count offset table broadcast back lifts
-    * local ranks to global: `global_seq = offset(shard) + local_rank`.
-    * No stage sees more than ~1/k of the data; k scales with the
-    * cluster. Fences (not `repartitionByRange` samples) keep shard
-    * assignment — and the plan — fully deterministic.
+    * one task; this is the distributed rewrite, expressed as a
+    * cumulative count of ones through the generalized shard-offset op
+    * ([[graft.ops.StatOps.shardedCumsum]]): percentile fences route
+    * rows to k ordered shards, ranks are computed per-SHARD (balanced
+    * window partitions), and a k-row running-offset table broadcast
+    * back lifts local ranks to global. No stage sees more than ~1/k of
+    * the data; k scales with the cluster. event_id is unique, so the
+    * cumulative count IS row_number over the total order.
     */
   def q203GlobalSeq(s: SparkSession, dir: String): DataFrame = {
-    val nShards = 8
     val e = Tables.events(s, dir).select(col("event_id"), col("event_type"))
-    val fences = graft.ops.StatOps.exactPercentiles(
-      e.withColumn("__g", lit(1)), "__g", "event_id",
-      (1 until nShards).map(i => s"f$i" -> i.toDouble / nShards)).drop("__g")
-    val shardExpr = (1 until nShards).reverse
-      .foldLeft(lit(nShards)) { case (acc, i) =>
-        when(col("event_id") <= col(s"f$i"), i).otherwise(acc)
-      }
-    val sharded = e.crossJoin(broadcast(fences))
-      .withColumn("shard", shardExpr)
-      .drop((1 until nShards).map(i => s"f$i"): _*)
-    val offsets = sharded.groupBy(col("shard"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("offset", coalesce(sum(col("__cnt")).over(
-        Window.orderBy(col("shard"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("shard"), col("offset"))
-    sharded
-      .withColumn("__lr", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("event_id"))))
-      .join(broadcast(offsets), Seq("shard"))
-      .select(col("event_id"), col("event_type"),
-        (col("offset") + col("__lr")).as("global_seq"))
+      .withColumn("__one", lit(1L))
+    graft.ops.StatOps.shardedCumsum(e, "event_id",
+        Seq("__one" -> "global_seq"))
+      .select(col("event_id"), col("event_type"), col("global_seq"))
       .orderBy(col("event_id"))
   }
 

@@ -159,8 +159,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q204_kaplan_meier",
     // q200's exact side is q96's rewrite (broadcast 1-row max-day scalar)
     "q200_hll_sliding",
-    // q203 cross-joins the broadcast 1-row percentile-fence frame
-    "q203_global_seq",
+    // q203/q268 cross-join the broadcast 1-row percentile-fence frame
+    // inside StatOps.shardedCumsum (q268 keeps its OLS-scalar cross too)
+    "q203_global_seq", "q268_heaps_law",
     // q208 cross-joins two broadcast 1-row aggregates (observed
     // agreement, marginal-product sum)
     "q208_cohen_kappa",

@@ -206,4 +206,49 @@ class StatOpsSpec extends SparkSpec {
         r.getAs[Double]("mx")))
     assert(merged.toSeq == direct.toSeq)
   }
+
+  test("shardedCumsum is bit-identical to the unpartitioned cumulative " +
+    "window on random long data (incl. skewed keys)") {
+    val rnd = new scala.util.Random(41)
+    // non-contiguous, shuffled unique keys; values include zeros and
+    // heavy repeats so fence ties between DIFFERENT keys exist
+    val rows = rnd.shuffle((1 to 4000).toList)
+      .map(i => (i.toLong * 7 + 3, rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+    val df = rows.toDF("k", "a", "b").repartition(7)
+    val got = StatOps.shardedCumsum(df, "k",
+        Seq("a" -> "ca", "b" -> "cb"), nShards = 8)
+      .select("k", "ca", "cb").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .select("k", "ca", "cb").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("shardedCumsum survives degenerate frames: tiny input, one row, " +
+    "constant order-key domain narrower than the shard count") {
+    // 3 rows, 8 shards: most shards empty
+    val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "a")
+    val gotTiny = StatOps.shardedCumsum(tiny, "k", Seq("a" -> "ca"))
+      .select("k", "ca").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotTiny.toSeq == Seq((1L, 10L), (2L, 30L), (3L, 60L)))
+    // one row
+    val one = Seq((42L, 5L)).toDF("k", "a")
+    assert(StatOps.shardedCumsum(one, "k", Seq("a" -> "ca"))
+      .select("ca").head().getLong(0) == 5L)
+    // the plan carries NO unpartitioned window over the data frame:
+    // the only empty-partitionSpec window is the nShards-row offset
+    // frame (bounded by construction)
+    val big = (1 to 1000).map(i => (i.toLong, 1L)).toDF("k", "a")
+    val plan = StatOps.shardedCumsum(big, "k", Seq("a" -> "ca"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__shard"),
+      s"expected the data window partitioned by __shard:\n$plan")
+  }
 }
