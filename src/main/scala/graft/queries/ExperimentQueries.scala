@@ -916,8 +916,14 @@ object ExperimentQueries {
         date_trunc("week", col("ts")).cast("date").as("__wk"))
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("__wk"))
+    // corpus horizon as a broadcast 1-row aggregate (q215/q233's idiom),
+    // NOT max().over(Window.partitionBy()): the empty-partition window
+    // funneled the whole (user, week) frame through ONE task just to
+    // attach the global max week — measured data-proportional by the
+    // round-10 WindowVolumeProbe (749 rows at sf0.01 → 10x per decade)
+    val horizon = uw.agg(max(col("__wk")).as("__maxwk"))
     uw.withColumn("__next", lead(col("__wk"), 1).over(w))
-      .withColumn("__maxwk", max(col("__wk")).over(Window.partitionBy()))
+      .crossJoin(broadcast(horizon))
       .filter(col("__wk") <= date_sub(col("__maxwk"), 14))
       .withColumn("__churn",
         col("__next").isNull || col("__next") > date_add(col("__wk"), 14))

@@ -414,14 +414,18 @@ object ModelQueries {
         (col("event_type") === "purchase").cast("int").as("pos"))
     val perV = e.groupBy(col("v"))
       .agg(count(lit(1)).as("__c"), sum(col("pos")).as("__cp"))
-    val offsets = perV
-      .withColumn("__before", coalesce(sum(col("__c")).over(
-        Window.orderBy(col("v").desc).rowsBetween(
-          Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__posBefore", coalesce(sum(col("__cp")).over(
-        Window.orderBy(col("v").desc).rowsBetween(
-          Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("v"), col("__before"), col("__posBefore"))
+    // score-DESCENDING exclusive prefix counts, distributed: the
+    // descending-exclusive sum at unique v equals total − ascending-
+    // inclusive sum (exact long arithmetic), so the single-task
+    // `ORDER BY v DESC` window becomes StatOps.shardedCumsum plus a
+    // broadcast 1-row total (round-10 window audit)
+    val cums = graft.ops.StatOps.shardedCumsum(perV, "v",
+      Seq("__c" -> "__upto", "__cp" -> "__posUpto"))
+    val tot = perV.agg(sum(col("__c")).as("__tc"),
+      sum(col("__cp")).as("__tcp"))
+    val offsets = cums.crossJoin(broadcast(tot))
+      .select(col("v"), (col("__tc") - col("__upto")).as("__before"),
+        (col("__tcp") - col("__posUpto")).as("__posBefore"))
     val wtie = Window.partitionBy(col("v")).orderBy(col("id"))
     val ranked = e.join(offsets, Seq("v"))
       .withColumn("__rank", col("__before") +

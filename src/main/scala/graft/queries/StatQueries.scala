@@ -421,11 +421,13 @@ object StatQueries {
     val perV = e.groupBy(col("v")).agg(
       count(when(col("g") === "click", 1)).as("__cn"),
       count(when(col("g") === "purchase", 1)).as("__cm"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perV
-      .withColumn("__Fn", sum(col("__cn")).over(w))
-      .withColumn("__Gm", sum(col("__cm")).over(w))
+    // distinct-value frame: capped by the VALUE DOMAIN (2-dp events in
+    // [0, 560] ⇒ ≤56k rows), but the cumulative ECDFs are pure integer
+    // prefix sums over a unique ordered key — exactly
+    // StatOps.shardedCumsum's shape, so the single-task window is
+    // retired outright rather than argued bounded (round-10 audit)
+    val cum = graft.ops.StatOps.shardedCumsum(perV, "v",
+      Seq("__cn" -> "__Fn", "__cm" -> "__Gm"))
     val tot = perV.agg(sum(col("__cn")).as("n"), sum(col("__cm")).as("m"))
     cum.crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n"), max(col("m")).as("m"),
@@ -498,13 +500,12 @@ object StatQueries {
     val perV = e.groupBy(col("v")).agg(
       count(when(col("g") === "click", 1)).as("__cn"),
       count(when(col("g") === "purchase", 1)).as("__cm"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perV
-      .withColumn("__l", col("__cn") + col("__cm"))
-      .withColumn("__Fn", sum(col("__cn")).over(w))
-      .withColumn("__Gm", sum(col("__cm")).over(w))
-      .withColumn("__B", sum(col("__cn") + col("__cm")).over(w))
+    // integer prefix sums over the unique distinct-value key — the
+    // q355 rationale: StatOps.shardedCumsum retires the single-task
+    // cumulative window (round-10 audit), bit-exact for long counts
+    val cum = graft.ops.StatOps.shardedCumsum(
+      perV.withColumn("__l", col("__cn") + col("__cm")), "v",
+      Seq("__cn" -> "__Fn", "__cm" -> "__Gm", "__l" -> "__B"))
     val tot = perV.agg(sum(col("__cn")).cast("double").as("__n"),
       sum(col("__cm")).cast("double").as("__m"))
     val j = cum.crossJoin(broadcast(tot))

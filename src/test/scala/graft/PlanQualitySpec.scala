@@ -172,6 +172,8 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q215_rfm_features", "q216_cooccur_lift",
     // q233 cross-joins the broadcast 1-row corpus-min-day anchor
     "q233_backtest_folds",
+    // q293 cross-joins the broadcast 1-row corpus-horizon (max week)
+    "q293_churn_labels",
     // q236 cross-joins the broadcast 1-row sketch frame (+ the
     // percentile-fence scalar inside exactPercentiles)
     "q236_quantile_sketch",
@@ -487,5 +489,96 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val plan = df.queryExecution.executedPlan.toString
     // "*(n)" prefixes mark whole-stage-codegen stages in the tree string
     assert(plan.contains("*(1)"), plan)
+  }
+
+  // ---- unpartitioned-window audit (round 10) -------------------------
+  // An empty-partitionSpec Window moves EVERY input row into one task —
+  // fine over a frame bounded by something other than the corpus
+  // (value domain, calendar, groups, sketch buckets, shard count),
+  // fatal over a corpus-proportional frame (each entry below names its
+  // bound; graft.WindowVolumeProbe measured the actual single-partition
+  // record counts at sf0.01 vs sf0.1 to classify every site —
+  // PERF_NOTES R10.10). Corpus-proportional sites found by the audit
+  // were FIXED, not whitelisted: q268/q293 (per-doc / per-user-week
+  // frames), q221's unpruned top bucket, q321's grid-cell row_number,
+  // and q355/q363/q373's distinct-value cumulatives now run through
+  // StatOps.shardedCumsum / broadcast-scalar / min(struct) forms whose
+  // only remaining global window is the nShards-row offset frame.
+  private val boundedGlobalWindows: Map[String, String] = Map(
+    "q123_concurrency" -> "per-day carry aggregates (calendar; 31 rows)",
+    "q127_ecdf" -> "distinct l_quantity values (value domain, 50)",
+    "q130_zipf" -> "vocabulary types (Heaps-sublinear in corpus)",
+    "q138_psi_drift" -> "exactPercentiles bucket histogram (<=4096)",
+    "q183_batch_inference" -> "exactPercentiles bucket histogram (<=4096)",
+    "q191_best_split" -> "candidate splits = distinct l_quantity (50)",
+    "q198_mutual_info" -> "category-pair frame (|priorities|x|statuses|)",
+    "q200_hll_sliding" -> "hourly sketch frame (calendar)",
+    "q203_global_seq" -> "shardedCumsum offset frame (nShards=8)",
+    "q204_kaplan_meier" -> "distinct duration days (study horizon)",
+    "q221_skyline" -> ("bucket fences + per-bucket skyline union " +
+      "(output-adjacent)"),
+    "q227_calibration" -> "score bins (10)",
+    "q236_quantile_sketch" -> "exactPercentiles bucket histogram (<=4096)",
+    "q237_rrf_fusion" -> "top-k ranked lists (k-bounded)",
+    "q238_funnel" -> "funnel steps",
+    "q243_sprt" -> "per-day LLR frame (calendar)",
+    "q250_quantile_normalize" -> ("exactPercentiles bucket histogram " +
+      "(<=4096)"),
+    "q251_stl_decompose" -> "per-day frame (calendar)",
+    "q253_bitmap_retention" -> "weekly cohort frame (calendar)",
+    "q260_state_occupancy" -> "per-event-type aggregates (~5)",
+    "q263_star_schema" -> "dimension keys (dimension-bounded)",
+    "q268_heaps_law" -> "shardedCumsum offset frame (nShards=8)",
+    "q272_woe_iv" -> "feature bins",
+    "q274_hill_tail" -> "top-k tail order statistics (k-bounded)",
+    "q276_simpson" -> "strata",
+    "q277_bh_screen" -> "m hypotheses (category pairs)",
+    "q279_jackknife_groups" -> "leave-one-out groups",
+    "q297_anova" -> "groups",
+    "q301_info_gain_ranking" -> "features and their bins",
+    "q302_quota_allocation" -> "strata",
+    "q306_ndcg_eval" -> "queries x k ranked rows",
+    "q310_kruskal_wallis" -> "distinct l_quantity values (50)",
+    "q313_neyman_allocation" -> "strata",
+    "q314_naive_bayes" -> "classes (5)",
+    "q322_log_rank" -> "distinct duration days",
+    "q323_nelson_aalen" -> "distinct duration days",
+    "q326_isotonic_calibration" -> "PAV score bins (20)",
+    "q330_markov_attribution" -> "channels",
+    "q331_shapley_attribution" -> "channels (coalitions pre-aggregated)",
+    "q335_dunn_posthoc" -> "distinct l_quantity values (50)",
+    "q355_cramer_von_mises" -> "shardedCumsum offset frame (nShards=8)",
+    "q358_cox_score" -> "distinct event days",
+    "q359_wasserstein" -> ("distinct event values (2-dp domain <=56k; " +
+      "lead() gap frame)"),
+    "q362_ucb1" -> "bandit arms",
+    "q363_anderson_darling" -> "shardedCumsum offset frame (nShards=8)",
+    "q373_avg_precision" -> "shardedCumsum offset frame (nShards=8)",
+    "q411_rmst" -> "distinct duration days",
+    "q414_competing_risks" -> "distinct duration days",
+    "q415_mood_median" -> "groups + pooled-median scalar")
+
+  test("every unpartitioned Window in the manifest has a documented " +
+    "non-corpus bound (and the whitelist carries no stale entries)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan
+        val wins = collectWithSubqueries(plan) {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }
+        if (wins.nonEmpty) Some(name) else None
+    }.toSet
+    val undocumented = flagged -- boundedGlobalWindows.keySet
+    assert(undocumented.isEmpty,
+      s"unpartitioned Window(s) without a documented bound: " +
+        s"${undocumented.toSeq.sorted.mkString(", ")} — either state the " +
+        "non-corpus bound here or distribute the frame " +
+        "(StatOps.shardedCumsum / broadcast scalar / min-struct top-1)")
+    val stale = boundedGlobalWindows.keySet -- flagged
+    assert(stale.isEmpty,
+      s"whitelist entries whose plans no longer carry an unpartitioned " +
+        s"Window (prune them): ${stale.toSeq.sorted.mkString(", ")}")
   }
 }
