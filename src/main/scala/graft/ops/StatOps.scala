@@ -450,6 +450,50 @@ object StatOps {
     }.drop("__shard" +: sums.map { case (_, out) => s"__off_$out" }: _*)
   }
 
+  /** Grouped distributed RANKING — [[shardedCumsum]]'s sibling for
+    * `row_number().over(partitionBy(group).orderBy(orderCol, tieCol))`
+    * when the group column is LOW-CARDINALITY (lang ~10, event_type
+    * ~5): Spark puts each group's ENTIRE partition in one task, so a
+    * corpus-proportional group is the unpartitioned-window trap one
+    * step removed (round-10 window audit, q250). Per-group
+    * approx-percentile fences range-shard each group on `orderCol`;
+    * rows tied on a fence value always land in one shard (equal
+    * values compare identically), so the within-shard
+    * (orderCol, tieCol) order plus an (nShards per group)-row
+    * broadcast offset table reproduces the global per-group
+    * row_number exactly. `(orderCol, tieCol)` must totally order each
+    * group (e.g. a unique id tiebreak) — the same requirement the
+    * single-task window has for determinism. No stage sees more than
+    * ~|group|/nShards rows.
+    */
+  def shardedRank(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, outCol: String, nShards: Int = 8): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    val qs = (1 until nShards).map(_.toDouble / nShards)
+    val fences = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(orderCol).cast("double"),
+        typedlit(qs), lit(10000)).as("__fs"))
+    val shardExpr = (1 until nShards).reverse
+      .foldLeft(lit(nShards)) { case (acc, i) =>
+        when(col(orderCol).cast("double") <= element_at(col("__fs"), i), i)
+          .otherwise(acc)
+      }
+    val sharded = df.join(broadcast(fences), Seq(groupCol))
+      .withColumn("__shard", shardExpr).drop("__fs")
+    val byShard = Window.partitionBy(col(groupCol))
+      .orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col(groupCol), col("__shard"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col(groupCol), col("__shard"),
+        coalesce(sum(col("__cnt")).over(byShard), lit(0L)).as("__off"))
+    val local = Window.partitionBy(col(groupCol), col("__shard"))
+      .orderBy(col(orderCol), col(tieCol))
+    sharded.join(broadcast(offsets), Seq(groupCol, "__shard"))
+      .withColumn(outCol, col("__off") + row_number().over(local))
+      .drop("__shard", "__off")
+  }
+
   /** The canonical algebraic aggregate state for [[rollupMerge]]:
     * count / sum / min / max of `valCol` per (group, bucket). */
   def dailyState(df: DataFrame, groupCols: Seq[Column], valCol: String)

@@ -602,9 +602,20 @@ object AnalyticsQueries {
     val grid = StatOps.exactPercentiles(scored.withColumn("__g", lit(1)),
         "__g", "score", (0 to 32).map(i => s"g$i" -> i / 32.0))
       .select(array((0 to 32).map(i => col(s"g$i")): _*).as("__grid"))
-    val r = percent_rank().over(Window.partitionBy(col("lang"))
-      .orderBy(col("score"), col("doc_id")))
-    scored.withColumn("__r", r)
+    // per-lang percent_rank, distributed: lang is LOW-cardinality, so
+    // the plain window puts each language's ENTIRE document set in one
+    // task (round-10 window audit — the partitioned cousin of the
+    // unpartitioned trap). (score, doc_id) totally orders each lang ⇒
+    // rank == row_number, so percent_rank = (shardedRank − 1)/(n − 1)
+    // with Spark's own single-row-partition convention of 0.0 — the
+    // identical integers divide to the identical double.
+    val nPerLang = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("__nl"))
+    val r = when(col("__nl") === 1, lit(0.0)).otherwise(
+      (col("__rk") - 1).cast("double") / (col("__nl") - 1).cast("double"))
+    graft.ops.StatOps.shardedRank(scored, "lang", "score", "doc_id", "__rk")
+      .join(broadcast(nPerLang), Seq("lang"))
+      .withColumn("__r", r).drop("__rk", "__nl")
       .crossJoin(broadcast(grid))
       .withColumn("__pos", col("__r") * 32)
       .withColumn("__i", least(floor(col("__pos")).cast("int"), lit(31)))

@@ -230,6 +230,23 @@ class StatOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("shardedRank is bit-identical to the per-group row_number window " +
+    "on random data with duplicate order keys") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 3000).map(i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(40).toDouble, i.toLong))
+    val df = rows.toDF("g", "v", "id").repartition(5)
+    val got = StatOps.shardedRank(df, "g", "v", "id", "rk")
+      .select("g", "id", "rk").orderBy("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .select("g", "id", "rk").orderBy("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("shardedCumsum survives degenerate frames: tiny input, one row, " +
     "constant order-key domain narrower than the shard count") {
     // 3 rows, 8 shards: most shards empty
