@@ -562,13 +562,16 @@ object CurationOps {
     * Token counting is the only data-scale pass (map-side-combined agg);
     * ranking and the regression run over |vocabulary| rows. Ties rank by
     * (count desc, token) so any engine reproduces identical ranks.
+    * Vocabulary grows Heaps-sublinearly but without a hard cap, so the
+    * rank is distributed (StatOps.shardedRank over negated counts —
+    * round-10 window audit) rather than a single-task window.
     */
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
     val counts = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("__c").desc, col("token"))
-    val xy = counts
-      .withColumn("__x", log(row_number().over(w).cast("double")))
+      .withColumn("__g", lit(1)).withColumn("__negc", -col("__c"))
+    val xy = StatOps.shardedRank(counts, "__g", "__negc", "token", "__rk")
+      .withColumn("__x", log(col("__rk").cast("double")))
       .withColumn("__y", log(col("__c").cast("double")))
     xy.agg(count(lit(1)).cast("double").as("__n"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),

@@ -461,14 +461,20 @@ object StatQueries {
     val perV = e.groupBy(col("v")).agg(
       count(when(col("g") === "click", 1)).as("__cn"),
       count(when(col("g") === "purchase", 1)).as("__cm"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lw = Window.orderBy(col("v"))
-    val cum = perV
-      .withColumn("__Fn", sum(col("__cn")).over(w))
-      .withColumn("__Gm", sum(col("__cm")).over(w))
-      .withColumn("__gap", lead(col("v"), 1).over(lw) - col("v"))
-      .filter(col("__gap").isNotNull)
+    // fully distributed CDF-gap frame (round-10 window audit): the
+    // cumulative counts are sharded prefix sums, and the lead() that
+    // fetched each value's successor — the one construct a shard-local
+    // window cannot express (the successor may live in the next shard)
+    // — becomes a rank self-join: rank r's next value is rank r+1's v
+    // (cumsum of ones over the unique key IS the dense rank). The
+    // inner join drops the max-rank row exactly as lead()'s null did.
+    val cums = graft.ops.StatOps.shardedCumsum(
+      perV.withColumn("__one", lit(1L)), "v",
+      Seq("__cn" -> "__Fn", "__cm" -> "__Gm", "__one" -> "__rk"))
+    val nxt = cums.select((col("__rk") - 1).as("__rk"),
+      col("v").as("__vn"))
+    val cum = cums.join(nxt, Seq("__rk"))
+      .withColumn("__gap", col("__vn") - col("v"))
     val tot = perV.agg(sum(col("__cn")).as("n"), sum(col("__cm")).as("m"))
     cum.crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n"), max(col("m")).as("m"),

@@ -159,9 +159,11 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q204_kaplan_meier",
     // q200's exact side is q96's rewrite (broadcast 1-row max-day scalar)
     "q200_hll_sliding",
-    // q203/q268 cross-join the broadcast 1-row percentile-fence frame
-    // inside StatOps.shardedCumsum (q268 keeps its OLS-scalar cross too)
-    "q203_global_seq", "q268_heaps_law",
+    // q203/q268/q130 cross-join the broadcast 1-row percentile-fence
+    // frame inside StatOps.shardedCumsum/shardedRank (q268 keeps its
+    // OLS-scalar cross too; q130's constant group folds the fence join
+    // to the same 1-row broadcast shape)
+    "q203_global_seq", "q268_heaps_law", "q130_zipf",
     // q208 cross-joins two broadcast 1-row aggregates (observed
     // agreement, marginal-product sum)
     "q208_cohen_kappa",
@@ -507,7 +509,7 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val boundedGlobalWindows: Map[String, String] = Map(
     "q123_concurrency" -> "per-day carry aggregates (calendar; 31 rows)",
     "q127_ecdf" -> "distinct l_quantity values (value domain, 50)",
-    "q130_zipf" -> "vocabulary types (Heaps-sublinear in corpus)",
+    "q130_zipf" -> "shardedRank offset frame (nShards=8)",
     "q138_psi_drift" -> "exactPercentiles bucket histogram (<=4096)",
     "q183_batch_inference" -> "exactPercentiles bucket histogram (<=4096)",
     "q191_best_split" -> "candidate splits = distinct l_quantity (50)",
@@ -549,8 +551,7 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q335_dunn_posthoc" -> "distinct l_quantity values (50)",
     "q355_cramer_von_mises" -> "shardedCumsum offset frame (nShards=8)",
     "q358_cox_score" -> "distinct event days",
-    "q359_wasserstein" -> ("distinct event values (2-dp domain <=56k; " +
-      "lead() gap frame)"),
+    "q359_wasserstein" -> "shardedCumsum offset frame (nShards=8)",
     "q362_ucb1" -> "bandit arms",
     "q363_anderson_darling" -> "shardedCumsum offset frame (nShards=8)",
     "q373_avg_precision" -> "shardedCumsum offset frame (nShards=8)",
