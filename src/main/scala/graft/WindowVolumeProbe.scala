@@ -21,12 +21,14 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   *    same trap one step removed — per-key partitions grow with the
   *    corpus and land in single tasks regardless of cluster size.
   *
-  * Usage: `runMain graft.WindowVolumeProbe <sfDir> <out.json>`
+  * Usage: `runMain graft.WindowVolumeProbe <sfDir> <out.json> [query...]`
+  * (trailing query names restrict the probe to those queries)
   */
 object WindowVolumeProbe extends AdaptiveSparkPlanHelper {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = if (args.length > 1) args(1) else "target/window_volume.json"
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +48,9 @@ object WindowVolumeProbe extends AdaptiveSparkPlanHelper {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .flatMap { case (name, fn) =>
       val probe = try {
         val pre = fn(spark, sfDir).queryExecution.executedPlan
         val hasWin = collectWithSubqueries(pre) {
