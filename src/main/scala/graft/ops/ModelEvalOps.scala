@@ -74,11 +74,16 @@ object ModelEvalOps {
       .groupBy(col(groupCol), col(scoreCol).cast("double").as("__score"))
       .agg(count(lit(1)).as("__cnt"),
         count(when(posCond, lit(1))).as("__pos"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__score"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perScore
+    // per-group mid-ranks over distinct scores: the group key is low-
+    // cardinality, so the plain partitionBy(g) cumulative window held
+    // each group's whole distinct-score frame (corpus-proportional for
+    // continuous scores) in one task — StatOps.shardedCumsumBy
+    // distributes it; long-count sums make the decomposition bit-exact
+    // (round-10 window audit)
+    StatOps.shardedCumsumBy(perScore, groupCol, "__score",
+        Seq("__cnt" -> "__cum"))
       .withColumn("__rank",
-        sum(col("__cnt")).over(w) - col("__cnt") + (col("__cnt") + 1) / 2.0)
+        col("__cum") - col("__cnt") + (col("__cnt") + 1) / 2.0)
       .groupBy(col(groupCol))
       .agg(sum(col("__pos")).as("n_pos"),
         sum(col("__cnt") - col("__pos")).as("n_neg"),

@@ -155,16 +155,17 @@ object StatOps {
       .groupBy(g, col("__x"))
       .agg(sum(when(col("__c") === 0, 1L).otherwise(0L)).as("__na"),
         sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__nb"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(g).orderBy(col("__x"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g)
-    byVal
-      .withColumn("__ca", sum(col("__na")).over(wCum))
-      .withColumn("__cb", sum(col("__nb")).over(wCum))
-      .withColumn("__ta", sum(col("__na")).over(wAll))
-      .withColumn("__tb", sum(col("__nb")).over(wAll))
+    // per-group CDFs over distinct VALUES — the group key is low-
+    // cardinality (priorities ~5), so a plain partitionBy(g) window
+    // holds each group's whole distinct-value frame (corpus-
+    // proportional for continuous values) in ONE task; shardedCumsumBy
+    // distributes it, and the per-group totals become a broadcast join
+    // instead of a whole-partition window (round-10 audit)
+    val cums = shardedCumsumBy(byVal, groupCol, "__x",
+      Seq("__na" -> "__ca", "__nb" -> "__cb"))
+    val tots = byVal.groupBy(g)
+      .agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    cums.join(broadcast(tots), Seq(groupCol))
       .groupBy(g)
       .agg(first(col("__ta")).as("n_a"), first(col("__tb")).as("n_b"),
         (round(max(abs(
@@ -343,13 +344,20 @@ object StatOps {
     val perV = df
       .groupBy(col(groupCol), col(valCol).cast("double").as("__value"))
       .agg(sum(col(weightCol).cast("double")).as("__w"))
-    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("__value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(col(groupCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perV
-      .withColumn("__cw", sum(col("__w")).over(cumW))
-      .withColumn("__tw", sum(col("__w")).over(totW))
+    // the group key is low-cardinality (return flags ~3), so a plain
+    // partitionBy(g) cumulative window holds each group's whole
+    // distinct-value frame in ONE task — distributed via
+    // shardedCumsumBy (round-10 audit). Exactness caveat: the shard
+    // decomposition re-associates double additions, which is exact
+    // whenever the weights are INTEGRAL-valued doubles (every partial
+    // sum stays an integer < 2^53 — true for count- and quantity-like
+    // weights, e.g. q193's l_quantity); fractional weights may drift
+    // in the last ulp relative to the sequential order.
+    val cums = shardedCumsumBy(perV, groupCol, "__value",
+      Seq("__w" -> "__cw"))
+    val tots = perV.groupBy(col(groupCol))
+      .agg(sum(col("__w")).as("__tw"))
+    cums.join(broadcast(tots), Seq(groupCol))
       .filter(col("__cw") >= col("__tw") / 2)
       .groupBy(col(groupCol))
       .agg(min(col("__value")).as("weighted_median"),
@@ -466,6 +474,54 @@ object StatOps {
     * single-task window has for determinism. No stage sees more than
     * ~|group|/nShards rows.
     */
+  /** Grouped [[shardedCumsum]]: per-group inclusive prefix sums over
+    * `orderCol` for each `(in, out)` pair — the fix for cumulative
+    * windows `partitionBy(lowCardKey).orderBy(v)` whose PER-KEY
+    * partitions are corpus-proportional (a ≤5-value key puts n/5 rows
+    * in one task at any cluster size; round-10 audit, q115/q190/q193/
+    * q266 family). Same machinery as [[shardedRank]]: per-group
+    * approx-percentile fences, within-group range shards, per-(group,
+    * shard) totals, broadcast running offsets, shard-local windows.
+    * Bit-exact for integral sums; rows tied on `orderCol` stay in one
+    * shard, and ties carry the same cumulative ambiguity the
+    * single-task window has (callers aggregate per distinct orderCol
+    * first, or accept rank-free cumulative semantics at ties).
+    */
+  def shardedCumsumBy(df: DataFrame, groupCol: String, orderCol: String,
+      sums: Seq[(String, String)], nShards: Int = 8): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    val qs = (1 until nShards).map(_.toDouble / nShards)
+    val fences = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(orderCol).cast("double"),
+        typedlit(qs), lit(10000)).as("__fs"))
+    val shardExpr = (1 until nShards).reverse
+      .foldLeft(lit(nShards)) { case (acc, i) =>
+        when(col(orderCol).cast("double") <= element_at(col("__fs"), i), i)
+          .otherwise(acc)
+      }
+    val sharded = df.join(broadcast(fences), Seq(groupCol))
+      .withColumn("__shard", shardExpr).drop("__fs")
+    val byShard = Window.partitionBy(col(groupCol))
+      .orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = sums.map { case (in, out) =>
+      sum(col(in)).as(s"__tot_$out") }
+    val offsets = sharded.groupBy(col(groupCol), col("__shard"))
+      .agg(totals.head, totals.tail: _*)
+      .select(col(groupCol) +: col("__shard") +:
+        sums.map { case (_, out) =>
+          coalesce(sum(col(s"__tot_$out")).over(byShard), lit(0L))
+            .as(s"__off_$out") }: _*)
+    val local = Window.partitionBy(col(groupCol), col("__shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.foldLeft(sharded.join(broadcast(offsets),
+        Seq(groupCol, "__shard"))) {
+      case (acc, (in, out)) =>
+        acc.withColumn(out, sum(col(in)).over(local) + col(s"__off_$out"))
+    }.drop("__shard" +: sums.map { case (_, out) => s"__off_$out" }: _*)
+  }
+
   def shardedRank(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, outCol: String, nShards: Int = 8): DataFrame = {
     require(nShards >= 2, s"nShards must be >= 2, got $nShards")

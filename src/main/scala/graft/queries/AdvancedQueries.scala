@@ -508,11 +508,21 @@ object AdvancedQueries {
     * `StatOps.equiDepthBins` (q126) — fences without a per-group sort.
     */
   def q182Ntile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, dir)
+    // ~3 return flags over the whole lineitem table — the round-10
+    // grouped single-task trap; rank via StatOps.shardedRank with the
+    // (orderkey, linenumber) tiebreak folded into one long (linenumber
+    // ≤ 7, so key*8+line preserves the lex order), quartile from the
+    // exact integer cut points
+    val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
-        ntile(4).over(w).as("quartile"))
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("__tie"))
+    val ranked = graft.ops.StatOps.shardedRank(
+      li, "l_returnflag", "l_extendedprice", "__tie", "__rk")
+    val sizes = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("__k"))
+    ranked.join(broadcast(sizes), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        ntile4FromRank(col("__rk"), col("__k")).as("quartile"))
       .groupBy(col("l_returnflag"), col("quartile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("l_extendedprice")), 2).as("lo"),
@@ -840,20 +850,49 @@ object AdvancedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Spark's NTile bucket from a total-order rank and the partition
+    * size, in exact integer arithmetic: the first `k % n` buckets get
+    * `k/n + 1` rows, the rest `k/n` — expressed as comparisons against
+    * the three cumulative cut points (no integer division of the rank,
+    * which would round through doubles).
+    */
+  private def ntile4FromRank(rn: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rem = pmod(k, lit(4L))
+    val bs = ((k - rem) / 4).cast("long")
+    def cut(i: Int) = bs * i + least(lit(i.toLong), rem)
+    when(rn <= cut(1), 1).when(rn <= cut(2), 2)
+      .when(rn <= cut(3), 3).otherwise(4)
+  }
+
   /** q70_rank_dist — distribution ranking functions: ntile quartiles,
     * percent_rank, cume_dist per status ordered by (price, key). The
     * ordering is TOTAL (key tiebreak) because ntile buckets by row
     * position — ties straddling a bucket boundary would otherwise be
-    * engine-dependent.
+    * engine-dependent. The status key is ~3 values over the whole
+    * orders table — the round-10 grouped single-task trap — so the
+    * rank comes from StatOps.shardedRank and all three distribution
+    * functions derive from (rank, group size) in exact arithmetic:
+    * ntile via integer cut points, percent_rank = (rn−1)/(k−1),
+    * cume_dist = rn/k (the total order makes rank == row_number and
+    * every row its own cume group).
     */
   def q70RankDist(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
+    val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        col("o_totalprice"))
+    val ranked = graft.ops.StatOps.shardedRank(
+      o, "o_orderstatus", "o_totalprice", "o_orderkey", "__rk")
+    val sizes = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("__k"))
+    ranked.join(broadcast(sizes), Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile4FromRank(col("__rk"), col("__k")).as("quartile"),
+        round(when(col("__k") === 1, lit(0.0)).otherwise(
+          (col("__rk") - 1).cast("double") /
+            (col("__k") - 1).cast("double")), 6).as("pct_rank"),
+        round(col("__rk").cast("double") / col("__k").cast("double"), 6)
+          .as("cume"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -1399,12 +1399,23 @@ object AnalyticsQueries {
         count(when(!col("__isA"), 1)).cast("double").as("__cb"))
     val tot = g.groupBy(col("o_orderpriority"))
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
-    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("__v"))
-    g.join(broadcast(tot), Seq("o_orderpriority"))
-      .withColumn("__fa", sum(col("__ca")).over(w) / col("__na"))
-      .withColumn("__fb", sum(col("__cb")).over(w) / col("__nb"))
-      .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
-      .filter(col("__gap").isNotNull)
+    // per-priority CDFs over distinct PRICES: ~5 partition keys over a
+    // corpus-proportional frame — the round-10 grouped single-task
+    // trap. Cumulatives via StatOps.shardedCumsumBy (counts are
+    // integral-valued doubles — exact under re-association); the
+    // lead() successor via the q359 rank self-join (cumsum of ones is
+    // the dense rank; the inner join drops each group's max rank
+    // exactly as lead()'s null filter did).
+    val cums = graft.ops.StatOps.shardedCumsumBy(
+      g.withColumn("__one", lit(1L)), "o_orderpriority", "__v",
+      Seq("__ca" -> "__cca", "__cb" -> "__ccb", "__one" -> "__rk"))
+    val nxt = cums.select(col("o_orderpriority"),
+      (col("__rk") - 1).as("__rk"), col("__v").as("__vn"))
+    cums.join(nxt, Seq("o_orderpriority", "__rk"))
+      .join(broadcast(tot), Seq("o_orderpriority"))
+      .withColumn("__fa", col("__cca") / col("__na"))
+      .withColumn("__fb", col("__ccb") / col("__nb"))
+      .withColumn("__gap", col("__vn") - col("__v"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_grid_points"),
         (round(sum(abs(col("__fa") - col("__fb")) * col("__gap")), 2) + lit(0.0))

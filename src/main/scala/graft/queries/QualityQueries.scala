@@ -175,14 +175,18 @@ object QualityQueries {
     * pipeline records next to the split.
     */
   def q214StratSplit(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_orderkey"))
-    val n = Window.partitionBy(col("o_orderpriority"))
-    Tables.orders(s, dir)
+    // ~5 priority strata over the whole orders table — the round-10
+    // grouped single-task trap: per-stratum row_number comes from
+    // StatOps.shardedRank and the stratum size from a broadcast
+    // aggregate instead of a whole-partition count window
+    val o = Tables.orders(s, dir)
       .select(col("o_orderpriority"), col("o_orderkey"))
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(n))
+    val sizes = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("__n"))
+    graft.ops.StatOps.shardedRank(
+        o.withColumn("__ok", col("o_orderkey")),
+        "o_orderpriority", "__ok", "o_orderkey", "__rn")
+      .join(broadcast(sizes), Seq("o_orderpriority"))
       .withColumn("split",
         when(col("__rn") * 10 <= col("__n") * 7, "train")
           .when(col("__rn") * 10 <= col("__n") * 9, "val")

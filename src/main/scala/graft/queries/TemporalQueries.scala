@@ -696,14 +696,21 @@ object TemporalQueries {
     * one aggregation.
     */
   def q231Burstiness(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
+    // per-type inter-arrival gaps over RAW events: ~5 partition keys,
+    // each holding n/5 rows in one task under a plain window — the
+    // round-10 grouped single-task trap. shardedRank totally orders
+    // each type by (event-time µs, event_id); the lag() predecessor is
+    // the rank−1 row via an ordinary distributed equi-join (the inner
+    // join drops each type's first event exactly as lag()'s null did).
+    val e = Tables.events(s, dir)
+      .withColumn("__us", unix_micros(col("ts")))
+    val ranked = graft.ops.StatOps.shardedRank(
+      e, "event_type", "__us", "event_id", "__rk")
+    val prev = ranked.select(col("event_type"),
+      (col("__rk") + 1).as("__rk"), col("__us").as("__usp"))
+    ranked.join(prev, Seq("event_type", "__rk"))
       .withColumn("__gap",
-        (unix_micros(col("ts")) -
-          lag(unix_micros(col("ts")), 1).over(w)).cast("double") / 1e6)
-      .filter(col("__gap").isNotNull)
+        (col("__us") - col("__usp")).cast("double") / 1e6)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
         round(avg(col("__gap")), 2).as("mean_gap_sec"),
