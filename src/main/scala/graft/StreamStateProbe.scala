@@ -51,15 +51,24 @@ object StreamStateProbe {
     val stage = java.nio.file.Paths.get("target/fixtures/" +
       s"stream_chunks_${chunks}_${graft.ops.Staging.corpusKey(sfDir)}")
     if (!java.nio.file.Files.isDirectory(stage)) {
+      // stage into a tmp sibling and rename at the end: a crash mid-
+      // loop must not leave a PARTIAL chunk set that later runs would
+      // silently replay as the full stream (the isDirectory check
+      // cannot tell 3 chunks from 12)
+      val tmp = java.nio.file.Paths.get(stage.toString +
+        s".tmp-${ProcessHandle.current().pid()}")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("__chunk",
           ntile(chunks).over(Window.orderBy(col("ts"))))
         .localCheckpoint()
       (1 to chunks).foreach { i =>
         raw.filter(col("__chunk") === i).drop("__chunk")
-          .coalesce(1).write.mode("append").parquet(stage.toString)
+          .coalesce(1).write.mode("append").parquet(tmp.toString)
         Thread.sleep(60) // distinct mtimes => deterministic batch order
       }
+      try java.nio.file.Files.move(tmp, stage,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     val schema = spark.read.parquet(stage.toString).schema
     def src(): DataFrame = Tables.eventsNormalize(

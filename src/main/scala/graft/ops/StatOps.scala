@@ -400,6 +400,83 @@ object StatOps {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 
+  /** Shared scaffold of the three sharded window-replacement ops:
+    * range-shard `df` on `orderCol` by approx-percentile fences
+    * (computed globally, or per `groupCol` with a NULL-SAFE fence join
+    * so a null group key keeps its rows, exactly as a partitionBy
+    * window treats NULL as an ordinary partition). The fences only
+    * balance the shards, so approximation is free — any split
+    * preserves range order. Rows tied on a fence value always land in
+    * one shard (equal values compare identically); rows whose order
+    * key is NULL take shard 0, matching the window forms' default
+    * ASC NULLS FIRST placement. One fix here fixes all three ops.
+    */
+  private def rangeSharded(df: DataFrame, groupCol: Option[String],
+      orderCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    val qs = (1 until nShards).map(_.toDouble / nShards)
+    val fence = percentile_approx(col(orderCol).cast("double"),
+      typedlit(qs), lit(10000)).as("__fs")
+    val ranged = (1 until nShards).reverse
+      .foldLeft(lit(nShards)) { case (acc, i) =>
+        when(col(orderCol).cast("double") <= element_at(col("__fs"), i), i)
+          .otherwise(acc)
+      }
+    val shardExpr = when(col(orderCol).isNull, 0).otherwise(ranged)
+    val joined = groupCol match {
+      case None => df.crossJoin(broadcast(df.agg(fence)))
+      case Some(g) =>
+        val fences = df.groupBy(col(g)).agg(fence)
+          .withColumnRenamed(g, "__fence_g")
+        df.join(broadcast(fences), col(g) <=> col("__fence_g"))
+          .drop("__fence_g")
+    }
+    joined.withColumn("__shard", shardExpr).drop("__fs")
+  }
+
+  private def cumsumOverShards(sharded: DataFrame,
+      groupCols: Seq[String], orderCol: String,
+      sums: Seq[(String, String)]): DataFrame = {
+    val byShard = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = sums.map { case (in, out) =>
+      sum(col(in)).as(s"__tot_$out") }
+    val offsets = sharded
+      .groupBy((groupCols :+ "__shard").map(col): _*)
+      .agg(totals.head, totals.tail: _*)
+      .select(groupCols.map(col) ++ (col("__shard") +:
+        sums.map { case (_, out) =>
+          coalesce(sum(col(s"__tot_$out")).over(byShard), lit(0L))
+            .as(s"__off_$out") }): _*)
+    val local = Window
+      .partitionBy((groupCols :+ "__shard").map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL-SAFE offsets attach: a USING join would silently drop the
+    // NULL group's rows, which the window forms keep as an ordinary
+    // partition (StatOpsSpec pins this)
+    sums.foldLeft(joinOffsets(sharded, offsets, groupCols)) {
+      case (acc, (in, out)) =>
+        acc.withColumn(out, sum(col(in)).over(local) + col(s"__off_$out"))
+    }.drop("__shard" +: sums.map { case (_, out) => s"__off_$out" }: _*)
+  }
+
+  /** Attach a broadcast per-(group, shard) offsets frame with NULL-SAFE
+    * group equality (shared by the sharded cumsum/rank family). */
+  private def joinOffsets(sharded: DataFrame, offsets: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val renamed = groupCols.zipWithIndex.foldLeft(
+      offsets.withColumnRenamed("__shard", "__oshard")) {
+      case (d, (c, i)) => d.withColumnRenamed(c, s"__og$i")
+    }
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__og$i") }
+      .foldLeft(col("__shard") === col("__oshard"))(_ && _)
+    sharded.join(broadcast(renamed), cond)
+      .drop("__oshard" +: groupCols.indices.map(i => s"__og$i"): _*)
+  }
+
   /** Distributed prefix sums over a totally-ordered frame — the q203
     * shard-offset pattern generalized (round-10 window audit: an
     * unpartitioned cumulative window puts EVERY row in one task, the
@@ -409,9 +486,8 @@ object StatOps {
     * `sum(in).over(Window.orderBy(orderCol).rowsBetween(unboundedPreceding, currentRow))`
     * but distributed three ways:
     *
-    *  1. range-shard on `orderCol` by approx-percentile fences — the
-    *     fences only balance the shards, so approximation is free
-    *     (any split preserves range order); one corpus pass;
+    *  1. range-shard on `orderCol` by approx-percentile fences
+    *     ([[rangeSharded]]); one corpus pass;
     *  2. per-shard totals → an `nShards`-row running-offset frame
     *     (the only unpartitioned window left, bounded by nShards);
     *  3. shard-local cumulative window + broadcast offset join —
@@ -424,118 +500,53 @@ object StatOps {
     * `orderCol` must be numeric and UNIQUE (a total order): rows tied
     * on a fence value stay in one shard, but cumulative values AT tied
     * rows are order-ambiguous in the unpartitioned form too —
-    * uniqueness is what makes either form deterministic.
+    * uniqueness is what makes either form deterministic. NULL order
+    * keys take shard 0 (the windows' ASC NULLS FIRST placement).
     * Passes over `df` several times — cache/checkpoint upstream if it
     * is derived from an expensive scan (the R5.2 lesson).
     */
   def shardedCumsum(df: DataFrame, orderCol: String,
-      sums: Seq[(String, String)], nShards: Int = 8): DataFrame = {
-    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
-    val qs = (1 until nShards).map(_.toDouble / nShards)
-    val fences = df.agg(percentile_approx(col(orderCol).cast("double"),
-      typedlit(qs), lit(10000)).as("__fs"))
-    val shardExpr = (1 until nShards).reverse
-      .foldLeft(lit(nShards)) { case (acc, i) =>
-        when(col(orderCol).cast("double") <= element_at(col("__fs"), i), i)
-          .otherwise(acc)
-      }
-    val sharded = df.crossJoin(broadcast(fences))
-      .withColumn("__shard", shardExpr).drop("__fs")
-    val byShard = Window.orderBy(col("__shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val totals = sums.map { case (in, out) =>
-      sum(col(in)).as(s"__tot_$out") }
-    val offsets = sharded.groupBy(col("__shard"))
-      .agg(totals.head, totals.tail: _*)
-      .select(col("__shard") +: sums.map { case (_, out) =>
-        coalesce(sum(col(s"__tot_$out")).over(byShard), lit(0L))
-          .as(s"__off_$out") }: _*)
-    val local = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sums.foldLeft(sharded.join(broadcast(offsets), Seq("__shard"))) {
-      case (acc, (in, out)) =>
-        acc.withColumn(out, sum(col(in)).over(local) + col(s"__off_$out"))
-    }.drop("__shard" +: sums.map { case (_, out) => s"__off_$out" }: _*)
-  }
+      sums: Seq[(String, String)], nShards: Int = 8): DataFrame =
+    cumsumOverShards(rangeSharded(df, None, orderCol, nShards),
+      Seq.empty, orderCol, sums)
+
+  /** Grouped [[shardedCumsum]]: per-group inclusive prefix sums over
+    * `orderCol` for each `(in, out)` pair — the fix for cumulative
+    * windows `partitionBy(lowCardKey).orderBy(v)` whose PER-KEY
+    * partitions are corpus-proportional (a ≤5-value key puts n/5 rows
+    * in one task at any cluster size; round-10 audit, q115/q190/q193/
+    * q266 family). Same machinery via [[rangeSharded]]: per-group
+    * approx-percentile fences (null-safe join, so a NULL group keeps
+    * its rows like any window partition), within-group range shards,
+    * per-(group, shard) totals, broadcast running offsets, shard-local
+    * windows. Bit-exact for integral sums; rows tied on `orderCol`
+    * stay in one shard, and ties carry the same cumulative ambiguity
+    * the single-task window has (callers aggregate per distinct
+    * orderCol first, or accept rank-free cumulative semantics at ties).
+    */
+  def shardedCumsumBy(df: DataFrame, groupCol: String, orderCol: String,
+      sums: Seq[(String, String)], nShards: Int = 8): DataFrame =
+    cumsumOverShards(rangeSharded(df, Some(groupCol), orderCol, nShards),
+      Seq(groupCol), orderCol, sums)
 
   /** Grouped distributed RANKING — [[shardedCumsum]]'s sibling for
     * `row_number().over(partitionBy(group).orderBy(orderCol, tieCol))`
     * when the group column is LOW-CARDINALITY (lang ~10, event_type
     * ~5): Spark puts each group's ENTIRE partition in one task, so a
     * corpus-proportional group is the unpartitioned-window trap one
-    * step removed (round-10 window audit, q250). Per-group
-    * approx-percentile fences range-shard each group on `orderCol`;
-    * rows tied on a fence value always land in one shard (equal
-    * values compare identically), so the within-shard
-    * (orderCol, tieCol) order plus an (nShards per group)-row
+    * step removed (round-10 window audit, q250/q70/q182/q214/q231).
+    * [[rangeSharded]] splits each group on `orderCol`; the within-
+    * shard (orderCol, tieCol) order plus an (nShards per group)-row
     * broadcast offset table reproduces the global per-group
     * row_number exactly. `(orderCol, tieCol)` must totally order each
     * group (e.g. a unique id tiebreak) — the same requirement the
-    * single-task window has for determinism. No stage sees more than
-    * ~|group|/nShards rows.
+    * single-task window has for determinism. NULL group keys keep
+    * their rows (null-safe fence join); NULL order keys rank first.
+    * No stage sees more than ~|group|/nShards rows.
     */
-  /** Grouped [[shardedCumsum]]: per-group inclusive prefix sums over
-    * `orderCol` for each `(in, out)` pair — the fix for cumulative
-    * windows `partitionBy(lowCardKey).orderBy(v)` whose PER-KEY
-    * partitions are corpus-proportional (a ≤5-value key puts n/5 rows
-    * in one task at any cluster size; round-10 audit, q115/q190/q193/
-    * q266 family). Same machinery as [[shardedRank]]: per-group
-    * approx-percentile fences, within-group range shards, per-(group,
-    * shard) totals, broadcast running offsets, shard-local windows.
-    * Bit-exact for integral sums; rows tied on `orderCol` stay in one
-    * shard, and ties carry the same cumulative ambiguity the
-    * single-task window has (callers aggregate per distinct orderCol
-    * first, or accept rank-free cumulative semantics at ties).
-    */
-  def shardedCumsumBy(df: DataFrame, groupCol: String, orderCol: String,
-      sums: Seq[(String, String)], nShards: Int = 8): DataFrame = {
-    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
-    val qs = (1 until nShards).map(_.toDouble / nShards)
-    val fences = df.groupBy(col(groupCol))
-      .agg(percentile_approx(col(orderCol).cast("double"),
-        typedlit(qs), lit(10000)).as("__fs"))
-    val shardExpr = (1 until nShards).reverse
-      .foldLeft(lit(nShards)) { case (acc, i) =>
-        when(col(orderCol).cast("double") <= element_at(col("__fs"), i), i)
-          .otherwise(acc)
-      }
-    val sharded = df.join(broadcast(fences), Seq(groupCol))
-      .withColumn("__shard", shardExpr).drop("__fs")
-    val byShard = Window.partitionBy(col(groupCol))
-      .orderBy(col("__shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val totals = sums.map { case (in, out) =>
-      sum(col(in)).as(s"__tot_$out") }
-    val offsets = sharded.groupBy(col(groupCol), col("__shard"))
-      .agg(totals.head, totals.tail: _*)
-      .select(col(groupCol) +: col("__shard") +:
-        sums.map { case (_, out) =>
-          coalesce(sum(col(s"__tot_$out")).over(byShard), lit(0L))
-            .as(s"__off_$out") }: _*)
-    val local = Window.partitionBy(col(groupCol), col("__shard"))
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sums.foldLeft(sharded.join(broadcast(offsets),
-        Seq(groupCol, "__shard"))) {
-      case (acc, (in, out)) =>
-        acc.withColumn(out, sum(col(in)).over(local) + col(s"__off_$out"))
-    }.drop("__shard" +: sums.map { case (_, out) => s"__off_$out" }: _*)
-  }
-
   def shardedRank(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, outCol: String, nShards: Int = 8): DataFrame = {
-    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
-    val qs = (1 until nShards).map(_.toDouble / nShards)
-    val fences = df.groupBy(col(groupCol))
-      .agg(percentile_approx(col(orderCol).cast("double"),
-        typedlit(qs), lit(10000)).as("__fs"))
-    val shardExpr = (1 until nShards).reverse
-      .foldLeft(lit(nShards)) { case (acc, i) =>
-        when(col(orderCol).cast("double") <= element_at(col("__fs"), i), i)
-          .otherwise(acc)
-      }
-    val sharded = df.join(broadcast(fences), Seq(groupCol))
-      .withColumn("__shard", shardExpr).drop("__fs")
+    val sharded = rangeSharded(df, Some(groupCol), orderCol, nShards)
     val byShard = Window.partitionBy(col(groupCol))
       .orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -545,7 +556,7 @@ object StatOps {
         coalesce(sum(col("__cnt")).over(byShard), lit(0L)).as("__off"))
     val local = Window.partitionBy(col(groupCol), col("__shard"))
       .orderBy(col(orderCol), col(tieCol))
-    sharded.join(broadcast(offsets), Seq(groupCol, "__shard"))
+    joinOffsets(sharded, offsets, Seq(groupCol))
       .withColumn(outCol, col("__off") + row_number().over(local))
       .drop("__shard", "__off")
   }

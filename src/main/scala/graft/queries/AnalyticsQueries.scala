@@ -1406,9 +1406,11 @@ object AnalyticsQueries {
     // lead() successor via the q359 rank self-join (cumsum of ones is
     // the dense rank; the inner join drops each group's max rank
     // exactly as lead()'s null filter did).
+    // checkpoint: `cums` feeds BOTH sides of the rank self-join (R5.2)
     val cums = graft.ops.StatOps.shardedCumsumBy(
       g.withColumn("__one", lit(1L)), "o_orderpriority", "__v",
       Seq("__ca" -> "__cca", "__cb" -> "__ccb", "__one" -> "__rk"))
+      .localCheckpoint()
     val nxt = cums.select(col("o_orderpriority"),
       (col("__rk") - 1).as("__rk"), col("__v").as("__vn"))
     cums.join(nxt, Seq("o_orderpriority", "__rk"))

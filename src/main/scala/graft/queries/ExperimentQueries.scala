@@ -907,8 +907,10 @@ object ExperimentQueries {
     * discipline that makes the label trainable (a label that peeks
     * past the horizon, or ignores censoring, leaks). One corpus pass
     * to the |user × week| frame; the lookahead is a per-user lead and
-    * the censoring cut uses the global max week from an unpartitioned
-    * window over the SAME bounded frame — no second scan.
+    * the censoring cut attaches the global max week as a broadcast
+    * 1-row aggregate (a second, cheap pass over the narrow frame — the
+    * round-10 audit retired the unpartitioned window that computed it
+    * by funneling every (user, week) row through one task).
     */
   def q293ChurnLabels(s: SparkSession, dir: String): DataFrame = {
     val uw = Tables.events(s, dir)

@@ -468,9 +468,11 @@ object StatQueries {
     // — becomes a rank self-join: rank r's next value is rank r+1's v
     // (cumsum of ones over the unique key IS the dense rank). The
     // inner join drops the max-rank row exactly as lead()'s null did.
+    // checkpoint: `cums` feeds BOTH sides of the rank self-join (R5.2)
     val cums = graft.ops.StatOps.shardedCumsum(
       perV.withColumn("__one", lit(1L)), "v",
       Seq("__cn" -> "__Fn", "__cm" -> "__Gm", "__one" -> "__rk"))
+      .localCheckpoint()
     val nxt = cums.select((col("__rk") - 1).as("__rk"),
       col("v").as("__vn"))
     val cum = cums.join(nxt, Seq("__rk"))

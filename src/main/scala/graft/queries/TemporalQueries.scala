@@ -704,8 +704,11 @@ object TemporalQueries {
     // join drops each type's first event exactly as lag()'s null did).
     val e = Tables.events(s, dir)
       .withColumn("__us", unix_micros(col("ts")))
+    // checkpoint: `ranked` feeds BOTH sides of the self-join — without
+    // it the fence join + rank window re-run for each side (R5.2)
     val ranked = graft.ops.StatOps.shardedRank(
       e, "event_type", "__us", "event_id", "__rk")
+      .localCheckpoint()
     val prev = ranked.select(col("event_type"),
       (col("__rk") + 1).as("__rk"), col("__us").as("__usp"))
     ranked.join(prev, Seq("event_type", "__rk"))

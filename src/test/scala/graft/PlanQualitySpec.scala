@@ -551,7 +551,6 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q335_dunn_posthoc" -> "distinct l_quantity values (50)",
     "q355_cramer_von_mises" -> "shardedCumsum offset frame (nShards=8)",
     "q358_cox_score" -> "distinct event days",
-    "q359_wasserstein" -> "shardedCumsum offset frame (nShards=8)",
     "q362_ucb1" -> "bandit arms",
     "q363_anderson_darling" -> "shardedCumsum offset frame (nShards=8)",
     "q373_avg_precision" -> "shardedCumsum offset frame (nShards=8)",

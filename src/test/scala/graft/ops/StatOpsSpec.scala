@@ -230,6 +230,42 @@ class StatOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("shardedCumsumBy is bit-identical to the per-group cumulative " +
+    "window, including null groups and null order keys") {
+    val rnd = new scala.util.Random(47)
+    // unique-per-group order keys; one NULL group and one null-order
+    // row per group — the window form keeps both (NULL is an ordinary
+    // partition; null order keys sort first), so the sharded form must
+    val base = (1 to 2000).map { i =>
+      (if (i % 5 == 4) null else s"g${i % 3}",
+        java.lang.Double.valueOf(i.toDouble), rnd.nextInt(9).toLong)
+    }
+    val nullOrder = Seq(("g0", null.asInstanceOf[java.lang.Double], 7L),
+      (null, null.asInstanceOf[java.lang.Double], 3L))
+    val df = (base ++ nullOrder).toDF("g", "v", "a").repartition(6)
+    val got = StatOps.shardedCumsumBy(df, "g", "v", Seq("a" -> "ca"))
+      .select("g", "v", "ca").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("ca", sum(col("a")).over(w))
+      .select("g", "v", "ca").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
+    assert(got == want)
+    // degenerate: a group narrower than the shard count, and a group
+    // of exactly one row
+    val tiny = Seq(("a", 1.0, 2L), ("a", 2.0, 3L), ("b", 9.0, 5L))
+      .toDF("g", "v", "a")
+    val gotTiny = StatOps.shardedCumsumBy(tiny, "g", "v",
+        Seq("a" -> "ca")).select("g", "v", "ca")
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(gotTiny.toSeq ==
+      Seq(("a", 1.0, 2L), ("a", 2.0, 5L), ("b", 9.0, 5L)))
+  }
+
   test("shardedRank is bit-identical to the per-group row_number window " +
     "on random data with duplicate order keys") {
     val rnd = new scala.util.Random(43)
