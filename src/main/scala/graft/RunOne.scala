@@ -43,6 +43,11 @@ object RunOne {
       df.write.format("noop").mode("overwrite").save() // finalize AQE
       println(df.queryExecution.executedPlan.toString)
     }
+    if (sys.env.contains("GRAFT_EXPLAIN_LOGICAL")) {
+      // the OPTIMIZED LOGICAL plan — what injected Rule[LogicalPlan]s
+      // see (diagnosing why a rewrite did or did not fire)
+      println(fn(spark, sfDir).queryExecution.optimizedPlan.treeString)
+    }
     spark.stop()
   }
 }

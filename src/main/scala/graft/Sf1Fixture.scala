@@ -41,11 +41,22 @@ object Sf1Fixture {
     Files.createDirectories(outPath)
 
     def scaled(table: String, keyShifts: Map[String, Long],
-        perturb: Boolean = false) = {
+        perturb: Boolean = false,
+        jitter: Map[String, Double] = Map.empty) = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       (0 until copies).map { i =>
-        val shifted = keyShifts.foldLeft(base) { case (df, (k, span)) =>
+        val shifted0 = keyShifts.foldLeft(base) { case (df, (k, span)) =>
           df.withColumn(k, col(k) + lit(i * span))
+        }
+        // copy-indexed value jitter (round 11): identical copies leave
+        // measure columns with the SAME distinct-value set, so a
+        // distinct-value frame (q190's score histogram, q373's rank
+        // offsets) would not grow with the decade — the opposite of
+        // what the fixture measures. A sub-resolution shift (cents,
+        // millis of value) multiplies distinct values by the copy
+        // count without changing the distribution's shape.
+        val shifted = jitter.foldLeft(shifted0) { case (df, (c, step)) =>
+          df.withColumn(c, col(c) + lit(i * step))
         }
         if (perturb && i > 0)
           // dimension- and copy-indexed jitter: a CONSTANT shift would
@@ -70,15 +81,27 @@ object Sf1Fixture {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaled("embeddings", Map("vec_id" -> span), perturb = true)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "events").foreach { t =>
+    // events + orders scaled since round 11 (WindowShapeProbe's decade
+    // evidence for the sharded-window rewrites reads them): primary
+    // keys shift, FK columns (user_id, o_custkey) stay — per-entity
+    // cardinality grows 10x, the realistic "rate grows, horizon fixed"
+    // shape for calendar-framed queries; measure columns get
+    // sub-resolution jitter so distinct-value frames grow too.
+    scaled("events", Map("event_id" -> span),
+        jitter = Map("value" -> 0.001))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    scaled("orders", Map("o_orderkey" -> span),
+        jitter = Map("o_totalprice" -> 0.01))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       Files.createSymbolicLink(outPath.resolve(s"$t.parquet"),
         Paths.get(src).resolve(s"$t.parquet"))
     }
-    Seq("lineitem", "documents", "embeddings").foreach { t =>
-      val n = spark.read.parquet(s"$out/$t.parquet").count()
-      println(s"[sf1-fixture] $t: $n rows")
-    }
+    Seq("lineitem", "documents", "embeddings", "events", "orders")
+      .foreach { t =>
+        val n = spark.read.parquet(s"$out/$t.parquet").count()
+        println(s"[sf1-fixture] $t: $n rows")
+      }
     spark.stop()
   }
 }

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Measurement probe (judge verdict r10 "Next round" #4): the round-10
+  * sharded-window rewrites (q203/q250/q190/q373 family) were
+  * oracle-verified at 3 SFs and sped up the sf0.1 bench, but the scale
+  * CLAIM — no stage ever sees more than ~1/nShards of a group — had no
+  * decade-up measurement. This main drives each site's PRE-rewrite
+  * shape (the literal single-task window the manifest used to run,
+  * reconstructed here exactly as R10.11/R10.13 retired it) and its
+  * POST-rewrite shape (the live manifest body via SparkEntry) on the
+  * same sfDir with min-of-N timing, so PERF_NOTES can carry the sf0.1 →
+  * sf1 slope of both forms side by side (the R10.4 pattern:
+  * pre-shapes live in a probe, the manifest stays clean).
+  *
+  * Usage: sbt "runMain graft.WindowShapeProbe <sfDir> [nRuns] [site...]"
+  * (sites default to all four; sf1 fixture via `graft.Sf1Fixture`).
+  * Wall-clock probe — run on an idle machine like Bench.
+  */
+object WindowShapeProbe {
+
+  /** q203 pre-shape: one unpartitioned row_number over the whole events
+    * table (every row through ONE task). */
+  private def preQ203(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("global_seq",
+        row_number().over(Window.orderBy(col("event_id"))).cast("long"))
+      .orderBy(col("event_id"))
+
+  /** q190 pre-shape: rank-sum AUC with the per-group mid-ranks from a
+    * partitionBy(priority) cumulative window over the distinct-score
+    * frame (each priority's whole frame in one task). */
+  private def preQ190(s: SparkSession, dir: String): DataFrame = {
+    val perScore = Tables.table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("__score"))
+      .agg(count(lit(1)).as("__cnt"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("__pos"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("__score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__rank",
+        col("__cum") - col("__cnt") + (col("__cnt") + 1) / 2.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"),
+        sum(col("__pos") * col("__rank")).as("__rp"))
+      .select(col("o_orderpriority"), col("n_pos"), col("n_neg"),
+        (round((col("__rp") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos") * col("n_neg")), 4) + lit(0.0)).as("auc"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q250 pre-shape: per-lang percent_rank window over the RAW scored
+    * documents (each language's corpus slice in one task), then the
+    * same 33-point grid interpolation as the live query. */
+  private def preQ250(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.parallelize(Tables.table(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("double").as("score"))
+      .localCheckpoint()
+    val grid = graft.ops.StatOps.exactPercentiles(
+        scored.withColumn("__g", lit(1)),
+        "__g", "score", (0 to 32).map(i => s"g$i" -> i / 32.0))
+      .select(array((0 to 32).map(i => col(s"g$i")): _*).as("__grid"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score"), col("doc_id"))
+    scored
+      .withColumn("__r", percent_rank().over(w))
+      .crossJoin(broadcast(grid))
+      .withColumn("__pos", col("__r") * 32)
+      .withColumn("__i", least(floor(col("__pos")).cast("int"), lit(31)))
+      .withColumn("normalized", round(
+        element_at(col("__grid"), col("__i") + 1) +
+          (col("__pos") - col("__i")) *
+            (element_at(col("__grid"), col("__i") + 2) -
+              element_at(col("__grid"), col("__i") + 1)), 4))
+      .select(col("doc_id"), col("lang"), col("normalized"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q373 pre-shape: average precision from ONE global
+    * `ORDER BY v DESC, id` window carrying both the row_number and the
+    * cumulative positive count (the whole filtered event stream in one
+    * task). */
+  private def preQ373(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id").as("id"),
+        col("value").cast("double").as("v"),
+        (col("event_type") === "purchase").cast("int").as("pos"))
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val ranked = e
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__posRank", sum(col("pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.filter(col("pos") === 1)
+      .agg(count(lit(1)).as("n_pos"),
+        avg(col("__posRank").cast("double") / col("__rank"))
+          .as("__ap"))
+      .select(col("n_pos"), (round(col("__ap"), 4) + lit(0.0)).as("ap"))
+  }
+
+  private val sites: Map[String, (String, (SparkSession, String) => DataFrame)] =
+    Map(
+      "q203" -> ("q203_global_seq", preQ203 _),
+      "q190" -> ("q190_auc", preQ190 _),
+      "q250" -> ("q250_quantile_normalize", preQ250 _),
+      "q373" -> ("q373_avg_precision", preQ373 _))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val chosen = if (args.length > 2) args.drop(2).toSeq else sites.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // ICU warm-up (Bench warm-up 1) so neither form pays class init
+    spark.range(1).select(expr(
+      "filter(array(lower('Warm Up')), x -> x != '')")).collect()
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    chosen.foreach { key =>
+      val (manifestName, pre) = sites(key)
+      val post = SparkEntry.queries(manifestName)
+      // one untimed pass each (JIT/codegen), then min-of-N
+      try {
+        pre(spark, sfDir).write.format("noop").mode("overwrite").save()
+        post(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val preT = (1 to runs).map(_ => time(
+          pre(spark, sfDir).write.format("noop").mode("overwrite").save()))
+        val postT = (1 to runs).map(_ => time(
+          post(spark, sfDir).write.format("noop").mode("overwrite").save()))
+        println(f"[window-shape] $key pre_min=${preT.min}%.3f s " +
+          f"post_min=${postT.min}%.3f s (pre=${preT.map(t => f"$t%.2f").mkString(",")} " +
+          f"post=${postT.map(t => f"$t%.2f").mkString(",")})")
+      } catch {
+        case e: Throwable =>
+          println(s"[window-shape] $key FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

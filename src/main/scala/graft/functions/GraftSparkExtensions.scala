@@ -19,6 +19,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer extension: naive sorted-set intersection counts compile
     // to the native two-pointer merge (see IntersectCountRewrite)
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+    // optimizer extension: reinstate the window group-limit under the
+    // decorrelated LATERAL rank-filter shape that defeats Spark's own
+    // InferWindowGroupLimit (see DecorrelatedRankLimit)
+    ext.injectOptimizerRule(_ => graft.plans.DecorrelatedRankLimit)
     // planner extension: AsofJoinNode → AsofJoinExec (native sort-merge
     // as-of join, see graft.plans.AsofJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
@@ -175,5 +179,11 @@ object GraftSparkExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    // runtime path for the optimizer rules (config path: injectOptimizerRule)
+    val optRules = Seq(graft.plans.IntersectCountRewrite, graft.plans.DecorrelatedRankLimit)
+    val missing = optRules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missing
   }
 }

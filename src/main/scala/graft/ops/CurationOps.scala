@@ -139,23 +139,26 @@ object CurationOps {
     * selected set is reproducible across engines and retries. Returns
     * (groupCol, idCol, n_tokens, cum_tokens).
     *
-    * Scale shape: ONE shuffle on the group key; the running sum is a
-    * streaming window frame (UNBOUNDED PRECEDING..CURRENT ROW), so no
-    * whole-group buffering. Caveat: a window over a LOW-cardinality
-    * group key sends each whole group to one reducer — for huge corpora
-    * per group, find the score threshold first with a distributed
-    * histogram (StatOps.exactPercentiles' selection shape) and keep
-    * `score >= threshold` as a plain filter instead.
+    * Scale shape (round 11): the running sum is DISTRIBUTED — the
+    * group key is low-cardinality (languages/domains), so a plain
+    * `partitionBy(group)` window would send each group's ENTIRE corpus
+    * slice to one reducer (the grouped single-task trap, PERF_NOTES
+    * R10.13). `StatOps.shardedCumsumBy` range-shards each group on the
+    * (negated) score with the id tiebreak completing the total order,
+    * so no task sees more than ~|group|/nShards rows and the long
+    * token sums are bit-exact across the shard re-association.
+    * `score` must be non-null (a NULL score orders first in the
+    * sharded form vs last under the window's DESC NULLS LAST).
     */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
                         textCol: String, score: Column,
                         budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__score").desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__score", score)
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val scored = df
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      // ascending order on the NEGATED score == score DESC
+      .withColumn("__ord", -score)
+    StatOps.shardedCumsumBy(scored, groupCol, "__ord",
+        Seq("n_tokens" -> "cum_tokens"), tieCol = Some(idCol))
       .filter(col("cum_tokens") <= budget)
       .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }
@@ -260,25 +263,24 @@ object CurationOps {
     *
     * Returns (groupCol, idCol, n_tokens, cum_tokens, grp_budget).
     *
-    * Scale shape: same as [[tokenBudgetSelect]] — one shuffle on the
-    * group key, streaming cumulative-sum frame; the weight table rides
-    * in-plan as a literal map. The same low-cardinality-group caveat
-    * applies (threshold-first rewrite for huge groups).
+    * Scale shape (round 11): same as [[tokenBudgetSelect]] — the
+    * cumulative sum runs through `StatOps.shardedCumsumBy` (ordered by
+    * the md5-derived hash, id tiebreak), so a low-cardinality group
+    * never serializes its corpus slice through one reducer; the weight
+    * table rides in-plan as a literal map.
     */
   def mixtureSelect(df: DataFrame, groupCol: String, idCol: String,
                     textCol: String, weights: Map[String, Double],
                     totalBudget: Long): DataFrame = {
     val wmap = map(weights.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__h"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("grp_budget",
+    val scored = df.withColumn("grp_budget",
         floor(element_at(wmap, col(groupCol)) * totalBudget).cast("long"))
       .filter(col("grp_budget").isNotNull)
       .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
       .withColumn("__h", TextOps.hash32(col(idCol).cast("string"), seed = "mix:"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    StatOps.shardedCumsumBy(scored, groupCol, "__h",
+        Seq("n_tokens" -> "cum_tokens"), tieCol = Some(idCol))
       .filter(col("cum_tokens") <= col("grp_budget"))
       .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"),
         col("grp_budget"))
@@ -570,6 +572,11 @@ object CurationOps {
     val counts = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
       .withColumn("__g", lit(1)).withColumn("__negc", -col("__c"))
+      // shardedRank traverses its input 3-4 times (fence agg/join,
+      // offset agg/join) — materialize the vocabulary once instead of
+      // re-running the explode+groupBy corpus scan (the R5.2 pattern;
+      // round-10 ADVICE)
+      .localCheckpoint()
     val xy = StatOps.shardedRank(counts, "__g", "__negc", "token", "__rk")
       .withColumn("__x", log(col("__rk").cast("double")))
       .withColumn("__y", log(col("__c").cast("double")))

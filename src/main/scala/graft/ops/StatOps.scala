@@ -341,18 +341,21 @@ object StatOps {
     */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
       weightCol: String): DataFrame = {
+    // weights accumulate as DECIMAL(30,8): decimal addition is exact
+    // and associative, so the shardedCumsumBy re-association can never
+    // drift the cumulative (a double path could flip the >= total/2
+    // median pick at an exact-half boundary for fractional weights —
+    // round-10 ADVICE). Integral weights (q193's quantities) are
+    // unchanged; fractional weights are pinned at 8 dp, which is the
+    // op's documented weight resolution (WeightedMedianSpec exercises
+    // an exact-half fractional boundary).
     val perV = df
       .groupBy(col(groupCol), col(valCol).cast("double").as("__value"))
-      .agg(sum(col(weightCol).cast("double")).as("__w"))
+      .agg(sum(col(weightCol).cast("decimal(30,8)")).as("__w"))
     // the group key is low-cardinality (return flags ~3), so a plain
     // partitionBy(g) cumulative window holds each group's whole
     // distinct-value frame in ONE task — distributed via
-    // shardedCumsumBy (round-10 audit). Exactness caveat: the shard
-    // decomposition re-associates double additions, which is exact
-    // whenever the weights are INTEGRAL-valued doubles (every partial
-    // sum stays an integer < 2^53 — true for count- and quantity-like
-    // weights, e.g. q193's l_quantity); fractional weights may drift
-    // in the last ulp relative to the sequential order.
+    // shardedCumsumBy (round-10 audit)
     val cums = shardedCumsumBy(perV, groupCol, "__value",
       Seq("__w" -> "__cw"))
     val tots = perV.groupBy(col(groupCol))
@@ -361,7 +364,8 @@ object StatOps {
       .filter(col("__cw") >= col("__tw") / 2)
       .groupBy(col(groupCol))
       .agg(min(col("__value")).as("weighted_median"),
-        (round(max(col("__tw")), 2) + lit(0.0)).as("total_weight"))
+        (round(max(col("__tw")).cast("double"), 2) + lit(0.0))
+          .as("total_weight"))
   }
 
   /** Shard-level data-skipping statistics — the min/max/null-count
@@ -436,7 +440,8 @@ object StatOps {
 
   private def cumsumOverShards(sharded: DataFrame,
       groupCols: Seq[String], orderCol: String,
-      sums: Seq[(String, String)]): DataFrame = {
+      sums: Seq[(String, String)],
+      tieCol: Option[String] = None): DataFrame = {
     val byShard = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -451,7 +456,7 @@ object StatOps {
             .as(s"__off_$out") }): _*)
     val local = Window
       .partitionBy((groupCols :+ "__shard").map(col): _*)
-      .orderBy(col(orderCol))
+      .orderBy((orderCol +: tieCol.toSeq).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // NULL-SAFE offsets attach: a USING join would silently drop the
     // NULL group's rows, which the window forms keep as an ordinary
@@ -505,10 +510,34 @@ object StatOps {
     * Passes over `df` several times — cache/checkpoint upstream if it
     * is derived from an expensive scan (the R5.2 lesson).
     */
+  /** Debug-mode precondition check for the sharded window family: the
+    * caller-supplied key set must TOTALLY ORDER each group, or the
+    * cumulative values at duplicated keys are silently
+    * nondeterministic (the scaladoc contract made executable — set
+    * `spark.graft.assertShardedOrder=true` in a debug session to pay
+    * one extra bounded aggregation per call; ShardedOrderSpec seeds a
+    * violation). The collect is limit-1 — a scalar probe, not a
+    * driver-side loop. */
+  private def assertTotalOrder(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String]): Unit = {
+    val on = df.sparkSession.conf
+      .getOption("spark.graft.assertShardedOrder").exists(_.toBoolean)
+    if (on) {
+      val keys = (groupCols ++ orderCols).map(col)
+      val dup = df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"sharded window op requires (${(groupCols ++ orderCols).mkString(", ")}) " +
+          s"to totally order the frame; duplicate key: ${dup.headOption.orNull}")
+    }
+  }
+
   def shardedCumsum(df: DataFrame, orderCol: String,
-      sums: Seq[(String, String)], nShards: Int = 8): DataFrame =
+      sums: Seq[(String, String)], nShards: Int = 8): DataFrame = {
+    assertTotalOrder(df, Seq.empty, Seq(orderCol))
     cumsumOverShards(rangeSharded(df, None, orderCol, nShards),
       Seq.empty, orderCol, sums)
+  }
 
   /** Grouped [[shardedCumsum]]: per-group inclusive prefix sums over
     * `orderCol` for each `(in, out)` pair — the fix for cumulative
@@ -522,12 +551,25 @@ object StatOps {
     * windows. Bit-exact for integral sums; rows tied on `orderCol`
     * stay in one shard, and ties carry the same cumulative ambiguity
     * the single-task window has (callers aggregate per distinct
-    * orderCol first, or accept rank-free cumulative semantics at ties).
+    * orderCol first, or accept rank-free cumulative semantics at ties —
+    * or pass `tieCol`, below).
+    *
+    * `tieCol` (round 11): a tiebreak column completing the total order
+    * when `orderCol` alone has duplicates — the shard-local window then
+    * orders by `(orderCol, tieCol)`, reproducing
+    * `partitionBy(group).orderBy(orderCol, tieCol)` exactly (fences
+    * keep whole tie-blocks in one shard, so only the LOCAL order needs
+    * the tiebreak; offsets are order-free sums). This is what lets
+    * score-ordered selections (q87 token budget, q99 mixture) keep
+    * their id-tiebreak determinism distributed.
     */
   def shardedCumsumBy(df: DataFrame, groupCol: String, orderCol: String,
-      sums: Seq[(String, String)], nShards: Int = 8): DataFrame =
+      sums: Seq[(String, String)], nShards: Int = 8,
+      tieCol: Option[String] = None): DataFrame = {
+    assertTotalOrder(df, Seq(groupCol), orderCol +: tieCol.toSeq)
     cumsumOverShards(rangeSharded(df, Some(groupCol), orderCol, nShards),
-      Seq(groupCol), orderCol, sums)
+      Seq(groupCol), orderCol, sums, tieCol)
+  }
 
   /** Grouped distributed RANKING — [[shardedCumsum]]'s sibling for
     * `row_number().over(partitionBy(group).orderBy(orderCol, tieCol))`
@@ -546,6 +588,7 @@ object StatOps {
     */
   def shardedRank(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, outCol: String, nShards: Int = 8): DataFrame = {
+    assertTotalOrder(df, Seq(groupCol), Seq(orderCol, tieCol))
     val sharded = rangeSharded(df, Some(groupCol), orderCol, nShards)
     val byShard = Window.partitionBy(col(groupCol))
       .orderBy(col("__shard"))

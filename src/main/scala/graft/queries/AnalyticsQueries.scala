@@ -1029,24 +1029,37 @@ object AnalyticsQueries {
   }
 
   /** q259_spearman — per-language Spearman rank correlation between
-    * token count and character count: tie-averaged ranks (rank() +
-    * (ties−1)/2, the textbook fractional rank — identical arithmetic
-    * in both engines) feed the Pearson closed form from one co-moment
-    * aggregation. The monotone-association complement of q128's
-    * Pearson matrix — robust to the nonlinear length relationships
-    * Pearson understates. One window per rank + one agg.
+    * token count and character count: tie-averaged ranks feed the
+    * Pearson closed form from one co-moment aggregation. The
+    * fractional rank of a row depends only on its VALUE — mid-rank =
+    * cum_count − count + (count+1)/2 over the per-(lang, value)
+    * distinct frame — so the ranks come from a value-histogram
+    * aggregation + `StatOps.shardedCumsumBy` and join back to rows
+    * (round 11: the former rank() window partitioned by a ≤10-value
+    * lang key held each language's whole corpus slice in one task —
+    * the grouped single-task trap, PERF_NOTES R10.13; the arithmetic
+    * is unchanged: rank() + (ties−1)/2 = cum − cnt + (cnt+1)/2, exact
+    * in long arithmetic). The monotone-association complement of
+    * q128's Pearson matrix.
     */
   def q259Spearman(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.parallelize(Tables.documents(s, dir))
       .select(col("lang"), col("doc_id"),
         TextOps.tokenCount(col("text")).cast("double").as("__a"),
         col("n_chars").cast("double").as("__b"))
-    def fracRank(c: String): org.apache.spark.sql.Column =
-      rank().over(Window.partitionBy(col("lang")).orderBy(col(c))) +
-        (count(lit(1)).over(Window.partitionBy(col("lang"), col(c))) - 1) /
-          lit(2.0)
-    val ranked = d.withColumn("__ra", fracRank("__a"))
-      .withColumn("__rb", fracRank("__b"))
+      .localCheckpoint() // feeds two rank histograms + the join-back
+    def midRanks(vCol: String, out: String): DataFrame = {
+      val perV = d.groupBy(col("lang"), col(vCol))
+        .agg(count(lit(1)).as("__cnt"))
+      graft.ops.StatOps.shardedCumsumBy(perV, "lang", vCol,
+          Seq("__cnt" -> "__cum"))
+        .select(col("lang"), col(vCol),
+          (col("__cum") - col("__cnt") +
+            (col("__cnt") + 1) / lit(2.0)).as(out))
+    }
+    val ranked = d
+      .join(midRanks("__a", "__ra"), Seq("lang", "__a"))
+      .join(midRanks("__b", "__rb"), Seq("lang", "__b"))
     ranked.groupBy(col("lang"))
       .agg(count(lit(1)).cast("double").as("__n"),
         sum(col("__ra")).as("__sa"), sum(col("__rb")).as("__sb"),

@@ -56,22 +56,23 @@ object ModelQueries {
     * segment via the rank form of the Lorenz integral:
     * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spend sorted ascending
     * (custkey tiebreak → total order). Per-customer spend is one
-    * map-side-combined aggregation; the rank window shuffles on the
-    * segment — |customers| rows, not |orders|. The concentration audit
+    * map-side-combined aggregation; the per-segment rank runs through
+    * `StatOps.shardedRank` (round 11) — a plain partitionBy(segment)
+    * window would hold each segment's whole per-customer frame
+    * (corpus-proportional) in ONE task; the sharded form bounds every
+    * task at ~|segment|/nShards rows. The concentration audit
     * a curation pipeline runs on source/domain shares before fixing
     * mixture weights (q186).
     */
   def q195GiniLorenz(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice")).as("__spend"))
       .join(Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("__spend"), col("o_custkey"))
-    spend.withColumn("__rk", row_number().over(w))
+    graft.ops.StatOps.shardedRank(spend, "c_mktsegment", "__spend",
+        "o_custkey", "__rk")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
         (round(sum(col("__spend")), 2) + lit(0.0)).as("total_spend"),

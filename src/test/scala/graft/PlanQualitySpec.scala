@@ -509,7 +509,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val boundedGlobalWindows: Map[String, String] = Map(
     "q123_concurrency" -> "per-day carry aggregates (calendar; 31 rows)",
     "q127_ecdf" -> "distinct l_quantity values (value domain, 50)",
-    "q130_zipf" -> "shardedRank offset frame (nShards=8)",
+    // (q130_zipf's offset frame left this list in round 11: the
+    // vocabulary localCheckpoint makes the constant __g group key
+    // non-foldable, so its nShards-row window is partitioned again)
     "q138_psi_drift" -> "exactPercentiles bucket histogram (<=4096)",
     "q183_batch_inference" -> "exactPercentiles bucket histogram (<=4096)",
     "q191_best_split" -> "candidate splits = distinct l_quantity (50)",
@@ -558,17 +560,60 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q414_competing_risks" -> "distinct duration days",
     "q415_mood_median" -> "groups + pooled-median scalar")
 
+  // ---- grouped single-task window audit (round 11) -------------------
+  // The PARTITIONED cousin of the trap above (PERF_NOTES R10.13): a
+  // Window partitioned ONLY by columns whose fixture cardinality is
+  // <=10 puts each key's entire corpus slice into one task — n/5 rows
+  // per task at any cluster size — unless its per-group frame is
+  // bounded by something other than the corpus. R10.13 classified
+  // these by hand from WindowVolumeProbe dumps; this lint makes the
+  // screen executable. A Window is exempt if a WindowGroupLimit
+  // bounds its input per group (the q392 shape after
+  // DecorrelatedRankLimit); everything else flagged must carry a
+  // documented non-corpus bound below, and stale entries fail.
+  private val lowCardFixtureCols: Set[String] = Set(
+    "l_returnflag", "l_linestatus", "l_linenumber", "l_tax",
+    "o_orderstatus", "o_orderpriority", "event_type", "c_mktsegment",
+    "p_type", "r_name", "r_regionkey", "n_regionkey", "lang", "label",
+    // common manifest aliases of the above
+    "pri", "flag", "status", "segment", "grp", "g")
+
+  private def groupedLowCardWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    collectWithSubqueries(plan) {
+      case w: WindowExec if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.forall(e => e.references.nonEmpty &&
+            e.references.forall(a => lowCardFixtureCols.contains(a.name))) &&
+          collectWithSubqueries(w.child) {
+            case g: WindowGroupLimitExec => g
+          }.isEmpty =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+          .sorted.mkString("+")
+    }
+  }
+
+  /** One plan-construction pass over the manifest shared by both
+    * window lints (building 415 executed plans is the expensive part;
+    * classification is cheap). Maps query name →
+    * (has unpartitioned Window/GroupLimit, low-card-only partition
+    * column signatures without a group limit). */
+  private lazy val windowAudit: Map[String, (Boolean, Seq[String])] = {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan
+      val unpartitioned = collectWithSubqueries(plan) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      name -> (unpartitioned, groupedLowCardWindows(plan))
+    }.toMap
+  }
+
   test("every unpartitioned Window in the manifest has a documented " +
     "non-corpus bound (and the whitelist carries no stale entries)") {
-    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf0001).queryExecution.executedPlan
-        val wins = collectWithSubqueries(plan) {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
-        }
-        if (wins.nonEmpty) Some(name) else None
+    val flagged = windowAudit.collect {
+      case (name, (unpartitioned, _)) if unpartitioned => name
     }.toSet
     val undocumented = flagged -- boundedGlobalWindows.keySet
     assert(undocumented.isEmpty,
@@ -580,5 +625,111 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(stale.isEmpty,
       s"whitelist entries whose plans no longer carry an unpartitioned " +
         s"Window (prune them): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  // Each entry names the NON-CORPUS bound of the window's per-group
+  // frame (what keeps one task's rows from growing with the corpus).
+  // Three bounded families cover everything at HEAD: the sharded
+  // offset frame (nShards rows per group — the price of the
+  // distributed rewrite itself), the exactPercentiles bucket histogram
+  // (<=4096 rows per group), and calendar-bounded per-day/per-hour
+  // aggregate frames. Corpus-proportional sites found by this lint
+  // were FIXED, not whitelisted: q87/q99 (per-lang budget cumsums →
+  // shardedCumsumBy + tieCol), q195 (per-segment spend rank →
+  // shardedRank), q259 (per-lang fractional ranks → value-histogram
+  // mid-ranks), q318/q392 (decorrelated LATERAL rank filters →
+  // DecorrelatedRankLimit's WindowGroupLimit).
+  private val boundedGroupedWindows: Map[String, String] = Map(
+    "q40_percentiles" -> "exactPercentiles bucket histogram (<=4096/group)",
+    "q65_approx_percentiles" -> ("exactPercentiles bucket histogram " +
+      "(<=4096/group)"),
+    "q70_rank_dist" -> "shardedRank offset frame (nShards=8 rows/group)",
+    "q87_token_budget" -> ("shardedCumsumBy offset frame " +
+      "(nShards=8 rows/group)"),
+    "q99_mixture_sample" -> ("shardedCumsumBy offset frame " +
+      "(nShards=8 rows/group)"),
+    "q102_norm_outliers" -> ("exactPercentiles bucket histogram " +
+      "(<=4096/group)"),
+    "q105_hourly_peaks" -> "hourly aggregate frame (calendar)",
+    "q108_winsorize" -> "exactPercentiles bucket histogram (<=4096/group)",
+    "q115_ks_drift" -> "shardedCumsumBy offset frame (nShards=8 rows/group)",
+    "q119_robust_scale" -> ("exactPercentiles bucket histogram " +
+      "(<=4096/group, 2 selections)"),
+    "q126_equidepth_bins" -> ("exactPercentiles bucket histogram " +
+      "(<=4096/group)"),
+    "q153_target_encoding" -> "per-(priority, fold) aggregate frame (25 rows)",
+    "q165_autocorr" -> "per-day aggregate frame (calendar)",
+    "q182_ntile" -> "shardedRank offset frame (nShards=8 rows/group)",
+    "q190_auc" -> "shardedCumsumBy offset frame (nShards=8 rows/group)",
+    "q193_weighted_median" -> ("shardedCumsumBy offset frame " +
+      "(nShards=8 rows/group)"),
+    "q195_gini_lorenz" -> "shardedRank offset frame (nShards=8 rows/group)",
+    "q206_cusum" -> "per-day aggregate frame (calendar)",
+    "q214_strat_split" -> "shardedRank offset frame (nShards=8 rows/group)",
+    "q245_rolling_regression" -> "per-day aggregate frame (calendar)",
+    "q250_quantile_normalize" -> ("exactPercentiles bucket histogram " +
+      "(<=4096/group)"),
+    "q252_conformal" -> "exactPercentiles bucket histogram (<=4096/group)",
+    "q259_spearman" -> ("shardedCumsumBy offset frame " +
+      "(nShards=8 rows/group, 2 rank histograms)"),
+    "q287_forecast_eval" -> "per-day aggregate frame (calendar)",
+    "q376_mase" -> "per-day aggregate frame (calendar)",
+    "q380_wilcoxon" -> ("distinct |paired-daily-count diffs| frame " +
+      "(calendar-bounded)"),
+    "q381_pacf" -> "per-day aggregate frame (calendar)",
+    "q383_pinball_loss" -> ("exactPercentiles bucket histogram + per-day " +
+      "frame (calendar)"),
+    "q404_runs_test" -> "per-day aggregate frame (calendar)",
+    "q416_hurst" -> "per-day aggregate frame (calendar)")
+
+  test("every low-cardinality-partitioned Window has a documented " +
+    "non-corpus frame bound (and the whitelist carries no stale entries)") {
+    val flagged = windowAudit.collect {
+      case (name, (_, grouped)) if grouped.nonEmpty => name
+    }.toSet
+    val undocumented = flagged -- boundedGroupedWindows.keySet
+    assert(undocumented.isEmpty,
+      s"Window(s) partitioned only by <=10-cardinality columns whose " +
+        s"per-group frame has no documented non-corpus bound: " +
+        undocumented.toSeq.sorted
+          .map(n => s"$n(${windowAudit(n)._2.mkString(";")})")
+          .mkString(", ") +
+        " — distribute the frame (StatOps.shardedCumsumBy/shardedRank), " +
+        "bound it with a window group limit, or state the bound here")
+    val stale = boundedGroupedWindows.keySet -- flagged
+    assert(stale.isEmpty,
+      s"grouped-window whitelist entries whose plans no longer carry a " +
+        s"low-card-partitioned Window (prune them): " +
+        stale.toSeq.sorted.mkString(", "))
+  }
+
+  test("grouped-window lint flags a seeded corpus-proportional violation " +
+    "and exempts group-limited windows") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    // seeded violation: per-priority rank over RAW corpus rows
+    val bad = orders.withColumn("rk",
+      row_number().over(W.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)))
+    assert(groupedLowCardWindows(bad.queryExecution.executedPlan).nonEmpty,
+      "lint failed to flag a raw per-priority window sort")
+    // the fixed q392 shape (rank filter → group limit) is exempt
+    val q392 = SparkEntry.queries("q392_sql_table_fn")(spark, sf0001)
+    assert(groupedLowCardWindows(q392.queryExecution.executedPlan).isEmpty,
+      "q392's group-limited window should not be flagged")
+  }
+
+  test("q392 SQL-UDTF rank filter plans map-side + final window group " +
+    "limits (DecorrelatedRankLimit fired)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val df = SparkEntry.queries("q392_sql_table_fn")(spark, sf0001)
+    val limits = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case g: WindowGroupLimitExec => g.mode.toString
+    }
+    assert(limits.sorted == Seq("Final", "Partial"),
+      s"expected one Partial (map-side) + one Final group limit, got " +
+        s"$limits — the decorrelated LATERAL shape lost its group-limit " +
+        "pushdown (see graft.plans.DecorrelatedRankLimit)")
   }
 }

@@ -304,4 +304,72 @@ class StatOpsSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__shard"),
       s"expected the data window partitioned by __shard:\n$plan")
   }
+
+  test("shardedCumsumBy with tieCol is bit-identical to the per-group " +
+    "window ordered by (orderCol, tieCol) on DUPLICATE order keys") {
+    val rnd = new scala.util.Random(53)
+    // heavy order-key ties: scores drawn from just 12 values, unique id
+    // tiebreak — the q87/q99 budget-selection shape
+    val rows = (1 to 3000).map(i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(12).toDouble, s"id$i",
+        rnd.nextInt(50).toLong))
+    val df = rows.toDF("g", "v", "id", "a").repartition(5)
+    val got = StatOps.shardedCumsumBy(df, "g", "v", Seq("a" -> "ca"),
+        tieCol = Some("id"))
+      .select("g", "id", "ca").orderBy("g", "id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("ca", sum(col("a")).over(w))
+      .select("g", "id", "ca").orderBy("g", "id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("spark.graft.assertShardedOrder seeds the total-order " +
+    "precondition as a runtime check (round-10 ADVICE made executable)") {
+    val dup = Seq(("g0", 1.0, 1L), ("g0", 1.0, 2L), ("g0", 2.0, 3L))
+      .toDF("g", "v", "a")
+    spark.conf.set("spark.graft.assertShardedOrder", "true")
+    try {
+      // duplicate (g, v) with no tiebreak → refused
+      val e = intercept[IllegalArgumentException] {
+        StatOps.shardedCumsumBy(dup, "g", "v", Seq("a" -> "ca")).collect()
+      }
+      assert(e.getMessage.contains("totally order"))
+      // the same frame with a unique tiebreak passes
+      StatOps.shardedCumsumBy(dup.withColumn("id", col("a")), "g", "v",
+        Seq("a" -> "ca"), tieCol = Some("id")).collect()
+      // shardedRank's (orderCol, tieCol) pair is checked too
+      StatOps.shardedRank(dup.withColumn("id", col("a")), "g", "v", "id",
+        "rk").collect()
+      val e2 = intercept[IllegalArgumentException] {
+        StatOps.shardedRank(dup.withColumn("id", lit(1L)), "g", "v", "id",
+          "rk").collect()
+      }
+      assert(e2.getMessage.contains("totally order"))
+    } finally spark.conf.unset("spark.graft.assertShardedOrder")
+    // check off by default: the duplicate frame computes (ambiguous at
+    // ties, as documented) instead of throwing
+    StatOps.shardedCumsumBy(dup, "g", "v", Seq("a" -> "ca")).collect()
+  }
+
+  test("weightedMedian is exact at a fractional-weight half boundary " +
+    "(decimal accumulation cannot drift the >= total/2 pick)") {
+    // ten 0.1 weights: in double, total = 0.9999999999999999 and the
+    // running sum drifts — decimal accumulation keeps total = 1.0 and
+    // cum(v=5) = 0.5 exactly, so the lower weighted median is 5
+    val df = (1 to 10).map(i => ("g", i.toDouble, 0.1))
+      .toDF("g", "v", "w")
+    val got = StatOps.weightedMedian(df, "g", "v", "w").collect().head
+    assert(got.getAs[Double]("weighted_median") == 5.0, got)
+    assert(got.getAs[Double]("total_weight") == 1.0, got)
+    // integral weights unchanged (the q193 contract)
+    val ints = Seq(("g", 1.0, 3.0), ("g", 2.0, 1.0), ("g", 3.0, 4.0))
+      .toDF("g", "v", "w")
+    val m = StatOps.weightedMedian(ints, "g", "v", "w").collect().head
+    assert(m.getAs[Double]("weighted_median") == 2.0, m)
+  }
 }
