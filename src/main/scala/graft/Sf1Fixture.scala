@@ -22,14 +22,23 @@ import org.apache.spark.sql.functions._
   * the copies DEGENERATE, the opposite of the fixture's purpose).
   * Everything else rides along from sf0.1 as symlinks.
   *
-  * Usage: sbt "runMain graft.Sf1Fixture [outDir]"
-  * (default target/fixtures/sf1).
+  * Usage: sbt "runMain graft.Sf1Fixture [outDir [srcDir [copies [tables]]]]"
+  * (default target/fixtures/sf1 from /root/testdata/sf0.1, 10 copies,
+  * all scaled tables). `tables` is a comma list restricting which
+  * tables are SCALED (the rest symlink from srcDir) — composing runs
+  * stacks decades: src=target/fixtures/sf1 tables=events,orders gives
+  * an sf10-equivalent of just the stream/order tables for
+  * WindowShapeProbe's crossover measurement without 1 GB of unused
+  * lineitem copies.
   */
 object Sf1Fixture {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "target/fixtures/sf1"
-    val src = "/root/testdata/sf0.1"
-    val copies = 10
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet
+      else Set("lineitem", "documents", "embeddings", "events", "orders")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,13 +49,19 @@ object Sf1Fixture {
     graft.ops.Staging.deleteRecursively(outPath)
     Files.createDirectories(outPath)
 
-    def scaled(table: String, keyShifts: Map[String, Long],
+    def scaled(table: String, keyCols: Seq[String],
         perturb: Boolean = false,
         jitter: Map[String, Double] = Map.empty) = {
       val base = spark.read.parquet(s"$src/$table.parquet")
+      // per-key span = source max + 1: copies never collide, and runs
+      // COMPOSE (src may itself be a scaled fixture whose key range
+      // already spans many source decades)
+      val spans: Map[String, Long] = keyCols.map { k =>
+        k -> (base.agg(max(col(k).cast("long"))).head.getLong(0) + 1L)
+      }.toMap
       (0 until copies).map { i =>
-        val shifted0 = keyShifts.foldLeft(base) { case (df, (k, span)) =>
-          df.withColumn(k, col(k) + lit(i * span))
+        val shifted0 = keyCols.foldLeft(base) { case (df, k) =>
+          df.withColumn(k, col(k) + lit(i * spans(k)))
         }
         // copy-indexed value jitter (round 11): identical copies leave
         // measure columns with the SAME distinct-value set, so a
@@ -73,35 +88,35 @@ object Sf1Fixture {
       }.reduce(_ unionByName _)
     }
 
-    // spans: one million clears every sf0.1 key range with headroom
-    val span = 1000000L
-    scaled("lineitem", Map("l_orderkey" -> span))
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    scaled("documents", Map("doc_id" -> span))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    scaled("embeddings", Map("vec_id" -> span), perturb = true)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // events + orders scaled since round 11 (WindowShapeProbe's decade
     // evidence for the sharded-window rewrites reads them): primary
     // keys shift, FK columns (user_id, o_custkey) stay — per-entity
     // cardinality grows 10x, the realistic "rate grows, horizon fixed"
     // shape for calendar-framed queries; measure columns get
     // sub-resolution jitter so distinct-value frames grow too.
-    scaled("events", Map("event_id" -> span),
-        jitter = Map("value" -> 0.001))
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
-    scaled("orders", Map("o_orderkey" -> span),
-        jitter = Map("o_totalprice" -> 0.01))
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      Files.createSymbolicLink(outPath.resolve(s"$t.parquet"),
-        Paths.get(src).resolve(s"$t.parquet"))
+    val specs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "lineitem" -> (() => scaled("lineitem", Seq("l_orderkey"))),
+      "documents" -> (() => scaled("documents", Seq("doc_id"))),
+      "embeddings" -> (() =>
+        scaled("embeddings", Seq("vec_id"), perturb = true)),
+      "events" -> (() => scaled("events", Seq("event_id"),
+        jitter = Map("value" -> 0.001))),
+      "orders" -> (() => scaled("orders", Seq("o_orderkey"),
+        jitter = Map("o_totalprice" -> 0.01))))
+    val (build, link) = specs.map(_._1).partition(only.contains)
+    build.foreach { t =>
+      specs.toMap.apply(t)().write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
     }
-    Seq("lineitem", "documents", "embeddings", "events", "orders")
+    (link ++ Seq("region", "nation", "customer", "supplier", "part"))
       .foreach { t =>
-        val n = spark.read.parquet(s"$out/$t.parquet").count()
-        println(s"[sf1-fixture] $t: $n rows")
+        Files.createSymbolicLink(outPath.resolve(s"$t.parquet"),
+          Paths.get(src).resolve(s"$t.parquet").toAbsolutePath)
       }
+    build.foreach { t =>
+      val n = spark.read.parquet(s"$out/$t.parquet").count()
+      println(s"[sf1-fixture] $t: $n rows")
+    }
     spark.stop()
   }
 }

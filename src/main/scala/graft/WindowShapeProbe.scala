@@ -133,8 +133,40 @@ object WindowShapeProbe {
     spark.range(1).select(expr(
       "filter(array(lower('Warm Up')), x -> x != '')")).collect()
 
+    // The cluster-size-independent quantity: the LONGEST single task.
+    // On a saturated local[8], total wall under-sells distribution (8
+    // small sorts + 2 extra passes ≈ one big sort in CPU-seconds); on
+    // a 1000-executor cluster the single-task form is CAPPED at one
+    // core while the sharded form rides nShards × tasks — so the
+    // critical-path task, not the wall, is what survives the
+    // extrapolation. Tracked via listener across each timed closure.
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxTaskRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          maxTaskMs.getAndAccumulate(m.executorRunTime, Math.max)
+          val rows = m.shuffleReadMetrics.recordsRead +
+            m.inputMetrics.recordsRead
+          maxTaskRows.getAndAccumulate(rows, Math.max)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def measured(fn: => Unit): (Double, Long, Long) = {
+      maxTaskMs.set(0); maxTaskRows.set(0)
+      val t = time(fn)
+      // listener events drain asynchronously — settle before reading
+      // (the bus's waitUntilEmpty is private[spark]; a beat suffices
+      // for a probe that just finished its terminal action)
+      Thread.sleep(500)
+      (t, maxTaskMs.get, maxTaskRows.get)
     }
     chosen.foreach { key =>
       val (manifestName, pre) = sites(key)
@@ -143,12 +175,18 @@ object WindowShapeProbe {
       try {
         pre(spark, sfDir).write.format("noop").mode("overwrite").save()
         post(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val preT = (1 to runs).map(_ => time(
+        val preM = (1 to runs).map(_ => measured(
           pre(spark, sfDir).write.format("noop").mode("overwrite").save()))
-        val postT = (1 to runs).map(_ => time(
+        val postM = (1 to runs).map(_ => measured(
           post(spark, sfDir).write.format("noop").mode("overwrite").save()))
+        val preT = preM.map(_._1); val postT = postM.map(_._1)
         println(f"[window-shape] $key pre_min=${preT.min}%.3f s " +
-          f"post_min=${postT.min}%.3f s (pre=${preT.map(t => f"$t%.2f").mkString(",")} " +
+          f"post_min=${postT.min}%.3f s " +
+          f"pre_max_task=${preM.map(_._2).min}%d ms/" +
+          f"${preM.map(_._3).max}%d rows " +
+          f"post_max_task=${postM.map(_._2).min}%d ms/" +
+          f"${postM.map(_._3).max}%d rows " +
+          f"(pre=${preT.map(t => f"$t%.2f").mkString(",")} " +
           f"post=${postT.map(t => f"$t%.2f").mkString(",")})")
       } catch {
         case e: Throwable =>
