@@ -732,4 +732,26 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$limits — the decorrelated LATERAL shape lost its group-limit " +
         "pushdown (see graft.plans.DecorrelatedRankLimit)")
   }
+
+  test("q318 LATERAL ORDER BY+LIMIT plans a map-side group limit and " +
+    "drops the whole-corpus global sort (DecorrelatedRankLimit shape 2)") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val df = SparkEntry.queries("q318_lateral_topk")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan
+    val modes = collectWithSubqueries(plan) {
+      case g: WindowGroupLimitExec => g.mode.toString
+    }
+    assert(modes.contains("Partial"),
+      s"expected a map-side (Partial) group limit, got $modes")
+    // the decorrelated form's global customer sort must be gone: the
+    // only global sort left is the 15-row output ORDER BY (on r_name)
+    val globalSorts = collectWithSubqueries(plan) {
+      case s: SortExec if s.global => s.sortOrder.map(_.child.toString)
+    }
+    assert(globalSorts.size == 1 &&
+      globalSorts.head.exists(_.contains("r_name")),
+      s"unexpected global sort(s) in q318 (the corpus range-sort is " +
+        s"back?): $globalSorts")
+  }
 }
