@@ -83,6 +83,18 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Ambient load must be sampled BEFORE the warm-ups: they run full
+    // queries at local[n] and drive the 1-minute average to ~2-3 all by
+    // themselves, so a later sample can no longer distinguish ambient
+    // contention from the bench's own work (the first cpus=8 r11 run
+    // self-flagged on exactly this: idle machine, loadStart 2.6).
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+
     // Warm-up 1: any lower() evaluated on the interpreted path (i.e.
     // inside a CodegenFallback higher-order function) dispatches through
     // CollationSupport→CollationAwareUTF8String, whose static init
@@ -117,12 +129,6 @@ object Bench {
     // (BENCH_r09's q152 "regression" was exactly this + load).
     try graft.ops.GraphOps.simhashDocEdges(spark, sfDir).count()
     catch { case _: Throwable => () }
-
-    def loadAvg(): Double =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
-    val loadStart = loadAvg()
 
     // Per-query MIN across two WARM full manifest passes (the binding
     // protocol — two full runs, per-query min — produced by the
@@ -167,9 +173,9 @@ object Bench {
     // diverging passes mean the numbers are NOT protocol-grade — say so
     // in the artifact itself so a judge (or this builder, next round)
     // can auto-discount the run without forensics. Thresholds: a
-    // 1-minute load average above ~2 at either boundary (an idle run of
-    // this bench itself settles ≈1-3 only while executing; >2 at START
-    // means a co-resident JVM — the measured 2x inflation class,
+    // 1-minute load average above ~2 (loadStart is sampled BEFORE the
+    // warm-ups, where it still reflects ambient contention — >2 there
+    // means a co-resident JVM, the measured 2x inflation class,
     // PERF_NOTES R6.4), or the two timed pass totals diverging >20%
     // (time-correlated contention one pass caught and the other
     // didn't).
