@@ -140,17 +140,21 @@ object WindowShapeProbe {
     // core while the sharded form rides nShards × tasks — so the
     // critical-path task, not the wall, is what survives the
     // extrapolation. Tracked via listener across each timed closure.
-    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
-    val maxTaskRows = new java.util.concurrent.atomic.AtomicLong(0)
+    // One pair, atomically: the runtime AND row count of the SAME
+    // task (the longest). Tracking two independent maxima mispairs
+    // them — a cheap checkpoint-read task can read the most rows
+    // while a different task is the critical path (first observed on
+    // q250 at sf10: "953 ms / 99,600 rows" were two different tasks).
+    val maxTask = new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
-          maxTaskMs.getAndAccumulate(m.executorRunTime, Math.max)
           val rows = m.shuffleReadMetrics.recordsRead +
             m.inputMetrics.recordsRead
-          maxTaskRows.getAndAccumulate(rows, Math.max)
+          maxTask.getAndAccumulate((m.executorRunTime, rows),
+            (a, b) => if (b._1 > a._1) b else a)
         }
       }
     }
@@ -160,13 +164,14 @@ object WindowShapeProbe {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     def measured(fn: => Unit): (Double, Long, Long) = {
-      maxTaskMs.set(0); maxTaskRows.set(0)
+      maxTask.set((0L, 0L))
       val t = time(fn)
       // listener events drain asynchronously — settle before reading
       // (the bus's waitUntilEmpty is private[spark]; a beat suffices
       // for a probe that just finished its terminal action)
       Thread.sleep(500)
-      (t, maxTaskMs.get, maxTaskRows.get)
+      val (ms, rows) = maxTask.get
+      (t, ms, rows)
     }
     chosen.foreach { key =>
       val (manifestName, pre) = sites(key)
@@ -180,12 +185,14 @@ object WindowShapeProbe {
         val postM = (1 to runs).map(_ => measured(
           post(spark, sfDir).write.format("noop").mode("overwrite").save()))
         val preT = preM.map(_._1); val postT = postM.map(_._1)
+        // report the best run's critical task WITH its own row count
+        // (min-ms and max-rows from different runs would mispair, the
+        // same defect the listener fix addresses within a run)
+        val preBest = preM.minBy(_._2); val postBest = postM.minBy(_._2)
         println(f"[window-shape] $key pre_min=${preT.min}%.3f s " +
           f"post_min=${postT.min}%.3f s " +
-          f"pre_max_task=${preM.map(_._2).min}%d ms/" +
-          f"${preM.map(_._3).max}%d rows " +
-          f"post_max_task=${postM.map(_._2).min}%d ms/" +
-          f"${postM.map(_._3).max}%d rows " +
+          f"pre_max_task=${preBest._2}%d ms/${preBest._3}%d rows " +
+          f"post_max_task=${postBest._2}%d ms/${postBest._3}%d rows " +
           f"(pre=${preT.map(t => f"$t%.2f").mkString(",")} " +
           f"post=${postT.map(t => f"$t%.2f").mkString(",")})")
       } catch {
