@@ -106,12 +106,52 @@ object WindowShapeProbe {
       .select(col("n_pos"), (round(col("__ap"), 4) + lit(0.0)).as("ap"))
   }
 
-  private val sites: Map[String, (String, (SparkSession, String) => DataFrame)] =
+  /** Tie-density demo (round 11): the SAME per-lang rank over a
+    * COARSENED token-count key (floor(score/25) — ~4 distinct values,
+    * modal block ~40% of a language) through both rank primitives.
+    * `shardedRank` fences on the order key alone, so the modal tie
+    * block lands in ONE shard-local sort task (corpus-proportional at
+    * any nShards); `shardedRankTied` splits the block across shards on
+    * the unique doc_id. Outputs are identical rank sets; only the task
+    * decomposition differs. */
+  private def scoredCoarse(s: SparkSession, dir: String): DataFrame = {
+    // stage the scored frame as parquet ONCE per fixture: tokenizing
+    // 500 k docs costs ~800 ms per scan task and would be the critical
+    // task of BOTH forms (exactly what the q250 decade row measured),
+    // hiding the rank decomposition this site exists to compare
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = s"target/fixtures/__tied_scored_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      Tables.parallelize(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          floor(graft.ops.TextOps.tokenCount(col("text")) / 25)
+            .cast("double").as("score"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+  // no output orderBy: a global range sort's ~n/cpus partitions would
+  // be the critical task of BOTH forms, hiding the comparison
+  private def preTied(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StatOps.shardedRank(
+        scoredCoarse(s, dir), "lang", "score", "doc_id", "rk")
+      .select(col("doc_id"), col("lang"), col("rk"))
+  private def postTied(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StatOps.shardedRankTied(
+        scoredCoarse(s, dir), "lang", "score", "doc_id", "rk")
+      .select(col("doc_id"), col("lang"), col("rk"))
+
+  private val sites: Map[String,
+      (String, (SparkSession, String) => DataFrame,
+        Option[(SparkSession, String) => DataFrame])] =
     Map(
-      "q203" -> ("q203_global_seq", preQ203 _),
-      "q190" -> ("q190_auc", preQ190 _),
-      "q250" -> ("q250_quantile_normalize", preQ250 _),
-      "q373" -> ("q373_avg_precision", preQ373 _))
+      "q203" -> ("q203_global_seq", preQ203 _, None),
+      "q190" -> ("q190_auc", preQ190 _, None),
+      "q250" -> ("q250_quantile_normalize", preQ250 _, None),
+      "q373" -> ("q373_avg_precision", preQ373 _, None),
+      // pre = shardedRank (tie blocks co-located), post = shardedRankTied
+      "tied" -> ("shardedRank vs shardedRankTied on a 4-value key",
+        preTied _, Some(postTied _)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -146,6 +186,13 @@ object WindowShapeProbe {
     // while a different task is the critical path (first observed on
     // q250 at sf10: "953 ms / 99,600 rows" were two different tasks).
     val maxTask = new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+    // Separately: the most ROWS any single task ingested — the volume
+    // that cannot shrink when an indivisible frame (a window partition,
+    // a co-located tie block) floors it, however many partitions the
+    // session runs. At fixture scale task TIMES are ~100 ms noise, so
+    // the volume metric, not the time pair, carries the divisibility
+    // story (the `tied` site's floor-vs-share contrast).
+    val maxRows = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -155,6 +202,7 @@ object WindowShapeProbe {
             m.inputMetrics.recordsRead
           maxTask.getAndAccumulate((m.executorRunTime, rows),
             (a, b) => if (b._1 > a._1) b else a)
+          maxRows.getAndAccumulate(rows, Math.max)
         }
       }
     }
@@ -163,19 +211,19 @@ object WindowShapeProbe {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    def measured(fn: => Unit): (Double, Long, Long) = {
-      maxTask.set((0L, 0L))
+    def measured(fn: => Unit): (Double, Long, Long, Long) = {
+      maxTask.set((0L, 0L)); maxRows.set(0L)
       val t = time(fn)
       // listener events drain asynchronously — settle before reading
       // (the bus's waitUntilEmpty is private[spark]; a beat suffices
       // for a probe that just finished its terminal action)
       Thread.sleep(500)
       val (ms, rows) = maxTask.get
-      (t, ms, rows)
+      (t, ms, rows, maxRows.get)
     }
     chosen.foreach { key =>
-      val (manifestName, pre) = sites(key)
-      val post = SparkEntry.queries(manifestName)
+      val (manifestName, pre, postOverride) = sites(key)
+      val post = postOverride.getOrElse(SparkEntry.queries(manifestName))
       // one untimed pass each (JIT/codegen), then min-of-N
       try {
         pre(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -193,6 +241,8 @@ object WindowShapeProbe {
           f"post_min=${postT.min}%.3f s " +
           f"pre_max_task=${preBest._2}%d ms/${preBest._3}%d rows " +
           f"post_max_task=${postBest._2}%d ms/${postBest._3}%d rows " +
+          f"pre_max_rows=${preM.map(_._4).min}%d " +
+          f"post_max_rows=${postM.map(_._4).min}%d " +
           f"(pre=${preT.map(t => f"$t%.2f").mkString(",")} " +
           f"post=${postT.map(t => f"$t%.2f").mkString(",")})")
       } catch {

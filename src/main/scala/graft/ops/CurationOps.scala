@@ -562,22 +562,29 @@ object CurationOps {
     * the one-row corpus health check.
     *
     * Token counting is the only data-scale pass (map-side-combined agg);
-    * ranking and the regression run over |vocabulary| rows. Ties rank by
-    * (count desc, token) so any engine reproduces identical ranks.
-    * Vocabulary grows Heaps-sublinearly but without a hard cap, so the
-    * rank is distributed (StatOps.shardedRank over negated counts —
-    * round-10 window audit) rather than a single-task window.
+    * ranking and the regression run over |vocabulary| rows. The rank is
+    * distributed via StatOps.shardedRankTied (round 11): the order key
+    * is a COUNT, and a Zipf vocabulary's count-1 tail is one tie block
+    * holding ~half the vocabulary — plain shardedRank co-locates tie
+    * blocks, so that block would sort in ONE task at any nShards. The
+    * within-tie tiebreak is xxhash64(token) (the tied variant range-
+    * fences on a numeric tie key); which token gets which rank inside a
+    * tie block is irrelevant to the OLS sums — a block of b tokens at
+    * count c contributes ranks {s+1..s+b} × ln(c) whatever the
+    * assignment — so the fit is bit-identical to the (count desc,
+    * token) ordering any engine would produce.
     */
   def zipfFit(df: DataFrame, textCol: String): DataFrame = {
     val counts = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
       .withColumn("__g", lit(1)).withColumn("__negc", -col("__c"))
-      // shardedRank traverses its input 3-4 times (fence agg/join,
+      .withColumn("__th", xxhash64(col("token")))
+      // the sharded rank traverses its input 3-4 times (fence agg/join,
       // offset agg/join) — materialize the vocabulary once instead of
       // re-running the explode+groupBy corpus scan (the R5.2 pattern;
       // round-10 ADVICE)
       .localCheckpoint()
-    val xy = StatOps.shardedRank(counts, "__g", "__negc", "token", "__rk")
+    val xy = StatOps.shardedRankTied(counts, "__g", "__negc", "__th", "__rk")
       .withColumn("__x", log(col("__rk").cast("double")))
       .withColumn("__y", log(col("__c").cast("double")))
     xy.agg(count(lit(1)).cast("double").as("__n"),

@@ -604,6 +604,62 @@ object StatOps {
       .drop("__shard", "__off")
   }
 
+  /** Tie-dense sibling of [[shardedRank]] for order keys with a SMALL
+    * distinct domain (token counts, term frequencies, star ratings).
+    * [[rangeSharded]] fences on `orderCol` alone and keeps tie blocks
+    * in one shard, so when the key has few distinct values the largest
+    * block — modal-fraction × |group| rows, corpus-proportional — lands
+    * in ONE task no matter how large `nShards` is (found by the
+    * round-11 WindowShapeProbe decade run on q250's ~90-value
+    * token-count key; a Zipf vocabulary's count-1 block is the extreme
+    * case, ~half the vocabulary in one tie block).
+    *
+    * Decomposition: `row_number` over `(orderCol ASC, tieCol ASC)` per
+    * group = the tie block's START offset + the row's number WITHIN its
+    * block.
+    *
+    *  1. block starts come from the per-(group, orderCol) histogram —
+    *     |value domain| rows per group, NOT corpus-proportional — via
+    *     an exclusive prefix-sum window (bounded by the domain;
+    *     whitelisted per site in PlanQualitySpec);
+    *  2. within-block numbers are a [[shardedCumsumBy]] of `lit(1)`
+    *     with the BLOCK (a `struct(group, orderCol)` key) as the group
+    *     and `tieCol` as the order key — fences now cut on the tie
+    *     column, so a giant block splits across shards;
+    *  3. the domain-bounded starts frame broadcasts back onto the
+    *     numbered rows (null-safe on both keys, so NULL groups and the
+    *     NULLS-FIRST null-value block survive like any window
+    *     partition).
+    *
+    * No task sees more than ~maxBlock/nShards rows and no frame
+    * exceeds the value domain. `tieCol` must be NUMERIC (it becomes
+    * the range-fence key) and `(orderCol, tieCol)` must totally order
+    * each group — same contract as [[shardedRank]], checked under
+    * `spark.graft.assertShardedOrder=true`. Prefer [[shardedRank]]
+    * when `orderCol` is near-unique: it does the same work with one
+    * fewer aggregation and no histogram join.
+    */
+  def shardedRankTied(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, outCol: String, nShards: Int = 8): DataFrame = {
+    assertTotalOrder(df, Seq(groupCol), Seq(orderCol, tieCol))
+    val starts = df.groupBy(col(groupCol), col(orderCol))
+      .agg(count(lit(1)).as("__bn"))
+      .select(col(groupCol).as("__sg"), col(orderCol).as("__so"),
+        coalesce(sum(col("__bn")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__bstart"))
+    val numbered = shardedCumsumBy(
+      df.withColumn("__blk", struct(col(groupCol), col(orderCol)))
+        .withColumn("__one", lit(1L)),
+      "__blk", tieCol, Seq("__one" -> "__wrn"), nShards)
+    numbered
+      .join(broadcast(starts),
+        col(groupCol) <=> col("__sg") && col(orderCol) <=> col("__so"))
+      .withColumn(outCol, col("__bstart") + col("__wrn"))
+      .drop("__blk", "__one", "__wrn", "__sg", "__so", "__bstart")
+  }
+
   /** The canonical algebraic aggregate state for [[rollupMerge]]:
     * count / sum / min / max of `valCol` per (group, bucket). */
   def dailyState(df: DataFrame, groupCols: Seq[Column], valCol: String)

@@ -608,12 +608,16 @@ object AnalyticsQueries {
     // unpartitioned trap). (score, doc_id) totally orders each lang ⇒
     // rank == row_number, so percent_rank = (shardedRank − 1)/(n − 1)
     // with Spark's own single-row-partition convention of 0.0 — the
-    // identical integers divide to the identical double.
+    // identical integers divide to the identical double. The TIED
+    // variant because score is a token count (~90 distinct values):
+    // plain shardedRank co-locates tie blocks, so the modal count's
+    // block (~2% of a language, corpus-proportional) would sort in one
+    // task at any nShards (round-11 decade probe).
     val nPerLang = scored.groupBy(col("lang"))
       .agg(count(lit(1)).as("__nl"))
     val r = when(col("__nl") === 1, lit(0.0)).otherwise(
       (col("__rk") - 1).cast("double") / (col("__nl") - 1).cast("double"))
-    graft.ops.StatOps.shardedRank(scored, "lang", "score", "doc_id", "__rk")
+    graft.ops.StatOps.shardedRankTied(scored, "lang", "score", "doc_id", "__rk")
       .join(broadcast(nPerLang), Seq("lang"))
       .withColumn("__r", r).drop("__rk", "__nl")
       .crossJoin(broadcast(grid))

@@ -668,7 +668,8 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q214_strat_split" -> "shardedRank offset frame (nShards=8 rows/group)",
     "q245_rolling_regression" -> "per-day aggregate frame (calendar)",
     "q250_quantile_normalize" -> ("exactPercentiles bucket histogram " +
-      "(<=4096/group)"),
+      "(<=4096/group) + shardedRankTied block-start histogram " +
+      "(per-(lang, token-count) value domain, ~90 rows/group)"),
     "q252_conformal" -> "exactPercentiles bucket histogram (<=4096/group)",
     "q259_spearman" -> ("shardedCumsumBy offset frame " +
       "(nShards=8 rows/group, 2 rank histograms)"),

@@ -283,6 +283,39 @@ class StatOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("shardedRankTied is bit-identical to the per-group row_number " +
+    "window on tie-DENSE order keys (giant blocks, null group, null value)") {
+    val rnd = new scala.util.Random(47)
+    // adversarial tie density: 3000 rows over FOUR distinct order
+    // values, one of them holding ~60% of the rows (the modal block
+    // plain shardedRank would co-locate in one shard), plus a NULL
+    // group and NULL order values (window semantics: NULLS FIRST)
+    val rows = (1 to 3000).map { i =>
+      val v: java.lang.Double =
+        if (i % 100 == 0) null
+        else if (rnd.nextInt(10) < 6) 7.0
+        else rnd.nextInt(3).toDouble
+      val g = if (i % 17 == 0) null else s"g${rnd.nextInt(3)}"
+      (g, v, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(5)
+    val got = StatOps.shardedRankTied(df, "g", "v", "id", "rk")
+      .select("g", "id", "rk").orderBy("g", "id").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .select("g", "id", "rk").orderBy("g", "id").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    // the data-scale window is partitioned by (block, shard) — the tie
+    // block itself is split across shards, which is the whole point
+    val plan = StatOps.shardedRankTied(df, "g", "v", "id", "rk")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__blk"),
+      s"expected the within-block window partitioned by __blk (+shard):\n$plan")
+  }
+
   test("shardedCumsum survives degenerate frames: tiny input, one row, " +
     "constant order-key domain narrower than the shard count") {
     // 3 rows, 8 shards: most shards empty
