@@ -755,4 +755,82 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"unexpected global sort(s) in q318 (the corpus range-sort is " +
         s"back?): $globalSorts")
   }
+
+  test("DecorrelatedRankLimit REFUSES when a full-frame aggregate shares " +
+    "the decorrelated window (a group limit would drop rows it observes)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    // same LATERAL-UDTF construct as q392, but the body ALSO computes a
+    // whole-partition sum sharing the rank's (partition, order) — after
+    // decorrelation the Window node carries [passthrough key, rank,
+    // full-frame sum], and pre-pruning rows below it would change the
+    // sum. The rule's forall(rankLike || passthrough) must refuse; a
+    // future loosening (e.g. "any aggregate is safe") breaks the result
+    // check below, not just the plan shape.
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .createOrReplaceTempView("orders_dprl_neg")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION topn_share_dprl(
+        |    p STRING, n INT)
+        |  RETURNS TABLE(o_orderkey BIGINT, share DOUBLE)
+        |  RETURN SELECT o_orderkey, o_totalprice / tot AS share FROM (
+        |    SELECT o_orderkey, o_totalprice, row_number() OVER (
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |      sum(o_totalprice) OVER (
+        |        ORDER BY o_totalprice DESC, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND UNBOUNDED FOLLOWING) AS tot
+        |    FROM orders_dprl_neg WHERE o_orderpriority = p)
+        |  WHERE rk <= n""".stripMargin)
+    val df = spark.sql(
+      """SELECT pri, o_orderkey, share
+        |FROM (SELECT DISTINCT o_orderpriority AS pri
+        |      FROM orders_dprl_neg),
+        |  LATERAL topn_share_dprl(pri, 3)
+        |ORDER BY pri, o_orderkey""".stripMargin)
+    val limits = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case g: WindowGroupLimitExec => g
+    }
+    assert(limits.isEmpty,
+      "a WindowGroupLimit was inserted under a window whose full-frame " +
+        "sum observes every group row — semantics-breaking rewrite")
+    // result check: top-3 per priority with share = price / GROUP total
+    // (the total over ALL group rows, not the 3 surviving ones)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val expected = orders
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .withColumn("share", col("o_totalprice") /
+        sum(col("o_totalprice")).over(W.partitionBy(col("o_orderpriority"))))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        col("share"))
+      .orderBy(col("pri"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9)))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      math.rint(r.getDouble(2) * 1e9)))
+    // shares rounded at 1e-9: the two plans may sum the group total in
+    // different row orders (double addition is not associative)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("DecorrelatedRankLimit honors the windowGroupLimitThreshold " +
+    "kill switch (-1 disables the rewrite, like the built-in rule)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = SparkEntry.queries("q392_sql_table_fn")(spark, sf0001)
+      val limits = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case g: WindowGroupLimitExec => g
+      }
+      assert(limits.isEmpty,
+        "the injected rule must respect the same kill switch as " +
+          "InferWindowGroupLimit")
+    } finally spark.conf.set(key, prev)
+  }
 }
