@@ -172,22 +172,26 @@ object Bench {
     // Self-labeling contamination flag (round 11): a loaded machine or
     // diverging passes mean the numbers are NOT protocol-grade — say so
     // in the artifact itself so a judge (or this builder, next round)
-    // can auto-discount the run without forensics. Thresholds: a
-    // 1-minute load average above ~2 (loadStart is sampled BEFORE the
-    // warm-ups, where it still reflects ambient contention — >2 there
-    // means a co-resident JVM, the measured 2x inflation class,
-    // PERF_NOTES R6.4), or the two timed pass totals diverging >20%
-    // (time-correlated contention one pass caught and the other
-    // didn't).
+    // can auto-discount the run without forensics. Two triggers: a
+    // 1-minute AMBIENT load average above the threshold (loadStart is
+    // sampled BEFORE the warm-ups, where >2 means a co-resident JVM —
+    // the measured 2x inflation class, PERF_NOTES R6.4), or the two
+    // timed pass totals diverging >20% (time-correlated contention one
+    // pass caught and the other didn't). The default 2.0 encodes THIS
+    // host's cpus=8 protocol; override via SPARK_GRAFT_LOAD_THRESHOLD
+    // on hosts where 2.0 is the wrong fraction of the core count.
+    // loadEnd is recorded for forensics only — the bench's own work
+    // legitimately drives it to ~2-3, so it cannot be a trigger.
     val passTotalVals = passes.map(_.values.filter(_ >= 0).sum)
     val passDivergence =
       if (passTotalVals.forall(_ > 0))
         (passTotalVals.max - passTotalVals.min) / passTotalVals.min
       else 0.0
+    val loadThreshold = sys.env.get("SPARK_GRAFT_LOAD_THRESHOLD")
+      .map(_.toDouble).getOrElse(2.0)
     val contaminationReasons = Seq(
-      (loadStart > 2.0) -> f"load_avg_start ${loadStart}%.1f > 2.0",
-      (loadEnd > 2.0 && passDivergence > 0.2) ->
-        f"load_avg_end ${loadEnd}%.1f > 2.0",
+      (loadStart > loadThreshold) ->
+        f"load_avg_start ${loadStart}%.1f > $loadThreshold%.1f",
       (passDivergence > 0.2) ->
         f"pass totals diverge ${passDivergence * 100}%.0f%% > 20%%"
     ).collect { case (true, reason) => reason }

@@ -103,6 +103,13 @@ object Sf1Fixture {
         jitter = Map("value" -> 0.001))),
       "orders" -> (() => scaled("orders", Seq("o_orderkey"),
         jitter = Map("o_totalprice" -> 0.01))))
+    // a typo'd table name must fail loudly, not silently symlink the
+    // UNSCALED table and hand a later decade probe a fixture that
+    // never grew
+    val unknownTables = only -- specs.map(_._1).toSet
+    require(unknownTables.isEmpty,
+      s"unknown scalable table(s): ${unknownTables.mkString(", ")} — " +
+        s"scalable: ${specs.map(_._1).mkString(", ")}")
     val (build, link) = specs.map(_._1).partition(only.contains)
     build.foreach { t =>
       specs.toMap.apply(t)().write.mode("overwrite")

@@ -157,6 +157,11 @@ object WindowShapeProbe {
     val sfDir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 3
     val chosen = if (args.length > 2) args.drop(2).toSeq else sites.keys.toSeq.sorted
+    // validate BEFORE any measurement: a typo'd site name must not
+    // abort the run after earlier sites burned minutes of probing
+    val unknown = chosen.filterNot(sites.contains)
+    require(unknown.isEmpty, s"unknown site(s): ${unknown.mkString(", ")}" +
+      s" — known: ${sites.keys.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -147,16 +147,21 @@ object CurationOps {
     * (negated) score with the id tiebreak completing the total order,
     * so no task sees more than ~|group|/nShards rows and the long
     * token sums are bit-exact across the shard re-association.
-    * `score` must be non-null (a NULL score orders first in the
-    * sharded form vs last under the window's DESC NULLS LAST).
+    * NULL scores map to the END of the order (the window form's
+    * `DESC NULLS LAST`): left raw, the sharded family's NULLS-FIRST
+    * default would select NULL-scored rows FIRST, inverting the old
+    * semantics for callers with nullable scores (q87's stopword ratio
+    * on NULL text).
     */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
                         textCol: String, score: Column,
                         budget: Long): DataFrame = {
     val scored = df
       .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
-      // ascending order on the NEGATED score == score DESC
-      .withColumn("__ord", -score)
+      // ascending order on the NEGATED score == score DESC; coalesce
+      // sends NULL scores to +MaxValue (ordered last = DESC NULLS
+      // LAST) instead of rangeSharded's NULLS-FIRST shard 0
+      .withColumn("__ord", coalesce(-score, lit(Double.MaxValue)))
     StatOps.shardedCumsumBy(scored, groupCol, "__ord",
         Seq("n_tokens" -> "cum_tokens"), tieCol = Some(idCol))
       .filter(col("cum_tokens") <= budget)

@@ -77,13 +77,10 @@ object ModelEvalOps {
     // per-group mid-ranks over distinct scores: the group key is low-
     // cardinality, so the plain partitionBy(g) cumulative window held
     // each group's whole distinct-score frame (corpus-proportional for
-    // continuous scores) in one task — StatOps.shardedCumsumBy
-    // distributes it; long-count sums make the decomposition bit-exact
-    // (round-10 window audit)
-    StatOps.shardedCumsumBy(perScore, groupCol, "__score",
-        Seq("__cnt" -> "__cum"))
-      .withColumn("__rank",
-        col("__cum") - col("__cnt") + (col("__cnt") + 1) / 2.0)
+    // continuous scores) in one task — StatOps.withMidRanks runs the
+    // cumulative through shardedCumsumBy; long-count sums make the
+    // decomposition bit-exact (round-10 window audit)
+    StatOps.withMidRanks(perScore, groupCol, "__score", "__cnt", "__rank")
       .groupBy(col(groupCol))
       .agg(sum(col("__pos")).as("n_pos"),
         sum(col("__cnt") - col("__pos")).as("n_neg"),

@@ -338,6 +338,15 @@ object StatOps {
     * |distinct values| rows per group — the raw pass is one
     * map-side-combined shuffle, the scale shape of q40's exact
     * percentiles with per-row mass replaced by arbitrary weights.
+    *
+    * Weight domain: count/quantity-like magnitudes. The DECIMAL(30,8)
+    * accumulator that makes the cumulative exact also pins the edges —
+    * a weight below 5e-9 truncates to 0 (a group of all-tiny weights
+    * degrades to min(value) with total_weight 0), and a group whose
+    * weight SUM exceeds 10^22 overflows the decimal to NULL under
+    * non-ANSI mode, which silently drops that group from the output
+    * (the >= NULL/2 filter keeps nothing). Rescale such weights before
+    * calling.
     */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
       weightCol: String): DataFrame = {
@@ -570,6 +579,25 @@ object StatOps {
     cumsumOverShards(rangeSharded(df, Some(groupCol), orderCol, nShards),
       Seq(groupCol), orderCol, sums, tieCol)
   }
+
+  /** Tie-averaged ("mid") ranks over a per-(group, value) HISTOGRAM:
+    * appends `outCol` = cum − cnt + (cnt+1)/2 — the fractional rank
+    * every row with that value gets under
+    * `rank().over(partitionBy(group).orderBy(value)) + (ties−1)/2` —
+    * with the cumulative from [[shardedCumsumBy]], so no task holds a
+    * group's whole distinct-value frame. Exact: counts are longs, the
+    * mid-rank an exact half-integer in doubles. `perValue` must already
+    * be one row per (group, value) with the tie count in `cntCol` (the
+    * caller's map-side-combined count agg). The shared decomposition
+    * behind rankAuc's Mann-Whitney ranks (q190) and the Spearman
+    * mid-ranks (q259).
+    */
+  def withMidRanks(perValue: DataFrame, groupCol: String, valueCol: String,
+      cntCol: String, outCol: String): DataFrame =
+    shardedCumsumBy(perValue, groupCol, valueCol, Seq(cntCol -> "__mr_cum"))
+      .withColumn(outCol,
+        col("__mr_cum") - col(cntCol) + (col(cntCol) + 1) / 2.0)
+      .drop("__mr_cum")
 
   /** Grouped distributed RANKING — [[shardedCumsum]]'s sibling for
     * `row_number().over(partitionBy(group).orderBy(orderCol, tieCol))`

@@ -112,6 +112,20 @@ object DecorrelatedRankLimit extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+  /** Shape 2 eliminates the global Sort, so everything whose VALUE
+    * depends on row order must be deterministic: a nondeterministic
+    * projection (monotonically_increasing_id, rand, …) or sort key
+    * would assign different values once the sort is gone. The rule is
+    * installed session-wide — this guard keeps it sound on plans that
+    * merely look like the decorrelation artifact. */
+  private def deterministicSortChain(p: LogicalPlan): Boolean =
+    peelToGlobalSort(p) match {
+      case Some((pr, s)) =>
+        pr.forall(_.projectList.forall(_.deterministic)) &&
+          s.order.forall(_.deterministic)
+      case None => false
+    }
+
   /** An orderless `row_number` alias — meaningful only when the input
     * arrives pre-ordered (the decorrelated-LIMIT construct). */
   private def orderlessRowNumber(e: NamedExpression): Boolean = e match {
@@ -168,7 +182,7 @@ object DecorrelatedRankLimit extends Rule[LogicalPlan] with PredicateHelper {
             windowExpressions.count(orderlessRowNumber) == 1 &&
             windowExpressions.forall(e =>
               orderlessRowNumber(e) || passthrough(e, wchild)) &&
-            peelToGlobalSort(wchild).isDefined =>
+            deterministicSortChain(wchild) =>
         val (reProject, sort) = peelToGlobalSort(wchild).get
         val order = sort.order
         val rnAlias = windowExpressions.collectFirst {

@@ -1052,18 +1052,23 @@ object AnalyticsQueries {
         TextOps.tokenCount(col("text")).cast("double").as("__a"),
         col("n_chars").cast("double").as("__b"))
       .localCheckpoint() // feeds two rank histograms + the join-back
-    def midRanks(vCol: String, out: String): DataFrame = {
+    // NULL-SAFE join-back (<=> on both keys): the former rank() window
+    // kept NULL langs/values as ordinary NULLS-FIRST partitions/blocks,
+    // and a USING equi-join would silently drop them — the same
+    // invariant StatOps.cumsumOverShards states for its offset join
+    def midRanks(vCol: String, gOut: String, vOut: String,
+        out: String): DataFrame = {
       val perV = d.groupBy(col("lang"), col(vCol))
         .agg(count(lit(1)).as("__cnt"))
-      graft.ops.StatOps.shardedCumsumBy(perV, "lang", vCol,
-          Seq("__cnt" -> "__cum"))
-        .select(col("lang"), col(vCol),
-          (col("__cum") - col("__cnt") +
-            (col("__cnt") + 1) / lit(2.0)).as(out))
+      graft.ops.StatOps.withMidRanks(perV, "lang", vCol, "__cnt", out)
+        .select(col("lang").as(gOut), col(vCol).as(vOut), col(out))
     }
     val ranked = d
-      .join(midRanks("__a", "__ra"), Seq("lang", "__a"))
-      .join(midRanks("__b", "__rb"), Seq("lang", "__b"))
+      .join(midRanks("__a", "__ga", "__va", "__ra"),
+        col("lang") <=> col("__ga") && col("__a") <=> col("__va"))
+      .join(midRanks("__b", "__gb", "__vb", "__rb"),
+        col("lang") <=> col("__gb") && col("__b") <=> col("__vb"))
+      .drop("__ga", "__va", "__gb", "__vb")
     ranked.groupBy(col("lang"))
       .agg(count(lit(1)).cast("double").as("__n"),
         sum(col("__ra")).as("__sa"), sum(col("__rb")).as("__sb"),

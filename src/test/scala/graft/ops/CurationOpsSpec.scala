@@ -35,6 +35,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq(("de", 4L, 1L), ("en", 1L, 3L), ("en", 2L, 5L)))
   }
 
+  test("tokenBudgetSelect orders NULL scores LAST (the window form's " +
+    "DESC NULLS LAST), not into the sharded family's NULLS-FIRST shard") {
+    // doc 9 has real tokens but a NULL score (q87's stopword ratio on
+    // NULL text is the realistic source): it must be considered AFTER
+    // every scored doc — routed to rangeSharded's shard 0 instead, it
+    // would be selected FIRST and eat the whole budget
+    val df = Seq(
+      ("en", 1L, "a b c", Option(1.0)),
+      ("en", 2L, "d e", Option(0.5)),
+      ("en", 9L, "w x y z", Option.empty[Double])
+    ).toDF("lang", "doc_id", "text", "score")
+    val out = CurationOps.tokenBudgetSelect(df, "lang", "doc_id", "text",
+        col("score"), budget = 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq.sortBy(_._1)
+    // order is 1 (cum 3), 2 (cum 5), 9 (cum 9 > 5, excluded); the
+    // pre-fix NULLS-FIRST placement selected exactly {9} instead
+    assert(out == Seq((1L, 3L), (2L, 5L)),
+      s"NULL-score doc not ordered last: $out")
+    // with headroom the NULL-score doc IS selected — last
+    val wide = CurationOps.tokenBudgetSelect(df, "lang", "doc_id", "text",
+        col("score"), budget = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq.sortBy(_._1)
+    assert(wide == Seq((1L, 3L), (2L, 5L), (9L, 9L)), s"got: $wide")
+  }
+
   test("shardShuffle keeps every row, bounds shards, ranks contiguously") {
     val df = (0L until 100L).toDF("id")
     val out = CurationOps.shardShuffle(df, "id", numShards = 4)

@@ -361,6 +361,34 @@ class StatOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("withMidRanks matches rank() + (ties-1)/2 over the raw rows, " +
+    "NULL groups and NULL values included (q190/q259's shared ranks)") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 500).map { i =>
+      val g = if (i % 13 == 0) null else s"g${rnd.nextInt(3)}"
+      val v: java.lang.Double =
+        if (i % 11 == 0) null else rnd.nextInt(6).toDouble
+      (g, v, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(5)
+    val perV = df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("__cnt"))
+    val got = StatOps.withMidRanks(perV, "g", "v", "__cnt", "mr")
+      .select("g", "v", "mr").collect()
+      .map(r => ((Option(r.getString(0)),
+        Option(r.get(1)).map(_.toString)), r.getDouble(2))).toMap
+    // reference: the fractional rank every ROW of that value gets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val want = df
+      .withColumn("mr", rank().over(w) +
+        (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g"), col("v"))) - 1) / lit(2.0))
+      .select("g", "v", "mr").distinct().collect()
+      .map(r => ((Option(r.getString(0)),
+        Option(r.get(1)).map(_.toString)), r.getDouble(2))).toMap
+    assert(got == want)
+  }
+
   test("spark.graft.assertShardedOrder seeds the total-order " +
     "precondition as a runtime check (round-10 ADVICE made executable)") {
     val dup = Seq(("g0", 1.0, 1L), ("g0", 1.0, 2L), ("g0", 2.0, 3L))
