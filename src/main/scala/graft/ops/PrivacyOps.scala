@@ -48,18 +48,34 @@ object PrivacyOps {
     */
   def letterEntropy(text: Column): Column = {
     val lc = lower(text)
-    val total = greatest(
-      length(regexp_replace(lc, "[^a-z]", "")).cast("double"), lit(1.0))
+    val total = greatest(azCount(lc).cast("double"), lit(1.0))
+    // single-char counts via replace, not translate: UTF8String.replace
+    // is a direct byte search, while translate goes through a boxed
+    // Character map lookup PER CHARACTER — ~26 × 3 evaluations per doc
+    // made translate the dominant per-task cost (guide §1.2). Values
+    // are identical (count of ch = length drop after deleting ch), and
+    // the DuckDB oracle already uses the replace spelling.
     ('a' to 'z').map { ch =>
-      val cnt = (length(lc) - length(translate(lc, ch.toString, "")))
+      val cnt = (length(lc) - length(replace(lc, lit(ch.toString), lit(""))))
         .cast("double")
       when(cnt > 0, -(cnt / total) * log(cnt / total)).otherwise(lit(0.0))
     }.reduce(_ + _)
   }
 
+  /** Count of a-z chars in an already-lowercased column: length minus
+    * the length after translate-deleting the 26 letters — identical by
+    * definition to `length(regexp_replace(lc, "[^a-z]", ""))` (chars
+    * removed by [^a-z] retention = chars kept by a-z deletion) but a
+    * plain per-char table lookup instead of a regex-engine pass over
+    * every document (guide §1.2 per-task work; the same translate
+    * idiom the 26 entropy terms already use).
+    */
+  private def azCount(lc: Column): Column =
+    length(lc) - length(translate(lc, "abcdefghijklmnopqrstuvwxyz", ""))
+
   /** Count of a-z letters (the entropy denominator, reported with it). */
   def letterCount(text: Column): Column =
-    length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
+    azCount(lower(text)).cast("long")
 
   /** k-anonymity / l-diversity audit over quasi-identifier columns:
     * every row must share its QI combination with >= k−1 others

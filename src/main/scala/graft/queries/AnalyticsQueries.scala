@@ -821,29 +821,63 @@ object AnalyticsQueries {
     val absorb = s.range(1).select(
         explode(typedLit(Seq("CONV", "END"))).as("from"))
       .withColumn("to", col("from")).withColumn("p", lit(1.0))
-    def pconv(removed: Option[String]): DataFrame = {
-      val pc = (removed match {
-        case Some(c) => trans.filter(col("from") =!= c)
-          .withColumn("to",
-            when(col("to") === c, "END").otherwise(col("to")))
-          .groupBy(col("from"), col("to")).agg(sum(col("p")).as("p"))
-        case None => trans
-      }).unionByName(absorb).localCheckpoint()
-      var v: DataFrame = s.range(1)
-        .select(lit("START").as("state"), lit(1.0).as("mass"))
-      for (_ <- 1 to 8)
-        v = v.join(pc, v("state") === pc("from"))
-          .groupBy(col("to").as("state"))
-          .agg(sum(col("mass") * col("p")).as("mass"))
-      v.agg(coalesce(sum(when(col("state") === "CONV", col("mass"))),
-          lit(0.0)).as("__pconv"))
-        .select(lit(removed.getOrElse("BASELINE")).as("channel"),
-          col("__pconv"))
-    }
-    val base = pconv(None)
+    // All 5 scenarios (baseline + 4 removals) fold into ONE
+    // scenario-keyed transition frame and ONE 8-round sweep: the
+    // former per-scenario pipelines ran 5 localCheckpoints + 5
+    // independent 8-join chains (≈11 jobs of pure scheduling latency
+    // on a ≤(|states|+1)² frame — guide §1.2: fix the job shape
+    // first). The per-scenario arithmetic is unchanged — redirect
+    // rows into END, re-sum p per (scenario, from, to), sweep mass 8
+    // steps, read the CONV mass — so each scenario's masses are the
+    // same sums as before (baseline's groupBy re-sum is an identity:
+    // (from, to) is already unique in `trans`).
+    val scen = s.range(1).select(explode(typedLit(
+        attributionChannels.map(c => (c, c)) :+ ("BASELINE" -> ""))
+      ).as("__s"))
+      .select(col("__s._1").as("scenario"),
+        when(col("__s._2") === "", null).otherwise(col("__s._2"))
+          .as("__removed"))
+    // pc gets globally-unique column names (__ps/__pf/__pt/__pp) so the
+    // 8 repeated joins below resolve purely by name — no dataset-id
+    // ambiguity through the shared `scen` lineage
+    val pc = trans.crossJoin(broadcast(scen))
+      .filter(col("__removed").isNull || col("from") =!= col("__removed"))
+      .withColumn("to",
+        when(col("to") === col("__removed"), "END").otherwise(col("to")))
+      .groupBy(col("scenario"), col("from"), col("to"))
+      .agg(sum(col("p")).as("p"))
+      .unionByName(absorb.crossJoin(broadcast(scen))
+        .select(col("scenario"), col("from"), col("to"), col("p")))
+      .select(col("scenario").as("__ps"), col("from").as("__pf"),
+        col("to").as("__pt"), col("p").as("__pp"))
+      .localCheckpoint()
+    var v: DataFrame = scen
+      .select(col("scenario").as("__vs"), lit("START").as("state"),
+        lit(1.0).as("mass"))
+    for (_ <- 1 to 8)
+      v = v.join(pc, col("__vs") === col("__ps") &&
+          col("state") === col("__pf"))
+        .groupBy(col("__ps"), col("__pt"))
+        .agg(sum(col("mass") * col("__pp")).as("mass"))
+        .select(col("__ps").as("__vs"), col("__pt").as("state"),
+          col("mass"))
+    // fresh scenario-name frame for the outer spine (not `scen` — v
+    // derives from scen, and Spark flags the lineage self-join as
+    // ambiguous)
+    val pconvAll = s.range(1)
+      .select(explode(typedLit("BASELINE" +: attributionChannels))
+        .as("channel"))
+      .join(
+        v.groupBy(col("__vs"))
+          .agg(sum(when(col("state") === "CONV", col("mass")))
+            .as("__pc")),
+        col("channel") === col("__vs"), "left")
+      .select(col("channel"),
+        coalesce(col("__pc"), lit(0.0)).as("__pconv"))
+      .localCheckpoint()
+    val base = pconvAll.filter(col("channel") === "BASELINE")
       .select(col("__pconv").as("__p0"))
-    attributionChannels.map(c => pconv(Some(c)))
-      .reduce(_ unionByName _)
+    pconvAll.filter(col("channel") =!= "BASELINE")
       .crossJoin(broadcast(base))
       .withColumn("__re",
         greatest(lit(1.0) - try_divide(col("__pconv"), col("__p0")),

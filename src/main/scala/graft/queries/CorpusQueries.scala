@@ -339,9 +339,16 @@ object CorpusQueries {
       .select(col("label"), col("vec_id"),
         VectorOps.normNative(col("embedding")).as("nrm"))
       .localCheckpoint()
+    // med is |labels| rows but its distributed-selection DAG re-derives
+    // on every consumer (dev + the final join); dev feeds the second
+    // selection, whose 3 internal passes would each re-run the
+    // norm-join — checkpoint both tiny frames so the MAD selection
+    // reads a materialized 2-column input (guide §2.4 / R5.2 pattern)
     val med = StatOps.exactPercentiles(n, "label", "nrm", Seq("med" -> 0.5))
+      .localCheckpoint()
     val dev = n.join(broadcast(med), Seq("label"))
       .select(col("label"), abs(col("nrm") - col("med")).as("dev"))
+      .localCheckpoint()
     val mad = StatOps.exactPercentiles(dev, "label", "dev", Seq("mad" -> 0.5))
     val cnt = n.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
     cnt.join(med, Seq("label")).join(mad, Seq("label"))

@@ -809,7 +809,6 @@ object ModelQueries {
     * black-box this replays in the open.
     */
   def q412Adaboost(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val pts = Tables.lineitem(s, dir).select(
       when(col("l_returnflag") === "R", 1.0).otherwise(-1.0).as("__y"),
       col("l_extendedprice").cast("double").as("__price"),
@@ -819,23 +818,44 @@ object ModelQueries {
     val grid = Seq("price" -> Seq(1000.0, 5000.0, 10000.0, 20000.0,
       40000.0, 70000.0), "qty" -> Seq(10.0, 20.0, 30.0, 40.0),
       "disc" -> Seq(0.02, 0.05, 0.08))
-    val cands = grid.flatMap { case (f, ts) =>
-      ts.flatMap(t => Seq((f, t, 1.0), (f, t, -1.0)))
-    }.toDF("feat", "thr", "pol")
-    val fx = expr("CASE feat WHEN 'price' THEN __price " +
-      "WHEN 'qty' THEN __qty ELSE __disc END")
-    def h(f: Column, t: Column, p: Column): Column =
-      when(fx <= t, p).otherwise(-p)
+    // The candidate grid is a compile-time constant, so each round's
+    // (candidate × corpus) weighted-error sweep is ONE map-side
+    // aggregation with 26 parallel aggregate columns — no 26× crossJoin
+    // row amplification, no 26-key hash probe per input row (guide
+    // §2.3 "aggregate before you shuffle" + §1.2 per-task work: the
+    // whole sweep is a single WholeStageCodegen pass over the
+    // checkpointed points). The stump argmin keeps the identical total
+    // (ε, feat, thr, pol) order via least() over the 26 structs —
+    // least() compares structs exactly like min(struct(...)) and no
+    // field is ever NULL here (ε is an avg / a guarded try_divide with
+    // a strictly positive denominator).
+    val cands: Seq[(String, Double, Double)] = grid.flatMap {
+      case (f, ts) => ts.flatMap(t => Seq((f, t, 1.0), (f, t, -1.0)))
+    }
+    def fxOf(f: String): Column =
+      if (f == "price") col("__price")
+      else if (f == "qty") col("__qty") else col("__disc")
+    def hC(f: String, t: Double, p: Double): Column =
+      when(fxOf(f) <= lit(t), lit(p)).otherwise(lit(-p))
     def clamp(e: Column): Column =
       least(greatest(e, lit(1e-9)), lit(1.0 - 1e-9))
     def alphaOf(e: Column): Column =
       lit(0.5) * log((lit(1.0) - clamp(e)) / clamp(e))
-    val e1 = pts.crossJoin(broadcast(cands))
-      .groupBy(col("feat"), col("thr"), col("pol"))
-      .agg(avg(when(h(col("feat"), col("thr"), col("pol")) =!= col("__y"),
-        1.0).otherwise(0.0)).as("__err"))
-    val b1 = e1.agg(min(struct(col("__err"), col("feat"), col("thr"),
-        col("pol"))).as("__b"))
+    def bestOf(errs: DataFrame): DataFrame = errs.select(
+      least(cands.zipWithIndex.map { case ((f, t, p), i) =>
+        struct(col(s"__err$i").as("__err"), lit(f).as("feat"),
+          lit(t).as("thr"), lit(p).as("pol"))
+      }: _*).as("__b"))
+    val e1 = pts.agg(
+      cands.zipWithIndex.map { case ((f, t, p), i) =>
+        avg(when(hC(f, t, p) =!= col("__y"), 1.0).otherwise(0.0))
+          .as(s"__err$i")
+      }.head,
+      cands.zipWithIndex.map { case ((f, t, p), i) =>
+        avg(when(hC(f, t, p) =!= col("__y"), 1.0).otherwise(0.0))
+          .as(s"__err$i")
+      }.tail: _*)
+    val b1 = bestOf(e1)
       .select(col("__b.__err").as("__e1"), col("__b.feat").as("__f1"),
         col("__b.thr").as("__t1"), col("__b.pol").as("__p1"))
       .withColumn("__a1", alphaOf(col("__e1")))
@@ -844,14 +864,15 @@ object ModelQueries {
     val h1 = when(fx1 <= col("__t1"), col("__p1")).otherwise(-col("__p1"))
     val w2 = pts.crossJoin(broadcast(b1))
       .withColumn("__w", exp(-col("__a1") * col("__y") * h1))
-    val e2 = w2.crossJoin(broadcast(cands))
-      .groupBy(col("feat"), col("thr"), col("pol"))
-      .agg(try_divide(
-        sum(col("__w") * when(h(col("feat"), col("thr"), col("pol"))
-          =!= col("__y"), 1.0).otherwise(0.0)),
-        sum(col("__w"))).as("__err"))
-    val b2 = e2.agg(min(struct(col("__err"), col("feat"), col("thr"),
-        col("pol"))).as("__b"))
+    val e2 = w2.agg(
+      sum(col("__w")).as("__sw"),
+      cands.zipWithIndex.map { case ((f, t, p), i) =>
+        sum(col("__w") * when(hC(f, t, p) =!= col("__y"), 1.0)
+          .otherwise(0.0)).as(s"__swe$i")
+      }: _*)
+      .select(cands.indices.map(i =>
+        try_divide(col(s"__swe$i"), col("__sw")).as(s"__err$i")): _*)
+    val b2 = bestOf(e2)
       .select(col("__b.__err").as("__e2"), col("__b.feat").as("__f2"),
         col("__b.thr").as("__t2"), col("__b.pol").as("__p2"))
       .withColumn("__a2", alphaOf(col("__e2")))
