@@ -290,10 +290,15 @@ object StatOps {
     val bin = (0 until nBins - 1).foldRight(lit(nBins): Column) { (i, els) =>
       when(col("__v") <= col(s"__f$i"), lit(i + 1)).otherwise(els)
     }
+    // counts is |cohorts|×|bins| rows but sits on the corpus binning
+    // pass, and BOTH its consumers (the densify grid and the smoothing
+    // join) re-evaluate it — which re-runs the fence-selection DAG too.
+    // Checkpoint the tiny frame once (q119 pattern, guide §2.4).
     val counts = vals.crossJoin(broadcast(fences))
       .withColumn("bin", bin)
       .groupBy(col("cohort"), col("bin"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     // densify: every cohort × bin 1..nBins, zero-filled — smoothing
     // needs the ABSENT bins' terms too
     val grid = counts.groupBy(col("cohort"))

@@ -580,11 +580,19 @@ object ExperimentQueries {
     * away from float knife-edges.
     */
   def q283AutoHistogram(s: SparkSession, dir: String): DataFrame = {
+    // quartiles via distributed selection, not the built-in
+    // percentile() aggregate whose buffer holds the WHOLE column in
+    // one task (guide §5; q311 note); count/min ride a plain agg and
+    // the 1-row frames merge on a crossJoin. Input checkpointed once
+    // for the selection's passes + the binning pass.
     val v = Tables.orders(s, dir)
       .select(col("o_totalprice").cast("double").as("__v"))
-    val stats = v.agg(count(lit(1)).as("__n"), min(col("__v")).as("__lo"),
-        expr("percentile(__v, 0.25)").as("__q1"),
-        expr("percentile(__v, 0.75)").as("__q3"))
+      .localCheckpoint()
+    val pct = graft.ops.StatOps.exactPercentiles(
+      v.withColumn("__g", lit(1)), "__g", "__v",
+      Seq("__q1" -> 0.25, "__q3" -> 0.75)).drop("__g")
+    val stats = v.agg(count(lit(1)).as("__n"), min(col("__v")).as("__lo"))
+      .crossJoin(broadcast(pct))
       .withColumn("__h", greatest(
         (round(lit(2.0) * (col("__q3") - col("__q1")) /
           pow(col("__n").cast("double"), lit(1.0 / 3.0)), 0) + lit(0.0)),
@@ -947,9 +955,14 @@ object ExperimentQueries {
     * the tail membership is bit-identical.
     */
   def q294Cvar(s: SparkSession, dir: String): DataFrame = {
+    // per-type p95 via distributed selection (see q311 note: the
+    // built-in percentile() buffers every group value in one task);
+    // exactPercentiles keeps double-typed output, so the fence value
+    // and the tail membership comparisons are unchanged
     val v = Tables.events(s, dir).select(col("event_type"), col("value"))
-    val fences = v.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.95)").as("__var95"))
+      .localCheckpoint()
+    val fences = graft.ops.StatOps.exactPercentiles(
+      v, "event_type", "value", Seq("__var95" -> 0.95))
     v.join(broadcast(fences), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -1002,14 +1015,18 @@ object ExperimentQueries {
     * row.
     */
   def q296CappingSensitivity(s: SparkSession, dir: String): DataFrame = {
+    // per-user totals are corpus-proportional (|users| grows with the
+    // corpus), so the fence percentiles go through distributed
+    // selection (q311 note), not a whole-column one-task buffer
     val per = Tables.events(s, dir)
       .groupBy(col("user_id")).agg(sum(col("value")).as("__m"))
       .withColumn("__t",
         TextOps.hash32(col("user_id").cast("string"), seed = "cap:")
           % 2 === 1)
-    val fences = per.agg(
-      expr("percentile(__m, 0.99)").as("__p99"),
-      expr("percentile(__m, 0.95)").as("__p95"))
+      .localCheckpoint()
+    val fences = graft.ops.StatOps.exactPercentiles(
+      per.withColumn("__g", lit(1)), "__g", "__m",
+      Seq("__p99" -> 0.99, "__p95" -> 0.95)).drop("__g")
     per.crossJoin(broadcast(fences))
       .select(col("__t"), explode(array(
         struct(lit("1_none").as("cap"), col("__m").as("__v")),
@@ -1319,14 +1336,20 @@ object ExperimentQueries {
     * one conditional aggregate against the broadcast fence frame.
     */
   def q305MedianImpute(s: SparkSession, dir: String): DataFrame = {
+    // project to the two columns the query uses, checkpoint once
+    // (selection passes + the imputation pass), and take the per-type
+    // median through distributed selection (q311 note: the built-in
+    // percentile() aggregate buffers every group value in one task)
     val e = Tables.events(s, dir)
       .withColumn("__v", when(
         pmod(TextOps.hash32(col("event_id").cast("string"),
           seed = "na:"), lit(10L)) === 0, lit(null).cast("double"))
         .otherwise(col("value")))
-    val med = e.filter(col("__v").isNotNull)
-      .groupBy(col("event_type"))
-      .agg(expr("percentile(__v, 0.5)").as("__med"))
+      .select(col("event_type"), col("__v"))
+      .localCheckpoint()
+    val med = graft.ops.StatOps.exactPercentiles(
+      e.filter(col("__v").isNotNull), "event_type", "__v",
+      Seq("__med" -> 0.5))
     e.join(broadcast(med), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -113,11 +113,20 @@ object StatQueries {
     * construction) through Wilson–Hilferty + the shared polynomial.
     */
   def q311BrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    // group medians via the distributed-selection exactPercentiles, not
+    // the built-in percentile() aggregate: the built-in buffers EVERY
+    // group value in one task's aggregation buffer (O(corpus/k) per
+    // group at any cluster size — the aggregate cousin of the
+    // single-task window trap, guide §5); exactPercentiles reproduces
+    // Percentile.getPercentile bit-for-bit on bounded buckets. The
+    // 2-column input is checkpointed once for the selection's passes +
+    // the deviation pass (q119 pattern).
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("g"),
         col("l_extendedprice").cast("double").as("x"))
-    val med = li.groupBy(col("g"))
-      .agg(expr("percentile(x, 0.5)").as("__med"))
+      .localCheckpoint()
+    val med = graft.ops.StatOps.exactPercentiles(li, "g", "x",
+      Seq("__med" -> 0.5))
     val z = li.join(broadcast(med), Seq("g"))
       .select(col("g"), abs(col("x") - col("__med")).as("__z"))
     val perG = z.groupBy(col("g"))
@@ -971,12 +980,19 @@ object StatQueries {
     * map-side-combinable aggregation over the corpus.
     */
   def q415MoodMedian(s: SparkSession, dir: String): DataFrame = {
+    // one materialization feeds the pooled-median selection's passes +
+    // the contingency pass (q311/q119 pattern)
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("g"),
         col("l_quantity").cast("double").as("__v"),
         lit(1).as("__all"))
+      .localCheckpoint()
     val med = graft.ops.StatOps.exactPercentiles(li, "__all", "__v",
       Seq("med" -> 0.5)).select(col("med"))
+    // cells is |groups| rows on top of the corpus contingency pass;
+    // its consumers (margin totals, the χ² frame used twice) would
+    // each re-run that pass AND the pooled-median selection feeding it
+    // — checkpoint the 3-row frame once (q119 pattern, guide §2.4)
     val cells = li.crossJoin(broadcast(med))
       .groupBy(col("g"))
       .agg(count(when(col("__v") > col("med"), 1)).cast("double")
@@ -984,6 +1000,7 @@ object StatQueries {
         count(when(col("__v") <= col("med"), 1)).cast("double")
           .as("__b"),
         max(col("med")).as("__med"))
+      .localCheckpoint()
     val tot = cells.agg(sum(col("__a")).as("__ta"),
       sum(col("__b")).as("__tb"))
     val chi = cells.crossJoin(broadcast(tot))

@@ -536,6 +536,9 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q272_woe_iv" -> "feature bins",
     "q274_hill_tail" -> "top-k tail order statistics (k-bounded)",
     "q276_simpson" -> "strata",
+    "q283_auto_histogram" -> "exactPercentiles bucket histogram (<=4096)",
+    "q296_capping_sensitivity" -> ("exactPercentiles bucket histogram " +
+      "(<=4096)"),
     "q277_bh_screen" -> "m hypotheses (category pairs)",
     "q279_jackknife_groups" -> "leave-one-out groups",
     "q297_anova" -> "groups",
@@ -674,6 +677,11 @@ class PlanQualitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q259_spearman" -> ("shardedCumsumBy offset frame " +
       "(nShards=8 rows/group, 2 rank histograms)"),
     "q287_forecast_eval" -> "per-day aggregate frame (calendar)",
+    "q294_cvar" -> "exactPercentiles bucket histogram (<=4096/group)",
+    "q305_median_impute" -> ("exactPercentiles bucket histogram " +
+      "(<=4096/group)"),
+    "q311_brown_forsythe" -> ("exactPercentiles bucket histogram " +
+      "(<=4096/group)"),
     "q376_mase" -> "per-day aggregate frame (calendar)",
     "q380_wilcoxon" -> ("distinct |paired-daily-count diffs| frame " +
       "(calendar-bounded)"),
